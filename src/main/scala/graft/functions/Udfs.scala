@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.model.InvoiceExtractionResult
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Registered UDF surface of the engine (SURVEY §2.12).
+  *
+  * All UDFs wrap total functions — they never throw, so a malformed value
+  * degrades the row instead of killing the task (risk register §7.4.4).
+  * Struct-returning: one call per document/value, encoder-derived schemas.
+  */
+object Udfs {
+
+  /** CNPJ checksum validation → struct (ref: robot/core/validators.py:65-122). */
+  val cnpjValidate: UserDefinedFunction =
+    udf((s: String) => Validators.cnpjValidator(if (s == null) "" else s))
+
+  /** NF-e access-key validation → struct (ref: robot/core/validators.py:126-234). */
+  val nfeKeyValidate: UserDefinedFunction =
+    udf((s: String) => Validators.nfeKeyValidator(if (s == null) "" else s))
+
+  /** Monetary validation, generic context (ref: robot/core/validators.py:239-357). */
+  val moneyValidate: UserDefinedFunction =
+    udf((s: String) => Validators.monetaryValueValidator(if (s == null) "" else s))
+
+  /** Monetary validation under Brazilian fiscal rules
+    * (ref: robot/core/validators.py:361-370). */
+  val moneyValidateFiscal: UserDefinedFunction =
+    udf((s: String) => Validators.validatorValorFiscalBrasileiro(if (s == null) "" else s))
+
+  /** Currency detection (ref: robot/core/validators.py:52-63). */
+  val currencyDetect: UserDefinedFunction =
+    udf((s: String) => Validators.currencyDetector(if (s == null) "" else s))
+
+  /** Accent strip (ref: robot/core/parser.py:18-20). */
+  val removeAccents: UserDefinedFunction =
+    udf((s: String) => if (s == null) null else InvoiceParser.removeAccents(s))
+
+  /** Full block-segmentation parse of ALREADY-NORMALIZED text → payload
+    * struct (ref: robot/core/parser.py:321-379). Document-local; pairs with
+    * [[Normalizer.normalizeTextCol]] for the EP1 pipeline. */
+  val parseInvoice: UserDefinedFunction =
+    udf((text: String, src: String) =>
+      InvoiceParser.extractFromText(if (text == null) "" else text, Option(src)))
+
+  /** Block segmentation alone → map of block name → span
+    * (ref: robot/core/parser.py:134-208). */
+  val extractBlocks: UserDefinedFunction =
+    udf((text: String) => InvoiceParser.extractBlocks(if (text == null) "" else text))
+
+  /** Register everything for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("cnpj_validate", cnpjValidate)
+    spark.udf.register("nfe_key_validate", nfeKeyValidate)
+    spark.udf.register("money_validate", moneyValidate)
+    spark.udf.register("money_validate_fiscal", moneyValidateFiscal)
+    spark.udf.register("currency_detect", currencyDetect)
+    spark.udf.register("remove_accents", removeAccents)
+    spark.udf.register("parse_invoice", parseInvoice)
+    spark.udf.register("extract_blocks", extractBlocks)
+  }
+}
