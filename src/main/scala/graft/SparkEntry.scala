@@ -7,7 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Every entry in [[queries]] is one operator from SURVEY §2 (or a scale
   * extension); entries with a matching [[oracleSql]] are hash-checked against
-  * DuckDB on the same parquet tables.
+  * DuckDB on the same parquet tables. Queries without an oracle are
+  * non-SQL-expressible (probabilistic LSH structures) and carry ScalaTest
+  * recall checks instead.
   */
 object SparkEntry {
 
@@ -17,12 +19,70 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_invoice_pipeline" -> ((s, dir) => InvoicePipeline.query(s, dir))
+    // reference parity: the full fiscal-document pipeline (SURVEY §2.2-2.6, §3)
+    "q_invoice_pipeline" -> ((s, dir) => InvoicePipeline.query(s, dir)),
+    // corpus analytics extensions (SURVEY §2.6-2.9 ABSENT-in-reference ops)
+    "q_agg_pricing" -> ((s, dir) => Analytics.aggPricing(s, dir)),
+    "q_join_revenue" -> ((s, dir) => Analytics.joinRevenue(s, dir)),
+    "q_window_topk" -> ((s, dir) => Analytics.windowTopK(s, dir)),
+    "q_anti_join" -> ((s, dir) => Analytics.antiJoin(s, dir)),
+    "q_semi_join" -> ((s, dir) => Analytics.semiJoin(s, dir)),
+    "q_set_ops" -> ((s, dir) => Analytics.setOps(s, dir)),
+    "q_rollup" -> ((s, dir) => Analytics.rollup(s, dir)),
+    // event-time operators (SURVEY §2.10)
+    "q_events_hourly" -> ((s, dir) => EventOps.hourlyWindow(s, dir)),
+    "q_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
+    "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
+    // training-data pipeline: text analysis
+    "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
+    // training-data pipeline: dedup
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
+    "q_minhash_dedup" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    // training-data pipeline: similarity search
+    // threshold 0.45: the synthetic embeddings top out near cos 0.51, so
+    // 0.45 yields a real (non-empty) near-neighbor set
+    "q_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(s, dir, threshold = 0.45)),
+    "q_ann_topk" -> ((s, dir) => Similarity.topK(s, dir)),
+    "q_ann_lsh" -> ((s, dir) => Similarity.annPairs(s, dir, threshold = 0.45)),
+    "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(s, dir)),
+    // multimodal-column plumbing (decode stage stubbed deterministically)
+    "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q_invoice_pipeline" -> InvoicePipeline.oracleSql
+    "q_invoice_pipeline" -> InvoicePipeline.oracleSql,
+    "q_agg_pricing" -> Analytics.aggPricingSql,
+    "q_join_revenue" -> Analytics.joinRevenueSql,
+    "q_window_topk" -> Analytics.windowTopKSql,
+    "q_anti_join" -> Analytics.antiJoinSql,
+    "q_semi_join" -> Analytics.semiJoinSql,
+    "q_set_ops" -> Analytics.setOpsSql,
+    "q_rollup" -> Analytics.rollupSql,
+    "q_events_hourly" -> EventOps.hourlyWindowSql,
+    "q_sessionize" -> EventOps.sessionizeSql,
+    "q_asof_join" -> EventOps.asofJoinSql,
+    "q_langid" -> TextAnalysis.langIdSql,
+    "q_text_quality" -> TextAnalysis.qualitySql,
+    "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_binary_meta" -> TextAnalysis.binaryMetaSql,
+    "q_dedup_exact" -> Dedup.exactSql,
+    "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
+    // minhash LSH at 16×2 bands has empirically-total recall at the 0.5
+    // threshold on this corpus; every emitted pair is exact-verified, so
+    // the exact-Jaccard SQL is its oracle.
+    "q_minhash_dedup" -> Dedup.jaccardPairsSql(),
+    "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
+    "q_ann_topk" -> Similarity.topKSql()
+    // q_simhash_pairs, q_ann_lsh, q_ivf_assign: probabilistic/hash-defined
+    // structures with no SQL equivalent → rows-only check + ScalaTest.
   )
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level relational analytics (SURVEY §2.6-§2.9 extensions: the
+  * reference has no grouped aggregation/joins/windows/set-ops — these are
+  * the Spark-native extensions BASELINE.json's north star calls for).
+  *
+  * Scale notes, per operator, assuming the TPC-H-ish star schema at 100 TB:
+  *   - fact tables (lineitem, orders, events) are the scan-heavy side; all
+  *     aggregations here are partial-agg friendly (map-side combine) and
+  *     group on low-cardinality keys → tiny shuffles.
+  *   - every dim join (customer/nation/region/supplier) is broadcast —
+  *     dims are orders of magnitude smaller than facts, so no fact shuffle.
+  *   - window queries partition by a high-cardinality key (custkey/user_id)
+  *     → one shuffle, well distributed, no skew hot-spot.
+  *   - decimal(18,2) casts BEFORE summing keep results deterministic and
+  *     schema-stable across engines (IEEE double summation is
+  *     order-dependent; decimal is not).
+  */
+object Analytics {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1-style pricing summary: single scan, partial agg, 4-group
+    * output. At scale: no join, shuffle carries only 4×partitions rows. */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        // sum in exact decimal (order-independent), publish as double
+        // (identical float64 value on both engines regardless of how each
+        // client library surfaces decimals)
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSql: String = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""".trim
+
+  /** Revenue by region/nation: fact scan + 3 broadcast dim joins. At scale
+    * the only shuffle is the final tiny groupBy. */
+  def joinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = broadcast(t(spark, dir, "customer"))
+    val nation = broadcast(t(spark, dir, "nation"))
+    val region = broadcast(t(spark, dir, "region"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("order_cnt"))
+      .orderBy("region_name", "nation_name")
+  }
+
+  val joinRevenueSql: String = """
+SELECT r_name AS region_name, n_name AS nation_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""".trim
+
+  /** Top-3 orders per customer by price (deterministic tie-break on
+    * orderkey). One shuffle on the high-cardinality partition key. */
+  def windowTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+        col("o_totalprice").as("price"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  val windowTopKSql: String = """
+SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk, o_totalprice AS price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+WHERE rk <= 3 ORDER BY o_custkey, rk
+""".trim
+
+  /** Customers with no orders in 1995H1 — left-anti join against a
+    * predicate-pushed slice of the fact table (the filter reaches the
+    * parquet scan; at 100 TB that is the difference between scanning six
+    * months and scanning everything). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(
+        t(spark, dir, "orders").filter(col("o_orderdate") < to_timestamp(lit("1995-07-01"))),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01')
+ORDER BY c_custkey
+""".trim
+
+  /** Suppliers with at least one shipped lineitem — left-semi join. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .join(t(spark, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+
+  val semiJoinSql: String = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+ORDER BY s_suppkey
+""".trim
+
+  /** Set algebra over nation keys: nations having customers but no
+    * suppliers (EXCEPT) and nations having both (INTERSECT), tagged. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = t(spark, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = t(spark, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct()
+    val both = custNations.intersect(suppNations).withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("tag", lit("customer_only"))
+    both.union(custOnly).orderBy("tag", "nationkey")
+  }
+
+  val setOpsSql: String = """
+SELECT nationkey, tag FROM (
+  SELECT nationkey, 'both' AS tag FROM
+    (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+     INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+  UNION ALL
+  SELECT nationkey, 'customer_only' AS tag FROM
+    (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+     EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+) ORDER BY tag, nationkey
+""".trim
+
+  /** ROLLUP over (returnflag, linestatus): grouping-set aggregation with
+    * subtotal and grand-total rows. */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupSql: String = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""".trim
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators over the `events` table (SURVEY §2.10: the
+  * reference is architected for streaming but implements none — these are
+  * the Spark-native event-time operators the event envelope contract
+  * implies). The same logic runs under Structured Streaming via
+  * [[graft.streaming.StreamingPipeline]]; batch versions here are the
+  * oracle-checkable semantics.
+  *
+  * Scale notes: tumbling-window agg groups on (hour, type) — tiny shuffle
+  * after partial agg. Sessionize and as-of partition by user_id — a single
+  * well-distributed shuffle; a skewed power-user key would be handled by
+  * AQE skew-join/salting, and state in the streaming variant is bounded by
+  * watermarking.
+  */
+object EventOps {
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark 4 refuses natively — read nanos as long and truncate to µs,
+    * exactly what DuckDB's ns→µs read does, so both engines see identical
+    * timestamps. Integral `div` (not `/`) — ns epoch values exceed 2^53 and
+    * would lose precision through a double. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        count_distinct(col("user_id")).as("users"))
+      .orderBy("window_start", "event_type")
+
+  val hourlyWindowSql: String = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+  COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""".trim
+
+  /** Gap-based sessionization (30-minute inactivity gap): classic
+    * lag + cumulative-sum session assignment, then per-session rollup.
+    * One shuffle on user_id; per-user state is a sorted walk. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = 30 * 60 * 1000000L // compare in µs — second-truncation
+    // would disagree with the oracle at exact-gap boundaries
+    val withGap = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts,
+    SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS events,
+  MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""".trim
+
+  /** As-of join: for every purchase event, the most recent STRICTLY-PRIOR
+    * click of the same user. Implemented the scale-friendly way — union the
+    * two streams, one window pass carrying the last click timestamp forward
+    * — instead of an O(n²) range self-join. A 1000-executor cluster does one
+    * shuffle on user_id and a sorted walk per user. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val tagged = ev.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"),
+      when(col("event_type") === "click", col("ts")).as("click_ts"))
+    // strictly prior: order clicks before purchases at identical ts via a
+    // tie-break rank (click=0 sorts first, window excludes current row range)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("last_click_ts"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle uses the naive correlated formulation — same semantics, O(n²)
+    * per user, fine for DuckDB at verification scale. `<` plus the
+    * (ts,event_id) tie-break mirrors the window's strictly-prior frame. */
+  val asofJoinSql: String = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+  (SELECT max(c.ts) FROM events c
+   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+     AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS last_click_ts
+FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
+""".trim
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.operators.InvoicePipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.10): the reference is
+  * request-driven (FastAPI + planned Celery/Redis workers,
+  * rpa_config.py:31-42) with an event-envelope contract but no streaming
+  * runtime; here the identical batch pipeline runs under micro-batches.
+  *
+  * Per-document processing is stateless, so the invoice stream needs no
+  * watermark; the event-window aggregation carries a watermark so state is
+  * bounded (late events beyond 1 hour are dropped — at 100 TB/day the
+  * alternative is unbounded state growth).
+  */
+object StreamingPipeline {
+
+  /** Schema of a landing-zone document row (what a binaryFile/Kafka source
+    * or upstream extractor emits). */
+  val DocSchema: StructType = new StructType()
+    .add("doc_id", "long").add("text", "string")
+
+  /** File-source micro-batch stream over a landing directory of parquet
+    * document files → full invoice pipeline. */
+  def invoiceStream(spark: SparkSession, landingDir: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(DocSchema)
+      .option("maxFilesPerTrigger", 8) // bound micro-batch size
+      .parquet(landingDir)
+    InvoicePipeline.process(stream)
+      .select(col("doc_id"),
+        col("invoice.issuer.cnpj_cpf").as("issuer_cnpj"),
+        col("invoice.financials.total").as("total"),
+        col("trust_score"), col("status"))
+  }
+
+  /** Event-bus envelope projection (ref: orchestrator_models.py:51-66
+    * `map_to_event_contract`): the streaming sink contract, as JSON. */
+  def eventEnvelope(processed: DataFrame): DataFrame =
+    processed.select(to_json(struct(
+      sha2(concat_ws(":", col("doc_id"), col("status")), 256).as("event_id"),
+      lit("fiscal.extraction.completed").as("event_type"),
+      date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
+      struct(
+        struct(col("issuer_cnpj"), col("total"), col("trust_score"), col("status")).as("payload")
+      ).as("data")
+    )).as("value"))
+
+  /** Windowed event-time aggregation with watermark over a streaming
+    * events source — tumbling 1-hour windows per event type. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("events"), col("sum_value"))
+
+  /** Write helper: single-trigger drain (AvailableNow) to an in-memory or
+    * file sink — used by tests and by batch-catchup deployments. */
+  def drainAvailableNow(df: DataFrame, queryName: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .queryName(queryName)
+      .format("memory")
+}

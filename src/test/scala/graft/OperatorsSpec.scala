@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level specs for the pieces the DuckDB oracle can't see:
+  * trust-scoring branches, dedup on crafted duplicates, LSH recall,
+  * multimodal plumbing. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  import spark.implicits._
+
+  // --- trust scoring (ref: orchestrator.py:33-116; test_orchestrator_validation.py) ---
+
+  def score(text: String): (Double, String, Seq[String]) = {
+    val df = InvoicePipeline.process(Seq(text).toDF("text"))
+      .select(col("trust_score"), col("status"),
+        col("validation_issues.code").as("codes"))
+      .collect()(0)
+    (df.getDouble(0), df.getString(1), df.getSeq[String](2))
+  }
+
+  val full: String =
+    """PRESTADOR DE SERVIÇOS
+      |EMPRESA ALFA LTDA
+      |CNPJ: 04.252.011/0001-10
+      |TOMADOR DE SERVIÇOS
+      |CLIENTE BETA SA
+      |CNPJ: 11.222.333/0001-81
+      |VALOR TOTAL: R$ 100,00""".stripMargin
+
+  test("success ⇒ score 1.0, no issues (ref: test_orchestrator_validation.py:33-60)") {
+    val (s, st, codes) = score(full)
+    assert(s == 1.0 && st == "success" && codes.isEmpty)
+  }
+
+  test("missing recipient ⇒ partial, 0.9, MISSING_RECIPIENT (ref: :68-98)") {
+    val (s, st, codes) = score(full.replace("TOMADOR DE SERVIÇOS", "X")
+      .replace("CNPJ: 11.222.333/0001-81", "SEM DOCUMENTO AQUI"))
+    assert(s == 0.9 && st == "partial" && codes == Seq("MISSING_RECIPIENT"))
+  }
+
+  test("invalid issuer ⇒ error, clamped 0.0 (ref: :106-127)") {
+    val (s, st, codes) = score(full.replace("04.252.011/0001-10", "12.345.678/0001-00"))
+    assert(s == 0.0 && st == "error" && codes.contains("MISSING_ISSUER"))
+  }
+
+  test("missing total ⇒ error severity, -0.5 (ref: orchestrator.py:84-91)") {
+    val (s, st, codes) = score(full.replace("VALOR TOTAL: R$ 100,00", "SEM VALORES"))
+    assert(s == 0.5 && st == "error" && codes.contains("MISSING_TOTAL"))
+  }
+
+  // --- dedup on crafted duplicates ---
+
+  test("exact dedup groups identical normalized content") {
+    val docs = Seq(
+      (1L, "hello   world  foo"),
+      (2L, "Hello world FOO"),   // same after canonicalization
+      (3L, "totally different text")).toDF("doc_id", "text")
+    val out = docs.groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L) // keep 1, copies 2
+  }
+
+  test("jaccard shingle pairs find near-duplicates and skip distinct docs") {
+    // two docs sharing most 3-gram shingles + one unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val far = "one two three four five six seven eight nine ten"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val withSh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .withColumn("cnt", size(col("sh")))
+    val ex = withSh.select(col("doc_id"), col("cnt"), explode(col("sh")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        col("a.cnt").as("ca"), col("b.cnt").as("cb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("j", col("shared") / (col("ca") + col("cb") - col("shared")))
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs(0)
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getDouble(5) > 0.5) // 7 shared of 8+8-7=9 → 0.777
+  }
+
+  test("minhash LSH recall is 1.0 on the test corpus vs exact jaccard") {
+    val exact = Dedup.jaccardPairs(spark, sf).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashDedup(spark, sf).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exact, s"minhash=${mh.size} exact=${exact.size} missing=${(exact -- mh).take(5)}")
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, output keys sane") {
+    val out = Dedup.simhashPairs(spark, sf).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 3)
+    }
+  }
+
+  // --- similarity ---
+
+  test("SRP-LSH ann pairs match exact cosine pairs at the 0.45 threshold") {
+    val exact = Similarity.cosinePairs(spark, sf, 0.45).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annPairs(spark, sf, 0.45).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact -- ann).isEmpty || (exact -- ann).size.toDouble / exact.size <= 0.1,
+      s"recall too low: exact=${exact.size} ann=${ann.size}")
+    assert((ann -- exact).isEmpty, "ann emitted a pair below threshold (verify step broken)")
+  }
+
+  test("top-k neighbors are rank-consistent and self-excluded") {
+    val out = Similarity.topK(spark, sf, k = 3, nQueries = 5).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length))
+      rows.foreach(r => assert(r.getLong(2) != q))
+      val coss = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // --- multimodal plumbing ---
+
+  test("multimodal decode: deterministic features, normalized histogram, kinds") {
+    val out = Multimodal.featureQuery(spark, sf).collect()
+    assert(out.length == 500)
+    val again = Multimodal.featureQuery(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq) // deterministic
+    out.take(20).foreach { r =>
+      assert(Set("image", "audio", "video").contains(r.getString(1)))
+      assert(r.getLong(2) > 0) // n_bytes
+      assert(r.getInt(3) >= 64 && r.getInt(3) < 128)
+    }
+  }
+
+  test("multimodal: full feature vector is an L1-normalized histogram") {
+    val feats = Multimodal.decodeFeatures(Multimodal.fromDocuments(spark, sf))
+    val row = feats.limit(1).collect()(0)
+    val sum = row.features.sum
+    assert(math.abs(sum - 1.0f) < 1e-3, s"histogram sums to $sum")
+  }
+}
