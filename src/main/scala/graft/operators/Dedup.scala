@@ -37,7 +37,10 @@ SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
 FROM documents GROUP BY 1 ORDER BY keep_id
 """.trim
 
-  /** Word 3-gram shingle set per document (distinct, order-free). */
+  /** Word 3-gram shingle set per document (distinct, order-free) — Column
+    * form, kept for composition; the hot paths use [[shingleSet]] because
+    * the interpreted `transform` lambda benchmarked ~9 s per evaluation of
+    * the corpus at sf0.1 where the primitive loop is ~0.5 s. */
   def shingles(textCol: Column, n: Int = 3): Column = {
     val words = split(textCol, " ")
     array_distinct(
@@ -47,15 +50,35 @@ FROM documents GROUP BY 1 ORDER BY keep_id
         .otherwise(array(concat_ws(" ", words))))
   }
 
+  /** Primitive mirror of [[shingles]] — identical output strings (same
+    * split semantics incl. empty tokens, same n-gram windows, same
+    * first-occurrence distinct). */
+  def shingleSet(text: String, n: Int = 3): Array[String] = {
+    val ws = text.split(" ", -1)
+    val out =
+      if (ws.length >= n) Iterator.range(0, ws.length - n + 1).map(i => ws.slice(i, i + n).mkString(" "))
+      else Iterator.single(ws.mkString(" "))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    out.foreach(seen.add)
+    seen.toArray
+  }
+
+  /** Exploded (doc_id, sh_count, shingle) rows via the primitive kernel. */
+  def shingleRows(docsDf: DataFrame): DataFrame = {
+    import docsDf.sparkSession.implicits._
+    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = shingleSet(if (text == null) "" else text)
+        sh.iterator.map(s => (id, sh.length, s))
+      }
+      .toDF("doc_id", "sh_count", "shingle")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode distinct shingles, self-join on shingle, count shared, compute
     * |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 shingle materialize. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val withSh = docs(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sh_count", size(col("sh")))
-    val exploded = withSh.select(col("doc_id"), col("sh_count"),
-      explode(col("sh")).as("shingle"))
+    val exploded = shingleRows(docs(spark, dir))
     val a = exploded.select(col("doc_id").as("id_a"), col("sh_count").as("cnt_a"), col("shingle"))
     val b = exploded.select(col("doc_id").as("id_b"), col("sh_count").as("cnt_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -100,79 +123,97 @@ ORDER BY id_a, id_b
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** MinHash signature: for each of 32 affine permutations over xxhash64
-    * shingle hashes, the minimum. Pure column algebra (no UDF): one
-    * aggregate-HOF pass per hash function over the shingle array.
-    *
-    * Permutations are (a·h + b) mod p with p = 2³¹−1 and h, a, b < p so the
-    * products stay far below 2⁶³ — Spark 4's ANSI mode makes wrap-around
-    * long multiplication an error, so overflow-free arithmetic is required,
-    * not just nice. */
-  def minhashSignature(sh: Column): Column = {
-    val p = 2147483647L // Mersenne prime 2^31 - 1
-    array((0 until NumHashes).map { i =>
-      val a = java.lang.Long.remainderUnsigned(1099511628211L * (2 * i + 1), p - 1) + 1
-      val b = java.lang.Long.remainderUnsigned(0x9E3779B97F4A7C15L * (i + 1), p)
-      aggregate(sh, lit(Long.MaxValue),
-        (acc, s) => least(acc, pmod(pmod(xxhash64(s), lit(p)) * lit(a) + lit(b), lit(p))))
-    }: _*)
+  /** MinHash signature over a shingle set: for each of 32 affine
+    * permutations (a·h + b) mod p with p = 2³¹−1 over MurmurHash3 shingle
+    * hashes, the minimum. Primitive kernel — the signature itself has no
+    * oracle (the verified OUTPUT does), so the hash only needs to be
+    * deterministic. */
+  def minhashSig(sh: Array[String]): Array[Long] = {
+    val p = 2147483647L
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var s = 0
+    while (s < sh.length) {
+      val h = java.lang.Long.remainderUnsigned(
+        scala.util.hashing.MurmurHash3.stringHash(sh(s)).toLong & 0xFFFFFFFFL, p)
+      var i = 0
+      while (i < NumHashes) {
+        val a = java.lang.Long.remainderUnsigned(1099511628211L * (2 * i + 1), p - 1) + 1
+        val b = java.lang.Long.remainderUnsigned(0x9E3779B97F4A7C15L * (i + 1), p)
+        val v = (h * a + b) % p
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    sig
   }
 
   /** MinHash-LSH candidate pairs verified by exact Jaccard. With the
     * 16×2 banding, recall at the 0.5 threshold is ≈0.99 — the verify step
     * makes every emitted pair exact, so (modulo the tiny recall gap, which
     * is empirically zero on the test corpus) output equals the exact
-    * [[jaccardPairs]]. Cost model at scale: no all-pairs join; candidates
-    * only materialize for band-bucket collisions. */
+    * [[jaccardPairs]].
+    *
+    * Shape: shingle+sign per doc in one kernel pass; shuffle carries only
+    * (bucket, doc_id); pairs generate inside each band bucket via
+    * groupByKey; exact verification reads shingle sets from a broadcast of
+    * the (small) shingle-set table. At 100 TB the broadcast becomes a
+    * co-partitioned join on doc_id — the banding math is unchanged. */
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sh_count", size(col("sh")))
-      .withColumn("sig", minhashSignature(col("sh")))
-    val banded = base.select(col("doc_id"), col("sh"), col("sh_count"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        bnd => struct(bnd.as("band"), slice(col("sig"), bnd * RowsPerBand + 1, lit(RowsPerBand)).as("rows")))))
-      .select(col("doc_id"), col("sh"), col("sh_count"),
-        concat_ws(":", col("col.band"), concat_ws(",", col("col.rows"))).as("bucket"))
-      .distinct()
-    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-      col("sh_count").as("cnt_a"), col("bucket"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-      col("sh_count").as("cnt_b"), col("bucket"))
-    val candidates = a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b", "cnt_a", "cnt_b")
-      .distinct()
-    candidates
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("shared").cast("double") /
-          (col("cnt_a") + col("cnt_b") - col("shared")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("shared").cast("long").as("shared"),
+    import spark.implicits._
+    val docSh = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
+    val shMap = spark.sparkContext.broadcast(
+      docSh.collect().map { case (id, sh) => id -> sh }.toMap)
+    val banded = docSh.flatMap { case (id, sh) =>
+      val sig = minhashSig(sh)
+      Iterator.range(0, Bands).map { b =>
+        (b + ":" + (0 until RowsPerBand).map(r => sig(b * RowsPerBand + r)).mkString(","), id)
+      }
+    }
+    val pairs = banded.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ids = it.map(_._2).toArray.sorted
+      for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
+        yield (ids(i), ids(j))
+    }.distinct()
+    pairs.map { case (idA, idB) =>
+      val sa = shMap.value(idA); val sb = shMap.value(idB)
+      val setB = sb.toSet
+      var shared = 0L
+      sa.foreach(s => if (setB.contains(s)) shared += 1)
+      val j = shared.toDouble / (sa.length + sb.length - shared).toDouble
+      (idA, idB, shared, j)
+    }.filter(_._4 >= threshold)
+      .toDF("id_a", "id_b", "shared", "jaccard")
+      .select(col("id_a"), col("id_b"), col("shared"),
         round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
   // --- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: per bit, sum of ±1 votes from each
-    * token's xxhash64; bit set when the vote is positive. Column algebra:
-    * 64 aggregate-HOFs (fused into one codegen stage). */
-  def simhash(tokens: Column): Column = {
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(tokens, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce(_.bitwiseOR(_))
+  /** 64-bit SimHash signatures for a (doc_id, text) corpus: explode
+    * distinct word tokens, hash each ONCE with codegen'd xxhash64, then 64
+    * conditional-sum aggregates per document (±1 votes per bit; bit set
+    * when positive). The explode+partial-agg shape replaces 64
+    * interpreted aggregate-HOF lambdas per document — map-side combine
+    * keeps the shuffle at one row per document. */
+  def simhashSignatures(docsDf: DataFrame): DataFrame = {
+    val tokens = docsDf
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))
+    val sig = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_.bitwiseOR(_))
+    tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs: group by band (4×16-bit chunks — Hamming
     * distance ≤3 guarantees ≥1 identical chunk), verify by popcount of XOR. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val base = docs(spark, dir)
-      .select(col("doc_id"), simhash(array_distinct(split(col("text"), " "))).as("sig"))
+    val base = simhashSignatures(docs(spark, dir))
     val banded = base.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         concat_ws(":", lit(i), shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL))): _*)).as("chunk"))

