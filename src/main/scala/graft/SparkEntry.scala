@@ -21,6 +21,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // reference parity: the full fiscal-document pipeline (SURVEY §2.2-2.6, §3)
     "q_invoice_pipeline" -> ((s, dir) => InvoicePipeline.query(s, dir)),
+    // granular scalar-operator differentials (SURVEY §2.2, §2.5)
+    "q_cnpj_validate" -> ((s, dir) => ScalarQueries.cnpjValidate(s, dir)),
+    "q_nfe_key_validate" -> ((s, dir) => ScalarQueries.nfeKeyValidate(s, dir)),
+    "q_money_validate" -> ((s, dir) => ScalarQueries.moneyValidate(s, dir)),
+    "q_normalize" -> ((s, dir) => ScalarQueries.normalize(s, dir)),
     // corpus analytics extensions (SURVEY §2.6-2.9 ABSENT-in-reference ops)
     "q_agg_pricing" -> ((s, dir) => Analytics.aggPricing(s, dir)),
     "q_join_revenue" -> ((s, dir) => Analytics.joinRevenue(s, dir)),
@@ -59,6 +64,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_invoice_pipeline" -> InvoicePipeline.oracleSql,
+    "q_cnpj_validate" -> ScalarQueries.cnpjValidateSql,
+    "q_nfe_key_validate" -> ScalarQueries.nfeKeyValidateSql,
+    "q_money_validate" -> ScalarQueries.moneyValidateSql,
+    "q_normalize" -> ScalarQueries.normalizeSql,
     "q_agg_pricing" -> Analytics.aggPricingSql,
     "q_join_revenue" -> Analytics.joinRevenueSql,
     "q_window_topk" -> Analytics.windowTopKSql,

@@ -18,10 +18,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+def canon(tbl):
+    """Arrow table → (sorted column names, row-sorted list of tuples).
+    Null is None on both engines through Arrow (pandas would smear NaN)."""
+    cols = sorted(tbl.column_names)
+    rows = list(zip(*[tbl.column(c).to_pylist() for c in cols]))
+    key = lambda r: tuple((v is None, str(v)) for v in r)
+    return cols, sorted(rows, key=key)
 
 
 def main(sf_dir, out_dir):
@@ -33,34 +36,32 @@ def main(sf_dir, out_dir):
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = pq.read_table(f"{out_dir}/{name}").to_pandas()
+            got = pq.read_table(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             failures += 1
             continue
         try:
-            want = con.execute(sql).df()
+            want = con.execute(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
             continue
-        g, w = canon(got), canon(want)
-        if list(g.columns) != list(w.columns):
-            print(f"FAIL {name}: columns differ: spark={list(g.columns)} oracle={list(w.columns)}")
+        (gc, gr), (wc, wr) = canon(got), canon(want)
+        if gc != wc:
+            print(f"FAIL {name}: columns differ: spark={gc} oracle={wc}")
             failures += 1
             continue
-        if len(g) != len(w):
-            print(f"FAIL {name}: row counts differ: spark={len(g)} oracle={len(w)}")
+        if len(gr) != len(wr):
+            print(f"FAIL {name}: row counts differ: spark={len(gr)} oracle={len(wr)}")
             failures += 1
             continue
         mismatch = None
-        for c in g.columns:
-            gv, wv = g[c].tolist(), w[c].tolist()
-            for i, (a, b) in enumerate(zip(gv, wv)):
-                if a != b and not (a is None and b is None) and str(a) != str(b):
-                    # NaN-safe
-                    if a != a and b != b:
-                        continue
+        for i, (ra, rb) in enumerate(zip(gr, wr)):
+            for c, a, b in zip(gc, ra, rb):
+                if a is None and b is None:
+                    continue
+                if a != b and str(a) != str(b):
                     mismatch = (c, i, a, b)
                     break
             if mismatch:
@@ -70,7 +71,7 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: col {c} row {i}: spark={a!r} oracle={b!r}")
             failures += 1
         else:
-            print(f"OK   {name} ({len(g)} rows)")
+            print(f"OK   {name} ({len(gr)} rows)")
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
     return 1 if failures else 0
 
