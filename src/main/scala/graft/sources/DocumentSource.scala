@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document ingestion (SURVEY §2.1 S1/S2): binary files → extracted text +
+  * read metadata, mirroring the reference's PDF reader contract
+  * (robot/pdf_reader.py:4-94 — text, page_count, unicode-issue flag,
+  * encoding ∈ {utf-8, latin-1, unknown}, extraction method, sizes).
+  *
+  * The PDF text decode itself is STUBBED behind [[PdfTextExtractor]]
+  * (PDFBox is not shipped in this container): `%PDF` payloads get a
+  * deterministic fake extraction; plain-text payloads go through real
+  * encoding detection (UTF-8 strict parse → latin-1 fallback, the
+  * reference's policy). The Spark plumbing — binaryFile source, partition
+  * layout, per-partition decode in a typed map — is real.
+  *
+  * Scale notes: `binaryFile` partitions by `spark.sql.files.maxPartitionBytes`
+  * so huge corpora split by bytes, not file count; decode is per-partition
+  * CPU work with no shuffle; pushdown: `pathGlobFilter`/`modifiedAfter`
+  * prune at the listing level.
+  */
+object DocumentSource {
+
+  /** Mirror of the reference's PDFExtractionResult (robot/pdf_reader.py:4-20)
+    * — field names preserved, including the `extration_method` typo, which
+    * is part of the reference's published schema. */
+  case class ExtractedDoc(
+      path: String,
+      text: String,
+      page_count: Int,
+      has_unicode_issues: Boolean,
+      encoding: String,
+      extration_method: String,
+      size_bytes: Long,
+      file_size_kb: Double)
+
+  /** Deterministic stand-in for a real PDF text extractor. */
+  object PdfTextExtractor {
+    private val PdfMagic = Array[Byte]('%', 'P', 'D', 'F')
+
+    def isPdf(bytes: Array[Byte]): Boolean =
+      bytes.length >= 4 && bytes.take(4).sameElements(PdfMagic)
+
+    /** UTF-8 strict decode, latin-1 fallback (ref: pdf_reader.py encoding
+      * detection policy). */
+    def decodeText(bytes: Array[Byte]): (String, String) = {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      try {
+        (dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString, "utf-8")
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          (new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1), "latin-1")
+      }
+    }
+
+    def extract(path: String, bytes: Array[Byte]): ExtractedDoc = {
+      val b = if (bytes == null) Array.empty[Byte] else bytes
+      if (isPdf(b)) {
+        // STUB: deterministic fake extraction — replace with PDFBox here.
+        val pages = 1 + (b.length % 7)
+        ExtractedDoc(path,
+          text = s"[pdf-stub] ${b.length} bytes, $pages pages",
+          page_count = pages,
+          has_unicode_issues = false,
+          encoding = "unknown",
+          extration_method = "embedded",
+          size_bytes = b.length.toLong,
+          file_size_kb = b.length / 1024.0)
+      } else {
+        val (text, enc) = decodeText(b)
+        ExtractedDoc(path,
+          text = text,
+          page_count = 1 + text.count(_ == '\f'),
+          has_unicode_issues = text.exists(c => c == ' ' || c == '​'),
+          encoding = enc,
+          extration_method = "embedded",
+          size_bytes = b.length.toLong,
+          file_size_kb = b.length / 1024.0)
+      }
+    }
+  }
+
+  /** S1: directory scan via Spark's binaryFile source → typed decode. */
+  def readDirectory(spark: SparkSession, dir: String, glob: String = "*"): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) => PdfTextExtractor.extract(p, bytes) })
+  }
+
+  /** S2: in-memory bytes column → typed decode (the upload path). */
+  def fromBytes(df: DataFrame, pathCol: String, bytesCol: String): Dataset[ExtractedDoc] = {
+    import df.sparkSession.implicits._
+    df.select(col(pathCol), col(bytesCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) => PdfTextExtractor.extract(p, bytes) })
+  }
+
+  /** S3-equivalent ingestion gate (ref: api/dependencies.py:12-49): size
+    * cap + magic-number check as a filter column, for use before decode. */
+  def uploadGate(maxBytes: Long = 10L * 1024 * 1024): org.apache.spark.sql.Column =
+    length(col("content")) <= maxBytes &&
+      substring(col("content"), 1, 4) === lit("%PDF".getBytes)
+}

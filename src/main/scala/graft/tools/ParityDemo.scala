@@ -53,6 +53,24 @@ object ParityDemo {
     ).show(truncate = false)
     parsed.select(explode(col("invoice.items")).as("item"))
       .select("item.description", "item.unit_value").show(truncate = false)
+
+    // 3. Document source: binaryFile scan with encoding detection (S1).
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-demo-src").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "utf8.txt"),
+      "NOTA ação UTF8".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "latin1.txt"),
+      "NOTA ação LATIN1".getBytes("ISO-8859-1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "doc.pdf"),
+      "%PDF-1.4 stub-payload".getBytes)
+    graft.sources.DocumentSource.readDirectory(spark, srcDir)
+      .select("path", "encoding", "page_count", "size_bytes").show(5, truncate = 60)
+
+    // 4. Orchestrated EP2 run: audit trail + envelope.
+    val orch = graft.operators.Orchestrate.run(
+      Seq(GoldenFixture.text).toDF("text"), tenantCol = lit("demo-tenant"))
+    orch.select(col("execution_id"), col("status"), col("trust_score"),
+      col("events.stage").as("stages")).show(truncate = false)
+    graft.operators.Orchestrate.toEventEnvelope(orch).show(1, truncate = 140)
     spark.stop()
   }
 }
