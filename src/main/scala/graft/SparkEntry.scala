@@ -34,6 +34,7 @@ object SparkEntry {
     "q_semi_join" -> ((s, dir) => Analytics.semiJoin(s, dir)),
     "q_set_ops" -> ((s, dir) => Analytics.setOps(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollup(s, dir)),
+    "q_salted_agg" -> ((s, dir) => Analytics.saltedAgg(s, dir)),
     // event-time operators (SURVEY §2.10)
     "q_events_hourly" -> ((s, dir) => EventOps.hourlyWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -75,6 +76,7 @@ object SparkEntry {
     "q_semi_join" -> Analytics.semiJoinSql,
     "q_set_ops" -> Analytics.setOpsSql,
     "q_rollup" -> Analytics.rollupSql,
+    "q_salted_agg" -> Analytics.saltedAggSql,
     "q_events_hourly" -> EventOps.hourlyWindowSql,
     "q_sessionize" -> EventOps.sessionizeSql,
     "q_asof_join" -> EventOps.asofJoinSql,

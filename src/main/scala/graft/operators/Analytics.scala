@@ -154,6 +154,33 @@ SELECT nationkey, tag FROM (
 ) ORDER BY tag, nationkey
 """.trim
 
+  /** Skew-safe two-phase aggregation: salt the grouping key, partial-
+    * aggregate per (key, salt), then merge the partials. On a skewed key
+    * distribution (one hot key at 100 TB) this spreads the hot key over
+    * `buckets` reducers instead of one; results are identical because the
+    * aggregates (sum/count) are associative. Deterministic salt here
+    * (linenumber-derived) so the query is reproducible; production salting
+    * hashes a high-cardinality column. */
+  def saltedAgg(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(buckets)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("partial_qty"),
+        count(lit(1)).as("partial_cnt"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("partial_qty")).cast("double").as("sum_qty"),
+        sum(col("partial_cnt")).cast("long").as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** The oracle is the UNSALTED aggregation — proving the two-phase plan
+    * is a pure refactoring of the straight group-by. */
+  val saltedAggSql: String = """
+SELECT l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS cnt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""".trim
+
   /** ROLLUP over (returnflag, linestatus): grouping-set aggregation with
     * subtotal and grand-total rows. */
   def rollup(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (SparkSessionExtensions): registers the native
+  * expressions for SQL use and installs the domain optimizer rule.
+  *
+  * Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `.withExtensions(new GraftExtensions)` on the session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cnpj_is_valid"),
+      new ExpressionInfo(classOf[CnpjIsValid].getName, "cnpj_is_valid"),
+      (children: Seq[Expression]) => CnpjIsValid(children.head)))
+    ext.injectOptimizerRule(_ => SimplifyCnpjValidation)
+  }
+}

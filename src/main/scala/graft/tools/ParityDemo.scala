@@ -13,6 +13,7 @@ object ParityDemo {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-parity-demo")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -71,6 +72,14 @@ object ParityDemo {
     orch.select(col("execution_id"), col("status"), col("trust_score"),
       col("events.stage").as("stages")).show(truncate = false)
     graft.operators.Orchestrate.toEventEnvelope(orch).show(1, truncate = 140)
+
+    // 5. Native expression via SparkSessionExtensions (SQL surface).
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT cnpj_is_valid('04.252.011/0001-10') AS valid_literal,
+        |       count(*) AS checked,
+        |       sum(CASE WHEN cnpj_is_valid(c_name) THEN 1 ELSE 0 END) AS names_that_validate
+        |FROM customer""".stripMargin).show()
     spark.stop()
   }
 }

@@ -9,6 +9,9 @@ object TestSpark {
       .builder()
       .master("local[4]")
       .appName("graft-tests")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
