@@ -39,6 +39,7 @@ object SparkEntry {
     "q_events_hourly" -> ((s, dir) => EventOps.hourlyWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
+    "q_running_totals" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     // training-data pipeline: text analysis
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_events_hourly" -> EventOps.hourlyWindowSql,
     "q_sessionize" -> EventOps.sessionizeSql,
     "q_asof_join" -> EventOps.asofJoinSql,
+    "q_running_totals" -> EventOps.runningTotalsSql,
     "q_langid" -> TextAnalysis.langIdSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,

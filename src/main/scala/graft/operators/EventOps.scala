@@ -87,6 +87,34 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS events,
 FROM s GROUP BY 1, 2 ORDER BY 1, 2
 """.trim
 
+  /** Per-user running analytics: cumulative value, previous-event gap
+    * (lag), and next event type (lead) — the §2.8 analytic-window surface
+    * over event time. One shuffle on user_id. */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("running_value"),
+        col("prev_gap_us"), col("next_type"))
+      .orderBy("event_id")
+  }
+
+  val runningTotalsSql: String = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+  epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_gap_us,
+  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events ORDER BY event_id
+""".trim
+
   /** As-of join: for every purchase event, the most recent STRICTLY-PRIOR
     * click of the same user. Implemented the scale-friendly way — union the
     * two streams, one window pass carrying the last click timestamp forward
