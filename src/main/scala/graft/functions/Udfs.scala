@@ -38,6 +38,11 @@ object Udfs {
   val removeAccents: UserDefinedFunction =
     udf((s: String) => if (s == null) null else InvoiceParser.removeAccents(s))
 
+  /** Party-name normalization + stopword rejection
+    * (ref: robot/core/parser.py:32-70). */
+  val cleanPartyName: UserDefinedFunction =
+    udf((s: String) => InvoiceParser.cleanPartyName(if (s == null) "" else s))
+
   /** Full block-segmentation parse of ALREADY-NORMALIZED text → payload
     * struct (ref: robot/core/parser.py:321-379). Document-local; pairs with
     * [[Normalizer.normalizeTextCol]] for the EP1 pipeline. */
@@ -58,6 +63,7 @@ object Udfs {
     spark.udf.register("money_validate_fiscal", moneyValidateFiscal)
     spark.udf.register("currency_detect", currencyDetect)
     spark.udf.register("remove_accents", removeAccents)
+    spark.udf.register("clean_party_name", cleanPartyName)
     spark.udf.register("parse_invoice", parseInvoice)
     spark.udf.register("extract_blocks", extractBlocks)
   }

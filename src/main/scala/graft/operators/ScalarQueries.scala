@@ -252,6 +252,49 @@ FROM parts ORDER BY id
 """.trim
 
   // ------------------------------------------------------------------
+  // P10+P11: accent strip + party-name cleaning (golden-value oracle —
+  // fixed input classes, expected outputs captured from the reference)
+  // ------------------------------------------------------------------
+
+  private val NameInputs = Seq(
+    "EMPRESA ABC TECNOLOGIA LTDA", "  empresa   beta ltda.  ",
+    "PRESTADOR DE SERVIÇOS", "CLIENTE XYZ INDÚSTRIA S.A.",
+    "DADOS DO PRESTADOR", "João da Silva Comércio ME", "CNPJ CPF NIF", "A B")
+  private val NameExpected = Seq(
+    Some("EMPRESA ABC TECNOLOGIA LTDA"), Some("EMPRESA BETA LTDA"),
+    None, Some("CLIENTE XYZ INDÚSTRIA S.A"),
+    None, Some("JOÃO DA SILVA COMÉRCIO ME"), None, None)
+  private val AccentExpected = Seq(
+    "EMPRESA ABC TECNOLOGIA LTDA", "  empresa   beta ltda.  ",
+    "PRESTADOR DE SERVICOS", "CLIENTE XYZ INDUSTRIA S.A.",
+    "DADOS DO PRESTADOR", "Joao da Silva Comercio ME", "CNPJ CPF NIF", "A B")
+
+  def cleanNames(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val input = element_at(litArray(NameInputs), (k % 8).cast("int") + 1)
+    spark.read.parquet(s"$dir/customer.parquet").select(
+      k.as("id"),
+      input.as("input"),
+      Udfs.cleanPartyName(input).as("cleaned"),
+      Udfs.removeAccents(input).as("sem_acentos")
+    ).orderBy("id")
+  }
+
+  val cleanNamesSql: String = {
+    val cleanedCase = "(CASE c_custkey%8 " + NameExpected.zipWithIndex.map {
+      case (Some(v), i) => s"WHEN $i THEN '$v'"
+      case (None, i)    => s"WHEN $i THEN NULL"
+    }.mkString(" ") + " END)"
+    s"""
+SELECT c_custkey AS id,
+  ${sqlCase("c_custkey%8", NameInputs)} AS input,
+  $cleanedCase AS cleaned,
+  ${sqlCase("c_custkey%8", AccentExpected)} AS sem_acentos
+FROM customer ORDER BY id
+""".trim
+  }
+
+  // ------------------------------------------------------------------
   // P1-P8: normalization pipeline as a direct differential
   // (ref: robot/core/text_normalizer.py:63-92)
   // ------------------------------------------------------------------
