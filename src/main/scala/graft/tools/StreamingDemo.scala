@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.streaming.StreamingPipeline
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.max
 
 import java.nio.file.Files
 
@@ -42,6 +43,26 @@ object StreamingDemo {
     out.show(truncate = false)
     println("[demo] envelope sample:")
     StreamingPipeline.eventEnvelope(out).show(1, truncate = 200)
+
+    // Stateful streaming: running per-user totals across micro-batches.
+    import graft.streaming.StatefulOps
+    val evLanding = Files.createTempDirectory("graft-stateful-demo").toString
+    (0 until 90).map(i => StatefulOps.UserEvent(i % 3L,
+      new java.sql.Timestamp(1700000000000L + i * 1000L), 2.0))
+      .grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+        chunk.toDF().coalesce(1).write.parquet(s"$evLanding/b$i")
+      }
+    val stateful = StatefulOps.runningUserTotals(
+      spark.readStream.schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", 1).parquet(s"$evLanding/b*")
+        .as[StatefulOps.UserEvent])
+    val sq = stateful.writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").format("memory").queryName("demo_stateful").start()
+    sq.awaitTermination(120000)
+    println("[demo] final per-user running totals (state carried across 3 micro-batches):")
+    spark.table("demo_stateful").groupBy("user_id")
+      .agg(max("events_so_far").as("events"), max("value_so_far").as("value"))
+      .orderBy("user_id").show()
     spark.stop()
   }
 }

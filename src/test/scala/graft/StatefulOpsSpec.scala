@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.{UserEvent, UserUpdate}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Stateful streaming (flatMapGroupsWithState) and the typed Aggregator. */
+class StatefulOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  test("state carries across micro-batches: running totals end at per-user counts") {
+    val landing = Files.createTempDirectory("graft-state").toString
+    val events = (0 until 300).map { i =>
+      UserEvent(i % 5L, new java.sql.Timestamp(1700000000000L + i * 1000L), 1.5)
+    }
+    // three separate files + maxFilesPerTrigger=1 → three micro-batches,
+    // so correctness REQUIRES the state store to carry totals across
+    events.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.parquet(s"$landing/part$i")
+    }
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/part*")
+      .as[UserEvent]
+    val q = StatefulOps.runningUserTotals(stream)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("memory").queryName("stateful_out")
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("stateful_out").as[UserUpdate].collect()
+    assert(out.length == 300) // one update per event
+    val finals = out.groupBy(_.user_id).map { case (u, ups) =>
+      u -> ups.maxBy(_.events_so_far)
+    }
+    finals.foreach { case (u, f) =>
+      assert(f.events_so_far == 60L, s"user $u ended at ${f.events_so_far}")
+      assert(math.abs(f.value_so_far - 90.0) < 1e-9)
+    }
+  }
+
+  test("typed Aggregator: trust histogram over the invoice corpus") {
+    val scores = graft.operators.InvoicePipeline.query(spark, "/root/testdata/sf0.001")
+      .select(col("trust_score")).as[Double]
+    val summary = scores.select(StatefulOps.TrustStatsAggregator.toColumn).collect()(0)
+    assert(summary.n == 1500)
+    assert(summary.buckets.sum == 1500)
+    assert(summary.buckets(3) > summary.buckets(0)) // most docs score high
+    assert(summary.mean > 0.8 && summary.mean <= 1.0)
+  }
+
+  test("Aggregator composes with groupByKey for per-tenant summaries") {
+    val df = graft.operators.InvoicePipeline
+      .process(graft.operators.InvoicePipeline.syntheticCorpus(spark, "/root/testdata/sf0.001"))
+      .select(col("tenant_id"), col("trust_score"))
+      .as[(String, Double)]
+    val perTenant = df.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(StatefulOps.TrustStatsAggregator.toColumn)
+      .collect()
+    assert(perTenant.length == 5) // five mktsegments as tenants
+  }
+}
