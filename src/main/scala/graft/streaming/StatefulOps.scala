@@ -17,8 +17,15 @@ object StatefulOps {
   case class UserUpdate(user_id: Long, events_so_far: Long, value_so_far: Double)
 
   /** Running per-user event count + value sum, carried across micro-batches
-    * in the state store. Events within a batch process in event-time order
-    * so the running numbers are deterministic. */
+    * in the state store. Events within a batch process in (event-time,
+    * value) order — the value tie-break keeps intermediate updates
+    * deterministic even when timestamps collide (shuffle arrival order is
+    * not stable).
+    *
+    * Note: the per-key batch materializes in memory before sorting — a
+    * pathological hot key (bot traffic on one user_id) is bounded by the
+    * micro-batch size, so cap batches via `maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger` when keys can be skewed. */
   def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
     import events.sparkSession.implicits._
     events
@@ -28,7 +35,7 @@ object StatefulOps {
           val prev = state.getOption.getOrElse(UserState(0L, 0.0))
           var c = prev.count
           var s = prev.sum
-          val out = it.toSeq.sortBy(_.ts.getTime).map { e =>
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.value)).map { e =>
             c += 1; s += e.value
             UserUpdate(user, c, s)
           }
@@ -40,23 +47,26 @@ object StatefulOps {
   // ---- typed Aggregator (UDAF surface, SURVEY §2.12) ------------------
 
   case class TrustSummary(n: Long, mean: Double, buckets: Seq[Long])
+  case class TrustBuf(n: Long, sum: Double, buckets: Array[Long])
 
   /** Corpus-level trust-score distribution: count, mean, and a 4-bucket
     * histogram ([0,.25),[.25,.5),[.5,.75),[.75,1]) — a typed
     * `Aggregator[IN, BUF, OUT]` usable in both batch `agg()` and streaming
-    * aggregations. Buffer is a flat tuple → partial-agg/merge friendly. */
-  object TrustStatsAggregator extends Aggregator[Double, (Long, Double, Array[Long]), TrustSummary] {
-    override def zero: (Long, Double, Array[Long]) = (0L, 0.0, Array.fill(4)(0L))
-    override def reduce(b: (Long, Double, Array[Long]), score: Double): (Long, Double, Array[Long]) = {
+    * aggregations. The buffer is a case class with a product encoder, so
+    * partials shuffle as a plain struct (no kryo dependency). */
+  object TrustStatsAggregator extends Aggregator[Double, TrustBuf, TrustSummary] {
+    override def zero: TrustBuf = TrustBuf(0L, 0.0, Array.fill(4)(0L))
+    override def reduce(b: TrustBuf, score: Double): TrustBuf = {
       val idx = math.min(3, math.max(0, (score * 4).toInt))
-      b._3(idx) += 1
-      (b._1 + 1, b._2 + score, b._3)
+      b.buckets(idx) += 1
+      TrustBuf(b.n + 1, b.sum + score, b.buckets)
     }
-    override def merge(a: (Long, Double, Array[Long]), b: (Long, Double, Array[Long])): (Long, Double, Array[Long]) =
-      (a._1 + b._1, a._2 + b._2, a._3.zip(b._3).map { case (x, y) => x + y })
-    override def finish(r: (Long, Double, Array[Long])): TrustSummary =
-      TrustSummary(r._1, if (r._1 == 0) 0.0 else r._2 / r._1, r._3.toSeq)
-    override def bufferEncoder = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.kryo[Array[Long]])
+    override def merge(a: TrustBuf, b: TrustBuf): TrustBuf =
+      TrustBuf(a.n + b.n, a.sum + b.sum,
+        a.buckets.zip(b.buckets).map { case (x, y) => x + y })
+    override def finish(r: TrustBuf): TrustSummary =
+      TrustSummary(r.n, if (r.n == 0) 0.0 else r.sum / r.n, r.buckets.toSeq)
+    override def bufferEncoder = Encoders.product[TrustBuf]
     override def outputEncoder = Encoders.product[TrustSummary]
   }
 }

@@ -58,7 +58,7 @@ object StreamingDemo {
         .as[StatefulOps.UserEvent])
     val sq = stateful.writeStream.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .outputMode("append").format("memory").queryName("demo_stateful").start()
-    sq.awaitTermination(120000)
+    require(sq.awaitTermination(120000), "stateful drain did not finish in 120s")
     println("[demo] final per-user running totals (state carried across 3 micro-batches):")
     spark.table("demo_stateful").groupBy("user_id")
       .agg(max("events_so_far").as("events"), max("value_so_far").as("value"))
