@@ -50,10 +50,33 @@ object Udfs {
     udf((text: String, src: String) =>
       InvoiceParser.extractFromText(if (text == null) "" else text, Option(src)))
 
+  /** Fused normalize→parse in one UDF call, marked non-deterministic.
+    *
+    * NOT because it is (it's pure) — because CollapseProject inlines
+    * deterministic expressions into every downstream reference: with the
+    * validate stage reading ~12 fields of the payload struct, the parse
+    * (and the normalization feeding it) re-executed per field, benchmarked
+    * 50× slower than single evaluation. Non-deterministic expressions are
+    * never duplicated, so the document is normalized+parsed exactly once
+    * per row. The cheap validator UDFs downstream stay deterministic so
+    * codegen-level common-subexpression elimination dedupes them. */
+  val normalizeAndParse: UserDefinedFunction =
+    udf((raw: String, src: String) =>
+      InvoiceParser.extractFromText(
+        Normalizer.normalizeText(if (raw == null) "" else raw), Option(src)))
+      .asNondeterministic()
+
   /** Block segmentation alone → map of block name → span
     * (ref: robot/core/parser.py:134-208). */
   val extractBlocks: UserDefinedFunction =
     udf((text: String) => InvoiceParser.extractBlocks(if (text == null) "" else text))
+
+  /** Single-evaluation variants for pipeline hot paths (same semantics;
+    * non-determinism marker only pins evaluation count — see
+    * [[normalizeAndParse]]). */
+  val cnpjValidateOnce: UserDefinedFunction = cnpjValidate.asNondeterministic()
+  val moneyValidateFiscalOnce: UserDefinedFunction = moneyValidateFiscal.asNondeterministic()
+  val nfeKeyValidateOnce: UserDefinedFunction = nfeKeyValidate.asNondeterministic()
 
   /** Register everything for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

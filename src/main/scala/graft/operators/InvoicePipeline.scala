@@ -19,19 +19,22 @@ import org.apache.spark.sql.functions._
 object InvoicePipeline {
 
   /** Run the full pipeline over a DataFrame with a `text` column; emits the
-    * payload struct plus validate-stage columns. */
+    * payload struct plus validate-stage columns.
+    *
+    * The normalize→parse step runs as ONE fused, single-evaluation UDF
+    * (see [[Udfs.normalizeAndParse]] for why); the validate stage is column
+    * algebra over the resulting attribute. `norm_text` is re-derived
+    * lazily in column algebra only where a caller selects it. */
   def process(docs: DataFrame, textCol: String = "text",
               sourceCol: Column = lit(null).cast("string")): DataFrame = {
-    val norm = Normalizer.normalizeTextCol(col(textCol))
-    val withInv = docs
-      .withColumn("norm_text", norm)
-      .withColumn("invoice", Udfs.parseInvoice(col("norm_text"), sourceCol))
-    val issues = TrustScoring.validationIssues(col("invoice"))
-    val score = TrustScoring.trustScore(col("invoice"))
-    withInv
-      .withColumn("validation_issues", issues)
-      .withColumn("trust_score", score)
+    docs
+      .withColumn("invoice", Udfs.normalizeAndParse(col(textCol), sourceCol))
+      .withColumn("norm_text", Normalizer.normalizeTextCol(col(textCol)))
+      .withColumn("checks", TrustScoring.checksCol(col("invoice")))
+      .withColumn("validation_issues", TrustScoring.issuesFrom(col("invoice"), col("checks")))
+      .withColumn("trust_score", TrustScoring.scoreFrom(col("invoice"), col("checks")))
       .withColumn("status", TrustScoring.status(col("validation_issues"), col("trust_score")))
+      .drop("checks")
   }
 
   // ---------------------------------------------------------------------

@@ -46,11 +46,13 @@ object Orchestrate {
       .withColumn("input_hash", inputHash)
       .withColumn("execution_id",
         concat(tenantCol, lit("_"), substring(inputHash, 1, 12)))
+      // fused single-evaluation normalize+parse (see Udfs.normalizeAndParse)
+      .withColumn("invoice", Udfs.normalizeAndParse(raw, sourceCol))
       .withColumn("norm_text", Normalizer.normalizeTextCol(raw))
-      .withColumn("invoice", Udfs.parseInvoice(col("norm_text"), sourceCol))
 
-    val issues = TrustScoring.validationIssues(col("invoice"))
-    val score = TrustScoring.trustScore(col("invoice"))
+    val staged2 = staged.withColumn("checks", TrustScoring.checksCol(col("invoice")))
+    val issues = TrustScoring.issuesFrom(col("invoice"), col("checks"))
+    val score = TrustScoring.scoreFrom(col("invoice"), col("checks"))
 
     val readEvent = event("READ", detail(
       "duration_sec" -> lit("0.0"),
@@ -71,7 +73,7 @@ object Orchestrate {
       "recipient_found" -> col("invoice.recipient").isNotNull,
       "total_value" -> col("invoice.financials.total")))
 
-    staged
+    staged2
       .withColumn("validation_issues", issues)
       .withColumn("trust_score", score)
       .withColumn("status", TrustScoring.status(col("validation_issues"), col("trust_score")))
@@ -84,6 +86,7 @@ object Orchestrate {
           "critical_errors" -> exists(col("validation_issues"),
             i => i.getField("severity") === "error")))))
       .withColumn("end_time", current_timestamp())
+      .drop("checks")
   }
 
   /** Event-bus envelope (ref: orchestrator_models.py:51-66

@@ -33,16 +33,35 @@ object TrustScoring {
     struct(lit(code).as("code"), lit(field).as("field"), message.as("message"),
       lit(if (WarningCodes(code)) "warning" else "error").as("severity"))
 
+  /** The three validator re-runs the VALIDATE stage needs
+    * (orchestrator.py:63,93,105), evaluated ONCE into a struct column —
+    * materialize this as its own attribute (single-evaluation UDFs) so the
+    * many field reads in [[issuesFrom]]/[[scoreFrom]] don't re-invoke the
+    * validators through projection collapse. */
+  def checksCol(inv: Column): Column = struct(
+    Udfs.cnpjValidateOnce(inv.getField("issuer").getField("cnpj_cpf")).as("cnpj"),
+    Udfs.moneyValidateFiscalOnce(inv.getField("financials").getField("total")).as("total"),
+    Udfs.nfeKeyValidateOnce(inv.getField("chave_acesso")).as("key"))
+
   /** Ordered issue list (ref: robot/orchestrator.py:49-113). `inv` is the
-    * payload struct column produced by the parse stage. */
+    * payload struct column produced by the parse stage. Convenience form —
+    * hot paths use [[issuesFrom]] with a materialized checks attribute. */
   def issuesCol(inv: Column): Column = {
+    val cnpjVal = Udfs.cnpjValidate(inv.getField("issuer").getField("cnpj_cpf"))
+    val totalVal = Udfs.moneyValidateFiscal(inv.getField("financials").getField("total"))
+    val keyVal = Udfs.nfeKeyValidate(inv.getField("chave_acesso"))
+    issuesWith(inv, cnpjVal, totalVal, keyVal)
+  }
+
+  /** Issues from a pre-evaluated checks struct. */
+  def issuesFrom(inv: Column, checks: Column): Column =
+    issuesWith(inv, checks.getField("cnpj"), checks.getField("total"), checks.getField("key"))
+
+  private def issuesWith(inv: Column, cnpjVal: Column, totalVal: Column, keyVal: Column): Column = {
     val issuerCnpj = inv.getField("issuer").getField("cnpj_cpf")
     val recipientCnpj = inv.getField("recipient").getField("cnpj_cpf")
     val total = inv.getField("financials").getField("total")
     val chave = inv.getField("chave_acesso")
-    val cnpjVal = Udfs.cnpjValidate(issuerCnpj)
-    val totalVal = Udfs.moneyValidateFiscal(total)
-    val keyVal = Udfs.nfeKeyValidate(chave)
 
     val candidates = array(
       when(issuerCnpj.isNull,
@@ -69,21 +88,32 @@ object TrustScoring {
 
   /** Clamped trust score (ref: robot/orchestrator.py:43-116):
     * 1.0 − Σ penalties, floor 0.0, rounded to 2 places like
-    * `round(score, 2)` at orchestrator.py:280. */
-  def trustScore(inv: Column): Column = {
+    * `round(score, 2)` at orchestrator.py:280. Convenience form — hot
+    * paths use [[scoreFrom]]. */
+  def trustScore(inv: Column): Column =
+    scoreWith(inv,
+      Udfs.cnpjValidate(inv.getField("issuer").getField("cnpj_cpf")),
+      Udfs.moneyValidateFiscal(inv.getField("financials").getField("total")),
+      Udfs.nfeKeyValidate(inv.getField("chave_acesso")))
+
+  /** Trust score from a pre-evaluated checks struct. */
+  def scoreFrom(inv: Column, checks: Column): Column =
+    scoreWith(inv, checks.getField("cnpj"), checks.getField("total"), checks.getField("key"))
+
+  private def scoreWith(inv: Column, cnpjVal: Column, totalVal: Column, keyVal: Column): Column = {
     val issuerCnpj = inv.getField("issuer").getField("cnpj_cpf")
     val recipientCnpj = inv.getField("recipient").getField("cnpj_cpf")
     val total = inv.getField("financials").getField("total")
     val chave = inv.getField("chave_acesso")
     val score = lit(1.0) -
       when(issuerCnpj.isNull, PenaltyMissingIssuer)
-        .when(!Udfs.cnpjValidate(issuerCnpj).getField("valido"), PenaltyInvalidIssuer)
+        .when(!cnpjVal.getField("valido"), PenaltyInvalidIssuer)
         .otherwise(0.0) -
       when(recipientCnpj.isNull, PenaltyMissingRecipient).otherwise(0.0) -
       when(total.isNull, PenaltyMissingTotal)
-        .when(!Udfs.moneyValidateFiscal(total).getField("valido"), PenaltyInvalidTotal)
+        .when(!totalVal.getField("valido"), PenaltyInvalidTotal)
         .otherwise(0.0) -
-      when(chave.isNotNull && !Udfs.nfeKeyValidate(chave).getField("valido"),
+      when(chave.isNotNull && !keyVal.getField("valido"),
         PenaltyInvalidKey).otherwise(0.0)
     round(greatest(lit(0.0), score), 2)
   }
