@@ -28,11 +28,15 @@ object InvoiceParser {
   val ValuePattern: Pattern =
     Pattern.compile("R?\\$?\\s*([\\d]{1,3}(?:[.,]\\d{3})*(?:[.,]\\d{2}))")
 
-  /** NFKD-normalize and strip combining marks (ref: robot/core/parser.py:18-20). */
+  /** NFKD-normalize and strip combining marks (ref: robot/core/parser.py:18-20).
+    * The reference drops chars with nonzero canonical combining class; the
+    * JDK doesn't expose ccc, so we strip non-spacing marks (\p{Mn}) — all
+    * accents NFKD produces — while keeping spacing marks (Mc, ccc=0) that
+    * Python also keeps (Indic matras etc.). */
   def removeAccents(s: String): String =
     java.text.Normalizer
       .normalize(s, java.text.Normalizer.Form.NFKD)
-      .replaceAll("\\p{M}", "")
+      .replaceAll("\\p{Mn}", "")
 
   /** Generic-label stopword blacklist (ref: robot/core/parser.py:22-30). */
   val InvalidNameTokens: Set[String] = Set(
@@ -47,7 +51,7 @@ object InvoiceParser {
     * (ref: robot/core/parser.py:32-70). */
   def cleanPartyName(name: String): Option[String] = {
     if (name == null || name.isEmpty) return None
-    var n = name.replaceAll("\\s+", " ")
+    var n = name.replaceAll("(?U)\\s+", " ") // (?U): Python \s is Unicode (NBSP etc.)
     n = n.toUpperCase(Locale.ROOT).trim
     n = n.replaceAll("[\\.\\-\\,]+$", "")
     n = n.trim

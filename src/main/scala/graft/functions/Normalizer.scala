@@ -49,6 +49,11 @@ object Normalizer {
     t = t.replaceAll("(\\d)\\s*,\\s*(\\d{2})", "$1,$2")
     t = t.replaceAll("(?<=\\d)\\s*\\.\\s*(?=\\d{3}\\b)", "")
 
+    // Python str.splitlines also breaks on FS/GS/RS/NEL/LS/PS — map them to
+    // \n at split time (\f/\v are already collapsed by the whitespace step,
+    // \r handled up top) so line boundaries match the reference.
+    t = t.replaceAll("[\\x1c\\x1d\\x1e\\x85\\u2028\\u2029]", "\n")
+
     // strip_lines_noise (ref: :30-50) + order-preserving dedup (ref: :84-91)
     val kept = t.split("\n", -1).iterator.map(_.trim).filter { ln =>
       SiglasValidas.contains(ln.toUpperCase(java.util.Locale.ROOT)) ||
@@ -73,14 +78,17 @@ object Normalizer {
     t = regexp_replace(t, "(\\d{2}/\\d{2}/\\d{4})(\\d{2}:\\d{2}:\\d{2})", "$1 $2")
     t = regexp_replace(t, "(\\d)\\s*,\\s*(\\d{2})", "$1,$2")
     t = regexp_replace(t, "(?<=\\d)\\s*\\.\\s*(?=\\d{3}\\b)", "")
+    t = regexp_replace(t, "[\\x1c\\x1d\\x1e\\x85\\u2028\\u2029]", "\n")
 
     val siglas = array(SiglasValidas.toSeq.sorted.map(lit): _*)
     val lines = transform(split(t, "\n", -1), ln => trim(ln))
     val kept = filter(
       lines,
       ln =>
+        // (?U) makes \d Unicode like Python's re and the pure-Scala
+        // Character.isDigit — ASCII-only \d would drop e.g. "٤٢" lines
         array_contains(siglas, upper(ln)) || length(ln) >= 3 ||
-          ln.rlike("\\d"))
+          ln.rlike("(?U)\\d"))
     array_join(array_distinct(kept), "\n")
   }
 }

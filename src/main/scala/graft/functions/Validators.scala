@@ -237,6 +237,21 @@ object Validators {
       } else limpo.replace(",", "")
     limpo = limpo.replace(" ", "")
 
+    // Python Decimal accepts the special values Infinity/-Infinity (and the
+    // reference then classifies them via its bounds checks); NaN makes the
+    // reference RAISE from an uncaught comparison — as a total function we
+    // degrade NaN to a format error instead (deliberate divergence).
+    limpo.toLowerCase(Locale.ROOT) match {
+      case "infinity" | "inf" | "+infinity" | "+inf" =>
+        return MoneyValidation(valido = false,
+          erro = Some("Valor absurdo: R$ Infinity"),
+          moeda = Some(moeda), confianca = 90)
+      case "-infinity" | "-inf" =>
+        return MoneyValidation(valido = false, erro = Some("Valor negativo"),
+          moeda = Some(moeda), confianca = 100)
+      case _ => ()
+    }
+
     val parsed = Try(BigDecimal(limpo)).toOption
     parsed match {
       case None =>

@@ -100,10 +100,10 @@ FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice 
 WHERE rk <= 3 ORDER BY o_custkey, rk
 """.trim
 
-  /** Customers with no orders in 1995H1 — left-anti join against a
+  /** Customers with no orders BEFORE 1995-07-01 — left-anti join against a
     * predicate-pushed slice of the fact table (the filter reaches the
-    * parquet scan; at 100 TB that is the difference between scanning six
-    * months and scanning everything). */
+    * parquet scan; at 100 TB that is the difference between scanning one
+    * date slice and scanning everything). */
   def antiJoin(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .join(

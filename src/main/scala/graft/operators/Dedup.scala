@@ -128,6 +128,12 @@ ORDER BY id_a, id_b
     * hashes, the minimum. Primitive kernel — the signature itself has no
     * oracle (the verified OUTPUT does), so the hash only needs to be
     * deterministic. */
+  // affine permutation coefficients — shingle-independent, computed once
+  private val MinhashA: Array[Long] = Array.tabulate(NumHashes)(i =>
+    java.lang.Long.remainderUnsigned(1099511628211L * (2 * i + 1), 2147483646L) + 1)
+  private val MinhashB: Array[Long] = Array.tabulate(NumHashes)(i =>
+    java.lang.Long.remainderUnsigned(0x9E3779B97F4A7C15L * (i + 1), 2147483647L))
+
   def minhashSig(sh: Array[String]): Array[Long] = {
     val p = 2147483647L
     val sig = Array.fill(NumHashes)(Long.MaxValue)
@@ -137,9 +143,7 @@ ORDER BY id_a, id_b
         scala.util.hashing.MurmurHash3.stringHash(sh(s)).toLong & 0xFFFFFFFFL, p)
       var i = 0
       while (i < NumHashes) {
-        val a = java.lang.Long.remainderUnsigned(1099511628211L * (2 * i + 1), p - 1) + 1
-        val b = java.lang.Long.remainderUnsigned(0x9E3779B97F4A7C15L * (i + 1), p)
-        val v = (h * a + b) % p
+        val v = (h * MinhashA(i) + MinhashB(i)) % p
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -161,11 +165,12 @@ ORDER BY id_a, id_b
     * co-partitioned join on doc_id — the banding math is unchanged. */
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val docSh = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    val collected = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
+      .collect() // one shingling pass; reused for both banding and verify
     val shMap = spark.sparkContext.broadcast(
-      docSh.collect().map { case (id, sh) => id -> sh }.toMap)
-    val banded = docSh.flatMap { case (id, sh) =>
+      collected.map { case (id, sh) => id -> sh }.toMap)
+    val banded = spark.createDataset(collected.toSeq).flatMap { case (id, sh) =>
       val sig = minhashSig(sh)
       Iterator.range(0, Bands).map { b =>
         (b + ":" + (0 until RowsPerBand).map(r => sig(b * RowsPerBand + r)).mkString(","), id)
@@ -200,7 +205,10 @@ ORDER BY id_a, id_b
     * keeps the shuffle at one row per document. */
   def simhashSignatures(docsDf: DataFrame): DataFrame = {
     val tokens = docsDf
-      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      // coalesce: NULL text must hash like "" so SimHash covers the same
+      // corpus as the shingle-based paths (explode(NULL) drops the doc)
+      .select(col("doc_id"),
+        explode(array_distinct(split(coalesce(col("text"), lit("")), " "))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))

@@ -25,9 +25,19 @@ object EventOps {
     * timestamps. Integral `div` (not `/`) — ns epoch values exceed 2^53 and
     * would lose precision through a double. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The nanos flag is consulted at schema-inference time (the read call
+    // below); restore the previous value so a reader helper doesn't leak
+    // session-wide schema behavior to unrelated parquet reads.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Tumbling 1-hour event-time windows per event type. */
