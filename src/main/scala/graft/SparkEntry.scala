@@ -36,6 +36,8 @@ object SparkEntry {
     "q_set_ops" -> ((s, dir) => Analytics.setOps(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollup(s, dir)),
     "q_salted_agg" -> ((s, dir) => Analytics.saltedAgg(s, dir)),
+    "q_percentiles" -> ((s, dir) => Analytics.percentiles(s, dir)),
+    "q_stats" -> ((s, dir) => Analytics.stats(s, dir)),
     // event-time operators (SURVEY §2.10)
     "q_events_hourly" -> ((s, dir) => EventOps.hourlyWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -51,6 +53,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
     "q_minhash_dedup" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
+    "q_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     // training-data pipeline: similarity search
     // threshold 0.45: the synthetic embeddings top out near cos 0.51, so
@@ -80,6 +83,8 @@ object SparkEntry {
     "q_set_ops" -> Analytics.setOpsSql,
     "q_rollup" -> Analytics.rollupSql,
     "q_salted_agg" -> Analytics.saltedAggSql,
+    "q_percentiles" -> Analytics.percentilesSql,
+    "q_stats" -> Analytics.statsSql,
     "q_events_hourly" -> EventOps.hourlyWindowSql,
     "q_sessionize" -> EventOps.sessionizeSql,
     "q_asof_join" -> EventOps.asofJoinSql,
@@ -95,6 +100,7 @@ object SparkEntry {
     // threshold on this corpus; every emitted pair is exact-verified, so
     // the exact-Jaccard SQL is its oracle.
     "q_minhash_dedup" -> Dedup.jaccardPairsSql(),
+    "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_ann_topk" -> Similarity.topKSql()
     // q_simhash_pairs, q_ann_lsh, q_ivf_assign: probabilistic/hash-defined

@@ -181,6 +181,63 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """.trim
 
+  /** Exact interpolated percentiles per group — Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the linear-interpolation definition;
+    * values round to 4 places to absorb summation-order ulps. At scale
+    * exact percentiles sort within groups; the approx_percentile sketch is
+    * the billion-row variant (not oracle-able, so not shipped as a query). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val percentilesSql: String = """
+SELECT o_orderpriority,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+  COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+""".trim
+
+  /** Mean/stddev per group computed from EXACT decimal power sums — the
+    * naive two-pass/Welford variance is merge-order dependent under
+    * partitioning, but Σx and Σx² in decimal are exact, so the final
+    * double formula is bit-identical on any cluster layout AND matches the
+    * oracle computing the same closed form. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast("decimal(18,2)")
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum((x * x).cast("decimal(30,4)")).as("sx2"))
+      .select(col("o_orderpriority"),
+        col("n"),
+        // round(…,4): DuckDB converts decimal→double in two roundings
+        // (int128 value then scale divide), Spark in one — 1-ulp drift
+        round(col("sx").cast("double") / col("n"), 4).as("mean"),
+        round(sqrt((col("sx2").cast("double") - col("sx").cast("double") *
+          col("sx").cast("double") / col("n")) / (col("n") - 1)), 4).as("stddev"))
+      .orderBy("o_orderpriority")
+  }
+
+  val statsSql: String = """
+WITH s AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sx2
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n,
+  round(CAST(sx AS DOUBLE) / n, 4) AS mean,
+  round(sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4) AS stddev
+FROM s ORDER BY o_orderpriority
+""".trim
+
   /** ROLLUP over (returnflag, linestatus): grouping-set aggregation with
     * subtotal and grand-total rows. */
   def rollup(spark: SparkSession, dir: String): DataFrame =

@@ -94,8 +94,9 @@ FROM documents GROUP BY 1 ORDER BY keep_id
       .orderBy("id_a", "id_b")
   }
 
-  def jaccardPairsSql(threshold: Double = 0.5): String = s"""
-WITH words AS (
+  /** Shingle CTE chain + the pair SELECT, shared between the pair oracle
+    * and the cluster oracle. */
+  private val JaccardCtes: String = """words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(
@@ -105,13 +106,70 @@ WITH words AS (
   FROM words
 ), ex AS (
   SELECT doc_id, len(shset) AS sh_count, unnest(shset) AS shingle FROM sh
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared,
+)"""
+
+  private def jaccardSelect(threshold: Double): String = s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared,
   round(CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOUBLE), 6) AS jaccard
 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sh_count, b.sh_count
-HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOUBLE) >= $threshold
-ORDER BY id_a, id_b
+HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOUBLE) >= $threshold"""
+
+  def jaccardPairsSql(threshold: Double = 0.5): String =
+    s"WITH $JaccardCtes\n${jaccardSelect(threshold)}\nORDER BY id_a, id_b"
+
+  /** Connected components over the near-duplicate pair graph: every doc in
+    * a dup cluster labeled with the cluster's minimum doc_id — the step
+    * that turns pairwise near-dup hits into keep/drop decisions in a
+    * training-data pipeline.
+    *
+    * Iterative min-label propagation (the standard distributed CC shape):
+    * each round joins labels across edges and takes the min; converges in
+    * O(diameter) rounds. Each round materializes via localCheckpoint so
+    * lineage doesn't grow; at 100 TB the same loop runs with the edges
+    * pre-partitioned by src and AQE handling stragglers. */
+  def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(spark, dir, threshold).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure via a recursive CTE over the exact-Jaccard
+    * edges, cluster = min(self, min reachable). */
+  def dupClustersSql(threshold: Double = 0.5): String = s"""
+WITH RECURSIVE $JaccardCtes, jp AS (
+${jaccardSelect(threshold)}
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM jp
+  UNION ALL
+  SELECT id_b, id_a FROM jp
+), reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster
+FROM reach GROUP BY s ORDER BY doc_id
 """.trim
 
   // --- MinHash + LSH ---------------------------------------------------
