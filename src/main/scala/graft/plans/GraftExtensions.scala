@@ -16,7 +16,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cnpj_is_valid"),
       new ExpressionInfo(classOf[CnpjIsValid].getName, "cnpj_is_valid"),
-      (children: Seq[Expression]) => CnpjIsValid(children.head)))
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`cnpj_is_valid`",
+              "expectedNum" -> "1",
+              "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        CnpjIsValid(children.head)
+      }))
     ext.injectOptimizerRule(_ => SimplifyCnpjValidation)
   }
 }

@@ -82,16 +82,12 @@ object DocumentSource {
     }
   }
 
-  /** S1: directory scan via Spark's binaryFile source → typed decode. */
-  def readDirectory(spark: SparkSession, dir: String, glob: String = "*"): Dataset[ExtractedDoc] = {
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (p, bytes) => PdfTextExtractor.extract(p, bytes) })
-  }
+  /** S1: directory scan via Spark's binaryFile source → typed decode
+    * (delegates to [[fromBytes]] so the decode plumbing exists once). */
+  def readDirectory(spark: SparkSession, dir: String, glob: String = "*"): Dataset[ExtractedDoc] =
+    fromBytes(
+      spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir),
+      "path", "content")
 
   /** S2: in-memory bytes column → typed decode (the upload path). */
   def fromBytes(df: DataFrame, pathCol: String, bytesCol: String): Dataset[ExtractedDoc] = {

@@ -41,7 +41,10 @@ object StreamingPipeline {
     * `map_to_event_contract`): the streaming sink contract, as JSON. */
   def eventEnvelope(processed: DataFrame): DataFrame =
     processed.select(to_json(struct(
-      sha2(concat_ws(":", col("doc_id"), col("status")), 256).as("event_id"),
+      // id covers the full payload: true replays (same doc, same result)
+      // dedupe on it; a re-extraction with a changed payload gets a new id
+      sha2(concat_ws(":", col("doc_id"), col("issuer_cnpj"), col("total"),
+        col("trust_score"), col("status")), 256).as("event_id"),
       lit("fiscal.extraction.completed").as("event_type"),
       date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX").as("timestamp"),
       struct(
