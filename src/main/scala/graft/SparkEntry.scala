@@ -38,6 +38,8 @@ object SparkEntry {
     "q_salted_agg" -> ((s, dir) => Analytics.saltedAgg(s, dir)),
     "q_percentiles" -> ((s, dir) => Analytics.percentiles(s, dir)),
     "q_stats" -> ((s, dir) => Analytics.stats(s, dir)),
+    "q_pivot" -> ((s, dir) => Analytics.pivot(s, dir)),
+    "q_cube" -> ((s, dir) => Analytics.cube2(s, dir)),
     // event-time operators (SURVEY §2.10)
     "q_events_hourly" -> ((s, dir) => EventOps.hourlyWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -85,6 +87,8 @@ object SparkEntry {
     "q_salted_agg" -> Analytics.saltedAggSql,
     "q_percentiles" -> Analytics.percentilesSql,
     "q_stats" -> Analytics.statsSql,
+    "q_pivot" -> Analytics.pivotSql,
+    "q_cube" -> Analytics.cube2Sql,
     "q_events_hourly" -> EventOps.hourlyWindowSql,
     "q_sessionize" -> EventOps.sessionizeSql,
     "q_asof_join" -> EventOps.asofJoinSql,

@@ -132,6 +132,37 @@ WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
 ORDER BY s_suppkey
 """.trim
 
+  /** Pivot: line counts spread across return flags as columns (explicit
+    * pivot values → no extra distinct-values job, stable schema). */
+  def pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .count()
+      .na.fill(0L)
+      .orderBy("l_linestatus")
+
+  val pivotSql: String = """
+SELECT l_linestatus,
+  COUNT(*) FILTER (WHERE l_returnflag = 'A') AS "A",
+  COUNT(*) FILTER (WHERE l_returnflag = 'N') AS "N",
+  COUNT(*) FILTER (WHERE l_returnflag = 'R') AS "R"
+FROM lineitem GROUP BY 1 ORDER BY 1
+""".trim
+
+  /** CUBE over (returnflag, linestatus): all 2² grouping sets. */
+  def cube2(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cube2Sql: String = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+""".trim
+
   /** Set algebra over nation keys: nations having customers but no
     * suppliers (EXCEPT) and nations having both (INTERSECT), tagged. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
