@@ -175,7 +175,7 @@ FROM cand ORDER BY id
 
   /** Money-string construction: 6 locale variants + 1 invalid, cents
     * derived from the key. BR variant 2 carries a thousands dot. */
-  private def moneyCandidate(k: Column): (Column, Column) = {
+  private def moneyCandidate(k: Column): Column = {
     val cents = (k * 37 + 11) % 100000000L // < 1e6 reais
     val ip = (cents / 100).cast("long")
     val cc = lpad((cents % 100).cast("string"), 2, "0")
@@ -188,20 +188,18 @@ FROM cand ORDER BY id
         lpad((ip % 1000).cast("string"), 3, "0")))
       .otherwise(ip.cast("string"))
     val jpy = (cents % 900 + 100).cast("string") // 3 digits, no grouping
-    val cand =
-      when(k % 7 === 0, concat(ip.cast("string"), lit(","), cc))
-        .when(k % 7 === 1, concat(lit("R$ "), ip.cast("string"), lit(","), cc))
-        .when(k % 7 === 2, concat(lit("R$ "), ipDot, lit(","), cc))
-        .when(k % 7 === 3, concat(lit("$ "), ipComma, lit("."), cc))
-        .when(k % 7 === 4, concat(lit("€ "), ip.cast("string"), lit(","), cc))
-        .when(k % 7 === 5, concat(lit("¥ "), jpy))
-        .otherwise(lit("R$ abc"))
-    (cand, cents)
+    when(k % 7 === 0, concat(ip.cast("string"), lit(","), cc))
+      .when(k % 7 === 1, concat(lit("R$ "), ip.cast("string"), lit(","), cc))
+      .when(k % 7 === 2, concat(lit("R$ "), ipDot, lit(","), cc))
+      .when(k % 7 === 3, concat(lit("$ "), ipComma, lit("."), cc))
+      .when(k % 7 === 4, concat(lit("€ "), ip.cast("string"), lit(","), cc))
+      .when(k % 7 === 5, concat(lit("¥ "), jpy))
+      .otherwise(lit("R$ abc"))
   }
 
   def moneyValidate(spark: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
-    val (cand, _) = moneyCandidate(k)
+    val cand = moneyCandidate(k)
     val v = Udfs.moneyValidate(cand)
     spark.read.parquet(s"$dir/orders.parquet").select(
       k.as("id"),

@@ -84,13 +84,17 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
-  def cosinePairsSql(threshold: Double = 0.8): String = s"""
-WITH pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    list_sum(list_transform(generate_series(1, len(a.embedding)),
+  /** The oracle-side cosine expression between table aliases `a` and `b`
+    * (shared by the pair and top-k oracles). */
+  private val CosineSqlExpr: String =
+    """list_sum(list_transform(generate_series(1, len(a.embedding)),
       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
     (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  def cosinePairsSql(threshold: Double = 0.8): String = s"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $CosineSqlExpr AS cos
   FROM embeddings a, embeddings b
   WHERE a.vec_id < b.vec_id
 )
@@ -128,11 +132,7 @@ FROM pairs WHERE cos >= $threshold ORDER BY id_a, id_b
 
   def topKSql(k: Int = 5, nQueries: Int = 50): String = s"""
 WITH sims AS (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-    list_sum(list_transform(generate_series(1, len(a.embedding)),
-      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineSqlExpr AS cos
   FROM embeddings a, embeddings b
   WHERE a.vec_id < $nQueries AND a.vec_id <> b.vec_id
 ), ranked AS (

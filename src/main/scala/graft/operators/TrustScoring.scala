@@ -83,8 +83,6 @@ object TrustScoring {
     filter(candidates, c => c.isNotNull)
   }
 
-  /** Issues with reference-exact severities. */
-  def validationIssues(inv: Column): Column = issuesCol(inv)
 
   /** Clamped trust score (ref: robot/orchestrator.py:43-116):
     * 1.0 − Σ penalties, floor 0.0, rounded to 2 places like

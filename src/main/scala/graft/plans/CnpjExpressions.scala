@@ -51,29 +51,8 @@ object CnpjChecksum {
     d(13) - '0' == dv2
   }
 
-  def isValid(cnpj: String): Boolean = {
-    if (cnpj == null) return false
-    val digits = new java.lang.StringBuilder(14)
-    var i = 0
-    while (i < cnpj.length) {
-      val c = cnpj.charAt(i)
-      if (c >= '0' && c <= '9') digits.append(c)
-      i += 1
-    }
-    if (digits.length != 14) return false
-    var allSame = true
-    i = 1
-    while (i < 14 && allSame) { allSame = digits.charAt(i) == digits.charAt(0); i += 1 }
-    if (allSame) return false
-    var s1 = 0; i = 0
-    while (i < 12) { s1 += (digits.charAt(i) - '0') * Pesos1(i); i += 1 }
-    val dv1 = if (s1 % 11 < 2) 0 else 11 - s1 % 11
-    if (digits.charAt(12) - '0' != dv1) return false
-    var s2 = 0; i = 0
-    while (i < 13) { s2 += (digits.charAt(i) - '0') * Pesos2(i); i += 1 }
-    val dv2 = if (s2 % 11 < 2) 0 else 11 - s2 % 11
-    digits.charAt(13) - '0' == dv2
-  }
+  def isValid(cnpj: String): Boolean =
+    cnpj != null && isValidU8(UTF8String.fromString(cnpj))
 }
 
 /** Native Catalyst expression for CNPJ checksum validation — the hot-path
