@@ -62,6 +62,18 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("events"), col("sum_value"))
 
+  /** Stream–static join: enrich the event stream with a dimension table
+    * (the classic fact-stream ⋈ broadcast-dim shape — the static side is
+    * re-broadcast per micro-batch, no state needed), then windowed
+    * aggregation per enriched key. */
+  def enrichedEventCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment"), col("events"))
+
   /** Write helper: single-trigger drain (AvailableNow) to an in-memory or
     * file sink — used by tests and by batch-catchup deployments. */
   def drainAvailableNow(df: DataFrame, queryName: String): DataStreamWriter[org.apache.spark.sql.Row] =

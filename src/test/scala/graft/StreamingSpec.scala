@@ -55,6 +55,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed <= total && streamed > total / 2, s"streamed=$streamed total=$total")
   }
 
+  test("stream-static dimension join enriches windowed counts") {
+    val landing = Files.createTempDirectory("graft-enrich").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .write.mode("overwrite").parquet(landing)
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(landing)
+    val q = StreamingPipeline
+      .drainAvailableNow(StreamingPipeline.enrichedEventCounts(stream, dim), "enrich_stream")
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_stream")
+    val segs = streamed.select("c_mktsegment").distinct().count()
+    assert(segs >= 4, s"expected several enriched segments, got $segs")
+    // every streamed row's count matches the equivalent batch aggregation
+    val batch = spark.read.parquet(landing)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("events"))
+    val mismatches = streamed.as("s").join(batch.as("b"),
+        col("s.window_start") === col("b.window_start") &&
+          col("s.c_mktsegment") === col("b.c_mktsegment"))
+      .filter(col("s.events") =!= col("b.events")).count()
+    assert(mismatches == 0)
+  }
+
   test("event envelope is valid JSON with the contract fields (ref: orchestrator_models.py:51-66)") {
     val processed = Seq((1L, "04.252.011/0001-10", "R$ 1,00", 1.0, "success"))
       .toDF("doc_id", "issuer_cnpj", "total", "trust_score", "status")
