@@ -1,0 +1,35 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Regenerates docs/PLANS.md: physical-plan highlights (scans with
+  * pushdown/pruning, exchanges, codegen spans) for the headline queries. */
+object PlanSnapshot {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val headline = Seq("q_invoice_pipeline", "q_agg_pricing", "q_join_revenue",
+      "q_anti_join", "q_events_hourly", "q_minhash_dedup")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical-plan evidence for the headline queries\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.tools.PlanSnapshot\"`. Lines\n")
+    sb.append("selected: parquet scans (column pruning via ReadSchema, predicate\n")
+    sb.append("pushdown via PushedFilters/DataFilters), exchanges (the shuffles),\n")
+    sb.append("and whole-stage-codegen markers (`*(n)` prefixes).\n")
+    for (name <- headline) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      sb.append(s"\n## $name\n\n```\n")
+      plan.linesIterator
+        .filter(l => l.contains("FileScan") || l.contains("Exchange") ||
+          l.contains("ReadSchema") || l.contains("PushedFilters") ||
+          l.contains("DataFilters") || l.trim.startsWith("*("))
+        .map(_.trim.take(170))
+        .foreach(l => sb.append(l).append('\n'))
+      sb.append("```\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("docs/PLANS.md"), sb.toString)
+    println("[plans] wrote docs/PLANS.md")
+    spark.stop()
+  }
+}

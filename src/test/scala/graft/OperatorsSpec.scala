@@ -127,6 +127,18 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  // --- sketches ---
+
+  test("approx_count_distinct (HLL++) within 5% of exact at corpus scale") {
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   // --- multimodal plumbing ---
 
   test("multimodal decode: deterministic features, normalized histogram, kinds") {
