@@ -27,6 +27,7 @@ object SparkEntry {
     "q_money_validate" -> ((s, dir) => ScalarQueries.moneyValidate(s, dir)),
     "q_normalize" -> ((s, dir) => ScalarQueries.normalize(s, dir)),
     "q_clean_names" -> ((s, dir) => ScalarQueries.cleanNames(s, dir)),
+    "q_block_segment" -> ((s, dir) => BlockSegmentation.query(s, dir)),
     // corpus analytics extensions (SURVEY §2.6-2.9 ABSENT-in-reference ops)
     "q_agg_pricing" -> ((s, dir) => Analytics.aggPricing(s, dir)),
     "q_join_revenue" -> ((s, dir) => Analytics.joinRevenue(s, dir)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "q_money_validate" -> ScalarQueries.moneyValidateSql,
     "q_normalize" -> ScalarQueries.normalizeSql,
     "q_clean_names" -> ScalarQueries.cleanNamesSql,
+    "q_block_segment" -> BlockSegmentation.querySql,
     "q_agg_pricing" -> Analytics.aggPricingSql,
     "q_join_revenue" -> Analytics.joinRevenueSql,
     "q_window_topk" -> Analytics.windowTopKSql,

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.InvoiceParser
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.4 option (b): block segmentation as pure column algebra —
+  * `posexplode` the lines, tag marker lines, carry the label forward with a
+  * running `last(..., ignoreNulls)` window, then reassemble blocks with a
+  * position-sorted collect (ref: robot/core/parser.py:134-208).
+  *
+  * Granularity caveat vs the UDF variant ([[InvoiceParser.extractBlocks]]):
+  * the UDF slices at exact character offsets (a marker mid-line splits the
+  * line); this variant tags whole lines. On normalized fiscal documents
+  * markers start their own line, so the two agree line-for-line
+  * (BlockSegmentationSpec proves it on the synthetic corpus + golden
+  * fixture). Cost model: one shuffle on (doc, line-pos) — use when corpus
+  * analytics already need the exploded-line relation; the UDF form wins
+  * when the document is processed whole. */
+object BlockSegmentation {
+
+  /** Line-level marker tag: first matching block type in the reference's
+    * marker-table order (ties inside one line resolve like the stable
+    * position sort, because a line can only carry the tag of the first
+    * marker type that matches it). */
+  private def markerTag(ln: Column): Column =
+    InvoiceParser.BlockMarkers.foldLeft(lit(null).cast("string")) {
+      case (acc, (blockType, patterns)) =>
+        val hit = patterns.map(p => ln.rlike(p.pattern())).reduce(_ || _)
+        when(acc.isNotNull, acc).when(hit, blockType).otherwise(lit(null))
+    }
+
+  /** One row per (doc, block) with the block's text reassembled in line
+    * order. Blocks absent from a document are absent from the output. */
+  def segment(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("tag", markerTag(col("ln")))
+      .withColumn("block", coalesce(last(col("tag"), ignoreNulls = true).over(w), lit("HEADER")))
+      .groupBy(col(idCol), col("block"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("ln")))),
+          s => s.getField("ln")),
+        "\n").as("content"))
+  }
+
+  /** Oracled query: segment the synthetic invoice corpus and emit per-doc
+    * block line counts — every count is a direct function of the corpus
+    * construction, so the oracle is pure CASE arithmetic. */
+  def query(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val corpus = InvoicePipeline.syntheticCorpus(spark, dir)
+      .withColumn("norm", graft.functions.Normalizer.normalizeTextCol(col("text")))
+      .select("doc_id", "norm")
+    val seg = segment(corpus, "doc_id", "norm")
+      .withColumn("n", size(split(col("content"), "\n")))
+    def cnt(block: String) =
+      coalesce(sum(when(col("block") === block, col("n"))), lit(0L)).as(block.toLowerCase + "_lines")
+    seg.groupBy("doc_id")
+      .agg(cnt("HEADER"), cnt("ISSUER"), cnt("RECIPIENT"), cnt("ITEMS"), cnt("FINANCIALS"))
+      .orderBy("doc_id")
+  }
+
+  /** Expected counts from the construction: header 5 lines (+1 when the
+    * chave line is present), issuer always 3, recipient 3 unless omitted
+    * (k%5=0), items marker+3, financials total line + optional líquido +
+    * observações. */
+  val querySql: String = """
+SELECT o_orderkey AS doc_id,
+  CAST(5 + CASE WHEN o_orderkey%2=0 THEN 1 ELSE 0 END AS BIGINT) AS header_lines,
+  CAST(3 AS BIGINT) AS issuer_lines,
+  CAST(CASE WHEN o_orderkey%5=0 THEN 0 ELSE 3 END AS BIGINT) AS recipient_lines,
+  CAST(4 AS BIGINT) AS items_lines,
+  CAST(2 + CASE WHEN o_orderkey%3=0 THEN 1 ELSE 0 END AS BIGINT) AS financials_lines
+FROM orders ORDER BY doc_id
+""".trim
+}
