@@ -73,6 +73,15 @@ object ParityDemo {
       col("events.stage").as("stages")).show(truncate = false)
     graft.operators.Orchestrate.toEventEnvelope(orch).show(1, truncate = 140)
 
+    // 4b. Destination adapters: ERP + analytics projections (the routing
+    //     contract, ref: tests/contract/test_payload_transform.py).
+    val processed = graft.operators.InvoicePipeline.process(
+      Seq(GoldenFixture.text).toDF("text"))
+    graft.operators.PayloadProjections.toErp(processed)
+      .select("document_type", "issue_date", "supplier.tax_id", "total_amount")
+      .show(truncate = false)
+    graft.operators.PayloadProjections.toAnalytics(processed).show(truncate = false)
+
     // 5. Native expression via SparkSessionExtensions (SQL surface).
     spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer")
     spark.sql(
