@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
 object BlockSegmentation {
 
   /** Line-level marker tag: first matching block type in the reference's
-    * marker-table order (ties inside one line resolve like the stable
-    * position sort, because a line can only carry the tag of the first
-    * marker type that matches it). */
+    * MARKER-TABLE order. Note this differs from the UDF's character-offset
+    * tie-break when two different marker types match the SAME line — the
+    * UDF would split the line at each offset; here the whole line carries
+    * the table-first type. Normalized fiscal documents put one marker per
+    * line, where both variants agree (BlockSegmentationSpec). */
   private def markerTag(ln: Column): Column =
     InvoiceParser.BlockMarkers.foldLeft(lit(null).cast("string")) {
       case (acc, (blockType, patterns)) =>
@@ -32,20 +34,25 @@ object BlockSegmentation {
     }
 
   /** One row per (doc, block) with the block's text reassembled in line
-    * order. Blocks absent from a document are absent from the output. */
+    * order. Blocks absent from a document are absent from the output;
+    * NULL text behaves like "" (one empty HEADER row), matching the UDF
+    * path. Internal columns carry a `__graft_` prefix so arbitrary
+    * caller-supplied id/text column names cannot collide. */
   def segment(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
+      posexplode_outer(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("__graft_pos", "__graft_ln")))
+    val w = Window.partitionBy(idCol).orderBy("__graft_pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lines
-      .withColumn("tag", markerTag(col("ln")))
-      .withColumn("block", coalesce(last(col("tag"), ignoreNulls = true).over(w), lit("HEADER")))
+      .withColumn("__graft_tag", markerTag(col("__graft_ln")))
+      .withColumn("block",
+        coalesce(last(col("__graft_tag"), ignoreNulls = true).over(w), lit("HEADER")))
       .groupBy(col(idCol), col("block"))
       .agg(array_join(
-        transform(sort_array(collect_list(struct(col("pos"), col("ln")))),
-          s => s.getField("ln")),
+        transform(sort_array(collect_list(struct(col("__graft_pos"), col("__graft_ln")))),
+          s => s.getField("__graft_ln")),
         "\n").as("content"))
   }
 
@@ -59,7 +66,8 @@ object BlockSegmentation {
     val seg = segment(corpus, "doc_id", "norm")
       .withColumn("n", size(split(col("content"), "\n")))
     def cnt(block: String) =
-      coalesce(sum(when(col("block") === block, col("n"))), lit(0L)).as(block.toLowerCase + "_lines")
+      coalesce(sum(when(col("block") === block, col("n"))), lit(0L))
+        .as(block.toLowerCase(java.util.Locale.ROOT) + "_lines")
     seg.groupBy("doc_id")
       .agg(cnt("HEADER"), cnt("ISSUER"), cnt("RECIPIENT"), cnt("ITEMS"), cnt("FINANCIALS"))
       .orderBy("doc_id")

@@ -21,7 +21,7 @@ class FuzzSpec extends AnyFunSuite {
   /** Alphabet biased toward the pipeline's sensitive characters. */
   private val fiscalChar: Gen[Char] = Gen.frequency(
     8 -> Gen.alphaNumChar,
-    3 -> Gen.oneOf(' ', ' ', '\t', '\n', '\r'),
+    3 -> Gen.oneOf(' ', '\u2009', '\t', '\n', '\r'), // thin space: a distinct whitespace edge
     2 -> Gen.oneOf('.', ',', '/', '-', ':', '$'),
     2 -> Gen.oneOf('0', '1', '5', '9'),
     1 -> Gen.oneOf('ç', 'Ã', 'É', 'ã', 'é', 'Ç', 'í'),
