@@ -71,6 +71,14 @@ object Udfs {
   val extractBlocks: UserDefinedFunction =
     udf((text: String) => InvoiceParser.extractBlocks(if (text == null) "" else text))
 
+  /** Normalization alone as a single-evaluation UDF. The Column-algebra
+    * [[Normalizer.normalizeTextCol]] is semantically identical (FuzzSpec)
+    * but its interpreted HOF lambdas benchmark ~100× slower per document —
+    * use this form when the normalized text is actually materialized. */
+  val normalizeText: UserDefinedFunction =
+    udf((raw: String) => Normalizer.normalizeText(if (raw == null) "" else raw))
+      .asNondeterministic()
+
   /** Single-evaluation variants for pipeline hot paths (same semantics;
     * non-determinism marker only pins evaluation count — see
     * [[normalizeAndParse]]). */

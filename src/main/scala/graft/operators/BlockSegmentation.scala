@@ -29,8 +29,10 @@ object BlockSegmentation {
   private def markerTag(ln: Column): Column =
     InvoiceParser.BlockMarkers.foldLeft(lit(null).cast("string")) {
       case (acc, (blockType, patterns)) =>
-        val hit = patterns.map(p => ln.rlike(p.pattern())).reduce(_ || _)
-        when(acc.isNotNull, acc).when(hit, blockType).otherwise(lit(null))
+        // one alternation regex per block type (4 matches/line, not 13)
+        val merged = patterns.map(p => "(?:" + p.pattern().stripPrefix("(?iu)") + ")")
+          .mkString("(?iu)", "|", "")
+        when(acc.isNotNull, acc).when(ln.rlike(merged), blockType).otherwise(lit(null))
     }
 
   /** One row per (doc, block) with the block's text reassembled in line
@@ -61,14 +63,22 @@ object BlockSegmentation {
     * construction, so the oracle is pure CASE arithmetic. */
   def query(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val corpus = InvoicePipeline.syntheticCorpus(spark, dir)
-      .withColumn("norm", graft.functions.Normalizer.normalizeTextCol(col("text")))
+      .withColumn("norm", graft.functions.Udfs.normalizeText(col("text")))
       .select("doc_id", "norm")
-    val seg = segment(corpus, "doc_id", "norm")
-      .withColumn("n", size(split(col("content"), "\n")))
+    // counts only — label the lines like segment() but skip the expensive
+    // content reassembly (sorted collect per block), which the counts
+    // query doesn't need: one conditional-count aggregation per block.
+    val lines = corpus.select(col("doc_id"),
+      posexplode_outer(split(coalesce(col("norm"), lit("")), "\n"))
+        .as(Seq("__graft_pos", "__graft_ln")))
+    val w = Window.partitionBy("doc_id").orderBy("__graft_pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val labeled = lines.withColumn("block",
+      coalesce(last(markerTag(col("__graft_ln")), ignoreNulls = true).over(w), lit("HEADER")))
     def cnt(block: String) =
-      coalesce(sum(when(col("block") === block, col("n"))), lit(0L))
+      sum(when(col("block") === block, 1L).otherwise(0L))
         .as(block.toLowerCase(java.util.Locale.ROOT) + "_lines")
-    seg.groupBy("doc_id")
+    labeled.groupBy("doc_id")
       .agg(cnt("HEADER"), cnt("ISSUER"), cnt("RECIPIENT"), cnt("ITEMS"), cnt("FINANCIALS"))
       .orderBy("doc_id")
   }

@@ -124,6 +124,10 @@ object InvoicePipeline {
     orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .select(k.as("doc_id"), col("c_mktsegment").as("tenant_id"), text.as("text"))
+      // orders is a single small parquet file → one input partition; spread
+      // the CPU-bound document work across the cluster (the shuffle moves
+      // 150k tiny rows — negligible next to single-core construction)
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   /** The oracled differential query: construct → normalize → parse →
