@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   *     bucket). Both are the standard linear-ish-scale patterns; band
   *     buckets are the unit of shuffle, so hot shingles (stopword n-grams)
   *     are the skew risk — mitigated by dropping shingles above a document
-  *     -frequency cap, exactly like a stopword cut.
+  *     -frequency cap ([[jaccardPairs]] `maxShingleDf`), exactly like a
+  *     stopword cut: capped shingles leave BOTH the inverted index and the
+  *     per-document set sizes, so the emitted Jaccard is exact over the
+  *     retained vocabulary, and the oracle applies the identical cap.
+  *   - no driver collects: banding, pair generation, and exact verification
+  *     all run as joins/aggregations over distributed relations; shingle
+  *     sets re-join candidate pairs by doc_id for the verify step.
   */
 object Dedup {
 
@@ -74,11 +80,38 @@ FROM documents GROUP BY 1 ORDER BY keep_id
       .toDF("doc_id", "sh_count", "shingle")
   }
 
+  /** Default document-frequency cap for shingles entering the inverted
+    * index: larger than any df in the sf≤0.01 oracle corpora (500 docs), so
+    * small-scale results are cap-invariant, while a stopword shingle shared
+    * by >1000 docs at scale is cut before it can form a quadratic hot
+    * bucket (1000 docs → ≤½M pairs per bucket, a bounded unit of work). */
+  val DefaultMaxShingleDf = 1000
+
+  /** (doc_id, sh_count, shingle) rows retained after the df cap, with
+    * sh_count recomputed over the retained vocabulary. */
+  private def cappedShingleRows(docsDf: DataFrame, maxShingleDf: Int): DataFrame = {
+    val exploded = shingleRows(docsDf)
+    // document frequency per shingle (rows are distinct per doc already);
+    // map-side combine keeps this shuffle at one row per distinct shingle
+    val hot = exploded.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+      .select("shingle")
+    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+    kept
+      .withColumn("sh_count",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select("doc_id", "sh_count", "shingle")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
-    * explode distinct shingles, self-join on shingle, count shared, compute
-    * |A∩B| / (|A|+|B|−|A∩B|). Only pairs sharing ≥1 shingle materialize. */
-  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val exploded = shingleRows(docs(spark, dir))
+    * explode distinct shingles, drop shingles with document frequency >
+    * `maxShingleDf` (skew guard — see [[DefaultMaxShingleDf]]), self-join
+    * on shingle, count shared, compute |A∩B| / (|A|+|B|−|A∩B|) over the
+    * retained sets. Only pairs sharing ≥1 retained shingle materialize. */
+  def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val exploded = cappedShingleRows(docs(spark, dir), maxShingleDf)
     val a = exploded.select(col("doc_id").as("id_a"), col("sh_count").as("cnt_a"), col("shingle"))
     val b = exploded.select(col("doc_id").as("id_b"), col("sh_count").as("cnt_b"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -95,17 +128,26 @@ FROM documents GROUP BY 1 ORDER BY keep_id
   }
 
   /** Shingle CTE chain + the pair SELECT, shared between the pair oracle
-    * and the cluster oracle. */
-  private val JaccardCtes: String = """words AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    * and the cluster oracle. Mirrors the Spark side exactly: NULL text
+    * behaves like '' (coalesce — Spark's shingleRows maps null→""), and the
+    * same df cap drops hot shingles from both the index and the set sizes. */
+  private def jaccardCtes(maxShingleDf: Int): String = s"""words AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct(
     CASE WHEN len(ws) >= 3
       THEN list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
       ELSE [array_to_string(ws, ' ')] END) AS shset
   FROM words
+), ex0 AS (
+  SELECT doc_id, unnest(shset) AS shingle FROM sh
+), kept AS (
+  SELECT doc_id, shingle FROM ex0
+  WHERE shingle NOT IN (SELECT shingle FROM ex0 GROUP BY 1 HAVING COUNT(*) > $maxShingleDf)
+), sized AS (
+  SELECT doc_id, COUNT(*) AS sh_count FROM kept GROUP BY 1
 ), ex AS (
-  SELECT doc_id, len(shset) AS sh_count, unnest(shset) AS shingle FROM sh
+  SELECT k.doc_id, s.sh_count, k.shingle FROM kept k JOIN sized s USING (doc_id)
 )"""
 
   private def jaccardSelect(threshold: Double): String = s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared,
@@ -114,8 +156,9 @@ FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.sh_count, b.sh_count
 HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOUBLE) >= $threshold"""
 
-  def jaccardPairsSql(threshold: Double = 0.5): String =
-    s"WITH $JaccardCtes\n${jaccardSelect(threshold)}\nORDER BY id_a, id_b"
+  def jaccardPairsSql(threshold: Double = 0.5,
+                      maxShingleDf: Int = DefaultMaxShingleDf): String =
+    s"WITH ${jaccardCtes(maxShingleDf)}\n${jaccardSelect(threshold)}\nORDER BY id_a, id_b"
 
   /** Connected components over the near-duplicate pair graph: every doc in
     * a dup cluster labeled with the cluster's minimum doc_id — the step
@@ -127,7 +170,8 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     * O(diameter) rounds. Each round materializes via localCheckpoint so
     * lineage doesn't grow; at 100 TB the same loop runs with the edges
     * pre-partitioned by src and AQE handling stragglers. */
-  def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                  maxRounds: Int = 50): DataFrame = {
     val pairs = jaccardPairs(spark, dir, threshold).select("id_a", "id_b")
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
@@ -138,7 +182,7 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("label")).as("nl"))
@@ -151,13 +195,21 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
       labels = updated.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
+    if (changed > 0)
+      // a silent non-converged return would label clusters wrongly and
+      // still pass row-count checks — fail loudly instead (the graph
+      // diameter exceeded maxRounds; long near-dup chains at scale)
+      throw new IllegalStateException(
+        s"dupClusters did not converge after $maxRounds rounds ($changed labels still " +
+          "changing); raise maxRounds — the duplicate-graph diameter exceeds the cap")
     labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
   /** Oracle: transitive closure via a recursive CTE over the exact-Jaccard
     * edges, cluster = min(self, min reachable). */
-  def dupClustersSql(threshold: Double = 0.5): String = s"""
-WITH RECURSIVE $JaccardCtes, jp AS (
+  def dupClustersSql(threshold: Double = 0.5,
+                     maxShingleDf: Int = DefaultMaxShingleDf): String = s"""
+WITH RECURSIVE ${jaccardCtes(maxShingleDf)}, jp AS (
 ${jaccardSelect(threshold)}
 ), edges AS (
   SELECT id_a AS s, id_b AS d FROM jp
@@ -214,21 +266,26 @@ FROM reach GROUP BY s ORDER BY doc_id
     * 16×2 banding, recall at the 0.5 threshold is ≈0.99 — the verify step
     * makes every emitted pair exact, so (modulo the tiny recall gap, which
     * is empirically zero on the test corpus) output equals the exact
-    * [[jaccardPairs]].
+    * [[jaccardPairs]]. (The oracle's shingle-df cap is inert at oracle
+    * scale — cap 1000 > corpus size — so the two sides see the same sets.)
     *
-    * Shape: shingle+sign per doc in one kernel pass; shuffle carries only
-    * (bucket, doc_id); pairs generate inside each band bucket via
-    * groupByKey; exact verification reads shingle sets from a broadcast of
-    * the (small) shingle-set table. At 100 TB the broadcast becomes a
-    * co-partitioned join on doc_id — the banding math is unchanged. */
+    * Fully distributed — nothing is collected to the driver:
+    *   1. shingle+sign per doc in one kernel pass; the shuffle carries only
+    *      (bucket, doc_id) rows; candidate pairs generate inside each band
+    *      bucket via groupByKey (hot buckets can't form here: a band bucket
+    *      only grows with genuinely signature-identical docs, so bucket
+    *      size tracks true duplication, not token frequency);
+    *   2. exact verification re-joins the (doc_id, shingles) relation on
+    *      id_a then id_b — plain equi-joins Catalyst can execute as
+    *      broadcast or sort-merge depending on size — and computes the
+    *      intersection in a primitive per-row kernel.
+    * The shingling kernel runs twice (banding pass + verify side); that
+    * trade buys zero driver memory footprint and no cache lifecycle. */
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    val collected = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    def shingled = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
-      .collect() // one shingling pass; reused for both banding and verify
-    val shMap = spark.sparkContext.broadcast(
-      collected.map { case (id, sh) => id -> sh }.toMap)
-    val banded = spark.createDataset(collected.toSeq).flatMap { case (id, sh) =>
+    val banded = shingled.flatMap { case (id, sh) =>
       val sig = minhashSig(sh)
       Iterator.range(0, Bands).map { b =>
         (b + ":" + (0 until RowsPerBand).map(r => sig(b * RowsPerBand + r)).mkString(","), id)
@@ -238,15 +295,20 @@ FROM reach GROUP BY s ORDER BY doc_id
       val ids = it.map(_._2).toArray.sorted
       for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
         yield (ids(i), ids(j))
-    }.distinct()
-    pairs.map { case (idA, idB) =>
-      val sa = shMap.value(idA); val sb = shMap.value(idB)
-      val setB = sb.toSet
-      var shared = 0L
-      sa.foreach(s => if (setB.contains(s)) shared += 1)
-      val j = shared.toDouble / (sa.length + sb.length - shared).toDouble
-      (idA, idB, shared, j)
-    }.filter(_._4 >= threshold)
+    }.distinct().toDF("id_a", "id_b")
+    val sh = shingled.toDF("doc_id", "shingles")
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .map { case (idA, idB, sa, sb) =>
+        val setB = sb.toSet
+        var shared = 0L
+        sa.foreach(s => if (setB.contains(s)) shared += 1)
+        (idA, idB, shared, shared.toDouble / (sa.length + sb.length - shared).toDouble)
+      }
+      .filter(_._4 >= threshold)
       .toDF("id_a", "id_b", "shared", "jaccard")
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("jaccard"), 6).as("jaccard"))

@@ -49,15 +49,27 @@ object Similarity {
   }
   private def normP(a: Array[Float]): Double = math.sqrt(dotP(a, a))
 
+  /** Hard cap on the corpus size the exact O(n²) baselines will broadcast:
+    * ~2M × (64 floats + overhead) ≈ 1 GB of driver/executor memory. The
+    * brute-force paths are oracle baselines by design — beyond this size
+    * the quadratic pair loop is the real blocker, not the broadcast, so
+    * failing fast with a pointer to the LSH path is the correct behavior. */
+  val MaxExactCorpusRows: Long = 2000000L
+
   /** Corpus snapshot broadcast to executors: (id, vector, norm), sorted by
     * id. The brute-force-kNN shape: the corpus (a dim-table by embedding
     * standards) broadcasts; the probe side streams through mapPartitions in
-    * primitive JVM loops. At 100 TB the corpus side is tiled/bucketed
-    * instead of broadcast whole — the kernel is unchanged. */
+    * primitive JVM loops. Guarded by [[MaxExactCorpusRows]] — ONLY the
+    * documented exact baselines ([[cosinePairs]], [[topK]]) use this; the
+    * scale path ([[annPairs]]) verifies via a distributed join instead. */
   private def corpusBroadcast(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val all = emb(spark, dir).select("vec_id", "embedding")
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val df = emb(spark, dir).select("vec_id", "embedding")
+    val n = df.count() // parquet metadata count — cheap
+    require(n <= MaxExactCorpusRows,
+      s"corpus has $n vectors > $MaxExactCorpusRows: the exact O(n²) baseline does not " +
+        "scale there by construction — use Similarity.annPairs (LSH + join verify)")
+    val all = df.as[(Long, Array[Float])].collect().sortBy(_._1)
       .map { case (id, v) => (id, v, normP(v)) }
     spark.sparkContext.broadcast(all)
   }
@@ -195,19 +207,19 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
       val ids = it.map(_._2).toArray.sorted
       for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
         yield (ids(i), ids(j))
-    }.distinct()
-    // exact verify via the primitive kernel against the broadcast corpus
-    val bc = corpusBroadcast(spark, dir)
+    }.distinct().toDF("id_a", "id_b")
+    // exact verify: re-join the embedding table on each side's vec_id —
+    // plain equi-joins (broadcast or sort-merge, Catalyst's call), then the
+    // primitive cosine kernel per candidate row. Nothing touches the
+    // driver; vectors only travel for rows that survived the banding.
+    val vecs = emb(spark, dir).select("vec_id", "embedding")
     candidates
-      .mapPartitions { it =>
-        val corpus = bc.value // sorted by id → binary-search lookup
-        val ids = corpus.map(_._1)
-        def find(id: Long) = corpus(java.util.Arrays.binarySearch(ids, id))
-        it.map { case (idA, idB) =>
-          val (_, va, na) = find(idA); val (_, vb, nb) = find(idB)
-          (idA, idB, dotP(va, vb) / (na * nb))
-        }.filter(_._3 >= threshold)
-      }
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (idA, idB, va, vb) => (idA, idB, dotP(va, vb) / (normP(va) * normP(vb))) }
+      .filter(_._3 >= threshold)
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
@@ -222,7 +234,8 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     val centroids = base
       .withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
       .groupBy("cid")
-      .agg(centroidAgg(col("embedding")).as("centroid"))
+      .agg(centroidAvgs.head, centroidAvgs.tail: _*)
+      .select(col("cid"), array((1 to Dim).map(i => col(s"__c$i")): _*).as("centroid"))
     val withC = base.crossJoin(broadcast(centroids))
       .withColumn("dist2",
         (1 to Dim).map(i =>
@@ -236,12 +249,11 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
       .orderBy("vec_id")
   }
 
-  /** Element-wise mean of an array<float> column (dimension-wise avg) —
-    * an aggregate expression: fold over collect_list, divide by count. */
-  private def centroidAgg(v: Column, dim: Int = Dim): Column = {
-    val lst = collect_list(v)
-    val sums = aggregate(lst, lit(Array.fill(dim)(0.0)),
-      (acc, vec) => zip_with(acc, vec, (a, x) => a + x.cast("double")))
-    transform(sums, s => s / size(lst))
-  }
+  /** Width-wise centroid mean: one codegen'd `avg` aggregate per dimension
+    * (64 columns), assembled into the centroid array after the agg. Unlike
+    * a collect_list + fold, the partial aggregates are fixed-width and
+    * combine map-side — per-group state is 64 (sum, count) pairs no matter
+    * how many vectors the group holds, so the shape survives 100 TB. */
+  private def centroidAvgs: Seq[Column] =
+    (1 to Dim).map(i => avg(element_at(col("embedding"), i).cast("double")).as(s"__c$i"))
 }
