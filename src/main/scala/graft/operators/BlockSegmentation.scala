@@ -1,9 +1,14 @@
 package graft.operators
 
-import graft.functions.InvoiceParser
+import graft.functions.{InvoiceParser, Normalizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Per-document block line counts — the output row of [[BlockSegmentation.lineCounts]]. */
+case class BlockLineCounts(header_lines: Long, issuer_lines: Long,
+                           recipient_lines: Long, items_lines: Long,
+                           financials_lines: Long)
 
 /** SURVEY §2.4 option (b): block segmentation as pure column algebra —
   * `posexplode` the lines, tag marker lines, carry the label forward with a
@@ -58,16 +63,78 @@ object BlockSegmentation {
         "\n").as("content"))
   }
 
+  /** Merged alternation pattern per block type (4 compiled regexes instead
+    * of 13), in the reference's marker-table order — the per-line tag is
+    * the FIRST type in this order whose pattern hits the line, identical to
+    * [[markerTag]]'s Column form. */
+  private val MergedMarkerPatterns: List[(String, java.util.regex.Pattern)] =
+    InvoiceParser.BlockMarkers.map { case (blockType, patterns) =>
+      blockType -> java.util.regex.Pattern.compile(
+        patterns.map(p => "(?:" + p.pattern().stripPrefix("(?iu)") + ")")
+          .mkString("(?iu)", "|", ""))
+    }
+
+  /** Line-count kernel: tag each line (first marker-table hit), carry the
+    * tag forward, count lines per block — the exact semantics of the
+    * windowed variant ([[queryWindowed]], differential-tested in
+    * BlockSegmentationSpec) computed document-locally in one pass: no
+    * explode, no shuffle, no window. This is the plan that survives 100 TB:
+    * a narrow map over documents with fixed-size per-row state. */
+  def lineCounts(normText: String): BlockLineCounts = {
+    var header = 0L; var issuer = 0L; var recipient = 0L
+    var items = 0L; var financials = 0L
+    var current = "HEADER"
+    // split with -1 keeps trailing empty lines, like Spark's split()
+    for (line <- (if (normText == null) "" else normText).split("\n", -1)) {
+      val it = MergedMarkerPatterns.iterator
+        .filter { case (_, p) => p.matcher(line).find() }
+      if (it.hasNext) current = it.next()._1
+      current match {
+        case "HEADER"     => header += 1
+        case "ISSUER"     => issuer += 1
+        case "RECIPIENT"  => recipient += 1
+        case "ITEMS"      => items += 1
+        case "FINANCIALS" => financials += 1
+      }
+    }
+    BlockLineCounts(header, issuer, recipient, items, financials)
+  }
+
+  /** Fused normalize → tag → count in ONE UDF call per document;
+    * non-deterministic marker pins single evaluation while five struct
+    * fields are read downstream (see [[graft.functions.Udfs.normalizeAndParse]]
+    * for the CollapseProject rationale). */
+  private val normalizeAndCountLines =
+    udf((raw: String) => lineCounts(Normalizer.normalizeText(if (raw == null) "" else raw)))
+      .asNondeterministic()
+
   /** Oracled query: segment the synthetic invoice corpus and emit per-doc
     * block line counts — every count is a direct function of the corpus
-    * construction, so the oracle is pure CASE arithmetic. */
+    * construction, so the oracle is pure CASE arithmetic. Runs the narrow
+    * [[lineCounts]] kernel (no shuffle beyond the corpus builder's
+    * repartition + the final presentation sort). */
   def query(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    InvoicePipeline.syntheticCorpus(spark, dir)
+      .withColumn("__graft_c", normalizeAndCountLines(col("text")))
+      .select(col("doc_id"),
+        col("__graft_c.header_lines").as("header_lines"),
+        col("__graft_c.issuer_lines").as("issuer_lines"),
+        col("__graft_c.recipient_lines").as("recipient_lines"),
+        col("__graft_c.items_lines").as("items_lines"),
+        col("__graft_c.financials_lines").as("financials_lines"))
+      .orderBy("doc_id")
+  }
+
+  /** The SURVEY §2.4 option-(b) demonstration of the same counts: explode
+    * lines, tag with [[markerTag]], carry the label with a running window,
+    * conditional-count per block. One (doc, line-pos) shuffle + window —
+    * use when corpus analytics already hold the exploded-line relation.
+    * Kept as the differential twin of [[lineCounts]]
+    * (BlockSegmentationSpec asserts equality on the corpus). */
+  def queryWindowed(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val corpus = InvoicePipeline.syntheticCorpus(spark, dir)
       .withColumn("norm", graft.functions.Udfs.normalizeText(col("text")))
       .select("doc_id", "norm")
-    // counts only — label the lines like segment() but skip the expensive
-    // content reassembly (sorted collect per block), which the counts
-    // query doesn't need: one conditional-count aggregation per block.
     val lines = corpus.select(col("doc_id"),
       posexplode_outer(split(coalesce(col("norm"), lit("")), "\n"))
         .as(Seq("__graft_pos", "__graft_ln")))

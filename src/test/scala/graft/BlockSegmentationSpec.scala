@@ -36,6 +36,35 @@ class BlockSegmentationSpec extends AnyFunSuite {
     }
   }
 
+  test("lineCounts kernel equals the windowed counts query on the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val kernel = BlockSegmentation.query(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    val windowed = BlockSegmentation.queryWindowed(spark, dir).collect()
+    assert(windowed.length == kernel.size)
+    windowed.foreach { w =>
+      val k = kernel(w.getLong(0))
+      for (i <- 1 to 5)
+        assert(k.getLong(i) == w.getLong(i), s"doc ${w.getLong(0)} col $i: ${k} vs ${w}")
+    }
+  }
+
+  test("lineCounts kernel edge cases: empty text, marker-first text, no markers") {
+    // empty text → one empty HEADER line (posexplode_outer of split("", "\n"))
+    assert(BlockSegmentation.lineCounts("") ==
+      graft.operators.BlockLineCounts(1, 0, 0, 0, 0))
+    assert(BlockSegmentation.lineCounts(null) ==
+      graft.operators.BlockLineCounts(1, 0, 0, 0, 0))
+    // marker on the first line → zero HEADER lines
+    assert(BlockSegmentation.lineCounts("PRESTADOR DE SERVIÇOS\nACME LTDA") ==
+      graft.operators.BlockLineCounts(0, 2, 0, 0, 0))
+    // no markers anywhere → everything is HEADER
+    assert(BlockSegmentation.lineCounts("a\nb\nc") ==
+      graft.operators.BlockLineCounts(3, 0, 0, 0, 0))
+    // trailing newline keeps its empty line, like Spark's split
+    assert(BlockSegmentation.lineCounts("a\n") ==
+      graft.operators.BlockLineCounts(2, 0, 0, 0, 0))
+  }
+
   test("columnar segmentation matches on the golden fixture") {
     import spark.implicits._
     val norm = Normalizer.normalizeText(graft.tools.GoldenFixture.text)
