@@ -104,12 +104,21 @@ object SparkEntry {
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // minhash LSH at 16×2 bands has empirically-total recall at the 0.5
     // threshold on this corpus; every emitted pair is exact-verified, so
-    // the exact-Jaccard SQL is its oracle.
+    // the exact-Jaccard SQL is its oracle. NOTE this gate therefore encodes
+    // an EMPIRICAL property of the current corpus (recall exactly 1.0) on
+    // top of the code contract (precision exactly 1.0): if the test corpus
+    // is ever regenerated and banding misses one true pair, this entry —
+    // not the operator — is what failed; see the recall assertion in
+    // OperatorsSpec for the operator's own contract.
     "q_minhash_dedup" -> Dedup.jaccardPairsSql(),
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
-    "q_ann_topk" -> Similarity.topKSql()
-    // q_simhash_pairs, q_ann_lsh, q_ivf_assign: probabilistic/hash-defined
-    // structures with no SQL equivalent → rows-only check + ScalaTest.
+    "q_ann_topk" -> Similarity.topKSql(),
+    "q_ivf_assign" -> Similarity.ivfAssignSql()
+    // q_simhash_pairs, q_ann_lsh: probabilistic/hash-defined structures
+    // with no SQL equivalent → rows-only check here, plus a differential
+    // oracle in ScalaTest (SimHashDifferentialSpec reimplements xxHash64 +
+    // the voting/banding pipeline independently; OperatorsSpec pins LSH
+    // recall against the exact baseline).
   )
 }

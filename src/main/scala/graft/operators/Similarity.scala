@@ -256,4 +256,33 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * how many vectors the group holds, so the shape survives 100 TB. */
   private def centroidAvgs: Seq[Column] =
     (1 to Dim).map(i => avg(element_at(col("embedding"), i).cast("double")).as(s"__c$i"))
+
+  /** DuckDB oracle for [[ivfAssign]]: same per-residue centroid means
+    * (per-dimension avg over the unnested (cid, i, x) relation), same
+    * squared-distance via explicit (e−c)·(e−c) products (NOT pow — ulp
+    * parity with Spark's multiply), same (dist2, cid) tie-break. Double
+    * summation order differs between engines at the ulp level only;
+    * round(·, 6) after the sqrt absorbs it (see docs/COVERAGE.md §oracles). */
+  def ivfAssignSql(nCentroids: Int = 8, dim: Int = Dim): String = s"""
+WITH ex AS (
+  SELECT vec_id % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, $dim) AS gs(i)
+), cm AS (
+  SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i
+), cent AS (
+  SELECT cid, list(c ORDER BY i) AS centroid FROM cm GROUP BY cid
+), dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, cid, dist2,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rk
+  FROM dist
+)
+SELECT vec_id, cid AS centroid_id, round(sqrt(dist2), 6) AS residual_dist
+FROM ranked WHERE rk = 1 ORDER BY vec_id
+""".trim
 }
