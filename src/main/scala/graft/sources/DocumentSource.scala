@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * (robot/pdf_reader.py:4-94 — text, page_count, unicode-issue flag,
   * encoding ∈ {utf-8, latin-1, unknown}, extraction method, sizes).
   *
-  * The PDF text decode itself is STUBBED behind [[PdfTextExtractor]]
-  * (PDFBox is not shipped in this container): `%PDF` payloads get a
-  * deterministic fake extraction; plain-text payloads go through real
+  * PDF text extraction is REAL (no PDF library ships in this container, so
+  * [[PdfTextCodec]] implements a minimal extractor from the PDF spec:
+  * classic-xref object scan, page-tree walk, FlateDecode via
+  * `java.util.zip`, BT/Tj/TJ/quote text operators — see its scaladoc for
+  * the documented scope limits). Plain-text payloads go through real
   * encoding detection (UTF-8 strict parse → latin-1 fallback, the
-  * reference's policy). The Spark plumbing — binaryFile source, partition
-  * layout, per-partition decode in a typed map — is real.
+  * reference's policy).
   *
   * Scale notes: `binaryFile` partitions by `spark.sql.files.maxPartitionBytes`
   * so huge corpora split by bytes, not file count; decode is per-partition
@@ -35,9 +36,16 @@ object DocumentSource {
       size_bytes: Long,
       file_size_kb: Double)
 
-  /** Deterministic stand-in for a real PDF text extractor. */
+  /** PDF + plain-text decode front-end. PDF payloads go through the real
+    * minimal extractor ([[PdfTextCodec]] — classic-xref structure,
+    * FlateDecode, BT/Tj text operators); plain-text payloads go through
+    * encoding detection. */
   object PdfTextExtractor {
     private val PdfMagic = Array[Byte]('%', 'P', 'D', 'F')
+
+    /** The reference's unicode-issue probe set (robot/pdf_reader.py:36-39):
+      * NBSP, zero-width space/non-joiner/joiner. */
+    private val IssueChars = Set(' ', '​', '‌', '‍')
 
     def isPdf(bytes: Array[Byte]): Boolean =
       bytes.length >= 4 && bytes.take(4).sameElements(PdfMagic)
@@ -58,22 +66,37 @@ object DocumentSource {
     def extract(path: String, bytes: Array[Byte]): ExtractedDoc = {
       val b = if (bytes == null) Array.empty[Byte] else bytes
       if (isPdf(b)) {
-        // STUB: deterministic fake extraction — replace with PDFBox here.
-        val pages = 1 + (b.length % 7)
-        ExtractedDoc(path,
-          text = s"[pdf-stub] ${b.length} bytes, $pages pages",
-          page_count = pages,
-          has_unicode_issues = false,
-          encoding = "unknown",
-          extration_method = "embedded",
-          size_bytes = b.length.toLong,
-          file_size_kb = b.length / 1024.0)
+        PdfTextCodec.extractPages(b) match {
+          case Some(pages) =>
+            // reference semantics (pdf_reader.py:29-55): pages joined with
+            // \n; size_bytes = UTF-8 length of the EXTRACTED TEXT (not the
+            // file); encoding utf-8 unless the text can't round-trip
+            val text = pages.mkString("\n")
+            ExtractedDoc(path,
+              text = text,
+              page_count = pages.length,
+              has_unicode_issues = text.exists(IssueChars),
+              encoding =
+                if (java.nio.charset.StandardCharsets.UTF_8.newEncoder()
+                  .canEncode(text)) "utf-8" else "unknown",
+              extration_method = "embedded",
+              size_bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
+              file_size_kb = b.length / 1024.0)
+          case None =>
+            // structurally unparseable PDF: the reference raises here; this
+            // engine degrades the row instead (totality policy) — zero
+            // pages, empty text, honest "unknown" encoding
+            ExtractedDoc(path, text = "", page_count = 0,
+              has_unicode_issues = false, encoding = "unknown",
+              extration_method = "embedded", size_bytes = 0L,
+              file_size_kb = b.length / 1024.0)
+        }
       } else {
         val (text, enc) = decodeText(b)
         ExtractedDoc(path,
           text = text,
           page_count = 1 + text.count(_ == '\f'),
-          has_unicode_issues = text.exists(c => c == ' ' || c == '​'),
+          has_unicode_issues = text.exists(IssueChars),
           encoding = enc,
           extration_method = "embedded",
           size_bytes = b.length.toLong,

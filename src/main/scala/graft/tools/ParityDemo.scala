@@ -61,10 +61,12 @@ object ParityDemo {
       "NOTA ação UTF8".getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "latin1.txt"),
       "NOTA ação LATIN1".getBytes("ISO-8859-1"))
-    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "doc.pdf"),
-      "%PDF-1.4 stub-payload".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, "doc.pdf"), tinyPdf)
     graft.sources.DocumentSource.readDirectory(spark, srcDir)
       .select("path", "encoding", "page_count", "size_bytes").show(5, truncate = 60)
+    println("doc.pdf extracted text:")
+    graft.sources.DocumentSource.readDirectory(spark, srcDir, glob = "*.pdf")
+      .select("text").show(truncate = false)
 
     // 4. Orchestrated EP2 run: audit trail + envelope.
     val orch = graft.operators.Orchestrate.run(
@@ -90,6 +92,30 @@ object ParityDemo {
         |       sum(CASE WHEN cnpj_is_valid(c_name) THEN 1 ELSE 0 END) AS names_that_validate
         |FROM customer""".stripMargin).show()
     spark.stop()
+  }
+
+  /** A REAL one-page PDF (classic xref-less object stream, uncompressed
+    * content) so the demo drives [[graft.sources.PdfTextCodec]] end-to-end. */
+  private def tinyPdf: Array[Byte] = {
+    val content =
+      """BT
+72 720 Td
+(NOTA FISCAL DEMO) Tj
+0 -14 Td
+(Emiss\343o: 15/12/2024) Tj
+ET"""
+    (s"""%PDF-1.4
+1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >> endobj
+4 0 obj << /Length ${content.length} >>
+stream
+$content
+endstream
+endobj
+trailer << /Size 5 /Root 1 0 R >>
+%%EOF
+""").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 }
 

@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.{DocumentSource, PdfTextCodec}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+
+/** Golden spec for the real minimal PDF extractor (S1/S2): a hand-built
+  * two-page PDF (raw + FlateDecode streams, octal/hex/UTF-16BE strings)
+  * must produce its exact text through both the codec and the Spark
+  * sources. */
+class PdfTextCodecSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("codec extracts both pages byte-exactly (escapes, TJ, hex, flate, utf-16)") {
+    val pages = PdfTextCodec.extractPages(PdfFixtures.twoPage)
+    assert(pages.isDefined && pages.get.length == 2)
+    assert(pages.get.mkString("\n") == PdfFixtures.twoPageText)
+  }
+
+  test("S1 directory scan extracts the real PDF with honest metadata") {
+    val dir = Files.createTempDirectory("graft-pdf").toString
+    Files.write(Paths.get(dir, "golden.pdf"), PdfFixtures.twoPage)
+    val d = DocumentSource.readDirectory(spark, dir).collect().head
+    assert(d.text == PdfFixtures.twoPageText)
+    assert(d.page_count == 2)
+    assert(d.encoding == "utf-8") // extracted text round-trips to UTF-8
+    assert(!d.has_unicode_issues)
+    assert(d.extration_method == "embedded")
+    // reference semantics: size_bytes = UTF-8 length of the extracted text
+    assert(d.size_bytes ==
+      PdfFixtures.twoPageText.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    assert(d.file_size_kb == PdfFixtures.twoPage.length / 1024.0)
+  }
+
+  test("S2 bytes column extracts the same text as S1") {
+    import spark.implicits._
+    val df = Seq(("up.pdf", PdfFixtures.twoPage)).toDF("path", "content")
+    val d = DocumentSource.fromBytes(df, "path", "content").collect().head
+    assert(d.text == PdfFixtures.twoPageText && d.page_count == 2)
+  }
+
+  test("unicode-issue flag fires on NBSP/zero-width chars in extracted text") {
+    // \240 is NBSP in the page's latin-1 string space; patch the raw
+    // (uncompressed) page-1 literal
+    val pdf = new String(PdfFixtures.twoPage, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("(NOTA", "(\\240NOTA")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    import spark.implicits._
+    val d = DocumentSource.fromBytes(
+      Seq(("u.pdf", pdf)).toDF("path", "content"), "path", "content").collect().head
+    assert(d.has_unicode_issues)
+  }
+
+  test("garbage after %PDF magic degrades to an empty zero-page row, never throws") {
+    val junk = ("%PDF-1.4 fake" + "x" * 100).getBytes
+    val d = DocumentSource.PdfTextExtractor.extract("junk.pdf", junk)
+    assert(d.text == "" && d.page_count == 0 && d.encoding == "unknown" && d.size_bytes == 0L)
+    // truncated real PDF: structure cut mid-stream still yields pages
+    val cut = java.util.Arrays.copyOfRange(PdfFixtures.twoPage, 0, PdfFixtures.twoPage.length / 2)
+    DocumentSource.PdfTextExtractor.extract("cut.pdf", cut) // must not throw
+  }
+
+  test("pages without a walkable catalog fall back to file order") {
+    // strip the catalog object — the codec must still find /Type /Page objs
+    val s = new String(PdfFixtures.twoPage, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val noCatalog = s.replace("/Type /Catalog", "/Type /NotARoot")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val pages = PdfTextCodec.extractPages(noCatalog)
+    assert(pages.isDefined && pages.get.length == 2)
+    assert(pages.get.mkString("\n") == PdfFixtures.twoPageText)
+  }
+}
