@@ -44,6 +44,48 @@ object StatefulOps {
       }
   }
 
+  // ---- streaming dedup ledger (EP2 audit-hash dedup, SURVEY §4) -------
+
+  case class LedgerDoc(doc_id: Long, fingerprint: String, text: String)
+  case class LedgerState(first_doc_id: Long, dupes_dropped: Long)
+
+  /** Streaming anti-join against an already-seen fingerprint ledger: the
+    * first document carrying a fingerprint passes, every replay — within
+    * the same micro-batch or any later one — is dropped. The state store IS
+    * the ledger (keyed by fingerprint, partitioned with the stream,
+    * checkpointed per micro-batch), so the exactly-once-per-content
+    * contract survives restarts from the checkpoint.
+    *
+    * Within-batch replays resolve deterministically: the minimum doc_id
+    * wins regardless of shuffle arrival order.
+    *
+    * Scale notes: a dedup ledger is deliberately unbounded state —
+    * fingerprints must be remembered forever, so unlike sessionization
+    * there is no timeout to set. At 100 TB fingerprint cardinality the
+    * per-key footprint (16-byte key hash + 16-byte state) is what matters:
+    * use the RocksDB state store provider and scale
+    * `spark.sql.shuffle.partitions` with the key count. For bounded-recall
+    * requirements (dedup within N days), switch to `EventTimeTimeout` +
+    * watermark and let expired fingerprints re-admit. */
+  def dedupLedger(docs: Dataset[LedgerDoc]): Dataset[LedgerDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.fingerprint)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, it: Iterator[LedgerDoc], state: GroupState[LedgerState]) =>
+          val batch = it.toSeq
+          state.getOption match {
+            case Some(prev) => // replayed fingerprint: drop all, count them
+              state.update(prev.copy(dupes_dropped = prev.dupes_dropped + batch.size))
+              Iterator.empty
+            case None =>
+              val keep = batch.minBy(_.doc_id)
+              state.update(LedgerState(keep.doc_id, batch.size - 1L))
+              Iterator.single(keep)
+          }
+      }
+  }
+
   // ---- typed Aggregator (UDAF surface, SURVEY §2.12) ------------------
 
   case class TrustSummary(n: Long, mean: Double, buckets: Seq[Long])

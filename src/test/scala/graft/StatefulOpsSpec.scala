@@ -46,6 +46,40 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup ledger drops replayed fingerprints across micro-batches") {
+    import graft.streaming.StatefulOps.LedgerDoc
+    val landing = Files.createTempDirectory("graft-ledger").toString
+    def fp(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // batch 0: A, B, and an in-batch replay of A under a different doc_id
+    // batch 1: replay of A (again different doc_id), replay of B, new C
+    // batch 2: replay of C, new D
+    val batches = Seq(
+      Seq(LedgerDoc(1L, fp("A"), "A"), LedgerDoc(2L, fp("B"), "B"), LedgerDoc(3L, fp("A"), "A")),
+      Seq(LedgerDoc(4L, fp("A"), "A"), LedgerDoc(5L, fp("B"), "B"), LedgerDoc(6L, fp("C"), "C")),
+      Seq(LedgerDoc(7L, fp("C"), "C"), LedgerDoc(8L, fp("D"), "D"))
+    )
+    batches.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.parquet(s"$landing/part$i")
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, fingerprint STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/part*")
+      .as[LedgerDoc]
+    val q = StatefulOps.dedupLedger(stream)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("memory").queryName("ledger_out")
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("ledger_out").as[LedgerDoc].collect().sortBy(_.doc_id)
+    // exactly one survivor per distinct content, first-batch min-doc_id wins
+    assert(out.map(_.text).toSeq == Seq("A", "B", "C", "D"))
+    assert(out.map(_.doc_id).toSeq == Seq(1L, 2L, 6L, 8L))
+  }
+
   test("typed Aggregator: trust histogram over the invoice corpus") {
     val scores = graft.operators.InvoicePipeline.query(spark, "/root/testdata/sf0.001")
       .select(col("trust_score")).as[Double]
