@@ -103,7 +103,7 @@ SELECT k AS id, input, valido, erro, formatado, tipo, confianca FROM (
   // V2: NF-e access key validation (ref: robot/core/validators.py:126-234)
   // ------------------------------------------------------------------
 
-  private def keyCandidate(k: Column): Column = {
+  private[graft] def keyCandidate(k: Column): Column = {
     val idx = (k % 4).cast("int") + 1
     when(k % 5 === 0, element_at(litArray(ValidKeys), idx))
       .when(k % 5 === 1, element_at(litArray(InvalidKeys), idx)) // bad DV

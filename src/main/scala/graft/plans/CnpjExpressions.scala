@@ -36,7 +36,7 @@ object CnpjChecksum {
     isValidDigits(digits)
   }
 
-  private def isValidDigits(d: Array[Byte]): Boolean = {
+  private[plans] def isValidDigits(d: Array[Byte]): Boolean = {
     var allSame = true
     var i = 1
     while (i < 14 && allSame) { allSame = d(i) == d(0); i += 1 }
@@ -63,7 +63,7 @@ object CnpjChecksum {
   *
   * SURVEY §7.3 deliberately shipped v1 with plain UDFs; this is the
   * profiling-justified promotion path demonstrated end-to-end: expression →
-  * [[GraftExtensions]] SQL registration → [[SimplifyCnpjValidation]]
+  * [[GraftExtensions]] SQL registration → [[SimplifyFiscalValidation]]
   * optimizer rule.
   *
   * NULL semantics are SQL-idiomatic (NULL in → NULL out), which differs
@@ -91,15 +91,19 @@ case class CnpjIsValid(child: Expression) extends UnaryExpression {
 }
 
 /** Domain-specific simplification (the SURVEY §4 "hand-rolled optimization
-  * → Catalyst rule" slot): the checksum only reads digits, so case-mapping
-  * and trimming wrappers are no-ops — strip them and save a string
-  * allocation per row. */
-object SimplifyCnpjValidation extends Rule[LogicalPlan] {
+  * → Catalyst rule" slot): the fiscal checksums only read digits, so
+  * case-mapping and trimming wrappers are no-ops — strip them and save a
+  * string allocation per row. Covers both [[CnpjIsValid]] and
+  * [[NfeKeyIsValid]]. */
+object SimplifyFiscalValidation extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{StringTrim, Upper, Lower}
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case CnpjIsValid(Upper(c)) => CnpjIsValid(c)
       case CnpjIsValid(Lower(c)) => CnpjIsValid(c)
       case CnpjIsValid(StringTrim(c, None)) => CnpjIsValid(c)
+      case NfeKeyIsValid(Upper(c)) => NfeKeyIsValid(c)
+      case NfeKeyIsValid(Lower(c)) => NfeKeyIsValid(c)
+      case NfeKeyIsValid(StringTrim(c, None)) => NfeKeyIsValid(c)
     }
 }

@@ -12,21 +12,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.withExtensions(new GraftExtensions)` on the session builder.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, build: Expression => Expression)
+      (children: Seq[Expression]): Expression = {
+    if (children.length != 1)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> "1",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    build(children.head)
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cnpj_is_valid"),
       new ExpressionInfo(classOf[CnpjIsValid].getName, "cnpj_is_valid"),
-      (children: Seq[Expression]) => {
-        if (children.length != 1)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`cnpj_is_valid`",
-              "expectedNum" -> "1",
-              "actualNum" -> children.length.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
-        CnpjIsValid(children.head)
-      }))
-    ext.injectOptimizerRule(_ => SimplifyCnpjValidation)
+      unary("cnpj_is_valid", CnpjIsValid) _))
+    ext.injectFunction((
+      FunctionIdentifier("nfe_key_is_valid"),
+      new ExpressionInfo(classOf[NfeKeyIsValid].getName, "nfe_key_is_valid"),
+      unary("nfe_key_is_valid", NfeKeyIsValid) _))
+    ext.injectOptimizerRule(_ => SimplifyFiscalValidation)
   }
 }

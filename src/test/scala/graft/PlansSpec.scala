@@ -44,6 +44,63 @@ class PlansSpec extends AnyFunSuite {
     assert(!optimized.contains("upper("), s"upper not stripped:\n$optimized")
   }
 
+  test("nfe_key_is_valid registered via SparkSessionExtensions and usable from SQL") {
+    val valid = graft.operators.InvoicePipeline.ValidKeys.head
+    val out = spark.sql(
+      s"""SELECT nfe_key_is_valid('$valid') AS a,
+         |       nfe_key_is_valid('123') AS b,
+         |       nfe_key_is_valid(NULL) AS c""".stripMargin).collect()(0)
+    assert(out.getBoolean(0))
+    assert(!out.getBoolean(1))
+    assert(out.isNullAt(2))
+  }
+
+  test("nfe expression agrees with the struct validator on all 5 input classes") {
+    // the q_nfe_key_validate candidate generator: valid / bad-DV / bad-UF /
+    // bad-modelo / bad-length, cycling through all key fixtures
+    val candidates = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(graft.operators.ScalarQueries.keyCandidate(col("o_orderkey")).as("k"))
+      .collect().map(_.getString(0))
+    assert(candidates.toSet.size >= 5)
+    candidates.foreach { k =>
+      assert(graft.plans.NfeChecksum.isValid(k) == Validators.nfeKeyValidator(k).valido, k)
+    }
+    // plus targeted edge classes the generator can't produce
+    for (k <- Seq(null, "", "0" * 44, "9" * 44)) {
+      val expected = Validators.nfeKeyValidator(k).valido
+      assert(graft.plans.NfeChecksum.isValid(k) == expected, s"edge: $k")
+    }
+    // and through the engine, where whole-stage codegen compiles doGenCode
+    val viaSql = candidates.toSeq.toDF("k")
+      .selectExpr("k", "nfe_key_is_valid(k) AS v").collect()
+    viaSql.foreach(r =>
+      assert(r.getBoolean(1) == graft.plans.NfeChecksum.isValid(r.getString(0))))
+  }
+
+  test("optimizer rule strips wrappers around nfe_key_is_valid too") {
+    val valid = graft.operators.InvoicePipeline.ValidKeys.head
+    val plan = spark.sql(s"SELECT nfe_key_is_valid(upper(trim(' $valid '))) AS v")
+    assert(plan.collect()(0).getBoolean(0))
+    val optimized = plan.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("upper("), s"upper not stripped:\n$optimized")
+  }
+
+  test("fiscal filters fuse into the codegen'd scan stage with pruned columns") {
+    // the pushdown demo: both native predicates in one filter over a
+    // parquet scan — the filter must sit inside WholeStageCodegen (no UDF
+    // boundary) and the scan must read only the referenced column
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .where("cnpj_is_valid(c_name) OR nfe_key_is_valid(c_name)")
+      .select("c_name")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("*(1) Filter"), physical)
+    assert(physical.contains("cnpj_is_valid") && physical.contains("nfe_key_is_valid"), physical)
+    assert(!physical.contains("ScalaUDF"))
+    val readSchema = physical.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_name") && !readSchema.contains("c_address"), readSchema)
+    df.count() // executes: codegen compiles
+  }
+
   test("expression runs inside whole-stage codegen (no UDF boundary)") {
     // a parquet scan source, so the projection isn't constant-folded away
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
