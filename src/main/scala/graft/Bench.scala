@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with BOTH a cold pass (first execution of
+  * each query in this JVM — includes per-query codegen/plan compilation,
+  * comparable to the driver's n=1 run) and a warm pass (second execution —
+  * steady-state throughput, what PERF.md cites). `value` stays the cold
+  * total so round-over-round BENCH files compare like-for-like. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,27 +17,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/session once (codegen compiler, parquet reader,
-    // shuffle machinery) so per-query numbers don't charge ~8 s of cold
-    // start to whichever query happens to run first.
+    // shuffle machinery) so the cold pass measures per-query costs, not
+    // ~8 s of one-time session start charged to whichever query runs first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // A failed query reports -1 (not a fast-looking elapsed time) and is
     // excluded from the total, so a regression can't read as a speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            name -> -1.0
+        }
       }
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val cold = pass()
+    val warm = pass()
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def total(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
