@@ -90,7 +90,14 @@ object Orchestrate {
   }
 
   /** Event-bus envelope (ref: orchestrator_models.py:51-66
-    * `map_to_event_contract`): PipelineResult row → JSON value column. */
+    * `map_to_event_contract`): PipelineResult row → JSON value column.
+    *
+    * `metrics.total_duration_ms` is kept for schema parity with the
+    * reference contract but is ALWAYS 0 by construction: Spark pins
+    * `current_timestamp()` to one per-query value, so `start_time` and
+    * `end_time` coincide (same reason `duration_sec` is "0.0" — see the
+    * file header: a fused columnar plan has no per-document wall clock;
+    * consumers needing latency must read Spark's task metrics/UI). */
   def toEventEnvelope(result: DataFrame): DataFrame =
     result.select(to_json(struct(
       sha2(concat_ws(":", col("trace_id"), col("execution_id")), 256).as("event_id"),
