@@ -65,7 +65,8 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => Similarity.topK(s, dir)),
     "q_ann_lsh" -> ((s, dir) => Similarity.annPairs(s, dir, threshold = 0.45)),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(s, dir)),
-    // multimodal-column plumbing (decode stage stubbed deterministically)
+    // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
+    // this corpus carries opaque bytes → deterministic byte-level features)
     "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
   )
 

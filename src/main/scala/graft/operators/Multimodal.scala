@@ -7,16 +7,20 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, and the decode / feature-extract /
   * resize / frame-sample steps run as typed `mapPartitions` over batches.
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): [[DeterministicDecoder]] produces a deterministic fake —
-  * byte-histogram "features" and header-derived "dimensions" — while the
-  * Spark-side plumbing (schema, binary handling, partitioning, batch
-  * iteration shape) is real and tested. Swapping in a real codec means
-  * replacing ONE function body.
+  * Decode is REAL for the formats the JDK itself can read — PNG / JPEG /
+  * BMP / GIF via `javax.imageio` (true dimensions + a 16-bin luminance
+  * histogram) and PCM WAV via `javax.sound.sampled` (sample rate,
+  * channels, frame count + a 16-bin amplitude histogram). Payloads in any
+  * other format (video containers, exotic codecs — nothing in this
+  * container or the JDK decodes those) fall back to
+  * [[DeterministicDecoder]]'s byte-level features, so decode NEVER throws:
+  * an undecodable blob degrades to opaque-bytes features, keeping the
+  * operator total (risk register §7.4.4).
   *
   * Scale notes: media blobs dominate row size, so the partition layout is
   * driven by `spark.sql.files.maxPartitionBytes`, not row count; decode is
-  * CPU-bound per partition with zero shuffle; features are small and
+  * CPU-bound per partition with zero shuffle (histograms subsample huge
+  * images so per-row cost is bounded); features are small and
   * shuffle-friendly downstream. Never collect blobs to the driver.
   */
 object Multimodal {
@@ -34,10 +38,106 @@ object Multimodal {
       n_frames: Int,
       features: Array[Float])
 
-  /** Deterministic stand-in for the real codec: dimensions from header
-    * bytes, 16-bin byte histogram (L1-normalized) as the feature vector.
-    * Replace this body with PDFBox/ImageIO/ffmpeg bindings in a real
-    * deployment — the call-site plumbing does not change. */
+  /** Format sniff + real decode where the JDK has a codec; byte-level
+    * fallback otherwise. One instance per partition (see [[decodeFeatures]]). */
+  object MediaDecoder {
+    import java.io.ByteArrayInputStream
+
+    private def isPng(b: Array[Byte]) =
+      b.length > 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isJpeg(b: Array[Byte]) =
+      b.length > 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte
+    private def isBmp(b: Array[Byte]) = b.length > 2 && b(0) == 'B' && b(1) == 'M'
+    private def isGif(b: Array[Byte]) =
+      b.length > 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+    private def isWav(b: Array[Byte]) =
+      b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decode(r: MediaRecord): MediaFeatures = {
+      val bytes = if (r.content == null) Array.empty[Byte] else r.content
+      val real =
+        if (isPng(bytes) || isJpeg(bytes) || isBmp(bytes) || isGif(bytes)) decodeImage(r, bytes)
+        else if (isWav(bytes)) decodeWav(r, bytes)
+        else None
+      real.getOrElse(DeterministicDecoder.decode(r))
+    }
+
+    /** Real image decode: true width/height from the raster, features =
+      * 16-bin luminance histogram (L1-normalized). Large rasters are
+      * subsampled on a deterministic stride so per-row cost is bounded
+      * (≤ ~256×256 probed pixels). */
+    private def decodeImage(r: MediaRecord, bytes: Array[Byte]): Option[MediaFeatures] =
+      try {
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sx = math.max(1, w / 256)
+          val sy = math.max(1, h / 256)
+          val hist = new Array[Float](16)
+          var count = 0f
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                (rgb & 0xFF) * 114) / 1000
+              hist(lum >> 4) += 1f
+              count += 1f
+              x += sx
+            }
+            y += sy
+          }
+          val total = math.max(1f, count)
+          Some(MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
+            width = w, height = h, n_frames = 1, features = hist.map(_ / total)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Real WAV decode (PCM 8/16-bit): width = sample rate, height =
+      * channel count (the schema is image-shaped; documented reuse),
+      * n_frames = audio frame count, features = 16-bin amplitude
+      * histogram over the decoded samples. */
+    private def decodeWav(r: MediaRecord, bytes: Array[Byte]): Option[MediaFeatures] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val bits = fmt.getSampleSizeInBits
+          if (bits != 8 && bits != 16) return None
+          val data = in.readAllBytes()
+          val hist = new Array[Float](16)
+          var count = 0f
+          if (bits == 8) { // unsigned 8-bit PCM
+            data.foreach { b => hist((b & 0xFF) >> 4) += 1f; count += 1f }
+          } else { // signed 16-bit PCM
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i + 1 < data.length) {
+              val s =
+                if (le) ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+                else ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+              hist((s + 32768) >> 12) += 1f
+              count += 1f
+              i += 2
+            }
+          }
+          val total = math.max(1f, count)
+          Some(MediaFeatures(r.media_id, r.kind, bytes.length.toLong,
+            width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+            n_frames = in.getFrameLength.toInt, features = hist.map(_ / total)))
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic byte-level fallback for formats with no JDK codec:
+    * dimensions from header bytes, 16-bin byte histogram (L1-normalized)
+    * as the feature vector. Also the determinism anchor for the
+    * `q_multimodal` query (its corpus payloads are opaque bytes). */
   object DeterministicDecoder {
     def decode(r: MediaRecord): MediaFeatures = {
       val bytes = if (r.content == null) Array.empty[Byte] else r.content
@@ -61,7 +161,7 @@ object Multimodal {
     * partition-wide materialization. */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it => it.map(DeterministicDecoder.decode) }
+    media.mapPartitions { it => it.map(MediaDecoder.decode) }
   }
 
   /** Build a media table from the documents corpus (text bytes standing in
