@@ -191,7 +191,19 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * distinct), then exact cosine verification after re-joining the
     * embedding table — so precision is exact and recall is the banding
     * probability 1−(1−(1−θ/π)³)¹² (≈0.98 at cos 0.45; measured 1.0 on the
-    * test corpus in SimilaritySpec). */
+    * test corpus in SimilaritySpec).
+    *
+    * Parameter honesty: at thresholds near 0.45 a random-pair (cos≈0)
+    * still collides in some band with probability ≈0.8 under 12×3, so the
+    * candidate set is a large fraction of all pairs — SRP cannot sharply
+    * separate barely-above-noise similarity (the collision-probability
+    * curves for θ=63° and θ=90° are too close at any affordable
+    * bands×planes). That is a property of the threshold, not the
+    * implementation: at production thresholds the banding sharpens — e.g.
+    * 32 bands × 8 planes holds recall ≥0.99 at cos 0.8 while cutting
+    * random-pair collisions to ≈12% (≈6% at 16 bands with recall 0.92) —
+    * tune `bands`/`planesPerBand` per threshold with the formula above. For dense low-threshold search, IVF probing
+    * ([[ivfAssign]]) or exact blocking is the right tool instead. */
   def annPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
                dim: Int = Dim, bands: Int = 12, planesPerBand: Int = 3): DataFrame = {
     import spark.implicits._
