@@ -51,6 +51,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
     "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
+    "q_winnow" -> TextAnalysis.winnowSql,
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),

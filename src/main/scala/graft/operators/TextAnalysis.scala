@@ -131,6 +131,95 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """.trim
 
+  // --- winnowing rolling-hash fingerprints -----------------------------
+
+  /** Winnowing parameters (MOSS-style local document fingerprinting):
+    * k-gram size, window width, polynomial base, modulus. The modulus is
+    * prime and small enough that every intermediate (codepoint × 31⁴,
+    * summed over 5 grams) stays exact in both a JVM Long and DuckDB's
+    * integer arithmetic — the oracle reproduces hashes bit-for-bit. */
+  val WinnowK = 5
+  val WinnowW = 8
+  val WinnowB = 31L
+  val WinnowP = 1048573L
+
+  /** One document's winnowing fingerprints: polynomial hash of every
+    * k-gram of CODEPOINTS (1-based positions, matching SQL substr
+    * semantics), then per window of `w` consecutive hashes select the
+    * minimum (rightmost on ties), deduplicated. Documents shorter than
+    * k+w−1 codepoints emit nothing (no full window exists — a deliberate,
+    * documented divergence from winnowing's pick-from-partial-window
+    * variant, chosen so the relational oracle stays simple). */
+  def winnowFingerprints(text: String): Seq[(Long, Long)] = {
+    val cps = (if (text == null) "" else text).codePoints().toArray
+    val n = cps.length
+    if (n < WinnowK) return Seq.empty
+    val m = n - WinnowK + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < WinnowK) { h = h * WinnowB + cps(i + j); j += 1 }
+      hs(i) = h % WinnowP
+      i += 1
+    }
+    if (m < WinnowW) return Seq.empty
+    val sel = scala.collection.mutable.SortedSet.empty[(Long, Long)]
+    var ws = 0
+    while (ws <= m - WinnowW) {
+      var bestPos = ws
+      var p = ws + 1
+      while (p < ws + WinnowW) {
+        // rightmost minimum: strictly-smaller moves left-to-right scan,
+        // equal hash prefers the later position
+        if (hs(p) <= hs(bestPos)) bestPos = p
+        p += 1
+      }
+      sel += ((bestPos + 1L, hs(bestPos))) // 1-based
+      ws += 1
+    }
+    sel.toSeq
+  }
+
+  /** Rolling-hash fingerprint query: (doc_id, pos, hash) winnowing
+    * selections — the local-fingerprint primitive behind
+    * containment/overlap detection (shared fingerprints ⇒ shared
+    * passages), complementing [[fingerprint]]'s whole-document key.
+    * Narrow per-document kernel; the explode multiplies rows ~60× but
+    * carries only (long, long, long). */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val fps = udf((t: String) => winnowFingerprints(t))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(fps(col("text"))).as("fp"))
+      .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Relational winnowing oracle: same k-gram weights (31⁴…31⁰) over
+    * `ord(substr(…))` codepoints, same rightmost-min window rule via
+    * `row_number() ORDER BY h ASC, i DESC`, same full-window-only rule. */
+  val winnowSql: String = s"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) AS BIGINT) - $WinnowK + 1)) AS i FROM docs
+), wgt(j, w) AS (VALUES (0, 923521), (1, 29791), (2, 961), (3, 31), (4, 1)),
+khash AS (
+  SELECT p.doc_id, p.i,
+    CAST(SUM(ord(substr(p.t, CAST(p.i + wgt.j AS INTEGER), 1)) * wgt.w) % $WinnowP AS BIGINT) AS h
+  FROM pos p CROSS JOIN wgt
+  GROUP BY p.doc_id, p.i
+), win AS (
+  SELECT k.doc_id, ws.i AS ws, k.i, k.h,
+    row_number() OVER (PARTITION BY k.doc_id, ws.i ORDER BY k.h ASC, k.i DESC) AS rk
+  FROM khash k
+  JOIN khash ws ON ws.doc_id = k.doc_id AND k.i BETWEEN ws.i AND ws.i + $WinnowW - 1
+  WHERE ws.i <= (SELECT max(i) FROM khash k2 WHERE k2.doc_id = ws.doc_id) - $WinnowW + 1
+)
+SELECT DISTINCT doc_id, i AS pos, h AS hash FROM win WHERE rk = 1 ORDER BY doc_id, pos
+""".trim
+
   /** Multimodal-column plumbing: text→binary as a stand-in for image/audio
     * payloads; metadata extraction stays columnar (byte size, codepoints,
     * head bytes as hex). The decode/feature step for real media lives in

@@ -141,6 +141,30 @@ class OperatorsSpec extends AnyFunSuite {
 
   // --- multimodal plumbing ---
 
+  test("winnowing fingerprints: windows, rightmost ties, short-text edge") {
+    import graft.operators.TextAnalysis._
+    // shorter than k: nothing
+    assert(winnowFingerprints("abcd").isEmpty && winnowFingerprints(null).isEmpty)
+    // k ≤ len < k+w−1: hashes exist but no full window
+    assert(winnowFingerprints("abcdefgh").isEmpty)
+    // identical repeated text: every k-gram hash equal → rightmost-min per
+    // window; selections advance one per window, dedup leaves w distinct? no:
+    // all hashes equal so each window picks its LAST position
+    val rep = winnowFingerprints("aaaaaaaaaaaaaaaa") // 16 a's → m=12 hashes
+    assert(rep.nonEmpty)
+    assert(rep.map(_._2).distinct.size == 1) // single repeated hash value
+    // positions are the last slot of each window: ws+w for ws=0..m-w
+    assert(rep.map(_._1) == (WinnowW.toLong to 12L))
+    // hash value matches the polynomial definition
+    val a = 'a'.toInt.toLong
+    val expected = (0 until WinnowK).map(j => a * math.pow(31, 4 - j).toLong).sum % WinnowP
+    assert(rep.head._2 == expected)
+    // sanity on a real text: selections are sorted, in range, dense-ish
+    val fps = winnowFingerprints("the quick brown fox jumps over the lazy dog again and again")
+    assert(fps.nonEmpty && fps == fps.sorted)
+    assert(fps.forall { case (p, h) => p >= 1 && h >= 0 && h < WinnowP })
+  }
+
   test("multimodal decode: deterministic features, normalized histogram, kinds") {
     val out = Multimodal.featureQuery(spark, sf).collect()
     assert(out.length == 500)
