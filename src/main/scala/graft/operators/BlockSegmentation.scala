@@ -31,13 +31,19 @@ object BlockSegmentation {
     * UDF would split the line at each offset; here the whole line carries
     * the table-first type. Normalized fiscal documents put one marker per
     * line, where both variants agree (BlockSegmentationSpec). */
+  /** One alternation regex per block type (4 matches/line, not 13) —
+    * shared by the Column tagger and the kernel so the two physical forms
+    * cannot drift. */
+  private def mergedAlternation(patterns: List[java.util.regex.Pattern]): String =
+    patterns.map(p => "(?:" + p.pattern().stripPrefix("(?iu)") + ")")
+      .mkString("(?iu)", "|", "")
+
   private def markerTag(ln: Column): Column =
     InvoiceParser.BlockMarkers.foldLeft(lit(null).cast("string")) {
       case (acc, (blockType, patterns)) =>
-        // one alternation regex per block type (4 matches/line, not 13)
-        val merged = patterns.map(p => "(?:" + p.pattern().stripPrefix("(?iu)") + ")")
-          .mkString("(?iu)", "|", "")
-        when(acc.isNotNull, acc).when(ln.rlike(merged), blockType).otherwise(lit(null))
+        when(acc.isNotNull, acc)
+          .when(ln.rlike(mergedAlternation(patterns)), blockType)
+          .otherwise(lit(null))
     }
 
   /** One row per (doc, block) with the block's text reassembled in line
@@ -63,15 +69,13 @@ object BlockSegmentation {
         "\n").as("content"))
   }
 
-  /** Merged alternation pattern per block type (4 compiled regexes instead
-    * of 13), in the reference's marker-table order — the per-line tag is
-    * the FIRST type in this order whose pattern hits the line, identical to
-    * [[markerTag]]'s Column form. */
+  /** Merged alternation pattern per block type, in the reference's
+    * marker-table order — the per-line tag is the FIRST type in this order
+    * whose pattern hits the line, identical to [[markerTag]]'s Column form
+    * (same [[mergedAlternation]] source). */
   private val MergedMarkerPatterns: List[(String, java.util.regex.Pattern)] =
     InvoiceParser.BlockMarkers.map { case (blockType, patterns) =>
-      blockType -> java.util.regex.Pattern.compile(
-        patterns.map(p => "(?:" + p.pattern().stripPrefix("(?iu)") + ")")
-          .mkString("(?iu)", "|", ""))
+      blockType -> java.util.regex.Pattern.compile(mergedAlternation(patterns))
     }
 
   /** Line-count kernel: tag each line (first marker-table hit), carry the

@@ -171,8 +171,9 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     * lineage doesn't grow; at 100 TB the same loop runs with the edges
     * pre-partitioned by src and AQE handling stragglers. */
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                  maxRounds: Int = 50): DataFrame = {
-    val pairs = jaccardPairs(spark, dir, threshold).select("id_a", "id_b")
+                  maxRounds: Int = 50,
+                  maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val pairs = jaccardPairs(spark, dir, threshold, maxShingleDf).select("id_a", "id_b")
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")

@@ -63,13 +63,31 @@ object Multimodal {
       real.getOrElse(DeterministicDecoder.decode(r))
     }
 
+    /** Decompression-bomb guard: a corrupt/crafted header can declare a
+      * raster whose full decode would OOM the executor (OutOfMemoryError
+      * escapes NonFatal) — read the dimensions from the HEADER first and
+      * refuse to materialize anything above this (64M px ≈ 256 MB ARGB). */
+    private val MaxRasterPixels = 64L * 1024 * 1024
+
     /** Real image decode: true width/height from the raster, features =
       * 16-bin luminance histogram (L1-normalized). Large rasters are
       * subsampled on a deterministic stride so per-row cost is bounded
       * (≤ ~256×256 probed pixels). */
     private def decodeImage(r: MediaRecord, bytes: Array[Byte]): Option[MediaFeatures] =
       try {
-        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        val iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        val img =
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) return None
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              if (reader.getWidth(0).toLong * reader.getHeight(0).toLong > MaxRasterPixels)
+                return None // bomb: header-declared raster too large to decode
+              reader.read(0)
+            } finally reader.dispose()
+          } finally iis.close()
         if (img == null) None
         else {
           val w = img.getWidth
@@ -108,7 +126,13 @@ object Multimodal {
         try {
           val fmt = in.getFormat
           val bits = fmt.getSampleSizeInBits
-          if (bits != 8 && bits != 16) return None
+          // PCM only: companded encodings (A-law/µ-law) would histogram as
+          // garbage amplitudes — let them fall back to byte-level features
+          val enc = fmt.getEncoding
+          val pcmOk =
+            (bits == 8 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED) ||
+              (bits == 16 && enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          if (!pcmOk) return None
           val data = in.readAllBytes()
           val hist = new Array[Float](16)
           var count = 0f

@@ -224,13 +224,21 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     // plain equi-joins (broadcast or sort-merge, Catalyst's call), then the
     // primitive cosine kernel per candidate row. Nothing touches the
     // driver; vectors only travel for rows that survived the banding.
+    // Norms are computed once per VECTOR (before the join fans each vector
+    // out to its candidate pairs), not once per pair — the file-header
+    // invariant; one dot product per candidate remains.
     val vecs = emb(spark, dir).select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, normP(v)) }
+      .toDF("vec_id", "embedding", "norm")
     candidates
-      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
-      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .map { case (idA, idB, va, vb) => (idA, idB, dotP(va, vb) / (normP(va) * normP(vb))) }
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("norm").as("na")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("norm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .map { case (idA, idB, va, vb, na, nb) => (idA, idB, dotP(va, vb) / (na * nb)) }
       .filter(_._3 >= threshold)
       .toDF("id_a", "id_b", "cos")
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -277,7 +285,7 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * round(·, 6) after the sqrt absorbs it (see docs/COVERAGE.md §oracles). */
   def ivfAssignSql(nCentroids: Int = 8, dim: Int = Dim): String = s"""
 WITH ex AS (
-  SELECT vec_id % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
+  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, generate_series(1, $dim) AS gs(i)
 ), cm AS (
   SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i

@@ -207,7 +207,7 @@ WITH docs AS (
 ), wgt(j, w) AS (VALUES (0, 923521), (1, 29791), (2, 961), (3, 31), (4, 1)),
 khash AS (
   SELECT p.doc_id, p.i,
-    CAST(SUM(ord(substr(p.t, CAST(p.i + wgt.j AS INTEGER), 1)) * wgt.w) % $WinnowP AS BIGINT) AS h
+    CAST(SUM(CAST(ord(substr(p.t, CAST(p.i + wgt.j AS INTEGER), 1)) AS BIGINT) * wgt.w) % $WinnowP AS BIGINT) AS h
   FROM pos p CROSS JOIN wgt
   GROUP BY p.doc_id, p.i
 ), win AS (
