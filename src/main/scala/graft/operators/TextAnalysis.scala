@@ -196,11 +196,12 @@ FROM documents ORDER BY doc_id
       .orderBy("doc_id", "pos")
   }
 
-  /** Relational winnowing oracle: same k-gram weights (31⁴…31⁰) over
-    * `ord(substr(…))` codepoints, same rightmost-min window rule via
+  /** Shared winnowing CTE chain (through `win`), used by the fingerprint
+    * oracle and the overlap oracle. Same k-gram weights (31⁴…31⁰) over
+    * `ord(substr(…))` codepoints (ord CAST to BIGINT — INT32 products
+    * overflow on codepoints ≥ 2326), same rightmost-min window rule via
     * `row_number() ORDER BY h ASC, i DESC`, same full-window-only rule. */
-  val winnowSql: String = s"""
-WITH docs AS (
+  private val WinnowCtes: String = s"""WITH docs AS (
   SELECT doc_id, coalesce(text, '') AS t FROM documents
 ), pos AS (
   SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) AS BIGINT) - $WinnowK + 1)) AS i FROM docs
@@ -216,8 +217,70 @@ khash AS (
   FROM khash k
   JOIN khash ws ON ws.doc_id = k.doc_id AND k.i BETWEEN ws.i AND ws.i + $WinnowW - 1
   WHERE ws.i <= (SELECT max(i) FROM khash k2 WHERE k2.doc_id = ws.doc_id) - $WinnowW + 1
+)"""
+
+  /** Relational winnowing oracle over [[WinnowCtes]]. */
+  val winnowSql: String =
+    s"$WinnowCtes\nSELECT DISTINCT doc_id, i AS pos, h AS hash FROM win WHERE rk = 1 ORDER BY doc_id, pos"
+
+  /** Default document-frequency cap for fingerprint hashes entering the
+    * overlap inverted index — same role as `Dedup.DefaultMaxShingleDf`:
+    * template boilerplate shared by thousands of documents is cut before
+    * it can form a quadratic hot bucket; inert at oracle scale. */
+  val DefaultMaxHashDf = 1000
+
+  /** Shared-passage near-dup pairs from winnowing fingerprints:
+    * containment = |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) over the
+    * capped fingerprint vocabulary — the asymmetric-overlap measure that
+    * catches a short document embedded in a longer one (where Jaccard
+    * dilutes). Same inverted-index shape as `Dedup.jaccardPairs`: only
+    * pairs sharing ≥1 retained fingerprint materialize; the shuffle
+    * carries (hash, doc_id) rows only. */
+  def winnowOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8,
+                    maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
+    val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), explode(hashes(col("text"))).as("hash"))
+    val hot = fps.groupBy("hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxHashDf).select("hash")
+    val kept = fps.join(broadcast(hot), Seq("hash"), "left_anti")
+    val sized = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val withN = kept.join(sized, "doc_id")
+    val a = withN.select(col("doc_id").as("id_a"), col("n").as("na"), col("hash"))
+    val b = withN.select(col("doc_id").as("id_b"), col("n").as("nb"), col("hash"))
+    a.join(b, Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle: identical capped-vocabulary containment over the winnowing
+    * CTEs (same division operands → identical doubles; round 6 both
+    * sides). */
+  def winnowOverlapSql(threshold: Double = 0.8,
+                       maxHashDf: Int = DefaultMaxHashDf): String = s"""
+$WinnowCtes, wfp AS (
+  SELECT DISTINCT doc_id, h FROM win WHERE rk = 1
+), capped AS (
+  SELECT doc_id, h FROM wfp
+  WHERE h NOT IN (SELECT h FROM wfp GROUP BY h HAVING COUNT(*) > $maxHashDf)
+), sized AS (
+  SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
 )
-SELECT DISTINCT doc_id, i AS pos, h AS hash FROM win WHERE rk = 1 ORDER BY doc_id, pos
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared,
+  round(CAST(COUNT(*) AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+JOIN sized sa ON sa.doc_id = a.doc_id
+JOIN sized sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+HAVING CAST(COUNT(*) AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $threshold
+ORDER BY id_a, id_b
 """.trim
 
   /** Multimodal-column plumbing: text→binary as a stand-in for image/audio
