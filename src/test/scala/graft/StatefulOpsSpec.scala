@@ -80,6 +80,39 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out.map(_.doc_id).toSeq == Seq(1L, 2L, 6L, 8L))
   }
 
+  test("dedup ledger runs on the RocksDB state store provider (the at-scale config)") {
+    import graft.streaming.StatefulOps.LedgerDoc
+    val landing = Files.createTempDirectory("graft-ledger-rdb").toString
+    Seq(
+      Seq(LedgerDoc(1L, "fpA", "A"), LedgerDoc(2L, "fpB", "B")),
+      Seq(LedgerDoc(3L, "fpA", "A"), LedgerDoc(4L, "fpC", "C"))
+    ).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().coalesce(1).write.parquet(s"$landing/part$i")
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, fingerprint STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$landing/part*")
+      .as[LedgerDoc]
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val q = StatefulOps.dedupLedger(stream)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .outputMode("append").format("memory").queryName("ledger_rdb_out")
+        .start()
+      q.awaitTermination(120000)
+      val out = spark.table("ledger_rdb_out").as[LedgerDoc].collect().sortBy(_.doc_id)
+      assert(out.map(_.text).toSeq == Seq("A", "B", "C")) // fpA replay dropped
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("typed Aggregator: trust histogram over the invoice corpus") {
     val scores = graft.operators.InvoicePipeline.query(spark, "/root/testdata/sf0.001")
       .select(col("trust_score")).as[Double]
