@@ -37,6 +37,32 @@ object StreamingPipeline {
         col("trust_score"), col("status"))
   }
 
+  /** [[invoiceStream]] with replay protection in front: documents are
+    * fingerprinted on the sha-256 of their NORMALIZED text (the EP2
+    * audit-hash — byte-identical re-uploads AND trivially-reformatted
+    * replays collapse to one fingerprint), anti-joined against the
+    * [[StatefulOps.dedupLedger]] state ledger, and only first-seen content
+    * flows into the parse pipeline. Exactly-once-per-content across
+    * micro-batches and restarts (the ledger lives in the checkpointed
+    * state store). */
+  def dedupedInvoiceStream(spark: SparkSession, landingDir: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema(DocSchema)
+      .option("maxFilesPerTrigger", 8)
+      .parquet(landingDir)
+      .select(col("doc_id"),
+        sha2(graft.functions.Udfs.normalizeText(col("text")), 256).as("fingerprint"),
+        col("text"))
+      .as[StatefulOps.LedgerDoc]
+    val firstSeen = StatefulOps.dedupLedger(stream).toDF()
+    InvoicePipeline.process(firstSeen)
+      .select(col("doc_id"), col("fingerprint"),
+        col("invoice.issuer.cnpj_cpf").as("issuer_cnpj"),
+        col("invoice.financials.total").as("total"),
+        col("trust_score"), col("status"))
+  }
+
   /** Event-bus envelope projection (ref: orchestrator_models.py:51-66
     * `map_to_event_contract`): the streaming sink contract, as JSON. */
   def eventEnvelope(processed: DataFrame): DataFrame =

@@ -113,6 +113,28 @@ class StatefulOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deduped invoice stream: reformatted replay collapses to one processed doc") {
+    val landing = Files.createTempDirectory("graft-dedup-stream").toString
+    val t1 = GoldenStreamFixtures.valid
+    val t1Reformatted = t1.replace(" ", "  ") // normalization collapses this
+    val t2 = t1.replace("R$ 100,00", "R$ 200,00") // genuinely different content
+    Seq(
+      Seq((1L, t1)),
+      Seq((2L, t1Reformatted), (3L, t2))
+    ).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("doc_id", "text").coalesce(1).write.parquet(s"$landing/part$i")
+    }
+    val q = graft.streaming.StreamingPipeline.dedupedInvoiceStream(spark, s"$landing/part*")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("memory").queryName("dedup_stream_out")
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_stream_out").collect().map(_.getLong(0)).sorted
+    // doc 2 is a reformatted replay of doc 1's content → dropped by the
+    // ledger; docs 1 and 3 process exactly once
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("typed Aggregator: trust histogram over the invoice corpus") {
     val scores = graft.operators.InvoicePipeline.query(spark, "/root/testdata/sf0.001")
       .select(col("trust_score")).as[Double]
