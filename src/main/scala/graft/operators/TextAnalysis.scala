@@ -134,14 +134,28 @@ FROM documents ORDER BY doc_id
   // --- winnowing rolling-hash fingerprints -----------------------------
 
   /** Winnowing parameters (MOSS-style local document fingerprinting):
-    * k-gram size, window width, polynomial base, modulus. The modulus is
-    * prime and small enough that every intermediate (codepoint × 31⁴,
-    * summed over 5 grams) stays exact in both a JVM Long and DuckDB's
-    * integer arithmetic — the oracle reproduces hashes bit-for-bit. */
-  val WinnowK = 5
-  val WinnowW = 8
+    * k-gram size, window width, polynomial base, modulus.
+    *
+    * k = 25 is the NOISE THRESHOLD (matches below 25 codepoints are
+    * coincidence, not shared passages) and w = 16 the guarantee window:
+    * any shared substring of length ≥ k + w − 1 = 40 codepoints is
+    * guaranteed to share a fingerprint. k must be discriminative at corpus
+    * scale: with tiny grams (k=5) a word-soup corpus collapses to a few
+    * hundred distinct hashes and the overlap inverted index fans out
+    * quadratically (measured 292M join rows at sf0.1 vs 305k with k=25).
+    *
+    * Weights are 31^(k−1−j) REDUCED MOD P on both sides (the kernel runs
+    * Horner with a per-step mod; the SQL multiplies by pre-reduced weight
+    * literals) — identical residues, every intermediate exact in int64. */
+  val WinnowK = 25
+  val WinnowW = 16
   val WinnowB = 31L
   val WinnowP = 1048573L
+
+  /** 31^(k−1−j) mod P for j = 0..k−1 — the SQL side's weight literals. */
+  private val WinnowWeights: Seq[Long] =
+    (0 until WinnowK).map(j =>
+      (0 until (WinnowK - 1 - j)).foldLeft(1L)((acc, _) => acc * WinnowB % WinnowP))
 
   /** One document's winnowing fingerprints: polynomial hash of every
     * k-gram of CODEPOINTS (1-based positions, matching SQL substr
@@ -160,8 +174,10 @@ FROM documents ORDER BY doc_id
     while (i < m) {
       var h = 0L
       var j = 0
-      while (j < WinnowK) { h = h * WinnowB + cps(i + j); j += 1 }
-      hs(i) = h % WinnowP
+      // Horner with per-step mod: h stays < 31·P + maxCodepoint, so a
+      // 25-gram cannot overflow (31^24 would, unreduced)
+      while (j < WinnowK) { h = (h * WinnowB + cps(i + j)) % WinnowP; j += 1 }
+      hs(i) = h
       i += 1
     }
     if (m < WinnowW) return Seq.empty
@@ -197,15 +213,16 @@ FROM documents ORDER BY doc_id
   }
 
   /** Shared winnowing CTE chain (through `win`), used by the fingerprint
-    * oracle and the overlap oracle. Same k-gram weights (31⁴…31⁰) over
-    * `ord(substr(…))` codepoints (ord CAST to BIGINT — INT32 products
-    * overflow on codepoints ≥ 2326), same rightmost-min window rule via
-    * `row_number() ORDER BY h ASC, i DESC`, same full-window-only rule. */
+    * oracle and the overlap oracle. Same mod-reduced k-gram weights
+    * ([[WinnowWeights]]) over `ord(substr(…))` codepoints (ord CAST to
+    * BIGINT — an INT32 product would overflow), same rightmost-min window
+    * rule via `row_number() ORDER BY h ASC, i DESC`, same full-window-only
+    * rule. */
   private val WinnowCtes: String = s"""WITH docs AS (
   SELECT doc_id, coalesce(text, '') AS t FROM documents
 ), pos AS (
   SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) AS BIGINT) - $WinnowK + 1)) AS i FROM docs
-), wgt(j, w) AS (VALUES (0, 923521), (1, 29791), (2, 961), (3, 31), (4, 1)),
+), wgt(j, w) AS (VALUES ${WinnowWeights.zipWithIndex.map { case (w, j) => s"($j, $w)" }.mkString(", ")}),
 khash AS (
   SELECT p.doc_id, p.i,
     CAST(SUM(CAST(ord(substr(p.t, CAST(p.i + wgt.j AS INTEGER), 1)) AS BIGINT) * wgt.w) % $WinnowP AS BIGINT) AS h

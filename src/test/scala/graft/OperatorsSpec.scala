@@ -146,20 +146,25 @@ class OperatorsSpec extends AnyFunSuite {
     // shorter than k: nothing
     assert(winnowFingerprints("abcd").isEmpty && winnowFingerprints(null).isEmpty)
     // k ≤ len < k+w−1: hashes exist but no full window
-    assert(winnowFingerprints("abcdefgh").isEmpty)
+    assert(winnowFingerprints("a" * (WinnowK + WinnowW - 2)).isEmpty)
     // identical repeated text: every k-gram hash equal → rightmost-min per
-    // window; selections advance one per window, dedup leaves w distinct? no:
-    // all hashes equal so each window picks its LAST position
-    val rep = winnowFingerprints("aaaaaaaaaaaaaaaa") // 16 a's → m=12 hashes
+    // window, so each window picks its LAST position
+    val rep = winnowFingerprints("a" * 45) // m = 45-25+1 = 21 hashes
     assert(rep.nonEmpty)
     assert(rep.map(_._2).distinct.size == 1) // single repeated hash value
     // positions are the last slot of each window: ws+w for ws=0..m-w
-    assert(rep.map(_._1) == (WinnowW.toLong to 12L))
-    // hash value matches the polynomial definition
-    val a = 'a'.toInt.toLong
-    val expected = (0 until WinnowK).map(j => a * math.pow(31, 4 - j).toLong).sum % WinnowP
-    assert(rep.head._2 == expected)
-    // sanity on a real text: selections are sorted, in range, dense-ish
+    assert(rep.map(_._1) == (WinnowW.toLong to 21L))
+    // hash value matches the polynomial definition (BigInt ground truth)
+    val a = BigInt('a'.toInt)
+    val expected = (0 until WinnowK).map(j => a * BigInt(31).pow(j)).sum % BigInt(WinnowP)
+    assert(BigInt(rep.head._2) == expected)
+    // the winnowing guarantee: a shared substring of length ≥ k+w−1 = 40
+    // between two texts must share at least one fingerprint hash
+    val shared = "this exact passage of sufficient length is copied verbatim!"
+    val fa = winnowFingerprints("AAAA " + shared + " BBBBBBBBBBBBBBBB").map(_._2).toSet
+    val fb = winnowFingerprints("CCCCCCCCCCCC " + shared + " DDDD").map(_._2).toSet
+    assert(fa.intersect(fb).nonEmpty)
+    // sanity: selections sorted, in range
     val fps = winnowFingerprints("the quick brown fox jumps over the lazy dog again and again")
     assert(fps.nonEmpty && fps == fps.sorted)
     assert(fps.forall { case (p, h) => p >= 1 && h >= 0 && h < WinnowP })
