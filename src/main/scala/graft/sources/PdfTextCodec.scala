@@ -186,11 +186,12 @@ object PdfTextCodec {
       else if (c == '<') { val (str, ni) = parseHex(content, i); pending += str; i = ni }
       else if (c == '>' && i + 1 < n && content.charAt(i + 1) == '>') i += 2
       else if (c == '%') { while (i < n && content.charAt(i) != '\n' && content.charAt(i) != '\r') i += 1 }
-      else if (c == '[' || c == ']' || c == '{' || c == '}' || c == '>') i += 1
+      else if (c == '[' || c == ']' || c == '{' || c == '}' || c == '>' || c == ')') i += 1
       else if (c == '/') { i += 1; while (i < n && !content.charAt(i).isWhitespace && !isDelimiter(content.charAt(i))) i += 1 }
       else {
         val start = i
         while (i < n && !content.charAt(i).isWhitespace && !isDelimiter(content.charAt(i))) i += 1
+        if (i == start) i += 1 // lone delimiter byte in malformed content: skip, never stall
         content.substring(start, i) match {
           case "Tj" | "TJ"  => show()
           case "'" | "\""   => flushLine(); show()

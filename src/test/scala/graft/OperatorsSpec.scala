@@ -170,6 +170,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps.forall { case (p, h) => p >= 1 && h >= 0 && h < WinnowP })
   }
 
+  test("fuzz: winnow kernel matches a BigInt reference on random unicode text") {
+    import graft.operators.TextAnalysis._
+    def reference(text: String): Seq[(Long, Long)] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      if (n < WinnowK) return Seq.empty
+      val hs = (0 until n - WinnowK + 1).map { i =>
+        ((0 until WinnowK).map(j => BigInt(cps(i + j)) * BigInt(31).pow(WinnowK - 1 - j)).sum
+          % BigInt(WinnowP)).toLong
+      }
+      if (hs.length < WinnowW) return Seq.empty
+      (0 to hs.length - WinnowW).map { ws =>
+        val win = (ws until ws + WinnowW)
+        val best = win.minBy(p => (hs(p), -p))
+        (best + 1L, hs(best))
+      }.distinct.sorted
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcdefgh ", "aç€中𝄞x ") // incl. non-BMP (surrogate pair)
+    for (trial <- 0 until 200) {
+      val alpha = alphabets(trial % alphabets.size)
+      val len = rnd.nextInt(120)
+      val s = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      assert(winnowFingerprints(s) == reference(s), s"trial $trial: ${s.take(60)}")
+    }
+  }
+
   test("multimodal decode: deterministic features, normalized histogram, kinds") {
     val out = Multimodal.featureQuery(spark, sf).collect()
     assert(out.length == 500)

@@ -61,6 +61,31 @@ class PdfTextCodecSpec extends AnyFunSuite {
     DocumentSource.PdfTextExtractor.extract("cut.pdf", cut) // must not throw
   }
 
+  test("fuzz: extractPages is total on arbitrary and mutated-PDF bytes") {
+    val rnd = new scala.util.Random(42)
+    // arbitrary byte soup (with and without the %PDF magic)
+    for (i <- 0 until 200) {
+      val n = rnd.nextInt(400)
+      val b = new Array[Byte](n)
+      rnd.nextBytes(b)
+      PdfTextCodec.extractPages(b) // must not throw
+      val magic = ("%PDF-1.4\n".getBytes("ISO-8859-1") ++ b)
+      PdfTextCodec.extractPages(magic)
+      DocumentSource.PdfTextExtractor.extract(s"fuzz$i", magic)
+    }
+    // single-byte mutations of a REAL pdf: structure half-broken in every way
+    val base = PdfFixtures.twoPage
+    for (_ <- 0 until 300) {
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      PdfTextCodec.extractPages(b) // must not throw
+    }
+    // random truncations
+    for (_ <- 0 until 100) {
+      PdfTextCodec.extractPages(java.util.Arrays.copyOfRange(base, 0, rnd.nextInt(base.length)))
+    }
+  }
+
   test("pages without a walkable catalog fall back to file order") {
     // strip the catalog object — the codec must still find /Type /Page objs
     val s = new String(PdfFixtures.twoPage, java.nio.charset.StandardCharsets.ISO_8859_1)
