@@ -10,7 +10,8 @@ object PlanSnapshot {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val headline = Seq("q_invoice_pipeline", "q_agg_pricing", "q_join_revenue",
-      "q_anti_join", "q_events_hourly", "q_minhash_dedup")
+      "q_anti_join", "q_events_hourly", "q_minhash_dedup",
+      "q_block_segment", "q_ann_lsh", "q_winnow_overlap")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.PlanSnapshot\"`. Lines\n")
