@@ -45,6 +45,7 @@ object SparkEntry {
     "q_events_hourly" -> ((s, dir) => EventOps.hourlyWindow(s, dir)),
     "q_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
     "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
+    "q_range_join" -> ((s, dir) => EventOps.binnedRangeJoin(s, dir)),
     "q_running_totals" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     // training-data pipeline: text analysis
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "q_events_hourly" -> EventOps.hourlyWindowSql,
     "q_sessionize" -> EventOps.sessionizeSql,
     "q_asof_join" -> EventOps.asofJoinSql,
+    "q_range_join" -> EventOps.binnedRangeJoinSql,
     "q_running_totals" -> EventOps.runningTotalsSql,
     "q_langid" -> TextAnalysis.langIdSql,
     "q_text_quality" -> TextAnalysis.qualitySql,

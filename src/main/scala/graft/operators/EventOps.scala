@@ -158,4 +158,60 @@ SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
      AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))) AS last_click_ts
 FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
 """.trim
+
+  /** Attribution window = bin width for [[binnedRangeJoin]], in µs
+    * (3 days). Interval length = bin width ⇒ an interval spans ≤ 2 bins. */
+  val RangeBinUs: Long = 3L * 86400L * 1000000L
+
+  /** Interval (range) join the SCALE way: for every purchase, the same
+    * user's clicks inside the 3-day attribution window before it.
+    *
+    * A naive `points.join(intervals, pointInRange)` theta-join plans as
+    * BroadcastNestedLoopJoin — O(|a|·|b|) with interpreted predicates, the
+    * classic range-join trap. Binning restores an equi-join: each interval
+    * explodes to the (≤2) bins it covers, each point maps to exactly one
+    * bin, the join runs on (user, bin) through a plain shuffled equi-join,
+    * and the residual BETWEEN filter keeps exact semantics. Each matching
+    * (click, purchase) pair appears exactly once (the click's single bin).
+    * At 100 TB this is one co-partitioned shuffle; bin width tunes the
+    * bins-per-interval vs rows-per-bin tradeoff. EventOpsRangeSpec pins
+    * that NO BroadcastNestedLoopJoin appears and that the result equals
+    * the naive theta formulation. */
+  def binnedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("click_us"), col("value"))
+      .withColumn("bin", expr(s"click_us div ${RangeBinUs}L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("us").as("p_us"))
+      .withColumn("start_us", col("p_us") - RangeBinUs)
+      .withColumn("bin", explode(sequence(
+        expr(s"start_us div ${RangeBinUs}L"), expr(s"p_us div ${RangeBinUs}L"))))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") && clicks("bin") === purchases("bin") &&
+          col("click_us").between(col("start_us"), col("p_us")))
+      .groupBy(col("p_user").as("user_id"), col("event_id"), col("p_us").as("purchase_us"))
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_click_value"),
+        min(col("click_us")).as("first_click_us"),
+        max(col("click_us")).as("last_click_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Oracle: the plain range join — DuckDB handles the theta form fine at
+    * verification scale; timestamps compared in µs (the engines' common
+    * precision after the ns→µs truncation). */
+  val binnedRangeJoinSql: String = s"""
+SELECT p.user_id, p.event_id, epoch_us(p.ts) AS purchase_us,
+  CAST(COUNT(*) AS BIGINT) AS n_clicks,
+  CAST(SUM(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_click_value,
+  min(epoch_us(c.ts)) AS first_click_us,
+  max(epoch_us(c.ts)) AS last_click_us
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - $RangeBinUs AND epoch_us(p.ts)
+GROUP BY p.user_id, p.event_id, epoch_us(p.ts)
+ORDER BY p.user_id, p.event_id
+""".trim
 }
