@@ -88,6 +88,27 @@ object StreamingPipeline {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("events"), col("sum_value"))
 
+  /** Streaming gap-based sessionization via the built-in `session_window`
+    * (merging-session state is Spark-managed; watermark bounds it — the
+    * Spark-first alternative to hand-rolling a
+    * `flatMapGroupsWithState` sessionizer).
+    *
+    * Boundary semantics differ from the batch [[graft.operators.EventOps
+    * .sessionize]] at EXACT-gap spacing: `session_window` closes a session
+    * when the next event is ≥ gap after the previous (windows abut but
+    * don't overlap), the batch walk keeps it open on strictly-greater
+    * gaps. Identical for every gap ≠ the boundary; documented rather than
+    * papered over. */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("events"))
+
   /** Stream–static join: enrich the event stream with a dimension table
     * (the classic fact-stream ⋈ broadcast-dim shape — the static side is
     * re-broadcast per micro-batch, no state needed), then windowed

@@ -55,6 +55,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed <= total && streamed > total / 2, s"streamed=$streamed total=$total")
   }
 
+  test("session_window streaming sessionization: disjoint sessions, gaps honored") {
+    val landing = Files.createTempDirectory("graft-sessions").toString
+    // hand-built sessions: user 1 has two bursts 45 min apart (split),
+    // user 2 one burst with 10-min spacing (merged)
+    val base = 1700000000000000L // µs
+    val min = 60L * 1000000L
+    val rows = Seq(
+      (1L, base),             (2L, base + 5 * min),   (3L, base + 20 * min),
+      (4L, base + 65 * min),  (5L, base + 70 * min),
+      (6L, base + 10 * min),  (7L, base + 20 * min),  (8L, base + 30 * min)
+    ).zipWithIndex.map { case ((id, us), i) =>
+      (id, new java.sql.Timestamp(us / 1000), if (i < 5) 1L else 2L, "click", 1.0, "{}")
+    } :+ // watermark sentinel: advances event time far enough (watermark =
+      // max ts − 1 h) that every real session above is closed and emitted;
+      // its own session stays open and is excluded from assertions
+      (99L, new java.sql.Timestamp((base + 200 * min) / 1000), 99L, "click", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(landing)
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(landing)
+    val q = StreamingPipeline
+      .drainAvailableNow(StreamingPipeline.sessionWindowCounts(stream), "session_stream")
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("session_stream")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2.getTime))
+    // watermark holds nothing back here (single batch, max ts wins) except
+    // possibly the last session; assert on what must have closed
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.nonEmpty)
+    // first burst: 3 events, session start at base
+    assert(u1.head._4 == 3L && u1.head._2.getTime == base / 1000)
+    val u2 = out.filter(_._1 == 2L)
+    u2.foreach(s => assert(s._4 == 3L)) // one merged 3-event session if closed
+    // invariant: sessions per user are disjoint and ordered
+    for (Seq(a, b) <- out.groupBy(_._1).values.map(_.toSeq).filter(_.size > 1)
+           .flatMap(_.sliding(2))) {
+      assert(!a._3.after(b._2), s"overlapping sessions: $a $b")
+    }
+  }
+
   test("stream-static dimension join enriches windowed counts") {
     val landing = Files.createTempDirectory("graft-enrich").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
