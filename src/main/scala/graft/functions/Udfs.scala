@@ -85,6 +85,7 @@ object Udfs {
   val cnpjValidateOnce: UserDefinedFunction = cnpjValidate.asNondeterministic()
   val moneyValidateFiscalOnce: UserDefinedFunction = moneyValidateFiscal.asNondeterministic()
   val nfeKeyValidateOnce: UserDefinedFunction = nfeKeyValidate.asNondeterministic()
+  val parseInvoiceOnce: UserDefinedFunction = parseInvoice.asNondeterministic()
 
   /** Register everything for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

@@ -37,6 +37,22 @@ object InvoicePipeline {
       .drop("checks")
   }
 
+  /** [[process]] for documents whose text is ALREADY normalized (a caller
+    * that normalized once for fingerprinting — e.g. the streaming dedup
+    * flow — must not pay the normalization kernel again): parse directly,
+    * same validate stage. The parse input contract is identical because
+    * `normalizeAndParse` ≡ parse ∘ normalize. */
+  def processNormalized(docs: DataFrame, normTextCol: String,
+                        sourceCol: Column = lit(null).cast("string")): DataFrame = {
+    docs
+      .withColumn("invoice", Udfs.parseInvoiceOnce(col(normTextCol), sourceCol))
+      .withColumn("checks", TrustScoring.checksCol(col("invoice")))
+      .withColumn("validation_issues", TrustScoring.issuesFrom(col("invoice"), col("checks")))
+      .withColumn("trust_score", TrustScoring.scoreFrom(col("invoice"), col("checks")))
+      .withColumn("status", TrustScoring.status(col("validation_issues"), col("trust_score")))
+      .drop("checks")
+  }
+
   // ---------------------------------------------------------------------
   // Synthetic invoice corpus: deterministic construction from orders ⋈
   // customer, used for the DuckDB-oracled differential test — the oracle

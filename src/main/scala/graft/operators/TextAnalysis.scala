@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -202,8 +203,9 @@ FROM documents ORDER BY doc_id
     * selections — the local-fingerprint primitive behind
     * containment/overlap detection (shared fingerprints ⇒ shared
     * passages), complementing [[fingerprint]]'s whole-document key.
-    * Narrow per-document kernel; the explode multiplies rows ~60× but
-    * carries only (long, long, long). */
+    * Narrow per-document kernel; the explode multiplies rows by the
+    * winnowing density (≈ 2/(w+1) ≈ 12% of codepoint positions at w=16)
+    * but carries only (long, long, long). */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
     val fps = udf((t: String) => winnowFingerprints(t))
     docs(spark, dir)
@@ -255,14 +257,19 @@ khash AS (
     * carries (hash, doc_id) rows only. */
   def winnowOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8,
                     maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
+    // single evaluation pinned: the k=25 winnowing kernel is the expensive
+    // step and this subtree is referenced from both sides of the self-join
     val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
+      .asNondeterministic()
     val fps = docs(spark, dir)
       .select(col("doc_id"), explode(hashes(col("text"))).as("hash"))
     val hot = fps.groupBy("hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxHashDf).select("hash")
-    val kept = fps.join(broadcast(hot), Seq("hash"), "left_anti")
-    val sized = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val withN = kept.join(sized, "doc_id")
+    // per-doc set size via a window over the kept rows — same pattern as
+    // Dedup.cappedShingleRows; a groupBy+self-rejoin here re-evaluated the
+    // whole scan+kernel subtree once per reference
+    val withN = fps.join(broadcast(hot), Seq("hash"), "left_anti")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val a = withN.select(col("doc_id").as("id_a"), col("n").as("na"), col("hash"))
     val b = withN.select(col("doc_id").as("id_b"), col("n").as("nb"), col("hash"))
     a.join(b, Seq("hash"))

@@ -47,16 +47,19 @@ object StreamingPipeline {
     * state store). */
   def dedupedInvoiceStream(spark: SparkSession, landingDir: String): DataFrame = {
     import spark.implicits._
+    // normalize ONCE: the ledger doc carries the normalized text forward,
+    // so the parse stage uses processNormalized instead of re-running the
+    // normalization kernel on every surviving document
     val stream = spark.readStream
       .schema(DocSchema)
       .option("maxFilesPerTrigger", 8)
       .parquet(landingDir)
       .select(col("doc_id"),
-        sha2(graft.functions.Udfs.normalizeText(col("text")), 256).as("fingerprint"),
-        col("text"))
+        graft.functions.Udfs.normalizeText(col("text")).as("text"))
+      .select(col("doc_id"), sha2(col("text"), 256).as("fingerprint"), col("text"))
       .as[StatefulOps.LedgerDoc]
     val firstSeen = StatefulOps.dedupLedger(stream).toDF()
-    InvoicePipeline.process(firstSeen)
+    InvoicePipeline.processNormalized(firstSeen, "text")
       .select(col("doc_id"), col("fingerprint"),
         col("invoice.issuer.cnpj_cpf").as("issuer_cnpj"),
         col("invoice.financials.total").as("total"),

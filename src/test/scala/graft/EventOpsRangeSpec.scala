@@ -23,12 +23,18 @@ class EventOpsRangeSpec extends AnyFunSuite {
     assert(binned.nonEmpty, "range join produced no rows — fixture mismatch")
 
     // naive reference: read events the same ns->us way, theta-join directly
+    // (save/restore the nanos flag — unset would clobber a session-level
+    // setting some other fixture relies on)
     val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     val ev =
       try spark.read.parquet(s"$dir/events.parquet")
         .withColumn("us", expr("ts div 1000"))
-      finally spark.conf.unset(key)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("us").as("click_us"), col("value"))
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -188,7 +188,12 @@ class OperatorsSpec extends AnyFunSuite {
       }.distinct.sorted
     }
     val rnd = new scala.util.Random(7)
-    val alphabets = Seq("ab", "abcdefgh ", "aç€中𝄞x ") // incl. non-BMP (surrogate pair)
+    // codepoint STRINGS (not chars) so the non-BMP 𝄞 stays a surrogate
+    // PAIR and genuinely exercises supplementary-plane codepoints
+    val alphabets: Seq[Seq[String]] = Seq(
+      Seq("a", "b"),
+      "abcdefgh ".map(_.toString),
+      Seq("a", "ç", "€", "中", "𝄞", "x", " "))
     for (trial <- 0 until 200) {
       val alpha = alphabets(trial % alphabets.size)
       val len = rnd.nextInt(120)

@@ -92,7 +92,8 @@ class StreamingSpec extends AnyFunSuite {
     // first burst: 3 events, session start at base
     assert(u1.head._4 == 3L && u1.head._2.getTime == base / 1000)
     val u2 = out.filter(_._1 == 2L)
-    u2.foreach(s => assert(s._4 == 3L)) // one merged 3-event session if closed
+    // the sentinel forces every real session closed — u2 MUST have emitted
+    assert(u2.length == 1 && u2.head._4 == 3L) // one merged 3-event session
     // invariant: sessions per user are disjoint and ordered
     for (Seq(a, b) <- out.groupBy(_._1).values.map(_.toSeq).filter(_.size > 1)
            .flatMap(_.sliding(2))) {
