@@ -88,7 +88,12 @@ FROM documents GROUP BY 1 ORDER BY keep_id
   val DefaultMaxShingleDf = 1000
 
   /** (doc_id, sh_count, shingle) rows retained after the df cap, with
-    * sh_count recomputed over the retained vocabulary. */
+    * sh_count recomputed over the retained vocabulary. The result is
+    * localCheckpoint'd: both sides of the downstream self-join (and any
+    * other fan-out) read the materialized (long, long, string) rows — the
+    * un-checkpointed plan re-ran the scan + shingling kernel + df-cap +
+    * window once PER REFERENCE (same 6×-rescan disease winnowOverlap had;
+    * at 100 TB the re-scan is the query cost). */
   private def cappedShingleRows(docsDf: DataFrame, maxShingleDf: Int): DataFrame = {
     val exploded = shingleRows(docsDf)
     // document frequency per shingle (rows are distinct per doc already);
@@ -102,6 +107,7 @@ FROM documents GROUP BY 1 ORDER BY keep_id
       .withColumn("sh_count",
         count(lit(1)).over(Window.partitionBy("doc_id")))
       .select("doc_id", "sh_count", "shingle")
+      .localCheckpoint()
   }
 
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
@@ -165,11 +171,25 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     * that turns pairwise near-dup hits into keep/drop decisions in a
     * training-data pipeline.
     *
-    * Iterative min-label propagation (the standard distributed CC shape):
-    * each round joins labels across edges and takes the min; converges in
-    * O(diameter) rounds. Each round materializes via localCheckpoint so
-    * lineage doesn't grow; at 100 TB the same loop runs with the edges
-    * pre-partitioned by src and AQE handling stragglers. */
+    * Iterative min-label propagation WITH POINTER DOUBLING (the
+    * large-star/small-star contraction idea expressed on the label forest):
+    * each round takes the min over (own label, neighbor labels,
+    * label-of-label). Plain neighbor-min converges in O(diameter) rounds;
+    * the label-of-label jump halves remaining chain length every round, so
+    * convergence is O(log diameter) — the difference between 50 rounds and
+    * 6 on a 100 TB near-dup chain. Every label value is itself a node id
+    * (labels start as own-id and only ever adopt other nodes' ids), so the
+    * jump join is total.
+    *
+    * Each round is ONE aggregation over the union of three label sources
+    * (neighbor labels, label-of-label, self) — min per id — so the round's
+    * whole DAG materializes under a single `count()` action that doubles
+    * as the convergence check. Rounds cache via `persist` with the
+    * PREVIOUS round explicitly unpersisted once the new one is
+    * materialized: the earlier eager-localCheckpoint-per-round shape
+    * leaked every round's blocks for the lifetime of the session (a
+    * repeated-bench warm pass measurably slower than its cold pass), and
+    * checkpoint blocks cannot be freed through the DataFrame API. */
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                   maxRounds: Int = 50,
                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
@@ -177,22 +197,40 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
-      .localCheckpoint()
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .persist()
+    val tInit = System.nanoTime()
+    labels.count() // materialize the base relation once
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] init (edges+labels): ${(System.nanoTime() - tInit) / 1e9}%.3f s")
+    var prevCached = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "nid"), col("dst") === col("nid"))
-        .groupBy(col("src")).agg(min(col("label")).as("nl"))
-      val updated = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
-        .localCheckpoint()
+      // ONE join resolves both label sources: (key=neighbor, id) rows pull
+      // the neighbor's label, (key=own label, id) rows pull the
+      // label-of-label (pointer doubling — halves remaining chain length
+      // every round, O(log diameter) rounds on long chains)
+      val wanting = edges.select(col("dst").as("key"), col("src").as("id"))
+        .union(labels.select(col("label").as("key"), col("id")))
+      val resolved = wanting
+        .join(labels.select(col("id").as("key"), col("label")), "key")
+        .select(col("id"), col("label"), lit(false).as("self"))
+      val self = labels.select(col("id"), col("label"), lit(true).as("self"))
+      val updated = resolved.union(self)
+        .groupBy("id")
+        .agg(min(col("label")).as("new_label"),
+          // each id has exactly one self row — its current label
+          max(when(col("self"), col("label"))).as("label"))
+        .persist()
+      val t0 = System.nanoTime()
       changed = updated.filter(col("new_label") < col("label")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $rounds: ${(System.nanoTime() - t0) / 1e9}%.3f s, changed=$changed")
+      prevCached.unpersist(blocking = false)
+      prevCached = updated
       labels = updated.select(col("id"), col("new_label").as("label"))
       rounds += 1
     }
@@ -203,6 +241,12 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
       throw new IllegalStateException(
         s"dupClusters did not converge after $maxRounds rounds ($changed labels still " +
           "changing); raise maxRounds — the duplicate-graph diameter exceeds the cap")
+    // the result projects the FINAL round's cached relation (tiny: one row
+    // per node in the dup graph) — that cache intentionally stays alive to
+    // back the returned DataFrame; everything else is freed. Eviction is
+    // safe (persist recomputes through lineage; worst case re-reads the
+    // corpus — correct, just slow).
+    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
@@ -318,25 +362,49 @@ FROM reach GROUP BY s ORDER BY doc_id
 
   // --- SimHash ---------------------------------------------------------
 
-  /** 64-bit SimHash signatures for a (doc_id, text) corpus: explode
-    * distinct word tokens, hash each ONCE with codegen'd xxhash64, then 64
-    * conditional-sum aggregates per document (±1 votes per bit; bit set
-    * when positive). The explode+partial-agg shape replaces 64
-    * interpreted aggregate-HOF lambdas per document — map-side combine
-    * keeps the shuffle at one row per document. */
+  /** 64-bit SimHash signatures for a (doc_id, text) corpus: per-document
+    * primitive kernel — distinct word tokens (split on single space keeping
+    * empties, first-occurrence distinct; NULL text behaves like ""), each
+    * hashed with Spark's own xxHash64 (seed 42, via the Catalyst
+    * `XxHash64Function` the `xxhash64` column function evaluates), ±1 votes
+    * per bit, bit set when the vote sum is positive.
+    *
+    * A document is a row, so the whole signature is a NARROW map — no
+    * explode row-blowup, no shuffle, and no 64-aggregate codegen: the
+    * previous explode + 64 conditional-sum-aggregates shape was
+    * whole-stage-codegen'd into a class Janino took ~20 s to compile on
+    * first use (the driver's cold bench ate it every round). Signatures are
+    * bit-identical to that shape (SimHashDifferentialSpec pins them against
+    * an independent XXH64 + voting reimplementation). */
   def simhashSignatures(docsDf: DataFrame): DataFrame = {
-    val tokens = docsDf
-      // coalesce: NULL text must hash like "" so SimHash covers the same
-      // corpus as the shingle-based paths (explode(NULL) drops the doc)
-      .select(col("doc_id"),
-        explode(array_distinct(split(coalesce(col("text"), lit("")), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i"))
-    val sig = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_.bitwiseOR(_))
-    tokens.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("sig"))
+    import docsDf.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = (if (text == null) "" else text).split(" ", -1)
+        val seen = new java.util.HashSet[String](toks.length * 2)
+        val votes = new Array[Int](64)
+        var k = 0
+        while (k < toks.length) {
+          val t = toks(k)
+          if (seen.add(t)) {
+            val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+            var i = 0
+            while (i < 64) {
+              if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+              i += 1
+            }
+          }
+          k += 1
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 64) { if (votes(i) > 0) sig |= 1L << i; i += 1 }
+        (id, sig)
+      }
+      .toDF("doc_id", "sig")
   }
 
   /** SimHash near-dup pairs: group by band (4×16-bit chunks — Hamming

@@ -257,12 +257,19 @@ khash AS (
     * carries (hash, doc_id) rows only. */
   def winnowOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8,
                     maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
-    // single evaluation pinned: the k=25 winnowing kernel is the expensive
-    // step and this subtree is referenced from both sides of the self-join
+    // single evaluation pinned TWICE: .asNondeterministic() stops Catalyst
+    // duplicating the k=25 kernel per column, and localCheckpoint()
+    // truncates the subtree so the df-cap branch + both self-join sides
+    // read the materialized (doc_id, hash) rows instead of re-running the
+    // scan+kernel per reference (the un-checkpointed plan ran 6 FileScans
+    // of documents.parquet — at 100 TB a 6× corpus re-scan IS the query
+    // cost). The checkpoint holds (long, long) rows only — the winnowing
+    // density ≈ 2/(w+1) of codepoint positions — never the documents.
     val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
       .asNondeterministic()
     val fps = docs(spark, dir)
       .select(col("doc_id"), explode(hashes(col("text"))).as("hash"))
+      .localCheckpoint()
     val hot = fps.groupBy("hash").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxHashDf).select("hash")
     // per-doc set size via a window over the kept rows — same pattern as

@@ -77,9 +77,19 @@ object PdfTextCodec {
 
   // --- file structure ----------------------------------------------------
 
+  /** Object headers are scanned with a cursor that SKIPS each stream's
+    * payload bytes (resuming after `endstream`): compressed data that
+    * happens to spell `N G obj` would otherwise create a phantom object,
+    * and the last-wins `.toMap` could let a phantom id silently shadow a
+    * real page/content object and drop its text. (An `endstream` spelled
+    * inside a payload still truncates that one stream — accepted, it
+    * degrades that object only.) */
   private def parseObjects(s: String, bytes: Array[Byte]): Seq[(Int, PdfObj)] = {
     val out = Seq.newBuilder[(Int, PdfObj)]
-    for (m <- ObjRe.findAllMatchIn(s)) {
+    val m = ObjRe.pattern.matcher(s)
+    var from = 0
+    while (from < s.length && m.find(from)) {
+      val id = m.group(1).toInt
       val endobj = s.indexOf("endobj", m.end)
       val bodyEnd = if (endobj >= 0) endobj else s.length
       val body = s.substring(m.end, bodyEnd)
@@ -92,11 +102,16 @@ object PdfTextCodec {
             // strip the EOL that precedes the endstream keyword
             if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\n') dataEnd -= 1
             if (dataEnd > dataStart && s.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-            out += m.group(1).toInt ->
+            out += id ->
               PdfObj(body.substring(0, sm.start), Some(java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)))
-          } else out += m.group(1).toInt -> PdfObj(body.substring(0, sm.start), None)
+            from = endstream + "endstream".length
+          } else {
+            out += id -> PdfObj(body.substring(0, sm.start), None)
+            from = bodyEnd
+          }
         case None =>
-          out += m.group(1).toInt -> PdfObj(body, None)
+          out += id -> PdfObj(body, None)
+          from = if (endobj >= 0) endobj + "endobj".length else s.length
       }
     }
     out.result()
@@ -145,8 +160,19 @@ object PdfTextCodec {
     else Some(data)
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] =
+  /** Decompression-bomb guard (same class of attack MediaDecoder's
+    * MaxRasterPixels blocks): a few MB of deflate can legally expand
+    * ~1000×, and an unbounded ByteArrayOutputStream would OOM the executor
+    * — an error the NonFatal catch in extractPages does NOT absorb,
+    * violating the codec's totality policy. Inflation stops at
+    * max(64 MB, 100× input) and keeps the prefix (degrade to less text,
+    * never crash). */
+  private val MaxInflateFactor = 100L
+  private val MinInflateCap = 64L * 1024 * 1024
+
+  private[graft] def inflate(data: Array[Byte]): Option[Array[Byte]] =
     try {
+      val cap = math.max(MinInflateCap, data.length.toLong * MaxInflateFactor)
       val inf = new Inflater()
       inf.setInput(data)
       val out = new java.io.ByteArrayOutputStream(data.length * 4)
@@ -154,8 +180,10 @@ object PdfTextCodec {
       var done = false
       while (!done) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
-        else done = true // finished, or truncated input: keep what we have
+        if (n > 0) {
+          out.write(buf, 0, n)
+          if (out.size().toLong >= cap) done = true // bomb: keep the prefix
+        } else done = true // finished, or truncated input: keep what we have
       }
       inf.end()
       Some(out.toByteArray)

@@ -73,14 +73,21 @@ object StatefulOps {
       .groupByKey(_.fingerprint)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[LedgerDoc], state: GroupState[LedgerState]) =>
-          val batch = it.toSeq
+          // one-pass fold — never buffer the group: a heavily-replayed
+          // fingerprint (the hot-replay case the ledger exists for) would
+          // otherwise hold every copy's full text in memory at once
           state.getOption match {
             case Some(prev) => // replayed fingerprint: drop all, count them
-              state.update(prev.copy(dupes_dropped = prev.dupes_dropped + batch.size))
+              state.update(prev.copy(dupes_dropped = prev.dupes_dropped + it.size))
               Iterator.empty
             case None =>
-              val keep = batch.minBy(_.doc_id)
-              state.update(LedgerState(keep.doc_id, batch.size - 1L))
+              var keep: LedgerDoc = null
+              var n = 0L
+              it.foreach { d =>
+                n += 1
+                if (keep == null || d.doc_id < keep.doc_id) keep = d
+              }
+              state.update(LedgerState(keep.doc_id, n - 1L))
               Iterator.single(keep)
           }
       }

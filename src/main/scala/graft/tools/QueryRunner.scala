@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Run one named SparkEntry query repeatedly and print per-run wall time +
+  * row count — the single-query iteration loop for plan/perf work
+  * (Bench runs everything; this isolates one).
+  *
+  * Usage: runMain graft.tools.QueryRunner <query> [sfDir] [repeats]
+  */
+object QueryRunner {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: QueryRunner <query> [sfDir] [n]"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val n = if (args.length > 2) args(2).toInt else 3
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (i <- 1 to n) {
+      val t0 = System.nanoTime()
+      val rows = fn(spark, sfDir).count()
+      println(f"[queryrunner] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $rows rows")
+    }
+    spark.stop()
+  }
+}

@@ -95,4 +95,53 @@ class PdfTextCodecSpec extends AnyFunSuite {
     assert(pages.isDefined && pages.get.length == 2)
     assert(pages.get.mkString("\n") == PdfFixtures.twoPageText)
   }
+
+  test("FlateDecode decompression bomb is capped, returns a prefix, never OOMs") {
+    // ~1 MB of zeros deflates to ~1 KB; cap = max(64 MB, 100×input) so a
+    // payload that would expand past the cap keeps only the prefix. Use a
+    // large highly-compressible plain deflate stream: 256 MB of zeros
+    // compresses to ~256 KB, cap = 64 MB → prefix returned, no throw.
+    val d = new java.util.zip.Deflater()
+    val out = new java.io.ByteArrayOutputStream()
+    val zeros = new Array[Byte](1 << 20)
+    for (_ <- 0 until 256) { d.setInput(zeros); out.write(deflateChunk(d, false)) }
+    d.finish(); out.write(deflateChunk(d, true)); d.end()
+    val bomb = out.toByteArray
+    assert(bomb.length < 2 * 1024 * 1024, "fixture sanity: bomb input should be small")
+    val inflated = PdfTextCodec.inflate(bomb)
+    assert(inflated.isDefined)
+    assert(inflated.get.length <= math.max(64L * 1024 * 1024, bomb.length.toLong * 100))
+  }
+
+  private def deflateChunk(d: java.util.zip.Deflater, finish: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = d.deflate(buf)
+    while (n > 0) { out.write(buf, 0, n); n = d.deflate(buf) }
+    out.toByteArray
+  }
+
+  test("phantom 'N 0 obj' bytes inside a stream payload cannot shadow a real object") {
+    // build a one-page PDF whose CONTENT STREAM PAYLOAD spells '3 0 obj'
+    // (the id of the real page object). Before the cursor fix the payload
+    // was scanned for object headers and the phantom, being later in file
+    // order, last-wins-shadowed the page object — silently dropping the
+    // page. Now stream extents are skipped, so the text survives.
+    val content = ("BT\n72 720 Td\n(Real page text) Tj\nET\n" +
+      "3 0 obj << /Type /Page /Contents 99 0 R >> endobj\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n")
+    w(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+    out.write(content)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    val pages = PdfTextCodec.extractPages(out.toByteArray)
+    assert(pages.isDefined && pages.get.length == 1)
+    assert(pages.get.head.startsWith("Real page text\n"))
+  }
 }
