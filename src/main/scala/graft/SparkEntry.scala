@@ -62,12 +62,24 @@ object SparkEntry {
     "q_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     // training-data pipeline: similarity search
-    // threshold 0.45: the synthetic embeddings top out near cos 0.51, so
-    // 0.45 yields a real (non-empty) near-neighbor set
+    // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
+    // top out near cos 0.51 — the low-threshold exact baseline.
     "q_cosine_pairs" -> ((s, dir) => Similarity.cosinePairs(s, dir, threshold = 0.45)),
     "q_ann_topk" -> ((s, dir) => Similarity.topK(s, dir)),
-    "q_ann_lsh" -> ((s, dir) => Similarity.annPairs(s, dir, threshold = 0.45)),
+    // the high-threshold regime runs on the deterministically AUGMENTED
+    // corpus (base ∪ 3 sign-flip near-duplicates per vector, exact floats
+    // — see Similarity.augmentedEmb): q_cosine_pairs_hi is the exact
+    // quadratic baseline at cos 0.8, q_ann_lsh the SRP-LSH scale path that
+    // must beat it (48 bands × 12 planes: recall ≥0.958 at the boundary,
+    // random-pair candidate rate ≈1.2%)
+    "q_cosine_pairs_hi" -> ((s, dir) =>
+      Similarity.cosinePairsOn(Similarity.augmentedEmb(s, dir), threshold = 0.8)),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.annPairsOn(Similarity.augmentedEmb(s, dir), threshold = 0.8)),
     "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(s, dir)),
+    // multi-probe IVF search: the dense/low-threshold ANN tool (probe the
+    // 2 nearest of 8 cells, exact-rank within) — fully oracled
+    "q_ivf_search" -> ((s, dir) => Similarity.ivfSearch(s, dir)),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
     "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
@@ -120,8 +132,10 @@ object SparkEntry {
     "q_minhash_dedup" -> Dedup.jaccardPairsSql(),
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
+    "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),
-    "q_ivf_assign" -> Similarity.ivfAssignSql()
+    "q_ivf_assign" -> Similarity.ivfAssignSql(),
+    "q_ivf_search" -> Similarity.ivfSearchSql()
     // q_simhash_pairs, q_ann_lsh: probabilistic/hash-defined structures
     // with no SQL equivalent → rows-only check here, plus a differential
     // oracle in ScalaTest (SimHashDifferentialSpec reimplements xxHash64 +

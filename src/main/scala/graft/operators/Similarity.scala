@@ -56,16 +56,47 @@ object Similarity {
     * failing fast with a pointer to the LSH path is the correct behavior. */
   val MaxExactCorpusRows: Long = 2000000L
 
+  /** Number of derived near-duplicate vectors per base vector in
+    * [[augmentedEmb]], and the id stride separating each derived block. */
+  val AugCopies = 3
+  val AugIdStride = 1000000L
+
+  /** Deterministic near-duplicate augmentation of the embedding corpus:
+    * alongside each base vector, [[AugCopies]] derived vectors with ids
+    * `vec_id + b·1e6` (b = 1..3) whose dims (2b−1, 2b) are NEGATED.
+    * Float negation is a sign-bit flip — EXACT in both engines, so the
+    * DuckDB oracle reproduces the corpus bit-for-bit (no rounding hazard).
+    * Geometry: cos(base, derived_b) = 1 − 2·r_b where r_b is the vector's
+    * squared-mass fraction in the two flipped dims (E[r]=1/32 → cos≈0.94,
+    * measured range ≈0.80–0.9998 on this corpus) — a population of TRUE
+    * near-neighbors above cos 0.8, which the raw synthetic corpus lacks
+    * (its max inter-vector cos is ≈0.51). This is the fixture that lets
+    * the high-threshold ANN regime — the regime where SRP banding actually
+    * separates signal from noise — be demonstrated and oracled. */
+  def augmentedEmb(spark: SparkSession, dir: String): DataFrame = {
+    val base = emb(spark, dir).select("vec_id", "embedding")
+    (1 to AugCopies).foldLeft(base) { (acc, b) =>
+      val negDims = Set(2 * b - 1, 2 * b)
+      acc.unionAll(base.select(
+        (col("vec_id") + lit(b * AugIdStride)).as("vec_id"),
+        array((1 to Dim).map { i =>
+          val e = element_at(col("embedding"), i)
+          if (negDims(i)) (-e).as(s"_$i") else e.as(s"_$i")
+        }: _*).as("embedding")))
+    }
+  }
+
   /** Corpus snapshot broadcast to executors: (id, vector, norm), sorted by
     * id. The brute-force-kNN shape: the corpus (a dim-table by embedding
     * standards) broadcasts; the probe side streams through mapPartitions in
     * primitive JVM loops. Guarded by [[MaxExactCorpusRows]] — ONLY the
     * documented exact baselines ([[cosinePairs]], [[topK]]) use this; the
     * scale path ([[annPairs]]) verifies via a distributed join instead. */
-  private def corpusBroadcast(spark: SparkSession, dir: String) = {
+  private def corpusBroadcast(corpus: DataFrame) = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val df = emb(spark, dir).select("vec_id", "embedding")
-    val n = df.count() // parquet metadata count — cheap
+    val df = corpus.select("vec_id", "embedding")
+    val n = df.count()
     require(n <= MaxExactCorpusRows,
       s"corpus has $n vectors > $MaxExactCorpusRows: the exact O(n²) baseline does not " +
         "scale there by construction — use Similarity.annPairs (LSH + join verify)")
@@ -76,10 +107,16 @@ object Similarity {
 
   /** Exact cosine-similarity pairs above a threshold (id_a < id_b),
     * similarity rounded to 6 places. Quadratic — the exact baseline. */
-  def cosinePairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+  def cosinePairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame =
+    cosinePairsOn(emb(spark, dir), threshold)
+
+  /** [[cosinePairs]] over an explicit corpus (used by the augmented
+    * high-threshold baseline `q_cosine_pairs_hi`). */
+  def cosinePairsOn(corpus: DataFrame, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val bc = corpusBroadcast(spark, dir)
-    emb(spark, dir).select("vec_id", "embedding")
+    val bc = corpusBroadcast(corpus)
+    corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val corpus = bc.value
@@ -114,12 +151,49 @@ SELECT id_a, id_b, round(cos, 6) AS cos
 FROM pairs WHERE cos >= $threshold ORDER BY id_a, id_b
 """.trim
 
+  /** SQL mirror of [[augmentedEmb]] — float NEGATION is exact in both
+    * engines, so the augmented corpus is bit-identical. */
+  private val AugSqlCte: String = {
+    val blocks = (1 to AugCopies).map { b =>
+      s"""UNION ALL
+  SELECT vec_id + ${b * AugIdStride} AS vec_id,
+    list_transform(generate_series(1, $Dim),
+      i -> CASE WHEN i IN (${2 * b - 1}, ${2 * b}) THEN CAST(-embedding[i] AS FLOAT)
+           ELSE embedding[i] END) AS embedding
+  FROM embeddings"""
+    }
+    s"""aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  ${blocks.mkString("\n  ")}
+)"""
+  }
+
+  /** Oracle for `q_cosine_pairs_hi`: exact pairs over the augmented corpus.
+    * Norms precompute per VECTOR (same list_sum(x·x) expression the pair
+    * oracle uses inline — identical doubles, established by the
+    * q_cosine_pairs hash match) so the quadratic scan does one transform
+    * per pair, not three. */
+  def cosinePairsHiSql(threshold: Double = 0.8): String = s"""
+WITH $AugSqlCte, normed AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM aug
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+  FROM normed a, normed b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cos
+FROM pairs WHERE cos >= $threshold ORDER BY id_a, id_b
+""".trim
+
   /** Exact brute-force top-k neighbors for the first `nQueries` vectors
     * (deterministic tie-break on neighbor id — identical ordering to the
     * oracle's `ORDER BY cos DESC, neighbor_id ASC` row_number). */
   def topK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 50): DataFrame = {
     import spark.implicits._
-    val bc = corpusBroadcast(spark, dir)
+    val bc = corpusBroadcast(emb(spark, dir))
     emb(spark, dir).select("vec_id", "embedding")
       .filter(col("vec_id") < nQueries)
       .as[(Long, Array[Float])]
@@ -193,22 +267,29 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * probability 1−(1−(1−θ/π)³)¹² (≈0.98 at cos 0.45; measured 1.0 on the
     * test corpus in SimilaritySpec).
     *
-    * Parameter honesty: at thresholds near 0.45 a random-pair (cos≈0)
-    * still collides in some band with probability ≈0.8 under 12×3, so the
-    * candidate set is a large fraction of all pairs — SRP cannot sharply
-    * separate barely-above-noise similarity (the collision-probability
-    * curves for θ=63° and θ=90° are too close at any affordable
-    * bands×planes). That is a property of the threshold, not the
-    * implementation: at production thresholds the banding sharpens — e.g.
-    * 32 bands × 8 planes holds recall ≥0.99 at cos 0.8 while cutting
-    * random-pair collisions to ≈12% (≈6% at 16 bands with recall 0.92) —
-    * tune `bands`/`planesPerBand` per threshold with the formula above. For dense low-threshold search, IVF probing
-    * ([[ivfAssign]]) or exact blocking is the right tool instead. */
+    * Parameter honesty: SRP banding only separates signal from noise at
+    * HIGH thresholds. At cos 0.8 the shipped default (48 bands × 12
+    * planes) holds per-pair recall ≥0.958 at the threshold boundary
+    * (≈1.0 at the planted-pair mean of 0.93) while random pairs (cos≈0)
+    * collide in some band with probability ≈1−(1−0.5¹²)⁴⁸ ≈ 1.2% — the
+    * candidate set is ~1% of all pairs, which is what makes LSH beat the
+    * exact baseline. At thresholds near 0.45 the collision-probability
+    * curves for θ=63° and θ=90° are too close at ANY affordable
+    * bands×planes (a 12×3 banding passes ~80% of random pairs), so the
+    * candidate set degenerates toward all-pairs: for dense low-threshold
+    * search, IVF probing ([[ivfSearch]]) or exact blocking is the right
+    * tool instead. Tune with: P(collide) = 1−(1−(1−θ/π)^planes)^bands. */
   def annPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
-               dim: Int = Dim, bands: Int = 12, planesPerBand: Int = 3): DataFrame = {
+               dim: Int = Dim, bands: Int = 48, planesPerBand: Int = 12): DataFrame =
+    annPairsOn(emb(spark, dir), threshold, dim, bands, planesPerBand)
+
+  /** [[annPairs]] over an explicit corpus. */
+  def annPairsOn(corpus: DataFrame, threshold: Double = 0.8,
+                 dim: Int = Dim, bands: Int = 48, planesPerBand: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     val planes = Array.tabulate(bands, planesPerBand)((b, p) => planeComps(b, p, dim))
-    val bucketed = emb(spark, dir).select("vec_id", "embedding")
+    val bucketed = corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         Iterator.range(0, bands).map(b => (b + ":" + srpBucketP(v, planes(b)), id))
@@ -227,7 +308,7 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     // Norms are computed once per VECTOR (before the join fans each vector
     // out to its candidate pairs), not once per pair — the file-header
     // invariant; one dot product per candidate remains.
-    val vecs = emb(spark, dir).select("vec_id", "embedding")
+    val vecs = corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, v, normP(v)) }
       .toDF("vec_id", "embedding", "norm")
@@ -250,24 +331,118 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * trained k-means), emit the assignment + residual norm. Search-time
     * probing then restricts candidates to the query's nearest centroids. */
   def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 8): DataFrame = {
-    val base = emb(spark, dir)
-    val centroids = base
-      .withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
-      .groupBy("cid")
-      .agg(centroidAvgs.head, centroidAvgs.tail: _*)
-      .select(col("cid"), array((1 to Dim).map(i => col(s"__c$i")): _*).as("centroid"))
-    val withC = base.crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        (1 to Dim).map(i =>
-          (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)) *
-            (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)))
-          .reduce(_ + _))
+    val withC = centroidDistances(emb(spark, dir), nCentroids)
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
     withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("vec_id"), col("cid").as("centroid_id"),
         round(sqrt(col("dist2")), 6).as("residual_dist"))
       .orderBy("vec_id")
   }
+
+  /** Every (vector, centroid) pair with its squared L2 distance: seeded
+    * per-residue-mean centroids (tiny — nCentroids rows) broadcast against
+    * the corpus; the distance is unrolled column algebra (codegen'd). */
+  private def centroidDistances(base: DataFrame, nCentroids: Int): DataFrame = {
+    val centroids = base
+      .withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
+      .groupBy("cid")
+      .agg(centroidAvgs.head, centroidAvgs.tail: _*)
+      .select(col("cid"), array((1 to Dim).map(i => col(s"__c$i")): _*).as("centroid"))
+    base.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        (1 to Dim).map(i =>
+          (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)) *
+            (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)))
+          .reduce(_ + _))
+  }
+
+  /** Multi-probe IVF search — the low-threshold / dense-similarity tool
+    * the SRP parameter-honesty note points to: rank centroids per query,
+    * probe the `nprobe` nearest cells, exact-rank ONLY vectors assigned to
+    * probed cells (candidate volume ≈ n·nprobe/nCentroids instead of n),
+    * emit top-k by cosine. Deterministic end-to-end (seeded centroids,
+    * pinned tie-breaks), so unlike the LSH path it carries a full SQL
+    * oracle. With nprobe = nCentroids it degenerates to exact [[topK]] —
+    * pinned in SimilaritySpec as a whole-pipeline invariant.
+    *
+    * Scale shape: centroids broadcast (nCentroids rows); the probe→cell
+    * join is an equi-join on cid; vectors travel only for candidate rows.
+    * At 100 TB the assignment relation is bucketed by cid so the probe
+    * join co-locates. */
+  def ivfSearch(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                nprobe: Int = 2, k: Int = 5, nQueries: Int = 50): DataFrame = {
+    import spark.implicits._
+    val base = emb(spark, dir)
+    val dist = centroidDistances(base, nCentroids)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+    val ranked = dist.withColumn("r", row_number().over(wAssign))
+    val assign = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("r") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // exact cosine on candidates only — same primitive kernel + norm-once
+    // arithmetic as the verified baselines (topK hash-✓ pins the parity)
+    val vecs = base.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, normP(v)) }
+      .toDF("vid", "vec", "nrm")
+    val scored = cand
+      .join(vecs.select(col("vid").as("query_id"), col("vec").as("vq"), col("nrm").as("nq")), "query_id")
+      .join(vecs.select(col("vid").as("neighbor_id"), col("vec").as("vn"), col("nrm").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("vq"), col("vn"), col("nq"), col("nn"))
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .map { case (q, nb, vq, vn, nq, nn) => (q, nb, dotP(vq, vn) / (nq * nn)) }
+      .toDF("query_id", "neighbor_id", "cos")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Full relational oracle for [[ivfSearch]] — same seeded centroids and
+    * distance arithmetic as [[ivfAssignSql]], same probe/assign tie-breaks,
+    * same cosine expression as the pair/top-k oracles. */
+  def ivfSearchSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                   nQueries: Int = 50, dim: Int = Dim): String = s"""
+WITH ex AS (
+  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, $dim) AS gs(i)
+), cm AS (
+  SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i
+), cent AS (
+  SELECT cid, list(c ORDER BY i) AS centroid FROM cm GROUP BY cid
+), dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), rk AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+  FROM dist
+), assign AS (
+  SELECT vec_id, cid FROM rk WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM rk WHERE r <= $nprobe AND vec_id < $nQueries
+), cand AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM probes p JOIN assign a2 ON a2.cid = p.cid AND a2.vec_id <> p.query_id
+), sims AS (
+  SELECT c.query_id, c.neighbor_id, $CosineSqlExpr AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk
+""".trim
 
   /** Width-wise centroid mean: one codegen'd `avg` aggregate per dimension
     * (64 columns), assembled into the centroid array after the agg. Unlike
