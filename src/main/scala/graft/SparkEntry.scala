@@ -54,6 +54,7 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
     "q_winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
+    "q_passages" -> ((s, dir) => TextAnalysis.passages(s, dir)),
     "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_winnow" -> TextAnalysis.winnowSql,
     "q_winnow_overlap" -> TextAnalysis.winnowOverlapSql(),
+    "q_passages" -> TextAnalysis.passagesSql(),
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),

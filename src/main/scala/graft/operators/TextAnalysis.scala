@@ -314,6 +314,118 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $threshol
 ORDER BY id_a, id_b
 """.trim
 
+  /** Matching passage spans for overlapping document pairs — the
+    * "investigate" step of the dedup-investigate-remove loop a
+    * training-data pipeline runs: [[winnowOverlap]] says WHICH pairs share
+    * content; this says WHERE.
+    *
+    * For each pair at containment ≥ `threshold`, the A-side positions of
+    * fingerprints present in BOTH documents each witness a k-codepoint
+    * match `[pos, pos+k−1]`; winnowing guarantees consecutive selections
+    * inside one shared passage are ≤ w apart, and w=16 < k=25 means their
+    * spans OVERLAP — so merging overlapping/adjacent spans (classic
+    * gaps-and-islands over a running max-end) reconstructs each shared
+    * passage as one interval.
+    *
+    * Scale shape: the fingerprint kernel runs ONCE (localCheckpoint'd
+    * (doc_id, pos, hash) rows — the same single-evaluation discipline as
+    * [[winnowOverlap]]); pair generation is the capped inverted index; the
+    * span merge is a window over (id_a, id_b) partitions — each partition
+    * is one document pair's matches, so no partition outgrows a single
+    * pair's fingerprint count regardless of corpus size. */
+  def passages(spark: SparkSession, dir: String, threshold: Double = 0.8,
+               maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
+    val fpsUdf = udf((t: String) => winnowFingerprints(t)).asNondeterministic()
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
+      .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
+      .localCheckpoint()
+    val wfp = fps.select("doc_id", "hash").distinct()
+    val hot = wfp.groupBy("hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxHashDf).select("hash")
+    val capped = wfp.join(broadcast(hot), Seq("hash"), "left_anti")
+    val withN = capped.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val pa = withN.select(col("doc_id").as("id_a"), col("n").as("na"), col("hash"))
+    val pb = withN.select(col("doc_id").as("id_b"), col("n").as("nb"), col("hash"))
+    val pairs = pa.join(pb, Seq("hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double")
+        / least(col("na"), col("nb")).cast("double") >= threshold)
+      .select("id_a", "id_b")
+    // A-side positions whose (retained) fingerprint also occurs in B
+    val posA = fps
+      .join(broadcast(hot), Seq("hash"), "left_anti")
+      .select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("hash"))
+    val inB = capped.select(col("doc_id").as("id_b"), col("hash"))
+    val matched = pairs
+      .join(posA, "id_a")
+      .join(inB, Seq("id_b", "hash"))
+      .select("id_a", "id_b", "pos_a").distinct()
+    // gaps-and-islands: a new island starts where this span cannot touch
+    // any earlier span (pos_a > running max end + 1)
+    val ord = Window.partitionBy("id_a", "id_b").orderBy("pos_a")
+    val spanEnd = col("pos_a") + (WinnowK - 1)
+    matched
+      .withColumn("prev_max_end",
+        max(spanEnd).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("pos_a") > col("prev_max_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(ord))
+      .groupBy("id_a", "id_b", "island")
+      .agg(min(col("pos_a")).as("start_a"),
+        max(spanEnd).as("end_a"),
+        count(lit(1)).as("n_fps"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("end_a"), col("n_fps"))
+      .orderBy("id_a", "id_b", "start_a")
+  }
+
+  /** Oracle: identical pair selection + island merge over the winnowing
+    * CTEs (positions kept through `wpos` instead of collapsing to the
+    * distinct-hash relation). */
+  def passagesSql(threshold: Double = 0.8,
+                  maxHashDf: Int = DefaultMaxHashDf): String = s"""
+$WinnowCtes, wpos AS (
+  SELECT DISTINCT doc_id, i AS pos, h FROM win WHERE rk = 1
+), wfp AS (
+  SELECT DISTINCT doc_id, h FROM wpos
+), capped AS (
+  SELECT doc_id, h FROM wfp
+  WHERE h NOT IN (SELECT h FROM wfp GROUP BY h HAVING COUNT(*) > $maxHashDf)
+), sized AS (
+  SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+  JOIN sized sa ON sa.doc_id = a.doc_id
+  JOIN sized sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+  HAVING CAST(COUNT(*) AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $threshold
+), matched AS (
+  SELECT DISTINCT p.id_a, p.id_b, fa.pos AS pos_a
+  FROM pairs p
+  JOIN wpos fa ON fa.doc_id = p.id_a
+  JOIN capped ca ON ca.doc_id = p.id_a AND ca.h = fa.h
+  JOIN capped cb ON cb.doc_id = p.id_b AND cb.h = fa.h
+), marked AS (
+  SELECT id_a, id_b, pos_a,
+    max(pos_a + ${WinnowK - 1}) OVER (PARTITION BY id_a, id_b ORDER BY pos_a
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+  FROM matched
+), islands AS (
+  SELECT id_a, id_b, pos_a,
+    SUM(CASE WHEN prev_max_end IS NULL OR pos_a > prev_max_end + 1 THEN 1 ELSE 0 END)
+      OVER (PARTITION BY id_a, id_b ORDER BY pos_a) AS island
+  FROM marked
+)
+SELECT id_a, id_b, MIN(pos_a) AS start_a, MAX(pos_a) + ${WinnowK - 1} AS end_a,
+  CAST(COUNT(*) AS BIGINT) AS n_fps
+FROM islands GROUP BY id_a, id_b, island
+ORDER BY id_a, id_b, start_a
+""".trim
+
   /** Multimodal-column plumbing: text→binary as a stand-in for image/audio
     * payloads; metadata extraction stays columnar (byte size, codepoints,
     * head bytes as hex). The decode/feature step for real media lives in

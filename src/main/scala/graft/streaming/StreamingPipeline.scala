@@ -66,6 +66,50 @@ object StreamingPipeline {
         col("trust_score"), col("status"))
   }
 
+  /** One record as Spark's `kafka` source emits it — key/value are BINARY,
+    * plus the topic/partition/offset coordinates and the broker timestamp.
+    * (`timestampType`: 0 = NoTimestampType, 1 = CreateTime, 2 =
+    * LogAppendTime — the source's int encoding.) */
+  case class KafkaRecord(
+      key: Array[Byte], value: Array[Byte], topic: String,
+      partition: Int, offset: Long, timestamp: java.sql.Timestamp,
+      timestampType: Int)
+
+  /** SURVEY §2.10's `readStream.format("kafka")` leg: the invoice pipeline
+    * over a Kafka-shaped stream. No broker ships in this container, so the
+    * transform is factored to take ANY DataFrame with the kafka source's
+    * exact schema — production binds
+    * `spark.readStream.format("kafka").option("subscribe", …).load()`,
+    * tests bind a MemoryStream[KafkaRecord]; the pipeline under test is
+    * byte-identical either way (the kafka source contributes only the
+    * seven-column contract modeled by [[KafkaRecord]]).
+    *
+    * Decoding mirrors the upload path: the record key is the document id
+    * (UTF-8 digits — the envelope identity the reference keys events by),
+    * the value is the document payload, decoded with the same UTF-8-strict
+    * /latin-1-fallback policy as [[graft.sources.DocumentSource]]. Kafka
+    * coordinates ride along so downstream sinks can record provenance. */
+  def invoiceStreamFromKafka(records: DataFrame): DataFrame = {
+    import records.sparkSession.implicits._
+    val decoded = records
+      .select(col("key"), col("value"), col("topic"), col("partition"), col("offset"))
+      .as[(Array[Byte], Array[Byte], String, Int, Long)]
+      .map { case (key, value, topic, partition, offset) =>
+        val id = new String(if (key == null) Array.empty[Byte] else key,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val (text, _) = graft.sources.DocumentSource.PdfTextExtractor
+          .decodeText(if (value == null) Array.empty[Byte] else value)
+        (id.toLongOption.getOrElse(-1L), text, topic, partition, offset)
+      }
+      .toDF("doc_id", "text", "topic", "partition", "offset")
+    InvoicePipeline.process(decoded)
+      .select(col("doc_id"),
+        col("invoice.issuer.cnpj_cpf").as("issuer_cnpj"),
+        col("invoice.financials.total").as("total"),
+        col("trust_score"), col("status"),
+        col("topic"), col("partition"), col("offset"))
+  }
+
   /** Event-bus envelope projection (ref: orchestrator_models.py:51-66
     * `map_to_event_contract`): the streaming sink contract, as JSON. */
   def eventEnvelope(processed: DataFrame): DataFrame =

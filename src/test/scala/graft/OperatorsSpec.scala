@@ -227,6 +227,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("passages: merged spans reconstruct the shared passages, island per passage") {
+    import graft.operators.TextAnalysis._
+    // two docs sharing two passages separated by doc-unique gaps: the span
+    // merge must emit exactly one island per shared passage, each contained
+    // within (and covering most of) that passage's position range in doc 1
+    val p1 = "The quick brown fox jumps over the lazy dog while the rain in spain falls mainly on the plain every single day."
+    val p2 = "Lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor incididunt ut labore et dolore magna."
+    val gapA = "zzzz unique first gap AAAA 0123456789 qwerty."
+    val gapB = "yyyy other gap BBBB 9876543210 dvorak mmmm."
+    val doc1 = p1 + gapA + p2
+    val doc2 = p1 + gapB + p2
+    val dir = java.nio.file.Files.createTempDirectory("graft-passages").toString
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val spans = passages(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.forall { case (a, b, _, _, _) => a == 1L && b == 2L })
+    assert(spans.length == 2, s"expected 2 islands, got ${spans.toSeq}")
+    // 1-based codepoint ranges of the passages inside doc 1
+    val (p1Start, p1End) = (1L, p1.length.toLong)
+    val (p2Start, p2End) = (p1.length + gapA.length + 1L, doc1.length.toLong)
+    val Seq(s1, s2) = spans.toSeq.sortBy(_._3)
+    assert(s1._3 >= p1Start && s1._4 <= p1End, s"island 1 out of passage 1: $s1")
+    assert(s2._3 >= p2Start && s2._4 <= p2End, s"island 2 out of passage 2: $s2")
+    // each island covers at least half its passage (winnowing guarantees
+    // coverage up to k+w−1 boundary loss on each end)
+    assert(s1._4 - s1._3 + 1 >= p1.length / 2, s"island 1 too short: $s1")
+    assert(s2._4 - s2._3 + 1 >= p2.length / 2, s"island 2 too short: $s2")
+    // a doc pair with one contiguous shared passage merges to ONE island
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-passages1").toString
+    Seq((1L, "AAAA " + p1 + " BBBBBBBBBBBBBBBB"), (2L, p1)).toDF("doc_id", "text")
+      .write.parquet(s"$dir2/documents.parquet")
+    val one = passages(spark, dir2, threshold = 0.5).collect()
+    assert(one.length == 1, s"expected 1 island, got ${one.toSeq}")
+  }
+
   test("multimodal decode: deterministic features, normalized histogram, kinds") {
     val out = Multimodal.featureQuery(spark, sf).collect()
     assert(out.length == 500)

@@ -130,6 +130,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("kafka-shaped stream: envelope pipeline over MemoryStream with the kafka source schema") {
+    import graft.streaming.StreamingPipeline.KafkaRecord
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    def rec(id: Long, text: String, off: Long, enc: String = "UTF-8"): KafkaRecord =
+      KafkaRecord(
+        key = id.toString.getBytes("UTF-8"),
+        value = text.getBytes(enc),
+        topic = "fiscal.documents", partition = (id % 2).toInt, offset = off,
+        timestamp = new java.sql.Timestamp(1700000000000L + off * 1000),
+        timestampType = 1)
+    // batch 1: a valid doc + a degraded doc; batch 2: a latin-1-encoded
+    // valid doc (exercises the UTF-8-strict → latin-1 decode fallback,
+    // the same policy as the binary upload path)
+    mem.addData(rec(1L, GoldenStreamFixtures.valid, 0L),
+      rec(2L, "DOCUMENTO SEM NADA UTIL", 1L))
+    // default trigger (NOT AvailableNow — that terminates after one drain;
+    // this test feeds a second batch into the running query)
+    val q = StreamingPipeline.invoiceStreamFromKafka(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("kafka_stream")
+      .start()
+    q.processAllAvailable()
+    mem.addData(rec(3L, GoldenStreamFixtures.valid.replace(
+      "EMPRESA ALFA LTDA", "EMPRESA AÇÃO LTDA"), 2L, enc = "ISO-8859-1"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("kafka_stream").orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "04.252.011/0001-10") // issuer extracted
+    assert(byId(1L).getString(4) == "success")
+    assert(byId(2L).getString(4) == "error") // degraded doc
+    assert(byId(3L).getString(4) == "success") // latin-1 payload decoded
+    // kafka provenance coordinates ride through the pipeline
+    assert(out.forall(_.getString(5) == "fiscal.documents"))
+    assert(byId(3L).getLong(7) == 2L) // offset
+    assert(byId(3L).getInt(6) == 1)   // partition = id % 2
+  }
+
   test("event envelope is valid JSON with the contract fields (ref: orchestrator_models.py:51-66)") {
     val processed = Seq((1L, "04.252.011/0001-10", "R$ 1,00", 1.0, "success"))
       .toDF("doc_id", "issuer_cnpj", "total", "trust_score", "status")
