@@ -69,6 +69,44 @@ ET""".getBytes(StandardCharsets.ISO_8859_1)
     out.toByteArray
   }
 
+  /** A valid single-page PDF whose extracted text is `lines` (one Tj per
+    * line — the codec emits each as its own text line). Non-ASCII latin-1
+    * chars are octal-escaped into the literal string, so any ISO-8859-1
+    * payload (e.g. the golden invoice with `Ç`) round-trips exactly. */
+  def singlePage(lines: Seq[String]): Array[Byte] = {
+    def esc(s: String): String = s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c if c >= 32 && c < 127 => c.toString
+      case c if c.toInt <= 255 => f"\\${c.toInt}%03o"
+      case c => throw new IllegalArgumentException(s"not latin-1: $c")
+    }
+    val content = ("BT\n/F1 12 Tf\n72 720 Td\n" +
+      lines.map(l => s"(${esc(l)}) Tj").mkString("\n0 -14 Td\n") +
+      "\nET").getBytes(StandardCharsets.ISO_8859_1)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size()
+      w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\n") }
+    obj(3) { w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\n") }
+    obj(4) {
+      w(s"<< /Length ${content.length} >>\nstream\n")
+      out.write(content); w("\nendstream\n")
+    }
+    val xrefAt = out.size()
+    w("xref\n0 5\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** The text [[twoPage]] must extract to (reference join semantics:
     * pages joined with \n; every emitted line ends with \n). */
   val twoPageText: String =

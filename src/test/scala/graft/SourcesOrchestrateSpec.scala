@@ -90,6 +90,26 @@ class SourcesOrchestrateSpec extends AnyFunSuite {
     assert(back.count() == 2 && back.columns.sorted.sameElements(Array("id", "msg")))
   }
 
+  test("S7: JDBC audit sink round-trips through an embedded Derby database") {
+    // Derby ships in /opt/spark/jars (Spark's own hive-metastore
+    // dependency), so the JDBC writer is exercised against a REAL JDBC
+    // database — in-memory, zero setup, same code path as any external DB
+    val url = "jdbc:derby:memory:graftaudit;create=true"
+    val audit = Seq(
+      (1L, "04.252.011/0001-10", 1.0, "success"),
+      (2L, null.asInstanceOf[String], 0.0, "error")
+    ).toDF("doc_id", "issuer_cnpj", "trust_score", "status")
+    Sinks.jdbcAudit(audit, url, "audit_log")
+    Sinks.jdbcAudit(audit, url, "audit_log") // append semantics: no clobber
+    val back = spark.read.jdbc(url, "audit_log", new java.util.Properties())
+    assert(back.count() == 4)
+    val row = back.filter(col("doc_id") === 1L).collect()(0)
+    assert(row.getAs[String]("issuer_cnpj") == "04.252.011/0001-10")
+    assert(row.getAs[Double]("trust_score") == 1.0)
+    // nulls survive the round-trip
+    assert(back.filter(col("issuer_cnpj").isNull).count() == 2)
+  }
+
   test("tenant-partitioned parquet enables partition pruning") {
     val dir = Files.createTempDirectory("graft-tenant").toString
     val df = Seq((1L, "a", "t1"), (2L, "b", "t2")).toDF("id", "v", "tenant_id")
