@@ -56,6 +56,10 @@ object SparkEntry {
     "q_winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
     "q_passages" -> ((s, dir) => TextAnalysis.passages(s, dir)),
     "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
+    // training-data pipeline: corpus curation (PII scrub, sampling, packing)
+    "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
+    "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
+    "q_pack_sequences" -> ((s, dir) => Packing.packSequences(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
@@ -121,6 +125,9 @@ object SparkEntry {
     "q_winnow_overlap" -> TextAnalysis.winnowOverlapSql(),
     "q_passages" -> TextAnalysis.passagesSql(),
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
+    "q_pii_redact" -> Privacy.piiRedactSql,
+    "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
+    "q_pack_sequences" -> Packing.packSequencesSql(),
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // minhash LSH at 16×2 bands has empirically-total recall at the 0.5
