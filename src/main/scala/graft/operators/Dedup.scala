@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, n-gram
@@ -69,15 +68,31 @@ FROM documents GROUP BY 1 ORDER BY keep_id
     seen.toArray
   }
 
-  /** Exploded (doc_id, sh_count, shingle) rows via the primitive kernel. */
+  /** Exploded (doc_id, shingle) rows with the shingle as a 64-bit
+    * xxHash64 (seed 42 — Spark's own `xxhash64` function), via the
+    * primitive kernel. The inverted index downstream joins and df-caps on
+    * this hash instead of the shingle STRING: identical set semantics
+    * modulo 64-bit collisions, and the shuffle carries 8-byte longs
+    * instead of ~40-byte 3-gram strings (~4× the bytes, plus string
+    * comparisons) — at 100 TB the inverted-index shuffle IS the query.
+    *
+    * Collision honesty: ~2M distinct shingles at sf0.1 give a ~2⁻²³
+    * chance that ANY two collide, and a collision only perturbs a result
+    * if both colliding shingles also co-occur in a candidate pair; the
+    * DuckDB oracle computes over exact strings, so the driver's hash gate
+    * would surface any such perturbation rather than mask it. */
   def shingleRows(docsDf: DataFrame): DataFrame = {
     import docsDf.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
     docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = shingleSet(if (text == null) "" else text)
-        sh.iterator.map(s => (id, sh.length, s))
+        sh.iterator.map(s =>
+          (id, XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)))
       }
-      .toDF("doc_id", "sh_count", "shingle")
+      .toDF("doc_id", "shingle")
   }
 
   /** Default document-frequency cap for shingles entering the inverted
@@ -87,14 +102,19 @@ FROM documents GROUP BY 1 ORDER BY keep_id
     * bucket (1000 docs → ≤½M pairs per bucket, a bounded unit of work). */
   val DefaultMaxShingleDf = 1000
 
-  /** (doc_id, sh_count, shingle) rows retained after the df cap, with
-    * sh_count recomputed over the retained vocabulary. The result is
-    * localCheckpoint'd: both sides of the downstream self-join (and any
-    * other fan-out) read the materialized (long, long, string) rows — the
-    * un-checkpointed plan re-ran the scan + shingling kernel + df-cap +
-    * window once PER REFERENCE (same 6×-rescan disease winnowOverlap had;
-    * at 100 TB the re-scan is the query cost). */
-  private def cappedShingleRows(docsDf: DataFrame, maxShingleDf: Int): DataFrame = {
+  /** Capped inverted-index BUCKETS: one row per retained shingle hash,
+    * holding the (distinct) doc ids that contain it. The result is
+    * localCheckpoint'd — the pair generation and the per-doc count
+    * aggregate both read the materialized buckets; un-checkpointed, each
+    * reference re-ran the scan + shingling kernel + df-cap (same
+    * 6×-rescan disease winnowOverlap had; at 100 TB the re-scan is the
+    * query cost).
+    *
+    * Memory discipline: the `collect_list` buffers are built AFTER the
+    * df-cap anti-join, so no aggregation buffer can exceed `maxShingleDf`
+    * ids (~8 KB at the default cap) — the count-only `hot` aggregate is
+    * what absorbs the unbounded hot keys, with constant-size buffers. */
+  private def shingleBuckets(docsDf: DataFrame, maxShingleDf: Int): DataFrame = {
     val exploded = shingleRows(docsDf)
     // document frequency per shingle (rows are distinct per doc already);
     // map-side combine keeps this shuffle at one row per distinct shingle
@@ -102,11 +122,10 @@ FROM documents GROUP BY 1 ORDER BY keep_id
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
       .select("shingle")
-    val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
-    kept
-      .withColumn("sh_count",
-        count(lit(1)).over(Window.partitionBy("doc_id")))
-      .select("doc_id", "sh_count", "shingle")
+    exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .groupBy("shingle")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select("ids")
       .localCheckpoint()
   }
 
@@ -116,22 +135,52 @@ FROM documents GROUP BY 1 ORDER BY keep_id
     * on shingle, count shared, compute |A∩B| / (|A|+|B|−|A∩B|) over the
     * retained sets. Only pairs sharing ≥1 retained shingle materialize. */
   def jaccardPairs(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val exploded = cappedShingleRows(docs(spark, dir), maxShingleDf)
-    val a = exploded.select(col("doc_id").as("id_a"), col("sh_count").as("cnt_a"), col("shingle"))
-    val b = exploded.select(col("doc_id").as("id_b"), col("sh_count").as("cnt_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "cnt_a", "cnt_b")
+                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsUnsorted(spark, dir, threshold, maxShingleDf)
+      .orderBy("id_a", "id_b")
+
+  /** [[jaccardPairs]] without the final presentation sort — the form
+    * consumers that only need the pair SET (the CC loop) should use. */
+  private def jaccardPairsUnsorted(spark: SparkSession, dir: String, threshold: Double,
+                                   maxShingleDf: Int): DataFrame = {
+    import spark.implicits._
+    val buckets = shingleBuckets(docs(spark, dir), maxShingleDf)
+    // retained-set size per document: tiny aggregate off the checkpointed
+    // buckets (≤ one row per doc after map-side combine), broadcast onto
+    // the pair aggregates below — the earlier shape tagged every index row
+    // with its doc's count via a whole-relation window shuffle
+    val cnts = retainedCounts(buckets)
+    // candidate pairs generate LOCALLY inside each bucket (the unit of
+    // work the df cap bounds: ≤ cap·(cap−1)/2 pairs) — replacing the
+    // index self-join's two full shuffles + merge join with one narrow
+    // flatMap; `shared` is then one small aggregation over pair rows.
+    // The size filter runs in COLUMNAR space first: the vast majority of
+    // buckets are singletons (can't form a pair), and skipping them there
+    // avoids the typed Seq decode per row (measured ~4× on this stage)
+    val rawPairs = buckets.filter(size(col("ids")) >= 2)
+      .as[Seq[Long]].flatMap { bucket =>
+        val ids = bucket.toArray
+        java.util.Arrays.sort(ids)
+        for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
+          yield (ids(i), ids(j))
+      }.toDF("id_a", "id_b")
+    rawPairs
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"))
+      .join(broadcast(cnts.select(col("doc_id").as("id_a"), col("cnt").as("cnt_a"))), "id_a")
+      .join(broadcast(cnts.select(col("doc_id").as("id_b"), col("cnt").as("cnt_b"))), "id_b")
       .withColumn("jaccard",
         col("shared").cast("double") /
           (col("cnt_a") + col("cnt_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
+
+  /** Per-document retained-shingle counts from the checkpointed buckets. */
+  private def retainedCounts(buckets: DataFrame): DataFrame =
+    buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("cnt"))
 
   /** Shingle CTE chain + the pair SELECT, shared between the pair oracle
     * and the cluster oracle. Mirrors the Spark side exactly: NULL text
@@ -193,13 +242,29 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                   maxRounds: Int = 50,
                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val pairs = jaccardPairs(spark, dir, threshold, maxShingleDf).select("id_a", "id_b")
+    // pairs are persisted + materialized BEFORE the union-swap below:
+    // without this, the edges plan contains the whole inverted-index join
+    // subtree TWICE (once per union branch) and materializing edges runs
+    // the expensive join twice. The pair list is tiny (one row per
+    // near-dup pair); the shingle relation it derives from never persists.
+    // No presentation sort — the CC loop only needs the pair SET.
+    val pairs = jaccardPairsUnsorted(spark, dir, threshold, maxShingleDf)
+      .select("id_a", "id_b")
+      .persist()
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initial labeling: least(own id, min direct neighbor) — one
+    // aggregation over edges (same cost as the plain distinct), and on
+    // clique-shaped dup clusters (the common near-dup case) it is already
+    // the fixpoint, so the loop exits after a single confirming round
+    // instead of improve+confirm. Every label value is a node id that
+    // appears in edges (symmetric), so the pointer-doubling jump join
+    // stays total.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .persist()
     val tInit = System.nanoTime()
     labels.count() // materialize the base relation once
@@ -247,6 +312,7 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     // safe (persist recomputes through lineage; worst case re-reads the
     // corpus — correct, just slow).
     edges.unpersist(blocking = false)
+    pairs.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 
