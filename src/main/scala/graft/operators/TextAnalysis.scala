@@ -248,21 +248,59 @@ khash AS (
     * it can form a quadratic hot bucket; inert at oracle scale. */
   val DefaultMaxHashDf = 1000
 
+  /** The capped inverted-index machinery shared by [[winnowOverlap]] and
+    * [[passages]], over a distinct (doc_id, hash) relation (expected
+    * checkpointed by the caller — every member here re-reads it):
+    *
+    *   - `hot`: hashes above the df cap (count-only aggregate — constant
+    *     -size buffers absorb unbounded hot keys);
+    *   - `capped`: the retained (doc_id, hash) rows;
+    *   - `pairsAgg`: (id_a, id_b, shared, na, nb) — candidate pairs
+    *     generated LOCALLY inside each retained bucket (the unit of work
+    *     the df cap bounds), with the per-doc retained counts broadcast
+    *     onto the pair aggregates. Same shape as Dedup.shingleBuckets:
+    *     one wide shuffle instead of an index self-join's two. */
+  private case class OverlapParts(hot: DataFrame, capped: DataFrame, pairsAgg: DataFrame)
+
+  private def overlapParts(fps: DataFrame, maxHashDf: Int): OverlapParts = {
+    import fps.sparkSession.implicits._
+    val hot = fps.groupBy("hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxHashDf).select("hash")
+    val capped = fps.join(broadcast(hot), Seq("hash"), "left_anti")
+    val buckets = capped
+      .groupBy("hash").agg(collect_list(col("doc_id")).as("ids"))
+      .select("ids").localCheckpoint()
+    val cnts = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val rawPairs = buckets.filter(size(col("ids")) >= 2)
+      .as[Seq[Long]].flatMap { bucket =>
+        val ids = bucket.toArray
+        java.util.Arrays.sort(ids)
+        for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
+          yield (ids(i), ids(j))
+      }.toDF("id_a", "id_b")
+    val pairsAgg = rawPairs
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(cnts.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
+      .join(broadcast(cnts.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
+    OverlapParts(hot, capped, pairsAgg)
+  }
+
   /** Shared-passage near-dup pairs from winnowing fingerprints:
     * containment = |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) over the
     * capped fingerprint vocabulary — the asymmetric-overlap measure that
     * catches a short document embedded in a longer one (where Jaccard
-    * dilutes). Same inverted-index shape as `Dedup.jaccardPairs`: only
-    * pairs sharing ≥1 retained fingerprint materialize; the shuffle
-    * carries (hash, doc_id) rows only. */
+    * dilutes). Only pairs sharing ≥1 retained fingerprint materialize;
+    * the shuffles carry (hash, doc_id) rows only. */
   def winnowOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8,
                     maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
     // single evaluation pinned TWICE: .asNondeterministic() stops Catalyst
     // duplicating the k=25 kernel per column, and localCheckpoint()
-    // truncates the subtree so the df-cap branch + both self-join sides
-    // read the materialized (doc_id, hash) rows instead of re-running the
-    // scan+kernel per reference (the un-checkpointed plan ran 6 FileScans
-    // of documents.parquet — at 100 TB a 6× corpus re-scan IS the query
+    // truncates the subtree so every downstream reference reads the
+    // materialized (doc_id, hash) rows instead of re-running the
+    // scan+kernel (the un-checkpointed plan ran 6 FileScans of
+    // documents.parquet — at 100 TB a 6× corpus re-scan IS the query
     // cost). The checkpoint holds (long, long) rows only — the winnowing
     // density ≈ 2/(w+1) of codepoint positions — never the documents.
     val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
@@ -270,19 +308,7 @@ khash AS (
     val fps = docs(spark, dir)
       .select(col("doc_id"), explode(hashes(col("text"))).as("hash"))
       .localCheckpoint()
-    val hot = fps.groupBy("hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxHashDf).select("hash")
-    // per-doc set size via a window over the kept rows — same pattern as
-    // Dedup.cappedShingleRows; a groupBy+self-rejoin here re-evaluated the
-    // whole scan+kernel subtree once per reference
-    val withN = fps.join(broadcast(hot), Seq("hash"), "left_anti")
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val a = withN.select(col("doc_id").as("id_a"), col("n").as("na"), col("hash"))
-    val b = withN.select(col("doc_id").as("id_b"), col("n").as("nb"), col("hash"))
-    a.join(b, Seq("hash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
+    overlapParts(fps, maxHashDf).pairsAgg
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -340,25 +366,20 @@ ORDER BY id_a, id_b
       .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
       .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
       .localCheckpoint()
-    val wfp = fps.select("doc_id", "hash").distinct()
-    val hot = wfp.groupBy("hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxHashDf).select("hash")
-    val capped = wfp.join(broadcast(hot), Seq("hash"), "left_anti")
-    val withN = capped.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val pa = withN.select(col("doc_id").as("id_a"), col("n").as("na"), col("hash"))
-    val pb = withN.select(col("doc_id").as("id_b"), col("n").as("nb"), col("hash"))
-    val pairs = pa.join(pb, Seq("hash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
+    // the distinct-hash relation is checkpointed too: overlapParts reads
+    // it three times (hot, capped, buckets) — each read would otherwise
+    // re-shuffle the distinct off the position rows
+    val wfp = fps.select("doc_id", "hash").distinct().localCheckpoint()
+    val parts = overlapParts(wfp, maxHashDf)
+    val pairs = parts.pairsAgg
       .filter(col("shared").cast("double")
         / least(col("na"), col("nb")).cast("double") >= threshold)
       .select("id_a", "id_b")
     // A-side positions whose (retained) fingerprint also occurs in B
     val posA = fps
-      .join(broadcast(hot), Seq("hash"), "left_anti")
+      .join(broadcast(parts.hot), Seq("hash"), "left_anti")
       .select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("hash"))
-    val inB = capped.select(col("doc_id").as("id_b"), col("hash"))
+    val inB = parts.capped.select(col("doc_id").as("id_b"), col("hash"))
     val matched = pairs
       .join(posA, "id_a")
       .join(inB, Seq("id_b", "hash"))
