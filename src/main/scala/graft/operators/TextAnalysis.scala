@@ -115,6 +115,74 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """.trim
 
+  /** Repetition metrics (the Gopher-rules family — Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1): how much of a document is
+    * the same content said again. Exact integer counts so the oracle
+    * compare is bit-stable: word totals/distincts/max-frequency, and the
+    * same for word bigrams. Filters like "drop if the top bigram covers
+    * >20% of the text" are then cheap downstream predicates.
+    *
+    * Shape: explode + two-level aggregate — the per-(doc, gram) count has
+    * map-side combine, and no per-document state ever exceeds the
+    * document's own gram count. Same single-space split semantics as
+    * [[Dedup.shingleSet]] (empty tokens kept). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
+      .otherwise(array())
+    val exploded = docs(spark, dir).select(
+      col("doc_id"),
+      explode(concat(
+        transform(words, w => struct(lit(1).as("kind"), w.as("g"))),
+        transform(bigrams, g => struct(lit(2).as("kind"), g.as("g"))))).as("t"))
+    def ofKind(k: Int, c: Column): Column = when(col("kind") === k, c)
+    exploded
+      .groupBy(col("doc_id"), col("t.kind").as("kind"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        coalesce(sum(ofKind(1, col("c"))), lit(0L)).as("n_words"),
+        coalesce(sum(ofKind(1, lit(1L))), lit(0L)).as("n_distinct_words"),
+        coalesce(max(ofKind(1, col("c"))), lit(0L)).as("max_word_count"),
+        coalesce(sum(ofKind(2, col("c"))), lit(0L)).as("n_bigrams"),
+        coalesce(sum(ofKind(2, lit(1L))), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(max(ofKind(2, col("c"))), lit(0L)).as("max_bigram_count"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), grams AS (
+  SELECT doc_id, 1 AS kind, unnest(ws) AS g FROM words
+  UNION ALL
+  SELECT doc_id, 2 AS kind,
+    unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+      ELSE [] END) AS g
+  FROM words
+), per_gram AS (
+  SELECT doc_id, kind, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3
+), per_kind AS (
+  SELECT doc_id, kind, CAST(SUM(c) AS BIGINT) AS total,
+    CAST(COUNT(*) AS BIGINT) AS distinct_grams, CAST(MAX(c) AS BIGINT) AS max_count
+  FROM per_gram GROUP BY 1, 2
+)
+SELECT d.doc_id,
+  coalesce(w.total, 0) AS n_words,
+  coalesce(w.distinct_grams, 0) AS n_distinct_words,
+  coalesce(w.max_count, 0) AS max_word_count,
+  coalesce(b.total, 0) AS n_bigrams,
+  coalesce(b.distinct_grams, 0) AS n_distinct_bigrams,
+  coalesce(b.max_count, 0) AS max_bigram_count
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_kind w ON w.doc_id = d.doc_id AND w.kind = 1
+LEFT JOIN per_kind b ON b.doc_id = d.doc_id AND b.kind = 2
+ORDER BY d.doc_id
+""".trim
+
   /** Canonicalizing fingerprint: md5 over lowercased, whitespace-collapsed
     * text — the cheap exact-dup key for corpus-scale dedup via group-by or
     * anti-join against an already-processed ledger. */

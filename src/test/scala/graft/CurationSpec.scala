@@ -31,6 +31,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics: crafted duplicates produce exact counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "aaa aaa aaa"),       // word ×3; bigram "aaa aaa" ×2
+      (2L, "x y x y x"),         // x×3 y×2; bigrams: "x y"×2, "y x"×2
+      (3L, "solo")               // 1 word, 0 bigrams
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextAnalysis.repetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out(1L) == ((3L, 1L, 3L, 2L, 1L, 2L)))
+    assert(out(2L) == ((5L, 2L, 3L, 4L, 2L, 2L)))
+    assert(out(3L) == ((1L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
   test("stratified sample: quota per language, deterministic, subset of corpus") {
     val quota = 20
     val s1 = Sampling.stratifiedSample(spark, sf, quota)
