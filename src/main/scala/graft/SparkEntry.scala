@@ -61,6 +61,7 @@ object SparkEntry {
     "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
     "q_pack_sequences" -> ((s, dir) => Packing.packSequences(s, dir)),
+    "q_curation_pipeline" -> ((s, dir) => Sampling.curationPipeline(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),
+    "q_curation_pipeline" -> Sampling.curationPipelineSql(),
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // minhash LSH at 16×2 bands has empirically-total recall at the 0.5

@@ -42,4 +42,61 @@ SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM ranked WHERE sample_rank <= $quota
 ORDER BY lang, sample_rank
 """.trim
+
+  /** The composed curation pipeline — the end-to-end flow a training-data
+    * run actually executes, as ONE declarative plan Catalyst optimizes
+    * whole: exact dedup (keep min doc_id per canonical fingerprint) →
+    * quality gate (≥ `minWords` words) → language ID → deterministic
+    * per-language quota sample. Each stage is the same operator the
+    * stand-alone queries oracle individually; this query oracles their
+    * COMPOSITION (stage boundary semantics: what dedup feeds the filter,
+    * what the filter feeds the classifier, how ranks are assigned after
+    * all upstream pruning). */
+  def curationPipeline(spark: SparkSession, dir: String, minWords: Int = 30,
+                       quota: Int = 100): DataFrame = {
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val dedupWin = Window.partitionBy("fp").orderBy("doc_id")
+    val best = TextAnalysis.predictedLang(col("text"))
+    val rankWin = Window.partitionBy("predicted_lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("fp", fp)
+      .withColumn("rn", row_number().over(dedupWin))
+      .filter(col("rn") === 1)
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .filter(col("n_words") >= minWords)
+      .withColumn("predicted_lang", best._1)
+      .withColumn("sample_rank", row_number().over(rankWin).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select("doc_id", "predicted_lang", "n_words", "sample_rank")
+      .orderBy("predicted_lang", "sample_rank")
+  }
+
+  def curationPipelineSql(minWords: Int = 30, quota: Int = 100): String = s"""
+WITH deduped AS (
+  SELECT doc_id, text,
+    row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      ORDER BY doc_id) AS rn
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+  FROM deduped
+  WHERE rn = 1 AND len(string_split(text, ' ')) >= $minWords
+), scored AS (
+  SELECT doc_id, n_words, ${TextAnalysis.langScoreColsSql}
+  FROM kept
+), labeled AS (
+  SELECT doc_id, n_words, ${TextAnalysis.predictedLangCaseSql} AS predicted_lang
+  FROM scored
+), ranked AS (
+  SELECT doc_id, predicted_lang, n_words,
+    row_number() OVER (PARTITION BY predicted_lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM labeled
+)
+SELECT doc_id, predicted_lang, n_words, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= $quota
+ORDER BY predicted_lang, sample_rank
+""".trim
 }

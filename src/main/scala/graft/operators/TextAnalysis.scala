@@ -26,18 +26,28 @@ object TextAnalysis {
   private def occurrences(c: Column, needle: String): Column =
     (length(c) - length(replace(c, lit(needle), lit("")))) / needle.length
 
-  /** Language-ID by stopword evidence; "unknown" when no marker hits. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val scores = LangMarkers.map { case (lang, markers) =>
+  /** Per-language stopword-evidence scores for a text column. */
+  def langScores(textCol: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(textCol), lit(" "))
+    LangMarkers.map { case (lang, markers) =>
       lang -> markers.map(m => occurrences(padded, m)).reduce(_ + _).cast("long")
     }
-    val best = scores.foldLeft((lit("unknown"), lit(0L))) {
+  }
+
+  /** Deterministic argmax over [[langScores]] — (predicted_lang,
+    * best_score); strictly-greater keeps the alphabetically-first
+    * language on ties, "unknown" when no marker hits. */
+  def predictedLang(textCol: Column): (Column, Column) =
+    langScores(textCol).foldLeft((lit("unknown"), lit(0L))) {
       case ((bestLang, bestScore), (lang, score)) =>
-        // strictly-greater keeps the alphabetically-first language on ties
         (when(score > bestScore, lit(lang)).otherwise(bestLang),
           when(score > bestScore, score).otherwise(bestScore))
     }
+
+  /** Language-ID by stopword evidence; "unknown" when no marker hits. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langScores(col("text"))
+    val best = predictedLang(col("text"))
     docs(spark, dir).select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
         best._1.as("predicted_lang") +: best._2.as("best_score") +:
@@ -45,32 +55,36 @@ object TextAnalysis {
     ).orderBy("doc_id")
   }
 
-  val langIdSql: String = {
+  /** SQL mirrors of [[langScores]]: `score_<lang>` select-list columns. */
+  def langScoreColsSql: String = {
     def occ(m: String) =
       s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$m', ''))) // ${m.length}"
-    val scoreExprs = LangMarkers.map { case (lang, ms) =>
-      lang -> ms.map(occ).mkString("(", " + ", ")")
-    }
-    val scoreCols = scoreExprs.map { case (l, e) => s"CAST($e AS BIGINT) AS score_$l" }.mkString(",\n  ")
-    // The CASE ladder mirrors the Spark fold's strictly-greater semantics:
-    // on ties the language earliest in (de,en,es,fr) order wins.
-    s"""
-WITH scored AS (
-  SELECT doc_id, lang AS labeled_lang, $scoreCols
-  FROM documents
-)
-SELECT doc_id, labeled_lang,
-  CASE
+    LangMarkers.map { case (lang, ms) =>
+      s"CAST(${ms.map(occ).mkString("(", " + ", ")")} AS BIGINT) AS score_$lang"
+    }.mkString(",\n  ")
+  }
+
+  /** SQL mirror of [[predictedLang]] over `score_<lang>` aliases. The CASE
+    * ladder mirrors the Spark fold's strictly-greater semantics: on ties
+    * the language earliest in (de,en,es,fr) order wins. */
+  val predictedLangCaseSql: String = """CASE
     WHEN score_fr > score_es AND score_fr > score_en AND score_fr > score_de AND score_fr > 0 THEN 'fr'
     WHEN score_es > score_en AND score_es > score_de AND score_es > 0 THEN 'es'
     WHEN score_en > score_de AND score_en > 0 THEN 'en'
     WHEN score_de > 0 THEN 'de'
-    ELSE 'unknown' END AS predicted_lang,
+    ELSE 'unknown' END"""
+
+  val langIdSql: String = s"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang, $langScoreColsSql
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+  $predictedLangCaseSql AS predicted_lang,
   greatest(score_de, score_en, score_es, score_fr, 0) AS best_score,
   score_de, score_en, score_es, score_fr
 FROM scored ORDER BY doc_id
 """.trim
-  }
 
   /** Quality metrics — all integer-valued so the oracle compare is exact:
     * char/word/digit/punct counts and longest-word length. */
