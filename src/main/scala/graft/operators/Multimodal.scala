@@ -188,6 +188,157 @@ object Multimodal {
     media.mapPartitions { it => it.map(MediaDecoder.decode) }
   }
 
+  /** One sampled frame: media id + frame coordinates + per-frame features. */
+  case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      features: Array[Float])
+
+  /** A resized payload: original + new dimensions, re-encoded bytes, and
+    * whether a real raster resize happened (false = passthrough degrade). */
+  case class ResizedMedia(
+      media_id: Long,
+      kind: String,
+      orig_width: Int,
+      orig_height: Int,
+      width: Int,
+      height: Int,
+      resized: Boolean,
+      content: Array[Byte])
+
+  private def lumaHistogram(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sx = math.max(1, w / 256)
+    val sy = math.max(1, h / 256)
+    val hist = new Array[Float](16)
+    var count = 0f
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        hist(lum >> 4) += 1f
+        count += 1f
+        x += sx
+      }
+      y += sy
+    }
+    hist.map(_ / math.max(1f, count))
+  }
+
+  /** Frame sampling (every `stride`-th frame, always including frame 0):
+    * REAL for animated GIFs — the one multi-frame format the JDK decodes
+    * (`ImageIO` reader, `getNumImages`) — with true per-frame dimensions
+    * and luminance histograms; any other payload degrades to
+    * DETERMINISTIC synthetic frames (frame count from the byte-level
+    * decoder, features keyed on (content hash, frame_idx)) so the
+    * plumbing — row explosion, schema, partition-bounded cost — is
+    * exercised even where no codec exists. Streaming flatMap per
+    * partition; emitted rows carry features, never frame rasters. */
+  def frameSample(media: Dataset[MediaRecord], stride: Int = 5): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val bytes = if (r.content == null) Array.empty[Byte] else r.content
+      val real: Option[Seq[MediaFrame]] =
+        if (bytes.length > 4 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  val n = reader.getNumImages(true)
+                  Some(Range(0, n, stride).map { i =>
+                    val img = reader.read(i)
+                    MediaFrame(r.media_id, i, img.getWidth, img.getHeight,
+                      lumaHistogram(img))
+                  })
+                } finally reader.dispose()
+              }
+            } finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      real.getOrElse {
+        val f = DeterministicDecoder.decode(r)
+        val seed = java.util.Arrays.hashCode(bytes)
+        Range(0, f.n_frames, stride).map { i =>
+          val hist = Array.tabulate(16) { b =>
+            ((seed * 31 + i * 17 + b * 7) & 0xFF).toFloat
+          }
+          val total = math.max(1f, hist.sum)
+          MediaFrame(r.media_id, i, f.width, f.height, hist.map(_ / total))
+        }
+      }
+    })
+  }
+
+  /** Raster resize to fit `maxDim` (aspect preserved, never upscales):
+    * REAL for JDK-decodable images — smooth-scaled draw, PNG re-encode —
+    * with the same header-first bomb guard as decode; undecodable or
+    * already-small payloads pass through unchanged with `resized=false`
+    * (totality policy: a resize stage must never drop or corrupt rows it
+    * cannot process). */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val bytes = if (r.content == null) Array.empty[Byte] else r.content
+      val out: Option[ResizedMedia] =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val (ow, oh) = (reader.getWidth(0), reader.getHeight(0))
+                if (ow.toLong * oh.toLong > 64L * 1024 * 1024) None // bomb guard
+                else if (ow <= maxDim && oh <= maxDim)
+                  Some(ResizedMedia(r.media_id, r.kind, ow, oh, ow, oh,
+                    resized = false, content = bytes))
+                else {
+                  val img = reader.read(0)
+                  val scale = maxDim.toDouble / math.max(ow, oh)
+                  val nw = math.max(1, math.round(ow * scale).toInt)
+                  val nh = math.max(1, math.round(oh * scale).toInt)
+                  val dst = new java.awt.image.BufferedImage(
+                    nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = dst.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(img, 0, 0, nw, nh, null)
+                  } finally g.dispose()
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(dst, "png", bos)
+                  Some(ResizedMedia(r.media_id, r.kind, ow, oh, nw, nh,
+                    resized = true, content = bos.toByteArray))
+                }
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      out.getOrElse {
+        // not an image (or undecodable): passthrough with byte-level dims
+        val f = DeterministicDecoder.decode(r)
+        ResizedMedia(r.media_id, r.kind, f.width, f.height, f.width, f.height,
+          resized = false, content = bytes)
+      }
+    })
+  }
+
   /** Build a media table from the documents corpus (text bytes standing in
     * for media payloads) — exercising the binary column path end-to-end. */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

@@ -82,6 +82,66 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(out(0).n_frames >= 1) // video fallback frame fake
   }
 
+  private def animatedGifBytes(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if ((x + f) % 2 == 0) 0xFFFFFF else 0x000000)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  test("frame sampling: real frames from an animated GIF, stride honored") {
+    import spark.implicits._
+    val gif = animatedGifBytes(12, 9, nFrames = 10)
+    val frames = Multimodal.frameSample(
+      Seq(Multimodal.MediaRecord(7L, "video", gif)).toDS(), stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    frames.foreach { f =>
+      assert(f.width == 12 && f.height == 9)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("frame sampling: non-GIF payloads emit deterministic synthetic frames") {
+    import spark.implicits._
+    val rec = Multimodal.MediaRecord(8L, "video", Array[Byte](9, 8, 77, 3, 4, 5))
+    val a = Multimodal.frameSample(Seq(rec).toDS(), stride = 2).collect().sortBy(_.frame_idx)
+    val b = Multimodal.frameSample(Seq(rec).toDS(), stride = 2).collect().sortBy(_.frame_idx)
+    assert(a.nonEmpty && a.head.frame_idx == 0)
+    assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq) // deterministic
+    a.foreach(f => assert(math.abs(f.features.sum - 1.0f) < 1e-3))
+  }
+
+  test("resize: large image scales to fit, small passes through, non-image degrades") {
+    import spark.implicits._
+    val records = Seq(
+      Multimodal.MediaRecord(9L, "image", pngBytes(100, 60)),
+      Multimodal.MediaRecord(10L, "image", pngBytes(30, 20)),
+      Multimodal.MediaRecord(11L, "doc", "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val out = Multimodal.resizeImages(records, maxDim = 50).collect().sortBy(_.media_id)
+    val big = out(0)
+    assert(big.resized && big.orig_width == 100 && big.orig_height == 60)
+    assert(big.width == 50 && big.height == 30) // aspect preserved
+    // the re-encoded bytes are a REAL decodable PNG of the new size
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(big.content))
+    assert(back.getWidth == 50 && back.getHeight == 30)
+    val small = out(1)
+    assert(!small.resized && small.width == 30 && small.content.sameElements(pngBytes(30, 20)))
+    assert(!out(2).resized) // passthrough degrade, row kept
+  }
+
   test("mixed real + opaque corpus decodes in one partition pass") {
     import spark.implicits._
     val records = (1 to 50).map { i =>
