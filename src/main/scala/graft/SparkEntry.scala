@@ -87,6 +87,9 @@ object SparkEntry {
     // multi-probe IVF search: the dense/low-threshold ANN tool (probe the
     // 2 nearest of 8 cells, exact-rank within) — fully oracled
     "q_ivf_search" -> ((s, dir) => Similarity.ivfSearch(s, dir)),
+    // int8 scalar quantization: the 4×-storage-reduction leg of the
+    // similarity stack, exact-int oracle on the quantizer itself
+    "q_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
     "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
@@ -148,7 +151,8 @@ object SparkEntry {
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),
     "q_ivf_assign" -> Similarity.ivfAssignSql(),
-    "q_ivf_search" -> Similarity.ivfSearchSql()
+    "q_ivf_search" -> Similarity.ivfSearchSql(),
+    "q_quantize" -> Similarity.quantizeSql()
     // q_simhash_pairs, q_ann_lsh: probabilistic/hash-defined structures
     // with no SQL equivalent → rows-only check here, plus a differential
     // oracle in ScalaTest (SimHashDifferentialSpec reimplements xxHash64 +

@@ -452,6 +452,63 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
   private def centroidAvgs: Seq[Column] =
     (1 to Dim).map(i => avg(element_at(col("embedding"), i).cast("double")).as(s"__c$i"))
 
+  /** Symmetric per-vector int8 scalar quantization — the storage leg of
+    * the similarity stack: a float32 corpus quantized to int8 is 4×
+    * smaller on disk and in shuffle, which at 100 TB is the difference
+    * between an ANN index that fits executor memory and one that spills.
+    * scale = max|x|/127 per vector; q_i = round(x_i/scale); the query
+    * reports the scale, two pinned quantized values (exact-int oracle of
+    * the quantizer itself), and the reconstruction RMSE (the quality
+    * budget downstream recall specs draw on). Zero vectors quantize to
+    * all-zeros with scale 0 (guarded division). Pure column algebra —
+    * codegen'd, narrow, scan-speed. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    def x(i: Int) = element_at(col("embedding"), i).cast("double")
+    val absMax = (1 to Dim).map(i => abs(x(i))).reduce(greatest(_, _))
+    def qi(i: Int) = round(x(i) / col("scale"), 0)
+    emb(spark, dir)
+      .withColumn("scale", absMax / lit(127.0))
+      .withColumn("sse", (1 to Dim).map { i =>
+        val e = when(col("scale") === 0d, x(i)).otherwise(x(i) - qi(i) * col("scale"))
+        e * e
+      }.reduce(_ + _))
+      .select(col("vec_id"),
+        round(col("scale"), 6).as("scale"),
+        when(col("scale") === 0d, lit(0d)).otherwise(qi(1)).cast("int").as("q1"),
+        when(col("scale") === 0d, lit(0d)).otherwise(qi(Dim / 2)).cast("int").as("q_mid"),
+        round(sqrt(col("sse") / Dim), 6).as("rmse"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: identical scale/round/reconstruction arithmetic over the
+    * unnested embedding (explicit multiply, not pow — ulp parity; the
+    * summation-order ulp gap is absorbed by round-after-sqrt, same policy
+    * as [[ivfAssignSql]]). */
+  def quantizeSql(dim: Int = Dim): String = s"""
+WITH scaled AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(generate_series(1, $dim),
+      i -> abs(CAST(embedding[i] AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+), err AS (
+  SELECT vec_id, scale,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> CASE WHEN scale = 0
+        THEN CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        ELSE (CAST(embedding[i] AS DOUBLE) - round(CAST(embedding[i] AS DOUBLE) / scale) * scale)
+           * (CAST(embedding[i] AS DOUBLE) - round(CAST(embedding[i] AS DOUBLE) / scale) * scale)
+        END)) AS sse,
+    CASE WHEN scale = 0 THEN 0
+      ELSE CAST(round(CAST(embedding[1] AS DOUBLE) / scale) AS INTEGER) END AS q1,
+    CASE WHEN scale = 0 THEN 0
+      ELSE CAST(round(CAST(embedding[${dim / 2}] AS DOUBLE) / scale) AS INTEGER) END AS q_mid
+  FROM scaled
+)
+SELECT vec_id, round(scale, 6) AS scale, q1, q_mid,
+  round(sqrt(sse / $dim), 6) AS rmse
+FROM err ORDER BY vec_id
+""".trim
+
   /** DuckDB oracle for [[ivfAssign]]: same per-residue centroid means
     * (per-dimension avg over the unnested (cid, i, x) relation), same
     * squared-distance via explicit (e−c)·(e−c) products (NOT pow — ulp

@@ -141,6 +141,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("int8 quantization: range and reconstruction bounds hold corpus-wide") {
+    val out = Similarity.quantize(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (scale, q1, qMid, rmse) =
+        (r.getDouble(1), r.getInt(2), r.getInt(3), r.getDouble(4))
+      assert(scale >= 0)
+      // int8 range by construction (scale = max|x|/127)
+      assert(q1 >= -127 && q1 <= 127 && qMid >= -127 && qMid <= 127)
+      // per-element error ≤ scale/2 ⇒ rmse ≤ scale/2 (+ rounding slack)
+      assert(rmse <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: rmse=$rmse scale=$scale")
+    }
+  }
+
   test("top-k neighbors are rank-consistent and self-excluded") {
     val out = Similarity.topK(spark, sf, k = 3, nQueries = 5).collect()
     assert(out.nonEmpty)
