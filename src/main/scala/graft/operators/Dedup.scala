@@ -102,33 +102,6 @@ FROM documents GROUP BY 1 ORDER BY keep_id
     * bucket (1000 docs → ≤½M pairs per bucket, a bounded unit of work). */
   val DefaultMaxShingleDf = 1000
 
-  /** Capped inverted-index BUCKETS: one row per retained shingle hash,
-    * holding the (distinct) doc ids that contain it. The result is
-    * localCheckpoint'd — the pair generation and the per-doc count
-    * aggregate both read the materialized buckets; un-checkpointed, each
-    * reference re-ran the scan + shingling kernel + df-cap (same
-    * 6×-rescan disease winnowOverlap had; at 100 TB the re-scan is the
-    * query cost).
-    *
-    * Memory discipline: the `collect_list` buffers are built AFTER the
-    * df-cap anti-join, so no aggregation buffer can exceed `maxShingleDf`
-    * ids (~8 KB at the default cap) — the count-only `hot` aggregate is
-    * what absorbs the unbounded hot keys, with constant-size buffers. */
-  private def shingleBuckets(docsDf: DataFrame, maxShingleDf: Int): DataFrame = {
-    val exploded = shingleRows(docsDf)
-    // document frequency per shingle (rows are distinct per doc already);
-    // map-side combine keeps this shuffle at one row per distinct shingle
-    val hot = exploded.groupBy("shingle")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf)
-      .select("shingle")
-    exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
-      .groupBy("shingle")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .select("ids")
-      .localCheckpoint()
-  }
-
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index:
     * explode distinct shingles, drop shingles with document frequency >
     * `maxShingleDf` (skew guard — see [[DefaultMaxShingleDf]]), self-join
@@ -142,45 +115,19 @@ FROM documents GROUP BY 1 ORDER BY keep_id
   /** [[jaccardPairs]] without the final presentation sort — the form
     * consumers that only need the pair SET (the CC loop) should use. */
   private def jaccardPairsUnsorted(spark: SparkSession, dir: String, threshold: Double,
-                                   maxShingleDf: Int): DataFrame = {
-    import spark.implicits._
-    val buckets = shingleBuckets(docs(spark, dir), maxShingleDf)
-    // retained-set size per document: tiny aggregate off the checkpointed
-    // buckets (≤ one row per doc after map-side combine), broadcast onto
-    // the pair aggregates below — the earlier shape tagged every index row
-    // with its doc's count via a whole-relation window shuffle
-    val cnts = retainedCounts(buckets)
-    // candidate pairs generate LOCALLY inside each bucket (the unit of
-    // work the df cap bounds: ≤ cap·(cap−1)/2 pairs) — replacing the
-    // index self-join's two full shuffles + merge join with one narrow
-    // flatMap; `shared` is then one small aggregation over pair rows.
-    // The size filter runs in COLUMNAR space first: the vast majority of
-    // buckets are singletons (can't form a pair), and skipping them there
-    // avoids the typed Seq decode per row (measured ~4× on this stage)
-    val rawPairs = buckets.filter(size(col("ids")) >= 2)
-      .as[Seq[Long]].flatMap { bucket =>
-        val ids = bucket.toArray
-        java.util.Arrays.sort(ids)
-        for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
-          yield (ids(i), ids(j))
-      }.toDF("id_a", "id_b")
-    rawPairs
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-      .join(broadcast(cnts.select(col("doc_id").as("id_a"), col("cnt").as("cnt_a"))), "id_a")
-      .join(broadcast(cnts.select(col("doc_id").as("id_b"), col("cnt").as("cnt_b"))), "id_b")
+                                   maxShingleDf: Int): DataFrame =
+    // (doc_id, key) occurrences are distinct per doc by construction
+    // (shingleSet dedups); the shared kernel does the df-cap, local
+    // bucket pair generation, and count joins — see InvertedIndex
+    InvertedIndex.parts(
+      shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key"),
+      maxShingleDf).pairsAgg
       .withColumn("jaccard",
         col("shared").cast("double") /
-          (col("cnt_a") + col("cnt_b") - col("shared")).cast("double"))
+          (col("na") + col("nb") - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("jaccard"), 6).as("jaccard"))
-  }
-
-  /** Per-document retained-shingle counts from the checkpointed buckets. */
-  private def retainedCounts(buckets: DataFrame): DataFrame =
-    buckets.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("cnt"))
 
   /** Shingle CTE chain + the pair SELECT, shared between the pair oracle
     * and the cluster oracle. Mirrors the Spark side exactly: NULL text
@@ -242,15 +189,18 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
   def dupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
                   maxRounds: Int = 50,
                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    // pairs are persisted + materialized BEFORE the union-swap below:
-    // without this, the edges plan contains the whole inverted-index join
-    // subtree TWICE (once per union branch) and materializing edges runs
-    // the expensive join twice. The pair list is tiny (one row per
-    // near-dup pair); the shingle relation it derives from never persists.
-    // No presentation sort — the CC loop only needs the pair SET.
+    // pairs are EAGERLY materialized (localCheckpoint) BEFORE the
+    // union-swap below: the edges plan contains the pairs subtree TWICE
+    // (once per union branch), and a lazy persist() would let the two
+    // branch tasks race the unpopulated cache on a real cluster — both
+    // executors would run the full inverted-index join (BlockManager
+    // write-lock dedup only helps within one executor). The checkpoint
+    // runs the join exactly once; the pair list it pins is tiny (one row
+    // per near-dup pair). No presentation sort — the CC loop only needs
+    // the pair SET.
     val pairs = jaccardPairsUnsorted(spark, dir, threshold, maxShingleDf)
       .select("id_a", "id_b")
-      .persist()
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -312,7 +262,6 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     // safe (persist recomputes through lineage; worst case re-reads the
     // corpus — correct, just slow).
     edges.unpersist(blocking = false)
-    pairs.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster")).orderBy("doc_id")
   }
 

@@ -66,8 +66,10 @@ object Multimodal {
     /** Decompression-bomb guard: a corrupt/crafted header can declare a
       * raster whose full decode would OOM the executor (OutOfMemoryError
       * escapes NonFatal) — read the dimensions from the HEADER first and
-      * refuse to materialize anything above this (64M px ≈ 256 MB ARGB). */
-    private val MaxRasterPixels = 64L * 1024 * 1024
+      * refuse to materialize anything above this (64M px ≈ 256 MB ARGB).
+      * Shared with [[resizeImages]] and [[frameSample]]: every path that
+      * calls `reader.read` must check it first. */
+    private[operators] val MaxRasterPixels = 64L * 1024 * 1024
 
     /** Real image decode: true width/height from the raster, features =
       * 16-bin luminance histogram (L1-normalized). Large rasters are
@@ -197,10 +199,14 @@ object Multimodal {
       features: Array[Float])
 
   /** A resized payload: original + new dimensions, re-encoded bytes, and
-    * whether a real raster resize happened (false = passthrough degrade). */
+    * whether a real raster resize happened (false = passthrough degrade).
+    * `format` names the CONTAINER of `content` — a resize re-encodes as
+    * PNG regardless of the input format, so consumers must key parsers on
+    * this field, not on `kind` (which is the logical media type). */
   case class ResizedMedia(
       media_id: Long,
       kind: String,
+      format: String,
       orig_width: Int,
       orig_height: Int,
       width: Int,
@@ -256,12 +262,19 @@ object Multimodal {
                 val reader = readers.next()
                 try {
                   reader.setInput(iis)
-                  val n = reader.getNumImages(true)
-                  Some(Range(0, n, stride).map { i =>
-                    val img = reader.read(i)
-                    MediaFrame(r.media_id, i, img.getWidth, img.getHeight,
-                      lumaHistogram(img))
-                  })
+                  // header-first bomb guard, same as decode/resize: a
+                  // crafted frame size would OOM at reader.read (an error
+                  // the NonFatal catch does NOT absorb)
+                  if (reader.getWidth(0).toLong * reader.getHeight(0).toLong >
+                    MediaDecoder.MaxRasterPixels) None
+                  else {
+                    val n = reader.getNumImages(true)
+                    Some(Range(0, n, stride).map { i =>
+                      val img = reader.read(i)
+                      MediaFrame(r.media_id, i, img.getWidth, img.getHeight,
+                        lumaHistogram(img))
+                    })
+                  }
                 } finally reader.dispose()
               }
             } finally iis.close()
@@ -302,10 +315,11 @@ object Multimodal {
               val reader = readers.next()
               try {
                 reader.setInput(iis)
+                val origFormat = reader.getFormatName.toLowerCase
                 val (ow, oh) = (reader.getWidth(0), reader.getHeight(0))
-                if (ow.toLong * oh.toLong > 64L * 1024 * 1024) None // bomb guard
+                if (ow.toLong * oh.toLong > MediaDecoder.MaxRasterPixels) None // bomb guard
                 else if (ow <= maxDim && oh <= maxDim)
-                  Some(ResizedMedia(r.media_id, r.kind, ow, oh, ow, oh,
+                  Some(ResizedMedia(r.media_id, r.kind, origFormat, ow, oh, ow, oh,
                     resized = false, content = bytes))
                 else {
                   val img = reader.read(0)
@@ -323,7 +337,7 @@ object Multimodal {
                   } finally g.dispose()
                   val bos = new java.io.ByteArrayOutputStream()
                   javax.imageio.ImageIO.write(dst, "png", bos)
-                  Some(ResizedMedia(r.media_id, r.kind, ow, oh, nw, nh,
+                  Some(ResizedMedia(r.media_id, r.kind, "png", ow, oh, nw, nh,
                     resized = true, content = bos.toByteArray))
                 }
               } finally reader.dispose()
@@ -333,7 +347,7 @@ object Multimodal {
       out.getOrElse {
         // not an image (or undecodable): passthrough with byte-level dims
         val f = DeterministicDecoder.decode(r)
-        ResizedMedia(r.media_id, r.kind, f.width, f.height, f.width, f.height,
+        ResizedMedia(r.media_id, r.kind, "opaque", f.width, f.height, f.width, f.height,
           resized = false, content = bytes)
       }
     })

@@ -141,7 +141,10 @@ FROM documents ORDER BY doc_id
     * document's own gram count. Same single-space split semantics as
     * [[Dedup.shingleSet]] (empty tokens kept). */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(col("text"), " ")
+    // NULL text behaves like '' (one empty word token) — the repo-wide
+    // convention (see jaccardPairsSql) — so no doc_id ever drops from the
+    // output; the oracle coalesces identically
+    val words = split(coalesce(col("text"), lit("")), " ")
     val bigrams = when(size(words) >= 2,
       transform(sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2))))
@@ -168,7 +171,7 @@ FROM documents ORDER BY doc_id
 
   val repetitionSql: String = """
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
 ), grams AS (
   SELECT doc_id, 1 AS kind, unnest(ws) AS g FROM words
   UNION ALL
@@ -330,45 +333,6 @@ khash AS (
     * it can form a quadratic hot bucket; inert at oracle scale. */
   val DefaultMaxHashDf = 1000
 
-  /** The capped inverted-index machinery shared by [[winnowOverlap]] and
-    * [[passages]], over a distinct (doc_id, hash) relation (expected
-    * checkpointed by the caller — every member here re-reads it):
-    *
-    *   - `hot`: hashes above the df cap (count-only aggregate — constant
-    *     -size buffers absorb unbounded hot keys);
-    *   - `capped`: the retained (doc_id, hash) rows;
-    *   - `pairsAgg`: (id_a, id_b, shared, na, nb) — candidate pairs
-    *     generated LOCALLY inside each retained bucket (the unit of work
-    *     the df cap bounds), with the per-doc retained counts broadcast
-    *     onto the pair aggregates. Same shape as Dedup.shingleBuckets:
-    *     one wide shuffle instead of an index self-join's two. */
-  private case class OverlapParts(hot: DataFrame, capped: DataFrame, pairsAgg: DataFrame)
-
-  private def overlapParts(fps: DataFrame, maxHashDf: Int): OverlapParts = {
-    import fps.sparkSession.implicits._
-    val hot = fps.groupBy("hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxHashDf).select("hash")
-    val capped = fps.join(broadcast(hot), Seq("hash"), "left_anti")
-    val buckets = capped
-      .groupBy("hash").agg(collect_list(col("doc_id")).as("ids"))
-      .select("ids").localCheckpoint()
-    val cnts = buckets.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val rawPairs = buckets.filter(size(col("ids")) >= 2)
-      .as[Seq[Long]].flatMap { bucket =>
-        val ids = bucket.toArray
-        java.util.Arrays.sort(ids)
-        for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
-          yield (ids(i), ids(j))
-      }.toDF("id_a", "id_b")
-    val pairsAgg = rawPairs
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"))
-      .join(broadcast(cnts.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
-      .join(broadcast(cnts.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
-    OverlapParts(hot, capped, pairsAgg)
-  }
-
   /** Shared-passage near-dup pairs from winnowing fingerprints:
     * containment = |fp(A) ∩ fp(B)| / min(|fp(A)|, |fp(B)|) over the
     * capped fingerprint vocabulary — the asymmetric-overlap measure that
@@ -388,9 +352,9 @@ khash AS (
     val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
       .asNondeterministic()
     val fps = docs(spark, dir)
-      .select(col("doc_id"), explode(hashes(col("text"))).as("hash"))
+      .select(col("doc_id"), explode(hashes(col("text"))).as("key"))
       .localCheckpoint()
-    overlapParts(fps, maxHashDf).pairsAgg
+    InvertedIndex.parts(fps, maxHashDf).pairsAgg
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -448,20 +412,20 @@ ORDER BY id_a, id_b
       .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
       .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
       .localCheckpoint()
-    // the distinct-hash relation is checkpointed too: overlapParts reads
-    // it three times (hot, capped, buckets) — each read would otherwise
-    // re-shuffle the distinct off the position rows
-    val wfp = fps.select("doc_id", "hash").distinct().localCheckpoint()
-    val parts = overlapParts(wfp, maxHashDf)
+    // the distinct-key relation is checkpointed too: the index kernel
+    // reads it multiple times (hot, capped, buckets) — each read would
+    // otherwise re-shuffle the distinct off the position rows
+    val wfp = fps.select(col("doc_id"), col("hash").as("key")).distinct().localCheckpoint()
+    val parts = InvertedIndex.parts(wfp, maxHashDf)
     val pairs = parts.pairsAgg
       .filter(col("shared").cast("double")
         / least(col("na"), col("nb")).cast("double") >= threshold)
       .select("id_a", "id_b")
     // A-side positions whose (retained) fingerprint also occurs in B
     val posA = fps
-      .join(broadcast(parts.hot), Seq("hash"), "left_anti")
+      .join(broadcast(parts.hot.select(col("key").as("hash"))), Seq("hash"), "left_anti")
       .select(col("doc_id").as("id_a"), col("pos").as("pos_a"), col("hash"))
-    val inB = parts.capped.select(col("doc_id").as("id_b"), col("hash"))
+    val inB = parts.capped.select(col("doc_id").as("id_b"), col("key").as("hash"))
     val matched = pairs
       .join(posA, "id_a")
       .join(inB, Seq("id_b", "hash"))

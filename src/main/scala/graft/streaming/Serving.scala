@@ -62,7 +62,13 @@ object Serving {
     * — the synchronous response the reference's handler sends. */
   def submit(requests: DataFrame, landingDir: String,
              maxBytes: Long = MaxUploadBytes): DataFrame = {
-    val gated = requests.withColumn("reason", gateReason(maxBytes))
+    // persist pins ONE evaluation of the gate: the landing write below is
+    // an action, and the receipts the caller collects later would
+    // otherwise RE-EVALUATE `requests` — a non-deterministic or
+    // since-changed source could then land a request the receipt reports
+    // rejected (or vice versa). The cache is populated by the write's
+    // full-partition scans, so receipts read what was actually gated.
+    val gated = requests.withColumn("reason", gateReason(maxBytes)).persist()
     gated.filter(col("reason").isNull)
       .select("request_id", "tenant_id", "filename", "content")
       .write.mode(SaveMode.Append).parquet(landingDir)
@@ -91,17 +97,28 @@ object Serving {
     decoded.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one evaluation of the pipeline per micro-batch, two routed writes
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-once: if the second write fails after
+        // the first succeeded, the whole batch retries. Both sinks
+        // therefore partition by batch_id with DYNAMIC partition
+        // overwrite — a retry REPLACES its own batch partition instead of
+        // appending a duplicate, making the dispatch idempotent per batch
+        // (and exactly-once end-to-end given the checkpointed source).
         val processed = Orchestrate.run(batch, tenantCol = col("tenant_id"))
           .localCheckpoint()
         Orchestrate.toEventEnvelope(processed.filter(col("status") =!= "error"))
-          .write.mode(SaveMode.Append).text(envelopeDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").text(envelopeDir)
         processed.filter(col("status") === "error")
           .select(col("request_id"), col("tenant_id"), col("trace_id"),
             col("norm_text"), col("validation_issues.code").as("issue_codes"),
             col("trust_score"))
-          .write.mode(SaveMode.Append).parquet(quarantineDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(quarantineDir)
         ()
       }
       .start()
