@@ -168,6 +168,26 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("events"))
       .select(col("w.start").as("window_start"), col("c_mktsegment"), col("events"))
 
+  /** Stream–stream inner join with event-time bounds — the attribution
+    * query shape (click → purchase within 30 minutes, per user). Both
+    * sides carry watermarks and the join condition bounds purchase time
+    * to a window after the click, so Spark can expire buffered state:
+    * a click older than watermark + 30 min can never match again and is
+    * dropped. Without BOTH the watermarks and the time-bound condition
+    * the state store grows forever — this is the canonical unbounded
+    * -state trap at 100 TB/day. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      within: String = "30 minutes"): DataFrame =
+    clicks.withWatermark("click_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        expr(s"""user_id = p_user_id AND
+                 purchase_ts >= click_ts AND
+                 purchase_ts <= click_ts + INTERVAL $within"""))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"),
+        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+          .as("delay_ms"))
+
   /** Write helper: single-trigger drain (AvailableNow) to an in-memory or
     * file sink — used by tests and by batch-catchup deployments. */
   def drainAvailableNow(df: DataFrame, queryName: String): DataStreamWriter[org.apache.spark.sql.Row] =

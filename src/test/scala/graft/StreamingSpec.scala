@@ -171,6 +171,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(3L).getInt(6) == 1)   // partition = id % 2
   }
 
+  test("stream-stream join: purchases attribute to clicks within the window, state-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000L)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = StreamingPipeline.clickToPurchase(
+      clicks.toDF().toDF("click_id", "user_id", "click_ts"),
+      purchases.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_stream").start()
+
+    // user 1: click at t0, purchase at t0+10m (inside window) and one at
+    // t0+45m (outside); user 2: purchase with NO prior click
+    clicks.addData((100L, 1L, ts(0)))
+    purchases.addData((500L, 1L, ts(10)), (501L, 1L, ts(45)), (502L, 2L, ts(5)))
+    q.processAllAvailable()
+    // a later click pairs with a purchase arriving in a LATER batch —
+    // the state store carries the click across micro-batches
+    clicks.addData((101L, 3L, ts(60)))
+    q.processAllAvailable()
+    purchases.addData((503L, 3L, ts(75)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attr_stream")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).sorted
+    assert(out.toSeq == Seq((100L, 500L, 10L * 60000), (101L, 503L, 15L * 60000)))
+  }
+
   test("event envelope is valid JSON with the contract fields (ref: orchestrator_models.py:51-66)") {
     val processed = Seq((1L, "04.252.011/0001-10", "R$ 1,00", 1.0, "success"))
       .toDF("doc_id", "issuer_cnpj", "total", "trust_score", "status")
