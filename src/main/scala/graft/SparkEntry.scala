@@ -37,6 +37,7 @@ object SparkEntry {
     "q_set_ops" -> ((s, dir) => Analytics.setOps(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollup(s, dir)),
     "q_salted_agg" -> ((s, dir) => Analytics.saltedAgg(s, dir)),
+    "q_salted_join" -> ((s, dir) => Analytics.saltedJoinAgg(s, dir)),
     "q_percentiles" -> ((s, dir) => Analytics.percentiles(s, dir)),
     "q_stats" -> ((s, dir) => Analytics.stats(s, dir)),
     "q_pivot" -> ((s, dir) => Analytics.pivot(s, dir)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "q_set_ops" -> Analytics.setOpsSql,
     "q_rollup" -> Analytics.rollupSql,
     "q_salted_agg" -> Analytics.saltedAggSql,
+    "q_salted_join" -> Analytics.saltedJoinAggSql,
     "q_percentiles" -> Analytics.percentilesSql,
     "q_stats" -> Analytics.statsSql,
     "q_pivot" -> Analytics.pivotSql,

@@ -212,6 +212,50 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """.trim
 
+  /** Skew-safe equi-join: a hot join key (one user generating a large
+    * fraction of events) concentrates a sort-merge/shuffled-hash join's
+    * work in one partition. Salting spreads it: the probe (fact) side
+    * gets a deterministic per-row salt, the build (dim) side is
+    * replicated once per salt bucket, and the join runs on (key, salt) —
+    * the hot key's rows now land on `salt` partitions instead of one.
+    * Output is row-identical to the plain join (the oracle is the
+    * UNSALTED join). Use when the build side is too big to broadcast and
+    * AQE's runtime skew split is unavailable or insufficient; the salt
+    * multiplies the build side, so keep it small (8–32). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                 dimKey: String, salt: Int = 8): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(hash(col(factKey), monotonically_increasing_id()), lit(salt)))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    salted.join(replicated,
+      salted(factKey) === replicated(dimKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
+  /** Oracled demonstration: events ⋈ customer through the salted join,
+    * aggregated per market segment. The plain-join SQL oracle proves the
+    * salting is a pure refactoring (same rows in, same aggregates out). */
+  def saltedJoinAgg(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
+    // events.user_id is the fact key; the merge hint keeps the dim off
+    // the broadcast path so the salted shuffle is what actually runs.
+    // (EventOps.events handles the nanos-timestamp schema of this table.)
+    val events = EventOps.events(spark, dir).select(col("user_id"), col("value"))
+    val customer = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(events, customer.hint("merge"), "user_id", "c_custkey", salt)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val saltedJoinAggSql: String = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""".trim
+
   /** Exact interpolated percentiles per group — Spark's `percentile` and
     * DuckDB's `quantile_cont` share the linear-interpolation definition;
     * values round to 4 places to absorb summation-order ulps. At scale

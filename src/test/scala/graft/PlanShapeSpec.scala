@@ -36,6 +36,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key holding 3/4 of the fact rows, padded so the hot
+      // partition clears the byte threshold
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") < 150000, 1L).otherwise(col("id")).as("k"),
+          lpad(col("id").cast("string"), 100, "x").as("pad"))
+      val dim = spark.range(0, 1000).select(col("id").as("k2"))
+      val joined = fact.join(dim, col("k") === col("k2"))
+      // execute THIS dataset's own plan (count() would spawn a separate
+      // query execution and leave this one un-finalized)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("q_salted_join actually joins on (key, salt) through a sort-merge join") {
+    val p = plan("q_salted_join")
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n${p.take(1500)}")
+    assert(p.contains("__salt"), "salt column missing from the join keys")
+  }
+
   test("q_curation_pipeline is one scan of the corpus end-to-end") {
     val p = plan("q_curation_pipeline")
     assert(p.split("documents.parquet").length - 1 == 1,
