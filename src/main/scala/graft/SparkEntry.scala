@@ -69,6 +69,8 @@ object SparkEntry {
     "q_minhash_dedup" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
     "q_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    // benchmark decontamination: eval-set containment in training docs
+    "q_contamination" -> ((s, dir) => Dedup.contamination(s, dir)),
     // training-data pipeline: similarity search
     // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
     // top out near cos 0.51 — the low-threshold exact baseline.
@@ -149,6 +151,7 @@ object SparkEntry {
     // OperatorsSpec for the operator's own contract.
     "q_minhash_dedup" -> Dedup.jaccardPairsSql(),
     "q_dup_clusters" -> Dedup.dupClustersSql(),
+    "q_contamination" -> Dedup.contaminationSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),

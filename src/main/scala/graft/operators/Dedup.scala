@@ -284,6 +284,66 @@ SELECT s AS doc_id, least(s, min(d)) AS cluster
 FROM reach GROUP BY s ORDER BY doc_id
 """.trim
 
+  /** Benchmark decontamination — the cross-corpus leg of near-dup
+    * detection: which TRAINING documents contain an EVALUATION document's
+    * content (containment = |fp(eval) ∩ fp(train)| / |fp(eval)| — always
+    * normalized by the eval side, because a benchmark item embedded
+    * verbatim in a long web page is exactly the case that must score 1.0).
+    *
+    * The eval set here is carved deterministically out of the corpus
+    * (doc_id % 17 == 0) so the oracle can reconstruct it; identity pairs
+    * are excluded (a document trivially "contaminates" itself). Shape:
+    * both sides shingle through the same kernel, the df cap comes from
+    * the TRAIN side (the big one — benchmark vocabulary is never hot),
+    * and the match is a plain equi-join on the shingle hash: the eval
+    * index is tiny by nature (benchmarks are KBs against a 100 TB
+    * corpus), so AQE broadcasts it and the train index never shuffles. */
+  def contamination(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                    maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val d = docs(spark, dir)
+    val train = shingleRows(d).withColumnRenamed("shingle", "key")
+    val evalFps = shingleRows(d.filter(col("doc_id") % 17 === 0))
+      .withColumnRenamed("shingle", "key")
+    val hot = train.groupBy("key").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf).select("key")
+    val evalKept = evalFps.join(broadcast(hot), Seq("key"), "left_anti")
+      .select(col("doc_id").as("eval_id"), col("key"))
+      .localCheckpoint() // read twice (sizes + join); kernel runs once
+    val evalSizes = evalKept.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    train.join(broadcast(hot), Seq("key"), "left_anti")
+      .select(col("doc_id").as("train_id"), col("key"))
+      .join(evalKept, "key")
+      .filter(col("train_id") =!= col("eval_id"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(evalSizes, "eval_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_eval").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  def contaminationSql(threshold: Double = 0.5,
+                       maxShingleDf: Int = DefaultMaxShingleDf): String = s"""
+WITH ${jaccardCtes(maxShingleDf)},
+eval_kept AS (
+  SELECT doc_id AS eval_id, shingle FROM kept WHERE doc_id % 17 = 0
+), eval_sizes AS (
+  SELECT eval_id, COUNT(*) AS n_eval FROM eval_kept GROUP BY 1
+), shared AS (
+  SELECT t.doc_id AS train_id, e.eval_id, COUNT(*) AS shared
+  FROM kept t JOIN eval_kept e ON t.shingle = e.shingle AND t.doc_id <> e.eval_id
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id, shared,
+  round(CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS containment
+FROM shared JOIN eval_sizes USING (eval_id)
+WHERE CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE) >= $threshold
+ORDER BY train_id, eval_id
+""".trim
+
   // --- MinHash + LSH ---------------------------------------------------
 
   /** Number of hash functions and LSH banding layout: 32 hashes in 16

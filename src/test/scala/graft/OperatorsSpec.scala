@@ -241,6 +241,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: an eval doc embedded verbatim in a train doc scores 1.0") {
+    val evalText = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"prefix words here $evalText suffix tail words"), // contains eval 17
+      (2L, "completely unrelated content about other things entirely"),
+      (17L, evalText), // eval set member (17 % 17 == 0)
+      (34L, "isolated benchmark item that nothing in training contains")
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.contamination(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // exactly one contaminated pair: train doc 1 fully contains eval 17
+    assert(out.toSeq == Seq((1L, 17L, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("passages: merged spans reconstruct the shared passages, island per passage") {
     import graft.operators.TextAnalysis._
     // two docs sharing two passages separated by doc-unique gaps: the span
