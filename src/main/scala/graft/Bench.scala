@@ -39,8 +39,9 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try { fn(spark, warmDir).count(); dropCheckpointBlocks() }
+        try fn(spark, warmDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] prewarm $name: ${e.getMessage}") }
+        finally dropCheckpointBlocks() // also on failure: a half-built query leaks blocks too
       }
     // A failed query reports -1 (not a fast-looking elapsed time) and is
     // excluded from the total, so a regression can't read as a speedup.
@@ -49,14 +50,15 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          dropCheckpointBlocks() // outside the timer: block churn is harness state, not query cost
-          name -> dt
+          name -> (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             name -> -1.0
-        }
+          // finally, and thus also on failure (a half-built query leaks
+          // blocks too); outside the timer either way: block churn is
+          // harness state, not query cost
+        } finally dropCheckpointBlocks()
       }
     val cold = pass()
     val warm = pass()

@@ -224,6 +224,10 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     * multiplies the build side, so keep it small (8–32). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salt: Int = 8): DataFrame = {
+    // withColumn would silently REPLACE a caller's __salt column and the
+    // final drop would then delete their data — fail loudly instead
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt; rename it on the input first")
     val salted = fact.withColumn("__salt",
       pmod(hash(col(factKey), monotonically_increasing_id()), lit(salt)))
     val replicated = dim

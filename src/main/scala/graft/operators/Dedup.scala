@@ -300,17 +300,21 @@ FROM reach GROUP BY s ORDER BY doc_id
     * corpus), so AQE broadcasts it and the train index never shuffles. */
   def contamination(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val d = docs(spark, dir)
-    val train = shingleRows(d).withColumnRenamed("shingle", "key")
-    val evalFps = shingleRows(d.filter(col("doc_id") % 17 === 0))
-      .withColumnRenamed("shingle", "key")
-    val hot = train.groupBy("key").agg(count(lit(1)).as("df"))
+    // the eval set is a SUBSET of the corpus here, so the shingle kernel
+    // runs exactly ONCE into a checkpoint and both sides derive from it;
+    // `hot` (tiny: only keys above the cap) is checkpointed too so the
+    // two anti-joins don't each re-aggregate the occurrence relation
+    val all = shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+      .localCheckpoint()
+    val hot = all.groupBy("key").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("key")
-    val evalKept = evalFps.join(broadcast(hot), Seq("key"), "left_anti")
+      .localCheckpoint()
+    val kept = all.join(broadcast(hot), Seq("key"), "left_anti")
+    val evalKept = kept.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("eval_id"), col("key"))
-      .localCheckpoint() // read twice (sizes + join); kernel runs once
+      .localCheckpoint() // read twice (sizes + join)
     val evalSizes = evalKept.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
-    train.join(broadcast(hot), Seq("key"), "left_anti")
+    kept
       .select(col("doc_id").as("train_id"), col("key"))
       .join(evalKept, "key")
       .filter(col("train_id") =!= col("eval_id"))

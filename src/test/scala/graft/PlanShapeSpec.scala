@@ -30,7 +30,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // the fingerprint/shingle kernel runs ONCE into a localCheckpoint
     // before the plan executes; the executed plan re-reading
     // documents.parquet would mean the 6×-rescan disease is back
-    for (q <- Seq("q_jaccard_pairs", "q_winnow_overlap", "q_passages")) {
+    for (q <- Seq("q_jaccard_pairs", "q_winnow_overlap", "q_passages", "q_contamination")) {
       val p = plan(q)
       assert(!p.contains("documents.parquet"), s"$q re-scans the corpus:\n${p.take(2000)}")
     }
