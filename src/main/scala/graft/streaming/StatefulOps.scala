@@ -44,6 +44,51 @@ object StatefulOps {
       }
   }
 
+  case class SessionAcc(count: Long, sum: Double, startMs: Long, endMs: Long)
+  case class SessionSummary(user_id: Long, events: Long, total_value: Double,
+                            started: java.sql.Timestamp, ended: java.sql.Timestamp)
+
+  /** Custom sessionization with EXPIRING state — the bounded-state
+    * counterpart to [[runningUserTotals]] (whose ledger-style state grows
+    * with the key space): a per-user session accumulates silently, and
+    * when the WATERMARK passes the last event + `gap`, the state times
+    * out — the closed session is emitted exactly once and the key's state
+    * is REMOVED. At 100 TB/day of events the difference between
+    * NoTimeout and EventTimeTimeout is whether the state store's size
+    * tracks ACTIVE users or ALL users ever seen.
+    *
+    * The input must carry a watermark on `ts` (EventTimeTimeout requires
+    * one); this is the hand-rolled flavor of what `session_window` does
+    * natively — kept because custom state is the only way to attach
+    * arbitrary per-session payloads (counts + sums here; a fraud score or
+    * a session fingerprint in production). */
+  def expiringSessions(events: Dataset[UserEvent],
+                       gapMs: Long = 30L * 60 * 1000): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove() // frees the key: state size tracks ACTIVE sessions
+            Iterator.single(SessionSummary(user, s.count, s.sum,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs)))
+          } else {
+            var acc = state.getOption.getOrElse(SessionAcc(0L, 0.0, Long.MaxValue, Long.MinValue))
+            it.foreach { e =>
+              val t = e.ts.getTime
+              acc = SessionAcc(acc.count + 1, acc.sum + e.value,
+                math.min(acc.startMs, t), math.max(acc.endMs, t))
+            }
+            state.update(acc)
+            // the session closes when the watermark passes last-event + gap
+            state.setTimeoutTimestamp(acc.endMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   // ---- streaming dedup ledger (EP2 audit-hash dedup, SURVEY §4) -------
 
   case class LedgerDoc(doc_id: Long, fingerprint: String, text: String)

@@ -12,7 +12,8 @@ object PlanSnapshot {
     val headline = Seq("q_invoice_pipeline", "q_agg_pricing", "q_join_revenue",
       "q_anti_join", "q_events_hourly", "q_minhash_dedup",
       "q_block_segment", "q_ann_lsh", "q_winnow_overlap", "q_jaccard_pairs",
-      "q_passages", "q_pack_sequences", "q_pii_redact", "q_repetition")
+      "q_passages", "q_pack_sequences", "q_pii_redact", "q_repetition",
+      "q_contamination", "q_salted_join", "q_curation_pipeline")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.PlanSnapshot\"`. Lines\n")

@@ -135,6 +135,38 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("expiring sessions: state times out past the watermark, emits once, frees the key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def ev(u: Long, min: Long, v: Double) =
+      UserEvent(u, new java.sql.Timestamp(base + min * 60000L), v)
+    val mem = MemoryStream[UserEvent]
+    val sessions = StatefulOps.expiringSessions(
+      mem.toDS().withWatermark("ts", "10 minutes").as[UserEvent])
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("exp_sessions").start()
+
+    // user 1: a 3-event burst over 5 minutes
+    mem.addData(ev(1L, 0, 1.0), ev(1L, 2, 2.0), ev(1L, 5, 3.0))
+    q.processAllAvailable()
+    assert(spark.table("exp_sessions").count() == 0) // still open
+    // a far-future event advances the watermark past user 1's gap window…
+    mem.addData(ev(99L, 180, 1.0))
+    q.processAllAvailable()
+    // …and the timeout fires on the following trigger
+    mem.addData(ev(99L, 181, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("exp_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime, r.getTimestamp(4).getTime))
+    // exactly one closed session: user 1, 3 events, span [t0, t0+5m];
+    // user 99's session is still active (its state must NOT have emitted)
+    assert(out.toSeq == Seq((1L, 3L, 6.0, base, base + 5 * 60000L)), s"got ${out.toSeq}")
+  }
+
   test("typed Aggregator: trust histogram over the invoice corpus") {
     val scores = graft.operators.InvoicePipeline.query(spark, "/root/testdata/sf0.001")
       .select(col("trust_score")).as[Double]
