@@ -53,6 +53,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
+    "q_bm25" -> ((s, dir) => Search.bm25(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
     "q_winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
@@ -130,6 +131,7 @@ object SparkEntry {
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_repetition" -> TextAnalysis.repetitionSql,
+    "q_bm25" -> Search.bm25Sql(),
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_winnow" -> TextAnalysis.winnowSql,
     "q_winnow_overlap" -> TextAnalysis.winnowOverlapSql(),

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ranked keyword retrieval over the corpus — BM25 (Robertson/Sparck
+  * Jones; the Okapi weighting every search engine ships). A curation
+  * pipeline uses this to INSPECT its corpus: "show me the documents
+  * about X" during filter/dedup debugging, or to build weak labels.
+  *
+  * Scale shape: term frequencies are one map-side-combined aggregate over
+  * exploded tokens (the inverted-index build — the shuffle carries
+  * (term, doc, tf) rows); document frequencies reduce from tf rows (tiny:
+  * one row per distinct term); the QUERY terms are a literal broadcast —
+  * scoring touches only postings of the query's terms, which is the
+  * point of an inverted index. Scores are deterministic: fixed k1/b,
+  * ln-based idf, round(·, 6), doc_id tie-break.
+  */
+object Search {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Top-k BM25 over whitespace-lowered tokens for a fixed query-term
+    * set. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the non-negative
+    * Lucene variant. */
+  def bm25(spark: SparkSession, dir: String,
+           queryTerms: Seq[String] = Seq("the", "data", "model"),
+           k: Int = 20): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      dl.agg(avg(col("dl")).as("avgdl")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = queryTerms.map(_.toLowerCase).distinct
+    tf.filter(col("term").isin(q: _*))
+      .join(broadcast(df.filter(col("term").isin(q: _*))), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(K1 + 1)) /
+          (col("tf") + lit(K1) * (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("w")), 6).as("score"),
+        count(lit(1)).as("terms_hit"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle: identical tokenization, postings, and weighting; same
+    * round-after-sum policy (ln is IEEE libm on both engines; the final
+    * round absorbs summation-order ulps). */
+  def bm25Sql(queryTerms: Seq[String] = Seq("the", "data", "model"),
+              k: Int = 20): String = {
+    val q = queryTerms.map(_.toLowerCase).distinct
+      .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+      (tf.tf * (1 + $K1)) /
+      (tf.tf + $K1 * (1 - $B + $B * dl.dl / s.avgdl)) AS w
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN ($q)
+)
+SELECT doc_id, round(SUM(w), 6) AS score, COUNT(*) AS terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT $k
+""".trim
+  }
+}
