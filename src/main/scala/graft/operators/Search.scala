@@ -30,14 +30,21 @@ object Search {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val toks = docs.select(col("doc_id"),
       explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val q = queryTerms.map(_.toLowerCase).distinct
+    // postings are built for the QUERY terms only — the isin filter runs
+    // BEFORE the tf aggregate, so the shuffle carries the query's
+    // postings, not the whole vocabulary (document lengths still need one
+    // full-token aggregate; that one is map-side-combined to one row per
+    // doc). Same values as a full postings build + filter — just never
+    // materializing the rest of the index for a 3-term query.
+    val tf = toks.filter(col("term").isin(q: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
       dl.agg(avg(col("dl")).as("avgdl")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val q = queryTerms.map(_.toLowerCase).distinct
-    tf.filter(col("term").isin(q: _*))
-      .join(broadcast(df.filter(col("term").isin(q: _*))), "term")
+    tf
+      .join(broadcast(df), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
