@@ -31,9 +31,21 @@ object GraftSession {
 
   /** Build (or reuse) the session and register the UDF surface — UDF
     * registration is per-session state, so it happens at getOrCreate
-    * time, not builder time. */
+    * time, not builder time.
+    *
+    * If a SparkSession ALREADY exists (shell, notebook), Spark ignores
+    * `withExtensions` and static configs on it — the front-door contract
+    * (native `cnpj_is_valid` etc.) silently cannot be met. That case is
+    * detected by probing the function registry and FAILS FAST with a
+    * remediation hint instead of returning a half-wired session. */
   def getOrCreate(configure: SparkSession.Builder => SparkSession.Builder = identity): SparkSession = {
     val spark = configure(builder()).getOrCreate()
+    if (!spark.catalog.functionExists("cnpj_is_valid"))
+      throw new IllegalStateException(
+        "GraftSession.getOrCreate reused an existing SparkSession that was built " +
+          "WITHOUT GraftExtensions (Spark cannot inject extensions into a running " +
+          "session). Either stop() the existing session first, or build your own " +
+          "with .withExtensions(new graft.plans.GraftExtensions).")
     graft.functions.Udfs.registerAll(spark)
     spark
   }

@@ -21,12 +21,18 @@ object Search {
   val K1 = 1.2
   val B = 0.75
 
+  /** Default query + cutoff, shared by [[bm25]] and [[bm25Sql]] — a
+    * single definition so the two sides of the oracle can never silently
+    * run different queries. */
+  val DefaultTerms: Seq[String] = Seq("the", "data", "model")
+  val DefaultK = 20
+
   /** Top-k BM25 over whitespace-lowered tokens for a fixed query-term
     * set. idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the non-negative
     * Lucene variant. */
   def bm25(spark: SparkSession, dir: String,
-           queryTerms: Seq[String] = Seq("the", "data", "model"),
-           k: Int = 20): DataFrame = {
+           queryTerms: Seq[String] = DefaultTerms,
+           k: Int = DefaultK): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val toks = docs.select(col("doc_id"),
       explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("term"))
@@ -37,11 +43,18 @@ object Search {
     // full-token aggregate; that one is map-side-combined to one row per
     // doc). Same values as a full postings build + filter — just never
     // materializing the rest of the index for a 3-term query.
+    //
+    // tf and dl are each referenced TWICE (scoring + df; join + stats) —
+    // both checkpoint so the tokenization pass runs once per relation
+    // instead of once per reference (the single-evaluation discipline of
+    // the inverted-index family). n_docs/avgdl derive from dl's own rows:
+    // one row per document, empty text included.
     val tf = toks.filter(col("term").isin(q: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = docs.agg(count(lit(1)).as("n_docs")).crossJoin(
-      dl.agg(avg(col("dl")).as("avgdl")))
+      .localCheckpoint()
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), "term")
@@ -62,8 +75,8 @@ object Search {
   /** Oracle: identical tokenization, postings, and weighting; same
     * round-after-sum policy (ln is IEEE libm on both engines; the final
     * round absorbs summation-order ulps). */
-  def bm25Sql(queryTerms: Seq[String] = Seq("the", "data", "model"),
-              k: Int = 20): String = {
+  def bm25Sql(queryTerms: Seq[String] = DefaultTerms,
+              k: Int = DefaultK): String = {
     val q = queryTerms.map(_.toLowerCase).distinct
       .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""

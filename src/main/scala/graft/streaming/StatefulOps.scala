@@ -65,6 +65,8 @@ object StatefulOps {
   def expiringSessions(events: Dataset[UserEvent],
                        gapMs: Long = 30L * 60 * 1000): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    def summary(user: Long, s: SessionAcc) = SessionSummary(user, s.count, s.sum,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs))
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -72,19 +74,31 @@ object StatefulOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove() // frees the key: state size tracks ACTIVE sessions
-            Iterator.single(SessionSummary(user, s.count, s.sum,
-              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs)))
+            Iterator.single(summary(user, s))
           } else {
+            // events process in event-time order, and a gap larger than
+            // `gapMs` WITHIN the accumulated run closes the session
+            // inline — otherwise a backfill (months of events arriving in
+            // a few micro-batches, faster than the watermark can time
+            // anything out) would merge every burst into one giant
+            // session. Sorting materializes the per-key batch — bounded
+            // by micro-batch size, same caveat as runningUserTotals.
             var acc = state.getOption.getOrElse(SessionAcc(0L, 0.0, Long.MaxValue, Long.MinValue))
-            it.foreach { e =>
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSummary]
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
+              if (acc.count > 0 && t > acc.endMs + gapMs) {
+                closed += summary(user, acc)
+                acc = SessionAcc(0L, 0.0, Long.MaxValue, Long.MinValue)
+              }
               acc = SessionAcc(acc.count + 1, acc.sum + e.value,
                 math.min(acc.startMs, t), math.max(acc.endMs, t))
             }
             state.update(acc)
-            // the session closes when the watermark passes last-event + gap
+            // the still-open tail closes when the watermark passes its
+            // last event + gap
             state.setTimeoutTimestamp(acc.endMs + gapMs)
-            Iterator.empty
+            closed.iterator
           }
       }
   }

@@ -6,9 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftSessionSpec extends AnyFunSuite {
 
   test("GraftSession exposes native expressions, UDFs, UTC, and AQE skew handling") {
-    // getOrCreate against the already-running test session context: the
-    // builder configs apply where the session is fresh; the per-session
-    // registration (UDFs) must happen regardless
+    // pin the shared test session FIRST so this spec never becomes the
+    // JVM's session creator (that would drop TestSpark's temp warehouse
+    // static conf for every later suite); TestSpark carries
+    // GraftExtensions, so the reuse path exercises the probe + the
+    // per-session registration, and runtime confs still apply
+    TestSpark.spark
     val spark = GraftSession.getOrCreate(_.master("local[4]"))
     // native codegen expression from GraftExtensions
     assert(spark.sql("SELECT cnpj_is_valid('04.252.011/0001-10')").collect()(0).getBoolean(0))

@@ -167,6 +167,28 @@ class StatefulOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, 6.0, base, base + 5 * 60000L)), s"got ${out.toSeq}")
   }
 
+  test("expiring sessions: a backfill batch with an intra-batch gap splits into sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000000L
+    def ev(u: Long, min: Long, v: Double) =
+      UserEvent(u, new java.sql.Timestamp(base + min * 60000L), v)
+    val mem = MemoryStream[UserEvent]
+    val q = StatefulOps.expiringSessions(
+      mem.toDS().withWatermark("ts", "10 minutes").as[UserEvent])
+      .writeStream.outputMode("append")
+      .format("memory").queryName("backfill_sessions").start()
+    // one replayed batch carries TWO bursts 5 hours apart — the gap must
+    // split them even though no watermark timeout fires in between
+    mem.addData(ev(7L, 0, 1.0), ev(7L, 3, 1.0), ev(7L, 300, 1.0), ev(7L, 302, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("backfill_sessions")
+      .collect().map(r => (r.getLong(1), r.getTimestamp(3).getTime, r.getTimestamp(4).getTime))
+    // the FIRST burst closed inline; the second is still open in state
+    assert(out.toSeq == Seq((2L, base, base + 3 * 60000L)), s"got ${out.toSeq}")
+  }
+
   test("typed Aggregator: trust histogram over the invoice corpus") {
     val scores = graft.operators.InvoicePipeline.query(spark, "/root/testdata/sf0.001")
       .select(col("trust_score")).as[Double]
