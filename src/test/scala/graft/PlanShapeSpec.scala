@@ -71,6 +71,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("__salt"), "salt column missing from the join keys")
   }
 
+  test("runtime bloom-filter pruning injects into a selective shuffled join") {
+    import org.apache.spark.sql.functions._
+    // a selective dim side should seed a bloom filter that prunes fact
+    // rows BEFORE the join shuffle — at 100 TB the filter runs at scan
+    // speed and the shuffle carries only probable matches
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_partkey") % 100 === 0)
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q_curation_pipeline is one scan of the corpus end-to-end") {
     val p = plan("q_curation_pipeline")
     assert(p.split("documents.parquet").length - 1 == 1,
