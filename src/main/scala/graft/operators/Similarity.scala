@@ -42,12 +42,12 @@ object Similarity {
 
   /** Primitive-loop dot product — EXACT arithmetic-order mirror of the
     * oracle (left-to-right double accumulation). */
-  private def dotP(a: Array[Float], b: Array[Float]): Double = {
+  private[graft] def dotP(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
     s
   }
-  private def normP(a: Array[Float]): Double = math.sqrt(dotP(a, a))
+  private[graft] def normP(a: Array[Float]): Double = math.sqrt(dotP(a, a))
 
   /** Hard cap on the corpus size the exact O(n²) baselines will broadcast:
     * ~2M × (64 floats + overhead) ≈ 1 GB of driver/executor memory. The

@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.StreamingSimilarity
+import graft.streaming.StreamingSimilarity.{Entered, VecRow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental top-k over a vector stream: per-query state holds only the
+  * current k best; emissions mark exactly the moments a vector entered. */
+class StreamingSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  import spark.implicits._
+
+  test("incremental top-k: enters on improvement, silent on worse, state spans batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two axis-aligned queries in R^4: cosine with (a,b,c,d) is just the
+    // normalized projection — exact expected values by construction
+    val queries = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f))
+    val mem = MemoryStream[VecRow]
+    val q = StreamingSimilarity.incrementalTopK(mem.toDS(), queries, k = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inc_topk").start()
+
+    // batch 1: v10 aligned with q1 (cos 1), v11 diagonal (cos ~0.707 to both)
+    mem.addData(VecRow(10L, Array(2f, 0f, 0f, 0f)), VecRow(11L, Array(1f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    // batch 2: v12 beats v11 on q1 (cos ~0.9487); v13 is worse than both
+    // current q1 entries (cos ~0.3162) → must NOT emit for q1
+    mem.addData(VecRow(12L, Array(3f, 1f, 0f, 0f)), VecRow(13L, Array(1f, 3f, 0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("inc_topk").as[Entered].collect()
+      .map(e => (e.query_id, e.vec_id, math.rint(e.cos * 10000) / 10000))
+    val q1 = out.filter(_._1 == 1L).map(t => (t._2, t._3)).sortBy(_._1)
+    val q2 = out.filter(_._1 == 2L).map(t => (t._2, t._3)).sortBy(_._1)
+    // q1: 10 and 11 entered in batch 1; 12 entered (evicting 11) in batch 2;
+    // 13 never entered q1's top-2
+    assert(q1.toSeq == Seq((10L, 1.0), (11L, 0.7071), (12L, 0.9487)), s"q1: ${q1.toSeq}")
+    // q2: batch 1 admits 11 (0.7071) and 10 (cos 0 — the top-2 isn't full
+    // yet); batch 2 admits only 13 (0.9487, evicting 10) — 12's 0.3162 is
+    // below the now-full top-2's floor and must stay silent
+    assert(q2.toSeq == Seq((10L, 0.0), (11L, 0.7071), (13L, 0.9487)), s"q2: ${q2.toSeq}")
+  }
+}
