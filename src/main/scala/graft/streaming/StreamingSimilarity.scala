@@ -12,14 +12,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * new corpus vectors arrive in micro-batches, and each query's top-k
   * neighbor set updates incrementally — per-query state holds ONLY the
   * current k best (k rows per query, regardless of how much corpus has
-  * streamed past), and a result row is emitted exactly when a new vector
-  * ENTERS some query's top-k.
+  * streamed past), and a result row is emitted per batch for each entry
+  * that is IN the new top-k but was not in (or improved over) the old.
   *
-  * Scale shape: each incoming vector scores against the query panel in a
-  * narrow map (the panel is small by construction — it rides into the
-  * closure as a broadcastable array); the shuffle carries only
-  * (query_id, vec_id, cos) candidate rows, never embeddings; state is
-  * O(queries × k). The batch counterpart is [[graft.operators.Similarity.topK]].
+  * Scale shape: candidates are pruned MAP-SIDE to each partition's
+  * per-query top-k before they shuffle (only a partition-local top-k
+  * member can possibly enter the global one), so the shuffle carries
+  * ≤ partitions × queries × k rows per micro-batch — never one row per
+  * (vector, query) — and the state fold never buffers a batch: each
+  * candidate merges into a ≤ k buffer in O(k). State is O(queries × k).
+  * The batch counterpart is [[graft.operators.Similarity.topK]].
+  *
+  * Robustness (totality policy — malformed input degrades, never kills
+  * the stream): vectors whose dimension differs from a query's, and
+  * vectors producing a non-finite cosine (NaN/zero norms), are skipped
+  * for that query.
   */
 object StreamingSimilarity {
 
@@ -27,44 +34,62 @@ object StreamingSimilarity {
   case class Candidate(query_id: Long, vec_id: Long, cos: Double)
   case class Entered(query_id: Long, vec_id: Long, cos: Double)
 
-  /** Stream of corpus vectors → rows that enter some query's top-k.
-    * Ties break on vec_id (smaller wins) — deterministic under any
-    * arrival order within a batch; across batches, arrival order decides
-    * what was "current" when a vector arrived, which is inherent to
-    * incremental semantics. */
+  /** Merge one candidate into a ≤ k best-first buffer: dedups by vec_id
+    * (a re-ingested vector REPLACES its old entry rather than occupying
+    * two slots), keeps (−cos, vec_id) order, O(k). */
+  private def merge(top: Seq[Candidate], c: Candidate, k: Int): Seq[Candidate] = {
+    val existing = top.find(_.vec_id == c.vec_id)
+    if (existing.exists(_.cos >= c.cos)) top
+    else {
+      val without = existing.fold(top)(_ => top.filterNot(_.vec_id == c.vec_id))
+      val last = without.lastOption
+      val enters = without.size < k || last.exists(l =>
+        c.cos > l.cos || (c.cos == l.cos && c.vec_id < l.vec_id))
+      if (!enters) top
+      else (without :+ c).sortBy(x => (-x.cos, x.vec_id)).take(k)
+    }
+  }
+
+  /** Stream of corpus vectors → rows that entered some query's top-k this
+    * batch (new vec_id, or an improved cosine for a re-ingested one). */
   def incrementalTopK(vectors: Dataset[VecRow],
                       queries: Seq[(Long, Array[Float])],
                       k: Int = 5): Dataset[Entered] = {
+    require(k > 0, s"incrementalTopK needs k > 0, got $k")
     import vectors.sparkSession.implicits._
     val panel = queries.map { case (qid, v) => (qid, v, Similarity.normP(v)) }
-    val candidates = vectors.flatMap { row =>
-      val nv = Similarity.normP(row.embedding)
-      panel.iterator.flatMap { case (qid, qv, nq) =>
-        val denom = nq * nv
-        if (denom == 0d) None
-        else Some(Candidate(qid, row.vec_id, Similarity.dotP(qv, row.embedding) / denom))
+    // map-side prune: per partition, per query, keep only the k best
+    val candidates = vectors.mapPartitions { rows =>
+      val best = scala.collection.mutable.HashMap.empty[Long, Seq[Candidate]]
+      rows.foreach { row =>
+        val nv = Similarity.normP(row.embedding)
+        panel.foreach { case (qid, qv, nq) =>
+          if (row.embedding.length == qv.length) {
+            val cos = Similarity.dotP(qv, row.embedding) / (nq * nv)
+            if (java.lang.Double.isFinite(cos)) {
+              val c = Candidate(qid, row.vec_id, cos)
+              best.update(qid, merge(best.getOrElse(qid, Seq.empty), c, k))
+            }
+          }
+        }
       }
+      best.valuesIterator.flatten
     }
     candidates
       .groupByKey(_.query_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (qid: Long, it: Iterator[Candidate], state: GroupState[Seq[Candidate]]) =>
-          // fold the batch into the current top-k; emit what ENTERED.
-          // Sorting the incoming batch keeps within-batch arrival order
-          // irrelevant; the state never exceeds k entries.
-          var top = state.getOption.getOrElse(Seq.empty)
-          val entered = scala.collection.mutable.ArrayBuffer.empty[Entered]
-          it.toSeq.sortBy(c => (-c.cos, c.vec_id)).foreach { c =>
-            val enters = top.size < k ||
-              c.cos > top.last.cos ||
-              (c.cos == top.last.cos && c.vec_id < top.last.vec_id)
-            if (enters) {
-              top = (top :+ c).sortBy(x => (-x.cos, x.vec_id)).take(k)
-              entered += Entered(qid, c.vec_id, c.cos)
-            }
-          }
+        (_: Long, it: Iterator[Candidate], state: GroupState[Seq[Candidate]]) =>
+          val prior = state.getOption.getOrElse(Seq.empty)
+          var top = prior
+          it.foreach(c => top = merge(top, c, k)) // O(k) per candidate, no buffering
           state.update(top)
-          entered.iterator
+          // deterministic emissions: members of the new top-k that were
+          // not in the old one (or re-entered with a better cosine) —
+          // independent of arrival order within the batch
+          val priorCos = prior.map(x => x.vec_id -> x.cos).toMap
+          top.iterator
+            .filter(x => !priorCos.get(x.vec_id).contains(x.cos))
+            .map(x => Entered(x.query_id, x.vec_id, x.cos))
       }
   }
 }

@@ -45,4 +45,35 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     // below the now-full top-2's floor and must stay silent
     assert(q2.toSeq == Seq((10L, 0.0), (11L, 0.7071), (13L, 0.9487)), s"q2: ${q2.toSeq}")
   }
+
+  test("incremental top-k: re-ingestion replaces its entry; NaN/mismatched vectors degrade") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val queries = Seq(1L -> Array(1f, 0f, 0f, 0f))
+    val mem = MemoryStream[VecRow]
+    val q = StreamingSimilarity.incrementalTopK(mem.toDS(), queries, k = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inc_topk2").start()
+
+    mem.addData(VecRow(1L, Array(1f, 0f, 0f, 0f)), VecRow(2L, Array(1f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    // vector 2 re-embedded with a better cosine: REPLACES its entry (one
+    // slot, one emission), it must not occupy two of the k slots
+    mem.addData(VecRow(2L, Array(3f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    // poison batch: NaN component, wrong dimension, zero vector — all
+    // skipped; the stream must survive AND the top-k must not freeze
+    mem.addData(VecRow(3L, Array(Float.NaN, 1f, 0f, 0f)),
+      VecRow(4L, Array(1f, 0f)), VecRow(5L, Array(0f, 0f, 0f, 0f)))
+    q.processAllAvailable()
+    // a genuine improvement after the poison batch still enters
+    mem.addData(VecRow(6L, Array(9f, 1f, 0f, 0f)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("inc_topk2").as[Entered].collect()
+      .map(e => (e.vec_id, math.rint(e.cos * 10000) / 10000)).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1.0), (2L, 0.7071), (2L, 0.9487), (6L, 0.9939)),
+      s"got ${out.toSeq}")
+  }
 }
