@@ -86,8 +86,17 @@ SELECT doc_id, labeled_lang,
 FROM scored ORDER BY doc_id
 """.trim
 
+  /** The stopword set behind the quality metric: the union of the langid
+    * marker words — multilingual, tiny, and already the repo's notion of
+    * "function word". */
+  val StopwordSet: Seq[String] =
+    LangMarkers.flatMap(_._2).map(_.trim).distinct.sorted
+
   /** Quality metrics — all integer-valued so the oracle compare is exact:
-    * char/word/digit/punct counts and longest-word length. */
+    * char/word/digit/punct counts, longest-word length, and the stopword
+    * count (n_stopwords / n_words is the stopword-ratio quality filter —
+    * natural text has a healthy share of function words; word soup and
+    * boilerplate do not). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
     docs(spark, dir).select(
@@ -97,20 +106,25 @@ FROM scored ORDER BY doc_id
       length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digits"),
       length(regexp_replace(col("text"), "[^.,;:!?]", "")).as("n_punct"),
       array_max(transform(words, w => length(w))).as("max_word_len"),
-      size(array_distinct(words)).as("n_distinct_words")
+      size(array_distinct(words)).as("n_distinct_words"),
+      size(filter(words, w => lower(w).isin(StopwordSet: _*))).as("n_stopwords")
     ).orderBy("doc_id")
   }
 
-  val qualitySql: String = """
+  val qualitySql: String = {
+    val stoplist = StopwordSet.map(w => s"'$w'").mkString(", ")
+    s"""
 SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
   CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS INTEGER) AS n_punct,
   CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS max_word_len,
-  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words
+  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_words,
+  CAST(len(list_filter(string_split(text, ' '), w -> lower(w) IN ($stoplist))) AS INTEGER) AS n_stopwords
 FROM documents ORDER BY doc_id
 """.trim
+  }
 
   /** Token counting: whitespace tokens plus a BPE-ish regex tokenization
     * (runs of letters | runs of digits | single non-space symbol). */
