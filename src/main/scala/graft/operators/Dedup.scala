@@ -301,15 +301,16 @@ FROM reach GROUP BY s ORDER BY doc_id
   def contamination(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // the eval set is a SUBSET of the corpus here, so the shingle kernel
-    // runs exactly ONCE into a checkpoint and both sides derive from it;
-    // `hot` (tiny: only keys above the cap) is checkpointed too so the
-    // two anti-joins don't each re-aggregate the occurrence relation
-    val all = shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+    // runs exactly ONCE, straight into the fused cap+bucket aggregation
+    // (graft_capped_collect — hot keys evaluate to NULL with constant
+    // buffer cost); both sides derive from the checkpointed buckets
+    graft.plans.CappedCollectLong.ensureRegistered(spark)
+    val agged = shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+      .groupBy("key")
+      .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
+      .filter(col("ids").isNotNull)
       .localCheckpoint()
-    val hot = all.groupBy("key").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("key")
-      .localCheckpoint()
-    val kept = all.join(broadcast(hot), Seq("key"), "left_anti")
+    val kept = agged.select(col("key"), explode(col("ids")).as("doc_id"))
     val evalKept = kept.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("eval_id"), col("key"))
       .localCheckpoint() // read twice (sizes + join)

@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * / [[TextAnalysis.passages]] on winnowing fingerprints). One
   * implementation so a fix lands once:
   *
-  *   1. df-cap with a count-only aggregate — constant-size buffers absorb
-  *      unbounded hot keys; keys above `maxDf` are dropped (skew guard);
-  *   2. `collect_list` buckets built only AFTER the cap, so no aggregation
-  *      buffer exceeds `maxDf` ids;
-  *   3. candidate pairs generate LOCALLY inside each bucket (the unit of
+  *   1. df-cap + bucket build in ONE aggregation via the custom
+  *      [[graft.plans.CappedCollectLong]] aggregate — buffers are bounded
+  *      by `maxDf` before overflow and CONSTANT after it, so unbounded
+  *      hot keys (skew guard) can't blow memory, and the occurrence
+  *      relation shuffles once, not twice;
+  *   2. candidate pairs generate LOCALLY inside each bucket (the unit of
   *      work the cap bounds: ≤ maxDf·(maxDf−1)/2 pairs), with singleton
   *      buckets skipped in columnar space before the typed decode;
-  *   4. per-doc retained counts joined onto the pair aggregates WITHOUT a
+  *   3. per-doc retained counts joined onto the pair aggregates WITHOUT a
   *      forced broadcast hint: the relation has one row per document, so
   *      at corpus scale it exceeds the broadcast ceiling — Catalyst/AQE
   *      picks broadcast when it is actually small and a shuffled join when
@@ -29,18 +30,25 @@ private[operators] object InvertedIndex {
 
   /** @param rel distinct (doc_id: long, key: long) occurrence rows —
     *            callers are responsible for per-document distinctness and
-    *            for checkpointing `rel` if its lineage is expensive (it is
-    *            read three times here).
+    *            for checkpointing `rel` if its lineage is expensive.
     * @return `pairsAgg`: (id_a, id_b, shared, na, nb) for every pair of
     *         documents sharing ≥ 1 retained key. */
   def parts(rel: DataFrame, maxDf: Int): Parts = {
     import rel.sparkSession.implicits._
-    val hot = rel.groupBy("key").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select("key")
-    val capped = rel.join(broadcast(hot), Seq("key"), "left_anti")
-    val buckets = capped
-      .groupBy("key").agg(collect_list(col("doc_id")).as("ids"))
-      .select("ids").localCheckpoint()
+    // df-cap + bucket build FUSED into one aggregation: the custom
+    // graft_capped_collect aggregate collects up to maxDf ids per key and
+    // evaluates to NULL past it (dropping the buffer — hot keys cost one
+    // boolean). The earlier count→anti-join→collect_list shape paid a
+    // second full shuffle of the occurrence relation just to learn which
+    // keys were hot.
+    graft.plans.CappedCollectLong.ensureRegistered(rel.sparkSession)
+    val agged = rel.groupBy("key")
+      .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxDf)").as("ids"))
+      .localCheckpoint()
+    val hot = agged.filter(col("ids").isNull).select("key")
+    val buckets = agged.filter(col("ids").isNotNull).select("ids")
+    val capped = agged.filter(col("ids").isNotNull)
+      .select(col("key"), explode(col("ids")).as("doc_id"))
     val cnts = buckets.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rawPairs = buckets.filter(size(col("ids")) >= 2)

@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfe_key_is_valid"),
       new ExpressionInfo(classOf[NfeKeyIsValid].getName, "nfe_key_is_valid"),
       unary("nfe_key_is_valid", NfeKeyIsValid) _))
+    ext.injectFunction((
+      FunctionIdentifier(CappedCollectLong.FuncName),
+      new ExpressionInfo(classOf[CappedCollectLong].getName, CappedCollectLong.FuncName),
+      CappedCollectLong.builder _))
     ext.injectOptimizerRule(_ => SimplifyFiscalValidation)
   }
 }

@@ -85,6 +85,36 @@ class PlansSpec extends AnyFunSuite {
     assert(!optimized.contains("upper("), s"upper not stripped:\n$optimized")
   }
 
+  test("graft_capped_collect: cap boundary, cross-partition merge, null skip, SQL-registered") {
+    // key 1: exactly cap ids → kept; key 2: cap+1 → NULL (hot); key 3:
+    // nulls don't count toward the cap. Spread over 8 partitions so the
+    // merge path (partial buffers combining, overflow propagating) runs.
+    val cap = 5
+    val rows =
+      (1 to cap).map(i => (1L, Option(i.toLong))) ++
+        (1 to cap + 1).map(i => (2L, Option(100L + i))) ++
+        ((1 to cap).map(i => (3L, Option(200L + i))) :+ (3L, Option.empty[Long]))
+    val df = rows.toDF("key", "doc_id").repartition(8)
+    df.createOrReplaceTempView("cc_in")
+    val out = spark.sql(
+      s"SELECT key, graft_capped_collect(doc_id, $cap) AS ids FROM cc_in GROUP BY key")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined && out(1L).get.asInstanceOf[scala.collection.Seq[Long]].sorted == (1L to cap.toLong))
+    assert(out(2L).isEmpty, "cap+1 ids must evaluate to NULL (hot key)")
+    assert(out(3L).get.asInstanceOf[scala.collection.Seq[Long]].sorted == (201L to 200L + cap),
+      "null inputs must not count toward the cap")
+    // differential: equivalent to the two-phase count-filter + collect_list
+    val twoPhase = spark.sql(
+      s"""SELECT key, CASE WHEN COUNT(doc_id) > $cap THEN NULL
+            ELSE sort_array(collect_list(doc_id)) END AS ids
+          FROM cc_in GROUP BY key""")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    out.foreach { case (k, v) =>
+      assert(v.map(_.asInstanceOf[scala.collection.Seq[Long]].sorted.toSeq) == twoPhase(k).map(_.asInstanceOf[scala.collection.Seq[Long]].toSeq),
+        s"key $k diverges from the two-phase reference")
+    }
+  }
+
   test("fiscal filters fuse into the codegen'd scan stage with pruned columns") {
     // the pushdown demo: both native predicates in one filter over a
     // parquet scan — the filter must sit inside WholeStageCodegen (no UDF
