@@ -26,27 +26,15 @@ object JaccardProfile {
       time("kernel count") {
         graft.operators.Dedup.shingleRows(docs).count()
       }
-      // stage-wise mirror of jaccardPairsUnsorted
-      val exploded = graft.operators.Dedup.shingleRows(docs)
-      val hot = exploded.groupBy("shingle")
-        .agg(count(lit(1)).as("df")).filter(col("df") > 1000).select("shingle")
-      val kept = exploded.join(broadcast(hot), Seq("shingle"), "left_anti")
-      val buckets = time("buckets checkpoint") {
-        kept.groupBy("shingle").agg(collect_list(col("doc_id")).as("ids"))
-          .select("ids").localCheckpoint()
-      }
-      time("cnts agg") {
-        buckets.select(explode(col("ids")).as("doc_id"))
-          .groupBy("doc_id").agg(count(lit(1)).as("cnt")).count()
-      }
-      import spark.implicits._
-      val rawPairs = buckets.as[Seq[Long]].flatMap { b =>
-        val ids = b.toArray; java.util.Arrays.sort(ids)
-        for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
-          yield (ids(i), ids(j))
-      }.toDF("id_a", "id_b")
-      time("pair agg") {
-        rawPairs.groupBy("id_a", "id_b").agg(count(lit(1)).as("shared")).count()
+      // stage timing: the fused cap+bucket aggregation (the kernel's one
+      // wide shuffle), then the end-to-end queries
+      graft.plans.CappedCollectLong.ensureRegistered(spark)
+      time("fused bucket agg") {
+        graft.operators.Dedup.shingleRows(docs).withColumnRenamed("shingle", "key")
+          .groupBy("key")
+          .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, 1000)").as("ids"))
+          .filter(col("ids").isNotNull)
+          .count()
       }
       time("full jaccardPairs") {
         graft.operators.Dedup.jaccardPairs(spark, sfDir).count()
