@@ -46,11 +46,10 @@ private[operators] object InvertedIndex {
       .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxDf)").as("ids"))
       .localCheckpoint()
     val hot = agged.filter(col("ids").isNull).select("key")
-    val buckets = agged.filter(col("ids").isNotNull).select("ids")
-    val capped = agged.filter(col("ids").isNotNull)
-      .select(col("key"), explode(col("ids")).as("doc_id"))
-    val cnts = buckets.select(explode(col("ids")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val nonHot = agged.filter(col("ids").isNotNull)
+    val buckets = nonHot.select("ids")
+    val capped = nonHot.select(col("key"), explode(col("ids")).as("doc_id"))
+    val cnts = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rawPairs = buckets.filter(size(col("ids")) >= 2)
       .as[Seq[Long]].flatMap { bucket =>
         val ids = bucket.toArray

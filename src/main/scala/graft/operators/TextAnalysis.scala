@@ -112,7 +112,9 @@ FROM scored ORDER BY doc_id
   }
 
   val qualitySql: String = {
-    val stoplist = StopwordSet.map(w => s"'$w'").mkString(", ")
+    // quote-escape each word: a future apostrophe marker (fr " l' ")
+    // would otherwise generate malformed SQL
+    val stoplist = StopwordSet.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
     s"""
 SELECT doc_id,
   CAST(length(text) AS INTEGER) AS n_chars,
@@ -356,19 +358,15 @@ khash AS (
     * the shuffles carry (hash, doc_id) rows only. */
   def winnowOverlap(spark: SparkSession, dir: String, threshold: Double = 0.8,
                     maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
-    // single evaluation pinned TWICE: .asNondeterministic() stops Catalyst
-    // duplicating the k=25 kernel per column, and localCheckpoint()
-    // truncates the subtree so every downstream reference reads the
-    // materialized (doc_id, hash) rows instead of re-running the
-    // scan+kernel (the un-checkpointed plan ran 6 FileScans of
-    // documents.parquet — at 100 TB a 6× corpus re-scan IS the query
-    // cost). The checkpoint holds (long, long) rows only — the winnowing
-    // density ≈ 2/(w+1) of codepoint positions — never the documents.
+    // .asNondeterministic() stops Catalyst duplicating the k=25 kernel
+    // per column; no checkpoint here — the fused index kernel reads this
+    // relation exactly ONCE into its own eagerly-checkpointed buckets, so
+    // an upstream materialization would be a pure extra pass (the
+    // historical 6×-FileScan disease is pinned dead by PlanShapeSpec)
     val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
       .asNondeterministic()
     val fps = docs(spark, dir)
       .select(col("doc_id"), explode(hashes(col("text"))).as("key"))
-      .localCheckpoint()
     InvertedIndex.parts(fps, maxHashDf).pairsAgg
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")).cast("double"))
@@ -427,10 +425,10 @@ ORDER BY id_a, id_b
       .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
       .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
       .localCheckpoint()
-    // the distinct-key relation is checkpointed too: the index kernel
-    // reads it multiple times (hot, capped, buckets) — each read would
-    // otherwise re-shuffle the distinct off the position rows
-    val wfp = fps.select(col("doc_id"), col("hash").as("key")).distinct().localCheckpoint()
+    // the fused index kernel reads the distinct-key relation once, so no
+    // checkpoint here; fps (positions) above IS checkpointed — it feeds
+    // both this derivation and the posA side below
+    val wfp = fps.select(col("doc_id"), col("hash").as("key")).distinct()
     val parts = InvertedIndex.parts(wfp, maxHashDf)
     val pairs = parts.pairsAgg
       .filter(col("shared").cast("double")
