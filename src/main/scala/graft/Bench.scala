@@ -14,6 +14,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Shuffle-file deletion rides the ContextCleaner; make it synchronous
+      // so a GC-triggered sweep finishes before the next timed query.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/session once (codegen compiler, parquet reader,
@@ -27,14 +30,25 @@ object Bench {
     // one cheap pass pays each query's Janino compile exactly once. Without
     // it the "cold" numbers measure one-time JVM compilation (e.g. a 20 s
     // Janino spike on a wide aggregate), not data-scale execution.
-    // Free the localCheckpoint blocks each query run accumulates
-    // (checkpointed RDDs are only reclaimed when GC collects the
-    // DataFrame — across a 50-query pass they pile up, squeeze execution
-    // memory, and made warm passes measure SLOWER than cold ones). Safe
-    // between queries: every run builds its checkpoints fresh.
+    // Free everything a query run accumulates. Three distinct leaks, all
+    // harness state rather than query cost, all of which made warm passes
+    // measure SLOWER than cold ones (r2: checkpoint blocks; r3 residue on
+    // q_sessionize/q_set_ops/q_semi_join — unchanged code, warm 2-3× cold):
+    //  1. localCheckpoint blocks — dropped by unpersist, but only if it
+    //     BLOCKS: async removal lags into the next query's timed window.
+    //  2. shuffle files + broadcast blocks — unpersist never touches these;
+    //     the ContextCleaner reclaims them only when the driver GCs the
+    //     referencing RDD/broadcast objects. 53 queries/pass without a GC
+    //     means the warm pass runs on the whole cold pass's shuffle garbage.
+    //  3. the SQL cache.
+    // System.gc() here is deliberate and outside every timer: it is what
+    // hands the dead references to the ContextCleaner (blocking-shuffle
+    // config above makes the sweep synchronous). Safe between queries:
+    // every run builds its checkpoints fresh.
     def dropCheckpointBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sqlContext.clearCache()
+      System.gc()
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
@@ -65,7 +79,12 @@ object Bench {
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def total(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"sf":"$sfDir"}"""
+    println(line)
+    // Also land the JSON in a file: the driver reconstructed r2+r3 results
+    // from a truncated stdout tail ("parsed": null in both BENCH files).
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
