@@ -94,6 +94,11 @@ object SparkEntry {
     // int8 scalar quantization: the 4×-storage-reduction leg of the
     // similarity stack, exact-int oracle on the quantizer itself
     "q_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
+    // the quantizer WIRED into a search path: IVF candidates scored on
+    // int8 codes (scale cancels in cosine → pure integer dots, 4× less
+    // vector data through the candidate joins) — fully oracled, since
+    // integer scoring has zero ulp hazard
+    "q_ivf_search_int8" -> ((s, dir) => Similarity.ivfSearchInt8(s, dir)),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
     "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
@@ -159,6 +164,7 @@ object SparkEntry {
     "q_ann_topk" -> Similarity.topKSql(),
     "q_ivf_assign" -> Similarity.ivfAssignSql(),
     "q_ivf_search" -> Similarity.ivfSearchSql(),
+    "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_quantize" -> Similarity.quantizeSql()
     // q_simhash_pairs, q_ann_lsh: probabilistic/hash-defined structures
     // with no SQL equivalent → rows-only check here, plus a differential

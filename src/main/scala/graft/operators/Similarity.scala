@@ -289,10 +289,18 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     val spark = corpus.sparkSession
     import spark.implicits._
     val planes = Array.tabulate(bands, planesPerBand)((b, p) => planeComps(b, p, dim))
+    // band bucket key: 64-bit mix of (band, SRP bits) — 8-byte shuffle rows
+    // instead of strings; a collision can only ADD a candidate pair, and
+    // every candidate is exact-verified below (same policy as minhash)
     val bucketed = corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        Iterator.range(0, bands).map(b => (b + ":" + srpBucketP(v, planes(b)), id))
+        Iterator.range(0, bands).map { b =>
+          var h = 0x9E3779B97F4A7C15L * (b + 1)
+          h ^= srpBucketP(v, planes(b)) * 0xC2B2AE3D27D4EB4FL
+          h = java.lang.Long.rotateLeft(h, 27) * 0x9E3779B97F4A7C15L
+          (h, id)
+        }
       }
     // pairs generate inside each band bucket; shuffle carries (bucket, id)
     // rows only — vectors never travel
@@ -326,34 +334,95 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
       .orderBy("id_a", "id_b")
   }
 
-  /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `nCentroids` seeded centroids (per-residue mean as a stand-in for
-    * trained k-means), emit the assignment + residual norm. Search-time
-    * probing then restricts candidates to the query's nearest centroids. */
-  def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 8): DataFrame = {
-    val withC = centroidDistances(emb(spark, dir), nCentroids)
-    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
-    withC.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid").as("centroid_id"),
+  /** Lloyd iterations applied to the residue-mean seed before any IVF
+    * assignment/search. Two rounds move the centroids most of the way to a
+    * local optimum on this corpus while keeping the whole computation
+    * SQL-expressible unrolled — so q_ivf_assign / q_ivf_search stay FULLY
+    * oracled with trained centroids (the round-3 residue cells were
+    * arbitrary and made recall meaningless as an ANN signal). */
+  val LloydIters = 2
+
+  /** IVF coarse quantization: assign each vector to the nearest of
+    * `nCentroids` Lloyd-trained centroids ([[trainedCentroidArrays]]), emit
+    * the assignment + residual norm. Search-time probing then restricts
+    * candidates to the query's nearest centroids. Assignment is a NARROW
+    * per-row kernel against the broadcast centroid model — zero shuffle
+    * (a cross-join + row_number formulation would pay an 8× row blowup
+    * plus a per-vector sort shuffle, per scan, for what is arithmetically
+    * an argmin). */
+  def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                iters: Int = LloydIters): DataFrame = {
+    import spark.implicits._
+    val base = emb(spark, dir)
+    val cents = trainedCentroidArrays(base, nCentroids, iters)
+    base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => val (cid, d2) = nearestCell(v, cents); (id, cid.toLong, d2) }
+      .toDF("vec_id", "centroid_id", "dist2")
+      .select(col("vec_id"), col("centroid_id"),
         round(sqrt(col("dist2")), 6).as("residual_dist"))
       .orderBy("vec_id")
   }
 
-  /** Every (vector, centroid) pair with its squared L2 distance: seeded
-    * per-residue-mean centroids (tiny — nCentroids rows) broadcast against
-    * the corpus; the distance is unrolled column algebra (codegen'd). */
-  private def centroidDistances(base: DataFrame, nCentroids: Int): DataFrame = {
-    val centroids = base
-      .withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
-      .groupBy("cid")
-      .agg(centroidAvgs.head, centroidAvgs.tail: _*)
-      .select(col("cid"), array((1 to Dim).map(i => col(s"__c$i")): _*).as("centroid"))
-    base.crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        (1 to Dim).map(i =>
-          (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)) *
-            (element_at(col("embedding"), i).cast("double") - element_at(col("centroid"), i)))
-          .reduce(_ + _))
+  /** Squared L2 distance, left-to-right accumulation — the arithmetic-order
+    * mirror of the oracle's `list_sum(list_transform(...))` distance (the
+    * same ulp discipline as [[dotP]]). */
+  private def dist2P(v: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest cell as (cid, dist2) — strict `<` with ascending cid gives the
+    * (dist2 ASC, cid ASC) tie-break every IVF oracle pins. */
+  private def nearestCell(v: Array[Float], cents: Array[Array[Double]]): (Int, Double) = {
+    var bestC = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val d = dist2P(v, cents(c))
+      if (d < bestD) { bestD = d; bestC = c }
+      c += 1
+    }
+    (bestC, bestD)
+  }
+
+  /** K-means centroids (indexed by cid) trained with `iters` deterministic
+    * Lloyd rounds from the per-residue-mean seed. Each round: nearest-cell
+    * assignment in a narrow kernel against the previous round's broadcast
+    * model, then ONE map-side-combining aggregation (64 fixed-width avg
+    * columns per cluster — per-group state independent of cluster size).
+    * A cluster that loses every member keeps its previous centroid —
+    * mirrored by the oracle's COALESCE, so empty cells can't diverge the
+    * engines.
+    *
+    * The model itself is `nCentroids × Dim` doubles — collected and shipped
+    * in task closures, the textbook distributed-k-means shape (at 100 TB
+    * each round stays one scan + one tiny aggregation; nothing data-sized
+    * ever converges on the driver). */
+  def trainedCentroidArrays(base: DataFrame, nCentroids: Int,
+                            iters: Int = LloydIters): Array[Array[Double]] = {
+    import base.sparkSession.implicits._
+    def toModel(rows: Array[org.apache.spark.sql.Row], prev: Array[Array[Double]]): Array[Array[Double]] = {
+      val next = prev.clone()
+      rows.foreach { r =>
+        next(r.getAs[Number]("cid").intValue) =
+          Array.tabulate(Dim)(i => r.getAs[Double](s"__c${i + 1}"))
+      }
+      next
+    }
+    var cents = toModel(
+      base.withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
+        .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect(),
+      Array.fill(nCentroids)(Array.fill(Dim)(0.0)))
+    for (_ <- 1 to iters) {
+      val model = cents
+      cents = toModel(
+        base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .map { case (_, v) => (nearestCell(v, model)._1, v) }
+          .toDF("cid", "embedding")
+          .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect(),
+        cents)
+    }
+    cents
   }
 
   /** Multi-probe IVF search — the low-threshold / dense-similarity tool
@@ -370,18 +439,11 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * At 100 TB the assignment relation is bucketed by cid so the probe
     * join co-locates. */
   def ivfSearch(spark: SparkSession, dir: String, nCentroids: Int = 8,
-                nprobe: Int = 2, k: Int = 5, nQueries: Int = 50): DataFrame = {
+                nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
+                iters: Int = LloydIters): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
-    val dist = centroidDistances(base, nCentroids)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
-    val ranked = dist.withColumn("r", row_number().over(wAssign))
-    val assign = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(col("vec_id") < nQueries && col("r") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("cid"))
-    val cand = probes.join(assign, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val cand = ivfCandidates(base, nCentroids, nprobe, nQueries, iters)
     // exact cosine on candidates only — same primitive kernel + norm-once
     // arithmetic as the verified baselines (topK hash-✓ pins the parity)
     val vecs = base.select(col("vec_id"), col("embedding"))
@@ -401,19 +463,150 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
       .orderBy("query_id", "rk")
   }
 
-  /** Full relational oracle for [[ivfSearch]] — same seeded centroids and
+  /** Candidate (query_id, neighbor_id) pairs from multi-probe IVF cell
+    * assignment — the shared front half of [[ivfSearch]] and
+    * [[ivfSearchInt8]]. One narrow kernel pass emits each vector's
+    * assignment (its nearest cell) and, for query vectors, the `nprobe`
+    * nearest cells — sorted per row in the kernel (≤ nCentroids entries),
+    * never through a window: the only shuffle here is the probe→cell
+    * equi-join itself. */
+  private def ivfCandidates(base: DataFrame, nCentroids: Int, nprobe: Int,
+                            nQueries: Int, iters: Int): DataFrame = {
+    import base.sparkSession.implicits._
+    val cents = trainedCentroidArrays(base, nCentroids, iters)
+    val ranked = base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val lim = if (id < nQueries) math.max(1, nprobe) else 1
+        Array.tabulate(cents.length)(c => (dist2P(v, cents(c)), c))
+          .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+          .iterator.take(lim).zipWithIndex
+          .map { case ((_, cid), r0) => (id, r0 + 1, cid) }
+      }
+      .toDF("vec_id", "r", "cid")
+    val assign = ranked.filter(col("r") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("r") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cid"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** Per-vector int8 quantization kernel — the primitive mirror of
+    * [[quantize]]'s column algebra (same scale = max|x|/127, same HALF_UP
+    * rounding via BigDecimal — the EXACT mechanism Catalyst's Round applies
+    * to doubles; a floor(|x|+0.5) shortcut diverges on values one ulp below
+    * a half boundary, where the +0.5 addition rounds up). */
+  private[graft] def quantizeVec(v: Array[Float]): Array[Byte] = {
+    var m = 0.0; var i = 0
+    while (i < v.length) { val a = math.abs(v(i).toDouble); if (a > m) m = a; i += 1 }
+    val scale = m / 127.0
+    val q = new Array[Byte](v.length)
+    if (scale != 0) {
+      i = 0
+      while (i < v.length) {
+        q(i) = java.math.BigDecimal.valueOf(v(i).toDouble / scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).byteValueExact()
+        i += 1
+      }
+    }
+    q
+  }
+
+  /** Integer dot product over int8 codes — exact (no floating point until
+    * the final division), which is what makes the int8 search path
+    * hash-oracle-able with zero ulp hazard in the scoring. */
+  private[graft] def dotI(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  /** [[ivfSearch]] scored on int8-quantized vectors — the storage leg
+    * ([[quantize]]) wired into an actual search path. The per-vector scale
+    * CANCELS in cosine (cos(s·qa, t·qb) = cos(qa, qb)), so scoring is pure
+    * integer dot products over 64-BYTE codes instead of 256-byte float
+    * arrays: 4× less data re-joined and shuffled per candidate, and the
+    * scoring arithmetic is exact integers — the whole path carries a full
+    * SQL oracle ([[ivfSearchInt8Sql]]), not just a recall spec. Recall vs
+    * the float path is pinned in OperatorsSpec (≥0.95 at k=5 probing all
+    * cells, where quantization error is the only difference). */
+  def ivfSearchInt8(spark: SparkSession, dir: String, nCentroids: Int = 8,
+                    nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
+                    iters: Int = LloydIters): DataFrame = {
+    import spark.implicits._
+    val base = emb(spark, dir)
+    val cand = ivfCandidates(base, nCentroids, nprobe, nQueries, iters)
+    val qvecs = base.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = quantizeVec(v)
+        (id, q, math.sqrt(dotI(q, q).toDouble))
+      }
+      .toDF("vid", "qvec", "qnrm")
+    val scored = cand
+      .join(qvecs.select(col("vid").as("query_id"), col("qvec").as("qa"), col("qnrm").as("na")), "query_id")
+      .join(qvecs.select(col("vid").as("neighbor_id"), col("qvec").as("qb"), col("qnrm").as("nb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("qa"), col("qb"), col("na"), col("nb"))
+      .as[(Long, Long, Array[Byte], Array[Byte], Double, Double)]
+      .map { case (q, nb, qa, qb, na, nbn) =>
+        val d = dotI(qa, qb)
+        (q, nb, if (na == 0 || nbn == 0) 0.0 else d.toDouble / (na * nbn))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** The Lloyd-training CTE chain, unrolled for `iters` rounds — shared by
+    * the IVF oracles. `cent0` is the residue-mean seed; each round t
+    * assigns on (dist2, cid) tie-breaks and recomputes per-cluster
+    * dimension means, COALESCE-ing empty clusters to their previous
+    * centroid exactly like [[trainedCentroidArrays]]. The final alias is
+    * always `cent`. */
+  private def centroidCtes(nCentroids: Int, dim: Int, iters: Int): String = {
+    val sb = new StringBuilder(s"""ex AS (
+  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, $dim) AS gs(i)
+), cm0 AS (
+  SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i
+), cent0 AS (
+  SELECT cid, list(c ORDER BY i) AS centroid FROM cm0 GROUP BY cid
+)""")
+    for (t <- 1 to iters) {
+      sb ++= s""", d$t AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent${t - 1} c
+), asg$t AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+    FROM d$t) rr WHERE r = 1
+), cm$t AS (
+  SELECT a.cid, gs.i, avg(CAST(e.embedding[gs.i] AS DOUBLE)) AS c
+  FROM asg$t a JOIN embeddings e USING (vec_id), generate_series(1, $dim) AS gs(i)
+  GROUP BY a.cid, gs.i
+), cent$t AS (
+  SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM cent${t - 1} p LEFT JOIN (
+    SELECT cid, list(c ORDER BY i) AS centroid FROM cm$t GROUP BY cid) n USING (cid)
+)"""
+    }
+    sb ++= s", cent AS (SELECT cid, centroid FROM cent$iters)"
+    sb.toString
+  }
+
+  /** Full relational oracle for [[ivfSearch]] — same trained centroids and
     * distance arithmetic as [[ivfAssignSql]], same probe/assign tie-breaks,
     * same cosine expression as the pair/top-k oracles. */
   def ivfSearchSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
-                   nQueries: Int = 50, dim: Int = Dim): String = s"""
-WITH ex AS (
-  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, $dim) AS gs(i)
-), cm AS (
-  SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i
-), cent AS (
-  SELECT cid, list(c ORDER BY i) AS centroid FROM cm GROUP BY cid
-), dist AS (
+                   nQueries: Int = 50, dim: Int = Dim,
+                   iters: Int = LloydIters): String = s"""
+WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(generate_series(1, $dim),
       i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
@@ -509,21 +702,16 @@ SELECT vec_id, round(scale, 6) AS scale, q1, q_mid,
 FROM err ORDER BY vec_id
 """.trim
 
-  /** DuckDB oracle for [[ivfAssign]]: same per-residue centroid means
-    * (per-dimension avg over the unnested (cid, i, x) relation), same
-    * squared-distance via explicit (e−c)·(e−c) products (NOT pow — ulp
-    * parity with Spark's multiply), same (dist2, cid) tie-break. Double
-    * summation order differs between engines at the ulp level only;
-    * round(·, 6) after the sqrt absorbs it (see docs/COVERAGE.md §oracles). */
-  def ivfAssignSql(nCentroids: Int = 8, dim: Int = Dim): String = s"""
-WITH ex AS (
-  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, $dim) AS gs(i)
-), cm AS (
-  SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i
-), cent AS (
-  SELECT cid, list(c ORDER BY i) AS centroid FROM cm GROUP BY cid
-), dist AS (
+  /** DuckDB oracle for [[ivfAssign]]: same Lloyd-trained centroids
+    * ([[centroidCtes]] — seed means, assignment rounds, empty-cluster
+    * COALESCE), same squared-distance via explicit (e−c)·(e−c) products
+    * (NOT pow — ulp parity with Spark's multiply), same (dist2, cid)
+    * tie-break. Double summation order differs between engines at the ulp
+    * level only; round(·, 6) after the sqrt absorbs it (see
+    * docs/COVERAGE.md §oracles). */
+  def ivfAssignSql(nCentroids: Int = 8, dim: Int = Dim,
+                   iters: Int = LloydIters): String = s"""
+WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(generate_series(1, $dim),
       i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
@@ -536,5 +724,61 @@ WITH ex AS (
 )
 SELECT vec_id, cid AS centroid_id, round(sqrt(dist2), 6) AS residual_dist
 FROM ranked WHERE rk = 1 ORDER BY vec_id
+""".trim
+
+  /** Full relational oracle for [[ivfSearchInt8]]: the [[centroidCtes]]
+    * training chain, the same probe/assign CTEs as [[ivfSearchSql]], then
+    * integer-dot scoring over HALF_UP-quantized codes (DuckDB `round` and
+    * the Scala kernel round identically — established by q_quantize's hash
+    * match). */
+  def ivfSearchInt8Sql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                       nQueries: Int = 50, dim: Int = Dim,
+                       iters: Int = LloydIters): String = s"""
+WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), rk AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+  FROM dist
+), assign AS (
+  SELECT vec_id, cid FROM rk WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM rk WHERE r <= $nprobe AND vec_id < $nQueries
+), cand AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM probes p JOIN assign a2 ON a2.cid = p.cid AND a2.vec_id <> p.query_id
+), qv AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, $dim),
+      i -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS BIGINT) END) AS q
+  FROM (
+    SELECT vec_id, embedding,
+      list_max(list_transform(generate_series(1, $dim),
+        i -> abs(CAST(embedding[i] AS DOUBLE)))) / 127.0 AS scale
+    FROM embeddings)
+), qn AS (
+  SELECT vec_id, q,
+    sqrt(CAST(list_sum(list_transform(generate_series(1, $dim), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+  FROM qv
+), sims AS (
+  SELECT c.query_id, c.neighbor_id,
+    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(generate_series(1, $dim), i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / (a.nrm * b.nrm) END AS cos
+  FROM cand c
+  JOIN qn a ON a.vec_id = c.query_id
+  JOIN qn b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk
 """.trim
 }
