@@ -221,7 +221,16 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     * Output is row-identical to the plain join (the oracle is the
     * UNSALTED join). Use when the build side is too big to broadcast and
     * AQE's runtime skew split is unavailable or insufficient; the salt
-    * multiplies the build side, so keep it small (8–32). */
+    * multiplies the build side, so keep it small (8–32).
+    *
+    * The salt derives from the hash of ALL fact columns — deterministic
+    * under stage retry (a monotonically_increasing_id salt recomputes
+    * DIFFERENTLY after a fetch-failure recompute when the fact side is
+    * itself shuffle output, duplicating or dropping join rows —
+    * SPARK-23207-class hazard). Restriction: rows identical in EVERY
+    * column share a salt, so a hot key whose rows are full duplicates
+    * stays on one partition — deduplicate or add a distinguishing column
+    * first. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salt: Int = 8): DataFrame = {
     // withColumn would silently REPLACE a caller's __salt column and the
@@ -229,7 +238,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin reserves the column name __salt; rename it on the input first")
     val salted = fact.withColumn("__salt",
-      pmod(hash(col(factKey), monotonically_increasing_id()), lit(salt)))
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
     val replicated = dim
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated,

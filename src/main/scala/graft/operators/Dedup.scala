@@ -293,11 +293,15 @@ FROM reach GROUP BY s ORDER BY doc_id
     * The eval set here is carved deterministically out of the corpus
     * (doc_id % 17 == 0) so the oracle can reconstruct it; identity pairs
     * are excluded (a document trivially "contaminates" itself). Shape:
-    * both sides shingle through the same kernel, the df cap comes from
-    * the TRAIN side (the big one — benchmark vocabulary is never hot),
+    * both sides shingle through the same kernel, the df cap is computed
+    * over the COMBINED corpus (the eval rows are a subset of the train
+    * relation here, and the oracle's `kept` CTE caps the same combined
+    * relation — inert at oracle scale, where cap 1000 > corpus size),
     * and the match is a plain equi-join on the shingle hash: the eval
     * index is tiny by nature (benchmarks are KBs against a 100 TB
-    * corpus), so AQE broadcasts it and the train index never shuffles. */
+    * corpus), so AQE broadcasts it and the train index never shuffles.
+    * For a genuine two-corpus deployment — where capping eval vocabulary
+    * by train-side frequency would be wrong — use [[contaminationOn]]. */
   def contamination(spark: SparkSession, dir: String, threshold: Double = 0.5,
                     maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     // the eval set is a SUBSET of the corpus here, so the shingle kernel
@@ -348,6 +352,46 @@ FROM shared JOIN eval_sizes USING (eval_id)
 WHERE CAST(shared AS DOUBLE) / CAST(n_eval AS DOUBLE) >= $threshold
 ORDER BY train_id, eval_id
 """.trim
+
+  /** Two-relation benchmark decontamination — the real API shape: `train`
+    * and `eval` are independent (doc_id, text) relations (ids may overlap
+    * numerically; no identity exclusion — separate corpora have no shared
+    * identity). Emits (train_id, eval_id, shared, containment) where
+    * containment = |train∩eval| / |eval| over 3-gram shingle sets.
+    *
+    * Semantics vs the carved [[contamination]]: the df cap is computed
+    * from the TRAIN side ONLY — a stopword-ish shingle hot in the training
+    * corpus is dropped from the index (skew guard), but eval-side set
+    * sizes are NEVER capped: n_eval counts every eval shingle, so a
+    * benchmark item whose shingles are all train-hot scores low
+    * containment rather than 0/0. Scale shape: one fused cap+bucket
+    * aggregation over the train side (the 100 TB side), eval shingles
+    * equi-join the index (eval is KBs → AQE broadcasts it). */
+  def contaminationOn(train: DataFrame, eval: DataFrame, threshold: Double = 0.5,
+                      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val spark = train.sparkSession
+    graft.plans.CappedCollectLong.ensureRegistered(spark)
+    val trainKept = shingleRows(train).withColumnRenamed("shingle", "key")
+      .groupBy("key")
+      .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
+      .filter(col("ids").isNotNull)
+      .select(col("key"), explode(col("ids")).as("train_id"))
+    val evalSh = shingleRows(eval)
+      .select(col("doc_id").as("eval_id"), col("shingle").as("key"))
+      .localCheckpoint() // read twice (sizes + join); eval is the small side
+    val evalSizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    trainKept
+      .join(evalSh, "key")
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(evalSizes, "eval_id")
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_eval").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("train_id", "eval_id")
+  }
 
   // --- MinHash + LSH ---------------------------------------------------
 
@@ -404,16 +448,30 @@ ORDER BY train_id, eval_id
     *      id_a then id_b — plain equi-joins Catalyst can execute as
     *      broadcast or sort-merge depending on size — and computes the
     *      intersection in a primitive per-row kernel.
-    * The shingling kernel runs twice (banding pass + verify side); that
-    * trade buys zero driver memory footprint and no cache lifecycle. */
+    * The shingling kernel runs ONCE: the (doc_id, shingles) relation is
+    * localCheckpoint'd and both the banding pass and the verify side read
+    * the materialized blocks — the same single-evaluation discipline as
+    * BM25/jaccard. Band buckets key on a 64-bit mix of (band, signature
+    * slice) — 8-byte shuffle rows instead of ~40-byte strings; a band-key
+    * collision can only ADD a candidate pair, and every candidate passes
+    * exact-Jaccard verification, so collisions cost a verify row, never
+    * correctness. */
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     import spark.implicits._
-    def shingled = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    val shingled = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
+      .localCheckpoint()
     val banded = shingled.flatMap { case (id, sh) =>
       val sig = minhashSig(sh)
       Iterator.range(0, Bands).map { b =>
-        (b + ":" + (0 until RowsPerBand).map(r => sig(b * RowsPerBand + r)).mkString(","), id)
+        var h = 0x9E3779B97F4A7C15L * (b + 1)
+        var r = 0
+        while (r < RowsPerBand) {
+          h ^= sig(b * RowsPerBand + r) * 0xC2B2AE3D27D4EB4FL
+          h = java.lang.Long.rotateLeft(h, 27) * 0x9E3779B97F4A7C15L
+          r += 1
+        }
+        (h, id)
       }
     }
     val pairs = banded.groupByKey(_._1).flatMapGroups { (_, it) =>

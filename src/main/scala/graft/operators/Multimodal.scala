@@ -247,6 +247,9 @@ object Multimodal {
     * exercised even where no codec exists. Streaming flatMap per
     * partition; emitted rows carry features, never frame rasters. */
   def frameSample(media: Dataset[MediaRecord], stride: Int = 5): Dataset[MediaFrame] = {
+    // a non-positive stride would make Range(0, n, stride) throw inside the
+    // task and fail the whole job — reject it at plan-build time instead
+    require(stride > 0, s"frameSample stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { r =>
       val bytes = if (r.content == null) Array.empty[Byte] else r.content
@@ -264,17 +267,21 @@ object Multimodal {
                   reader.setInput(iis)
                   // header-first bomb guard, same as decode/resize: a
                   // crafted frame size would OOM at reader.read (an error
-                  // the NonFatal catch does NOT absorb)
-                  if (reader.getWidth(0).toLong * reader.getHeight(0).toLong >
-                    MediaDecoder.MaxRasterPixels) None
-                  else {
-                    val n = reader.getNumImages(true)
-                    Some(Range(0, n, stride).map { i =>
+                  // the NonFatal catch does NOT absorb). Checked for EVERY
+                  // sampled frame, not just frame 0 — GIF frames carry
+                  // independent dimensions, so a bomb can hide a huge
+                  // frame behind a small first one.
+                  val n = reader.getNumImages(true)
+                  val sampled = Range(0, n, stride)
+                  if (sampled.exists(i =>
+                    reader.getWidth(i).toLong * reader.getHeight(i).toLong >
+                      MediaDecoder.MaxRasterPixels)) None
+                  else
+                    Some(sampled.map { i =>
                       val img = reader.read(i)
                       MediaFrame(r.media_id, i, img.getWidth, img.getHeight,
                         lumaHistogram(img))
                     })
-                  }
                 } finally reader.dispose()
               }
             } finally iis.close()

@@ -29,11 +29,14 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Whitespace token counts per document (same tokenizer as
-    * [[TextAnalysis.tokenCount]]'s ws_tokens — the cheap proxy). */
+    * [[TextAnalysis.tokenCount]]'s ws_tokens — the cheap proxy). NULL text
+    * behaves like '' (the repo-wide convention): without the coalesce,
+    * Spark's size(null) is -1 and a NULL-text document would subtract a
+    * token from the prefix sum while DuckDB's oracle yields NULL. */
   private def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("tokens"))
+        size(split(coalesce(col("text"), lit("")), "\\s+")).cast("long").as("tokens"))
 
   /** The packing plan: one row per output chunk. */
   def packSequences(spark: SparkSession, dir: String, budget: Long = 1024L,
@@ -74,7 +77,7 @@ object Packing {
 
   def packSequencesSql(budget: Long = 1024L): String = s"""
 WITH toks AS (
-  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS tokens
+  SELECT doc_id, CAST(len(regexp_split_to_array(COALESCE(text, ''), '\\s+')) AS BIGINT) AS tokens
   FROM documents
 ), cum AS (
   SELECT doc_id, tokens, SUM(tokens) OVER (ORDER BY doc_id) AS cum FROM toks

@@ -62,17 +62,28 @@ object Serving {
     * — the synchronous response the reference's handler sends. */
   def submit(requests: DataFrame, landingDir: String,
              maxBytes: Long = MaxUploadBytes): DataFrame = {
+    val spark = requests.sparkSession
+    import spark.implicits._
     // persist pins ONE evaluation of the gate: the landing write below is
-    // an action, and the receipts the caller collects later would
-    // otherwise RE-EVALUATE `requests` — a non-deterministic or
-    // since-changed source could then land a request the receipt reports
-    // rejected (or vice versa). The cache is populated by the write's
-    // full-partition scans, so receipts read what was actually gated.
+    // an action, and the receipts read afterwards would otherwise
+    // RE-EVALUATE `requests` — a non-deterministic or since-changed source
+    // could then land a request the receipt reports rejected (or vice
+    // versa). The cache is populated by the write's full-partition scans,
+    // so receipts read what was actually gated. Receipts are materialized
+    // EAGERLY (one small row per request — the 202-vs-4xx response body,
+    // never the payload) so the cache — which pins the binary payloads —
+    // can be released before returning: a long-lived serving session
+    // calling submit per request batch must not accumulate cached
+    // partitions until memory pressure evicts them.
     val gated = requests.withColumn("reason", gateReason(maxBytes)).persist()
-    gated.filter(col("reason").isNull)
-      .select("request_id", "tenant_id", "filename", "content")
-      .write.mode(SaveMode.Append).parquet(landingDir)
-    gated.select(col("request_id"), col("reason").isNull.as("accepted"), col("reason"))
+    try {
+      gated.filter(col("reason").isNull)
+        .select("request_id", "tenant_id", "filename", "content")
+        .write.mode(SaveMode.Append).parquet(landingDir)
+      gated.select(col("request_id"), col("reason").isNull.as("accepted"), col("reason"))
+        .as[(String, Boolean, String)].collect().toSeq
+        .toDF("request_id", "accepted", "reason")
+    } finally gated.unpersist(blocking = false)
   }
 
   /** The dispatcher: stream the landing zone, decode (real PDF extraction

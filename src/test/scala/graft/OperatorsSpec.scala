@@ -141,6 +141,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("Lloyd training improves IVF recall over the residue-cell seed") {
+    // the round-3 verdict's point: residue cells are arbitrary, so their
+    // recall is meaningless as an ANN signal. Two deterministic Lloyd
+    // rounds must beat the seed (measured 0.424 → 0.472 at sf0.001,
+    // 0.404 → 0.472 at sf0.01; the ceiling is modest because the synthetic
+    // corpus is near-uniform — little cluster structure to recover).
+    val k = 5
+    val exact = Similarity.topK(spark, sf, k = k, nQueries = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(iters: Int): Double = {
+      val ivf = Similarity.ivfSearch(spark, sf, nprobe = 2, k = k,
+          nQueries = 50, iters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val seed = recall(0)
+    val trained = recall(Similarity.LloydIters)
+    info(s"ivf recall@$k: seed=$seed trained=$trained")
+    assert(trained > seed,
+      s"Lloyd training must improve recall on this corpus: seed=$seed trained=$trained")
+    assert(trained >= 0.45, s"trained recall regressed below the measured floor: $trained")
+  }
+
+  test("int8-scored IVF search: recall ≥0.95 and cos error within the RMSE budget") {
+    // probing ALL cells isolates quantization error as the only difference
+    // from the exact float ranking — this is the recall budget of the 4×
+    // storage/shuffle reduction, not of the cell probing
+    val k = 5
+    val exact = Similarity.topK(spark, sf, k = k, nQueries = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val q8 = Similarity.ivfSearchInt8(spark, sf, nprobe = 8, k = k, nQueries = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val recall = (exact.keySet & q8.keySet).size.toDouble / exact.size
+    info(s"int8 ivf recall@$k (nprobe=8) = $recall")
+    assert(recall >= 0.95, s"int8 scoring broke the ranking: recall=$recall")
+    // int8 cosine must track float cosine tightly on shared pairs
+    val errs = (exact.keySet & q8.keySet).toSeq.map(p => math.abs(exact(p) - q8(p)))
+    val maxErr = errs.max
+    info(s"int8 cos error: max=$maxErr")
+    assert(maxErr <= 0.02, s"quantized cosine drifted: max |Δcos| = $maxErr")
+  }
+
   test("int8 quantization: range and reconstruction bounds hold corpus-wide") {
     val out = Similarity.quantize(spark, sf).collect()
     assert(out.nonEmpty)
@@ -255,6 +297,41 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     // exactly one contaminated pair: train doc 1 fully contains eval 17
     assert(out.toSeq == Seq((1L, 17L, 1.0)), s"got ${out.toSeq}")
+  }
+
+  test("contaminationOn: independent train/eval relations, no identity exclusion") {
+    val evalText = "alpha beta gamma delta epsilon"
+    val train = Seq(
+      (1L, s"prefix words here $evalText suffix tail words"),
+      (2L, "completely unrelated content about other things entirely"),
+      // same numeric id as an eval doc — separate corpora share no
+      // identity, so this pair MUST be emitted (the carved query excludes
+      // train_id = eval_id; the two-relation API must not)
+      (100L, s"id collision is meaningless across corpora $evalText indeed")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, evalText),
+      (200L, "isolated benchmark item that nothing in training contains")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationOn(train, eval, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 100L, 1.0), (100L, 100L, 1.0)), s"got $out")
+  }
+
+  test("contaminationOn: the df cap counts TRAIN frequency only") {
+    val evalText = "alpha beta gamma delta epsilon"
+    // one train doc carries the text (train df = 1 per shingle); TWO eval
+    // docs carry it. With the cap at 1: a train-side cap keeps the
+    // shingles (df 1 ≤ 1) and both eval docs match; a combined-corpus cap
+    // (the carved query's shape) would see df 3 and drop everything.
+    val train = Seq(
+      (1L, s"prefix $evalText tail"),
+      (2L, "unrelated filler content with different words entirely")
+    ).toDF("doc_id", "text")
+    val eval = Seq((10L, evalText), (20L, evalText)).toDF("doc_id", "text")
+    val out = Dedup.contaminationOn(train, eval, threshold = 0.5, maxShingleDf = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 10L, 1.0), (1L, 20L, 1.0)), s"got $out")
   }
 
   test("passages: merged spans reconstruct the shared passages, island per passage") {
