@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.operators.Similarity
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Incremental top-k similarity search over a vector STREAM — the
@@ -75,6 +76,14 @@ object StreamingSimilarity {
       }
       best.valuesIterator.flatten
     }
+    foldTopK(candidates, k)
+  }
+
+  /** The per-query state fold shared by both panel forms: merge the
+    * batch's (map-side-pruned) candidates into the ≤ k state, emit what
+    * entered. */
+  private def foldTopK(candidates: Dataset[Candidate], k: Int): Dataset[Entered] = {
+    import candidates.sparkSession.implicits._
     candidates
       .groupByKey(_.query_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -91,5 +100,55 @@ object StreamingSimilarity {
             .filter(x => !priorCos.get(x.vec_id).contains(x.cos))
             .map(x => Entered(x.query_id, x.vec_id, x.cos))
       }
+  }
+
+  /** [[incrementalTopK]] with the query panel as a DATAFRAME — the
+    * stream-static form: the panel relation re-evaluates every
+    * micro-batch, so a query registered in the backing store (a JDBC
+    * registry table, a catalog table) joins the stream WITHOUT restarting
+    * it. Dynamism is bounded by the static source's re-evaluation
+    * semantics: a JDBC/catalog relation re-queries per trigger; a plain
+    * parquet path pins its file listing at DataFrame creation and will
+    * NOT see files appended later.
+    *
+    * Panel schema: (query_id: long, embedding: array<float>). A query
+    * registered mid-stream ranks only vectors ingested AFTER registration
+    * — its state starts empty, there is no retroactive backfill (the
+    * batch counterpart [[graft.operators.Similarity.topK]] covers the
+    * history).
+    *
+    * Scale shape: the panel BROADCAST-joins each micro-batch (static side
+    * is tiny by nature — it is a query registry), the cosine evaluates in
+    * the same primitive kernel, and the same map-side per-partition top-k
+    * prune bounds the shuffle at partitions × |panel| × k rows before the
+    * unchanged state fold. */
+  def incrementalTopKDynamic(vectors: Dataset[VecRow], panel: DataFrame,
+                             k: Int = 5): Dataset[Entered] = {
+    require(k > 0, s"incrementalTopKDynamic needs k > 0, got $k")
+    import vectors.sparkSession.implicits._
+    // constant-key equi-join instead of a bare cross join: same cartesian
+    // semantics (the panel is tiny), but it stays on the supported
+    // stream-static broadcast-hash-join path
+    val joined = vectors.toDF().withColumn("__one", lit(1))
+      .join(broadcast(panel
+        .select(col("query_id").cast("long").as("query_id"),
+          col("embedding").as("q_embedding"))
+        .withColumn("__one", lit(1))), "__one")
+      .select(col("query_id"), col("q_embedding"), col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+    val candidates = joined.mapPartitions { rows =>
+      val best = scala.collection.mutable.HashMap.empty[Long, Seq[Candidate]]
+      rows.foreach { case (qid, qv, vid, v) =>
+        if (v != null && qv != null && v.length == qv.length) {
+          val cos = Similarity.dotP(qv, v) / (Similarity.normP(qv) * Similarity.normP(v))
+          if (java.lang.Double.isFinite(cos)) {
+            val c = Candidate(qid, vid, cos)
+            best.update(qid, merge(best.getOrElse(qid, Seq.empty), c, k))
+          }
+        }
+      }
+      best.valuesIterator.flatten
+    }
+    foldTopK(candidates, k)
   }
 }

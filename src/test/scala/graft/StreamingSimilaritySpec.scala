@@ -76,4 +76,46 @@ class StreamingSimilaritySpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1.0), (2L, 0.7071), (2L, 0.9487), (6L, 0.9939)),
       s"got ${out.toSeq}")
   }
+
+  test("dynamic panel: a query registered mid-stream joins without a restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the panel lives in an embedded Derby registry: a JDBC relation
+    // re-executes its scan every micro-batch (unlike a parquet path,
+    // whose file listing pins at DataFrame creation), so INSERTs become
+    // visible to the running stream — the embedding travels as CSV text,
+    // parsed in the panel projection, which re-evaluates with the scan
+    val url = "jdbc:derby:memory:graftpanel;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE panel (query_id BIGINT, emb VARCHAR(200))")
+    conn.createStatement().execute("INSERT INTO panel VALUES (1, '1,0,0,0')")
+    val panel = spark.read.jdbc(url, "panel", new java.util.Properties())
+      .select(col("query_id"),
+        expr("transform(split(emb, ','), x -> cast(x as float))").as("embedding"))
+    val mem = MemoryStream[VecRow]
+    val q = StreamingSimilarity.incrementalTopKDynamic(mem.toDS(), panel, k = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inc_topk_dyn").start()
+    try {
+      // batch 1: only query 1 is registered
+      mem.addData(VecRow(10L, Array(2f, 0f, 0f, 0f)), VecRow(11L, Array(1f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      // register query 2 MID-STREAM, then ingest one more vector
+      conn.createStatement().execute("INSERT INTO panel VALUES (2, '0,1,0,0')")
+      mem.addData(VecRow(12L, Array(0f, 3f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("inc_topk_dyn").as[Entered].collect()
+      .map(e => (e.query_id, e.vec_id, math.rint(e.cos * 10000) / 10000))
+    val q1 = out.filter(_._1 == 1L).map(t => (t._2, t._3)).sortBy(_._1)
+    val q2 = out.filter(_._1 == 2L).map(t => (t._2, t._3)).sortBy(_._1)
+    // q1 saw both batches: 10 and 11 entered in batch 1; v12 (cos 0)
+    // never enters the full top-2
+    assert(q1.toSeq == Seq((10L, 1.0), (11L, 0.7071)), s"q1: ${q1.toSeq}")
+    // q2 exists from batch 2 on and ranks ONLY batch-2 vectors — no
+    // retroactive backfill of v10/v11
+    assert(q2.toSeq == Seq((12L, 1.0)), s"q2: ${q2.toSeq}")
+  }
 }
