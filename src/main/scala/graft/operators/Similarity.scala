@@ -283,6 +283,40 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
                dim: Int = Dim, bands: Int = 48, planesPerBand: Int = 12): DataFrame =
     annPairsOn(emb(spark, dir), threshold, dim, bands, planesPerBand)
 
+  /** SRP banding parameters (bands, planesPerBand) for a corpus of `n`
+    * vectors at `threshold` — the scale rule SCALING.md's measurement
+    * forced into the API: at FIXED banding the random-collision noise
+    * floor applies to all C(n,2) pairs, so candidates grow quadratically
+    * with the corpus (measured 14.3× time at 10× data; re-banding
+    * restored 4.1× with MORE recall).
+    *
+    * Rule: the per-band collision probability of a pair at angle θ is
+    * (1−θ/π)^p; for random pairs (θ≈π/2) it is 2⁻ᵖ. Take the SMALLEST
+    * planes-per-band p whose expected random candidates fit the linear
+    * budget `noisePerVector · n`, then the closed-form minimum band count
+    * restoring `minRecall` at the threshold boundary:
+    * b = ⌈ln(1−minRecall) / ln(1−(1−θ/π)ᵖ)⌉.
+    *
+    * Defaults reproduce the shipped regime: n=8,000 (the 1× augmented
+    * corpus) → (46, 12) ≈ the 48×12 default; n=80,000 → (146, 17) ≈ the
+    * measured 128×16 rescale. */
+  def bandingFor(n: Long, threshold: Double, minRecall: Double = 0.95,
+                 noisePerVector: Double = 64.0): (Int, Int) = {
+    require(n > 1 && threshold > 0 && threshold < 1 && minRecall > 0 && minRecall < 1,
+      s"bandingFor($n, $threshold, $minRecall): need n>1 and probabilities in (0,1)")
+    val q = 1.0 - math.acos(threshold) / math.Pi
+    val allPairs = n.toDouble * (n - 1) / 2
+    (4 to 32).iterator.map { p =>
+      val bandHit = math.pow(q, p)
+      val b = math.ceil(math.log(1 - minRecall) / math.log(1 - bandHit)).toInt
+      val noisePairs = allPairs * (1 - math.pow(1 - math.pow(0.5, p), b))
+      (b, p, noisePairs)
+    }.collectFirst { case (b, p, noise) if noise <= noisePerVector * n => (b, p) }
+      .getOrElse(throw new IllegalArgumentException(
+        s"bandingFor($n, $threshold): no banding ≤32 planes meets the noise budget — " +
+          "raise noisePerVector or use exact blocking"))
+  }
+
   /** [[annPairs]] over an explicit corpus. */
   def annPairsOn(corpus: DataFrame, threshold: Double = 0.8,
                  dim: Int = Dim, bands: Int = 48, planesPerBand: Int = 12): DataFrame = {

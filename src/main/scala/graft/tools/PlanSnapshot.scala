@@ -13,7 +13,8 @@ object PlanSnapshot {
       "q_anti_join", "q_events_hourly", "q_minhash_dedup",
       "q_block_segment", "q_ann_lsh", "q_winnow_overlap", "q_jaccard_pairs",
       "q_passages", "q_pack_sequences", "q_pii_redact", "q_repetition",
-      "q_contamination", "q_salted_join", "q_curation_pipeline", "q_bm25")
+      "q_contamination", "q_salted_join", "q_curation_pipeline", "q_bm25",
+      "q_ivf_search", "q_ivf_search_int8")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.PlanSnapshot\"`. Lines\n")

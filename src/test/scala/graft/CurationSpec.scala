@@ -93,4 +93,18 @@ class CurationSpec extends AnyFunSuite {
     // non-empty bins
     assert(sorted.forall(_.getLong(1) >= 1))
   }
+
+  test("sequence packing: NULL text counts as '' (one token), never -1") {
+    import spark.implicits._
+    // Spark's size(split(null)) is -1; without the coalesce a NULL-text
+    // doc would SUBTRACT a token from the prefix sum (and diverge from
+    // the DuckDB oracle's NULL). The repo convention: NULL behaves as ''.
+    val dir = java.nio.file.Files.createTempDirectory("graft-packnull").toString
+    Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Packing.packSequences(spark, dir, budget = 100L).collect()
+    // 3 + 1 ('' splits to one empty token) + 2
+    assert(out.map(_.getLong(2)).sum == 6, s"got ${out.mkString(";")}")
+    assert(out.map(_.getLong(1)).sum == 3)
+  }
 }

@@ -113,6 +113,19 @@ class MediaDecodeSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling: a non-positive stride is rejected at plan-build time") {
+    import spark.implicits._
+    val rec = Multimodal.MediaRecord(8L, "video", Array[Byte](9, 8, 77))
+    // inside a task, Range(0, n, 0) would throw and fail the whole job;
+    // the guard must fire before any job is launched
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(Seq(rec).toDS(), stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(Seq(rec).toDS(), stride = -3)
+    }
+  }
+
   test("frame sampling: non-GIF payloads emit deterministic synthetic frames") {
     import spark.implicits._
     val rec = Multimodal.MediaRecord(8L, "video", Array[Byte](9, 8, 77, 3, 4, 5))

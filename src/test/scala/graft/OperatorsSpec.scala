@@ -120,6 +120,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert((ann -- exact).isEmpty, "ann emitted a pair below threshold (verify step broken)")
   }
 
+  test("bandingFor: noise budget linear in n, recall restored, planes deepen with scale") {
+    def recallOf(b: Int, p: Int, threshold: Double): Double = {
+      val q = 1.0 - math.acos(threshold) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(q, p), b)
+    }
+    def noiseOf(b: Int, p: Int, n: Long): Double =
+      n.toDouble * (n - 1) / 2 * (1 - math.pow(1 - math.pow(0.5, p), b))
+    for (n <- Seq(8000L, 80000L, 800000L)) {
+      val (b, p) = Similarity.bandingFor(n, 0.8)
+      info(s"n=$n -> ${b}x$p bands, recall=${recallOf(b, p, 0.8)}, noise/vec=${noiseOf(b, p, n) / n}")
+      assert(recallOf(b, p, 0.8) >= 0.95, s"n=$n: recall broken")
+      assert(noiseOf(b, p, n) <= 64.0 * n, s"n=$n: noise budget broken")
+    }
+    // the SCALING.md measurement, as an invariant: parameters DEEPEN with n
+    assert(Similarity.bandingFor(80000L, 0.8)._2 > Similarity.bandingFor(8000L, 0.8)._2)
+    // the shipped 1x regime is what the rule reproduces
+    assert(Similarity.bandingFor(8000L, 0.8) == (46, 12),
+      s"got ${Similarity.bandingFor(8000L, 0.8)}")
+  }
+
   test("IVF search with nprobe = nCentroids degenerates to the exact top-k") {
     val ivfAll = Similarity.ivfSearch(spark, sf, nCentroids = 8, nprobe = 8, k = 3, nQueries = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
