@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   *   - id stride 10M per block — clear of the q_ann_lsh augmentation
   *     stride (3 × 1M) and of every real id.
   *
-  * Usage: runMain graft.tools.ScaleProbe [srcDir] [factor] [genDir]
+  * Usage: runMain graft.tools.ScaleProbe [srcDir] [factor] [genDir] [annMode]
+  * annMode: `shipped` (default — q_ann_lsh exactly as the driver runs it,
+  * 48×12 banding at both scales), `auto` (banding from
+  * [[graft.operators.Similarity.bandingFor]] at each corpus's size — the
+  * self-scaling form, the honest configuration beyond ~10×), or `skip`.
   * Prints a markdown table of cold/warm seconds and output rows at 1×
   * and factor× — the data behind SCALING.md.
   */
@@ -77,6 +81,7 @@ object ScaleProbe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
     val gen = if (args.length > 2) args(2) else s"/tmp/graft_scale${factor}x"
+    val annMode = if (args.length > 3) args(3) else "shipped"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,11 +105,19 @@ object ScaleProbe {
       catch { case e: Throwable => System.err.println(s"[scale] prewarm $name: ${e.getMessage}") }
       finally drop()
     }
+    val family = if (annMode == "skip") Family.filterNot(_ == "q_ann_lsh") else Family
+    def runQuery(name: String, dir: String): DataFrame =
+      if (name == "q_ann_lsh" && annMode == "auto") {
+        val aug = graft.operators.Similarity.augmentedEmb(spark, dir)
+        val (b, p) = graft.operators.Similarity.bandingFor(aug.count(), 0.8)
+        println(s"[scale] ann auto-banding for $dir: ${b}x$p")
+        graft.operators.Similarity.annPairsOn(aug, 0.8, bands = b, planesPerBand = p)
+      } else SparkEntry.queries(name)(spark, dir)
     case class M(name: String, dir: String, cold: Double, warm: Double, rows: Long)
-    val ms = for (dir <- Seq(src, gen); name <- Family) yield {
+    val ms = for (dir <- Seq(src, gen); name <- family) yield {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val n = try SparkEntry.queries(name)(spark, dir).count()
+        val n = try runQuery(name, dir).count()
         finally drop()
         ((System.nanoTime() - t0) / 1e9, n)
       }
@@ -116,7 +129,7 @@ object ScaleProbe {
     println("\n| query | 1x cold | 1x warm | 1x rows | " +
       s"${factor}x cold | ${factor}x warm | ${factor}x rows | warm ratio | rows ratio |")
     println("|---|---|---|---|---|---|---|---|---|")
-    Family.foreach { name =>
+    family.foreach { name =>
       val a = ms.find(m => m.name == name && m.dir == src).get
       val b = ms.find(m => m.name == name && m.dir == gen).get
       println(f"| $name | ${a.cold}%.2f | ${a.warm}%.2f | ${a.rows} | " +

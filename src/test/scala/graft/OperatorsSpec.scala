@@ -319,6 +319,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 17L, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("jaccard df cap: a hot shingle is dropped from index AND set sizes") {
+    // the skew guard end-to-end (at corpus scale the default cap of 1000
+    // never activates, so this pins the semantics the 100 TB story rests
+    // on): every doc shares 'x y z' (df 5); with the cap at 4 it must
+    // drop from the inverted index and from BOTH set sizes — the exact
+    // behavior the DuckDB oracle's `kept` CTE mirrors
+    val docs = Seq(
+      (1L, "x y z a b c d"), (2L, "x y z a b c e"), (3L, "x y z q r s t"),
+      (4L, "x y z u v w m"), (5L, "x y z n o p k"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcap").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    def pairs(cap: Int) = Dedup.jaccardPairs(spark, dir, threshold = 0.5, maxShingleDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // cap inert: docs 1-2 share 4 of 5 shingles -> 4/(5+5-4) = 2/3
+    assert(pairs(1000) == Seq((1L, 2L, 4L, 0.666667)), s"got ${pairs(1000)}")
+    // cap 4 drops 'x y z' (df 5): 3 shared of 4-shingle sets -> 3/5; the
+    // only shingle docs 3-5 share is the dropped one -> still no pairs
+    assert(pairs(4) == Seq((1L, 2L, 3L, 0.6)), s"got ${pairs(4)}")
+  }
+
   test("contaminationOn: independent train/eval relations, no identity exclusion") {
     val evalText = "alpha beta gamma delta epsilon"
     val train = Seq(
