@@ -48,6 +48,9 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => EventOps.asofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => EventOps.binnedRangeJoin(s, dir)),
     "q_running_totals" -> ((s, dir) => EventOps.runningTotals(s, dir)),
+    // CDC compaction: latest version per entity, as a partial-aggregatable
+    // max(struct) — map-side combine, no window sort (see EventOps.latestOn)
+    "q_latest_by_key" -> ((s, dir) => EventOps.latestByKey(s, dir)),
     // training-data pipeline: text analysis
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
@@ -132,6 +135,7 @@ object SparkEntry {
     "q_asof_join" -> EventOps.asofJoinSql,
     "q_range_join" -> EventOps.binnedRangeJoinSql,
     "q_running_totals" -> EventOps.runningTotalsSql,
+    "q_latest_by_key" -> EventOps.latestByKeySql,
     "q_langid" -> TextAnalysis.langIdSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,

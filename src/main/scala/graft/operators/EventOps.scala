@@ -159,6 +159,63 @@ SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
 FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
 """.trim
 
+  /** CDC-style compaction: collapse a versioned event log to the LATEST
+    * version per entity — the "keep the newest crawl of each URL" /
+    * upsert-materialization step every training-data refresh runs.
+    *
+    * Deliberately NOT the row_number()-window formulation: that plan
+    * shuffles the ENTIRE log on the entity key and sorts each reducer
+    * partition by (key, version). This is an aggregation picking the
+    * lexicographically-greatest (version..., payload...) struct per
+    * entity, so it PARTIAL-aggregates: each map task pre-collapses to one
+    * row per entity before the exchange, and the shuffle carries one row
+    * per (entity × map partition) instead of the whole log. On a 100 TB
+    * log where entities repeat thousands of times, that map-side combine
+    * is the difference between shuffling the corpus and shuffling the
+    * entity set.
+    *
+    * The aggregate is [[graft.plans.ArgMaxStruct]], not the declarative
+    * `max(struct(...))`: a struct-typed Max buffer is immutable for
+    * UnsafeRow, which demotes the plan to SortAggregate (each map split
+    * locally sorted by key before the partial aggregate). The typed
+    * buffer keeps it in hash-based ObjectHashAggregate — no sort anywhere
+    * but the presentation ORDER BY. Deterministic because (ts, event_id)
+    * is unique — the payload fields after the version prefix are never
+    * consulted by the comparison. */
+  def latestOn(log: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
+               payloadCols: Seq[String]): DataFrame = {
+    require(versionCols.nonEmpty, "latestOn needs at least one version column")
+    graft.plans.ArgMaxStruct.ensureRegistered(log.sparkSession)
+    val fields = (versionCols ++ payloadCols).map(c => s"`$c`").mkString(", ")
+    log.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(struct($fields))").as("latest"),
+        count(lit(1)).cast("long").as("n_versions"))
+      .select(keyCols.map(col) ++
+        (versionCols ++ payloadCols).map(c => col(s"latest.$c").as(c)) :+
+        col("n_versions"): _*)
+  }
+
+  /** Latest event per (user, event_type) entity over the events table. */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame =
+    latestOn(events(spark, dir), keyCols = Seq("user_id", "event_type"),
+      versionCols = Seq("ts", "event_id"), payloadCols = Seq("value"))
+      .orderBy("user_id", "event_type")
+
+  /** Oracle uses the window formulation — same semantics, fine at
+    * verification scale; ties impossible (event_id unique per row). */
+  val latestByKeySql: String = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id, value,
+    row_number() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+  FROM events
+)
+SELECT user_id, event_type, ts, event_id, value,
+  CAST(n_versions AS BIGINT) AS n_versions
+FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+""".trim
+
   /** Attribution window = bin width for [[binnedRangeJoin]], in µs
     * (3 days). Interval length = bin width ⇒ an interval spans ≤ 2 bins. */
   val RangeBinUs: Long = 3L * 86400L * 1000000L

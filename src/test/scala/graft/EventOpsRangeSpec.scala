@@ -53,4 +53,66 @@ class EventOpsRangeSpec extends AnyFunSuite {
     assert(binned.length == naive.length)
     binned.zip(naive).foreach { case (b, n) => assert(b == n, s"$b vs $n") }
   }
+
+  test("latestByKey equals the window formulation, partial-aggregates, no Window") {
+    val dir = "/root/testdata/sf0.001"
+    val compacted = EventOps.latestByKey(spark, dir)
+    compacted.collect() // finalize AQE before reading the executed plan
+    val plan = compacted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // partial + final aggregate pair: the map-side combine the 100 TB
+    // claim rests on (shuffle carries one row per entity per map task)
+    assert("(?i)partial".r.findFirstIn(plan).isDefined, plan)
+    // the typed ArgMaxStruct buffer must keep the aggregation hash-based;
+    // declarative max(struct) would demote to SortAggregate and locally
+    // sort every map split by the entity key
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byVer = W.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val nVer = W.partitionBy("user_id", "event_type")
+    val rows = compacted.collect()
+    val windowRows = {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      val ev =
+        try spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      ev.withColumn("rn", row_number().over(byVer))
+        .withColumn("n_versions", count(lit(1)).over(nVer))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          col("value"), col("n_versions"))
+        .orderBy("user_id", "event_type")
+        .collect()
+    }
+    assert(rows.length == windowRows.length)
+    rows.zip(windowRows).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("latestOn: version ties break on the next version column") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, "k", 10L, 100L, 1.0),
+      (2L, "k", 10L, 200L, 2.0), // same ts, higher event_id wins
+      (3L, "k", 9L, 900L, 3.0),
+      (4L, "other", 1L, 1L, 4.0)
+    ).toDF("event_id", "event_type", "ts", "sub", "value")
+      .withColumnRenamed("sub", "event_sub")
+    val out = EventOps.latestOn(log, keyCols = Seq("event_type"),
+        versionCols = Seq("ts", "event_sub"), payloadCols = Seq("event_id", "value"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("k", 10L, 200L, 2L, 2.0, 3L),
+      ("other", 1L, 1L, 4L, 4.0, 1L)), out.toSeq.toString)
+  }
 }
