@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   *   2. candidate pairs generate LOCALLY inside each bucket (the unit of
   *      work the cap bounds: ≤ maxDf·(maxDf−1)/2 pairs), with singleton
   *      buckets skipped in columnar space before the typed decode;
-  *   3. per-doc retained counts joined onto the pair aggregates WITHOUT a
-  *      forced broadcast hint: the relation has one row per document, so
-  *      at corpus scale it exceeds the broadcast ceiling — Catalyst/AQE
-  *      picks broadcast when it is actually small and a shuffled join when
-  *      it is not (a hard `broadcast()` here would fail outright at the
-  *      design scale).
+  *   3. per-doc retained counts joined onto the pair aggregates as a
+  *      SORT-MERGE join, pinned by hint. Both sides are data-sized (one
+  *      row per surviving pair; one row per document), but the static
+  *      size estimates under them are garbage: the relations sit
+  *      downstream of the localCheckpoint's LogicalRDD, whose stats are
+  *      the tiny PRE-checkpoint estimate carried through a UDF-explode
+  *      whose cardinality Catalyst cannot know. At 30× corpus scale the
+  *      planner read those estimates, chose BroadcastHashJoin(BuildLeft)
+  *      on the PAIRS side, and the broadcast build ran a 24 GB driver out
+  *      of memory — measured by ScaleProbe, the exact failure a real
+  *      cluster would hit. A hard `broadcast()` fails at scale; an
+  *      unhinted join fails at scale via misestimate; the merge hint is
+  *      the shape that survives any corpus size, and its cost at oracle
+  *      scale is noise.
   */
 private[operators] object InvertedIndex {
 
@@ -49,7 +57,7 @@ private[operators] object InvertedIndex {
     val nonHot = agged.filter(col("ids").isNotNull)
     val buckets = nonHot.select("ids")
     val capped = nonHot.select(col("key"), explode(col("ids")).as("doc_id"))
-    val cnts = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cnts = capped.groupBy("doc_id").agg(count(lit(1)).as("n")).hint("merge")
     val rawPairs = buckets.filter(size(col("ids")) >= 2)
       .as[Seq[Long]].flatMap { bucket =>
         val ids = bucket.toArray
