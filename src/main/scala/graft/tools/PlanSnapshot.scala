@@ -14,7 +14,7 @@ object PlanSnapshot {
       "q_block_segment", "q_ann_lsh", "q_winnow_overlap", "q_jaccard_pairs",
       "q_passages", "q_pack_sequences", "q_pii_redact", "q_repetition",
       "q_contamination", "q_salted_join", "q_curation_pipeline", "q_bm25",
-      "q_ivf_search", "q_ivf_search_int8")
+      "q_ivf_search", "q_ivf_search_int8", "q_latest_by_key")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.PlanSnapshot\"`. Lines\n")
@@ -27,7 +27,8 @@ object PlanSnapshot {
       plan.linesIterator
         .filter(l => l.contains("FileScan") || l.contains("Exchange") ||
           l.contains("ReadSchema") || l.contains("PushedFilters") ||
-          l.contains("DataFilters") || l.trim.startsWith("*("))
+          l.contains("DataFilters") || l.contains("Join") ||
+          l.contains("ObjectHashAggregate") || l.trim.startsWith("*("))
         .map(_.trim.take(170))
         .foreach(l => sb.append(l).append('\n'))
       sb.append("```\n")

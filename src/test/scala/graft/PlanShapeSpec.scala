@@ -36,6 +36,20 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted-index pairs/counts joins are sort-merge, never broadcast") {
+    // the 30× ScaleProbe run caught the static planner broadcasting the
+    // pair aggregate off a garbage pre-checkpoint estimate (LogicalRDD
+    // stats through a UDF-explode) and OOM-ing a 24 GB driver; the
+    // kernel pins these joins to SMJ because BOTH sides are data-sized
+    // at corpus scale (one row per pair / one row per document)
+    for (q <- Seq("q_jaccard_pairs", "q_winnow_overlap")) {
+      val p = plan(q)
+      assert(p.contains("SortMergeJoin"), s"$q lost the merge pin:\n${p.take(1500)}")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"$q re-grew a broadcast join over data-sized relations:\n${p.take(1500)}")
+    }
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import org.apache.spark.sql.functions._
     val confs = Map(
