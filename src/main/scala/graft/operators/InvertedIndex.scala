@@ -16,20 +16,24 @@ import org.apache.spark.sql.functions._
   *   2. candidate pairs generate LOCALLY inside each bucket (the unit of
   *      work the cap bounds: ≤ maxDf·(maxDf−1)/2 pairs), with singleton
   *      buckets skipped in columnar space before the typed decode;
-  *   3. per-doc retained counts joined onto the pair aggregates as a
-  *      SORT-MERGE join, pinned by hint. Both sides are data-sized (one
-  *      row per surviving pair; one row per document), but the static
-  *      size estimates under them are garbage: the relations sit
-  *      downstream of the localCheckpoint's LogicalRDD, whose stats are
-  *      the tiny PRE-checkpoint estimate carried through a UDF-explode
-  *      whose cardinality Catalyst cannot know. At 30× corpus scale the
-  *      planner read those estimates, chose BroadcastHashJoin(BuildLeft)
-  *      on the PAIRS side, and the broadcast build ran a 24 GB driver out
-  *      of memory — measured by ScaleProbe, the exact failure a real
-  *      cluster would hit. A hard `broadcast()` fails at scale; an
-  *      unhinted join fails at scale via misestimate; the merge hint is
-  *      the shape that survives any corpus size, and its cost at oracle
-  *      scale is noise.
+  *   3. per-doc retained counts joined onto the pair aggregates with
+  *      join strategy left to RUNTIME sizes, not static estimates. Both
+  *      sides are data-sized (one row per surviving pair; one row per
+  *      document), and the static estimates under them are garbage: the
+  *      relations sit downstream of the localCheckpoint's LogicalRDD,
+  *      whose stats are the tiny PRE-checkpoint estimate carried through
+  *      a UDF-explode whose cardinality Catalyst cannot know. At 30×
+  *      corpus scale the planner read those estimates, chose
+  *      BroadcastHashJoin(BuildLeft) on the PAIRS side, and the
+  *      broadcast build ran a 24 GB driver out of memory — measured by
+  *      ScaleProbe, the exact failure a real cluster would hit (AQE
+  *      never demotes a statically planned broadcast, so the
+  *      underestimate is unrecoverable). The checkpoint therefore goes
+  *      through [[org.apache.spark.sql.graft.CheckpointShim]], which
+  *      DROPS the bogus origin stats: statically every downstream join
+  *      is a shuffle join, and AQE re-upgrades to broadcast per-join
+  *      from TRUE measured sizes — toy corpora keep broadcast speed,
+  *      big corpora keep their drivers. Pinned by PlanShapeSpec.
   */
 private[operators] object InvertedIndex {
 
@@ -50,14 +54,14 @@ private[operators] object InvertedIndex {
     // second full shuffle of the occurrence relation just to learn which
     // keys were hot.
     graft.plans.CappedCollectLong.ensureRegistered(rel.sparkSession)
-    val agged = rel.groupBy("key")
-      .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxDf)").as("ids"))
-      .localCheckpoint()
+    val agged = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      rel.groupBy("key")
+        .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxDf)").as("ids")))
     val hot = agged.filter(col("ids").isNull).select("key")
     val nonHot = agged.filter(col("ids").isNotNull)
     val buckets = nonHot.select("ids")
     val capped = nonHot.select(col("key"), explode(col("ids")).as("doc_id"))
-    val cnts = capped.groupBy("doc_id").agg(count(lit(1)).as("n")).hint("merge")
+    val cnts = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val rawPairs = buckets.filter(size(col("ids")) >= 2)
       .as[Seq[Long]].flatMap { bucket =>
         val ids = bucket.toArray

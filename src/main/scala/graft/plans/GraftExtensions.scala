@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CappedCollectLong.FuncName),
       new ExpressionInfo(classOf[CappedCollectLong].getName, CappedCollectLong.FuncName),
       CappedCollectLong.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(ArgMaxStruct.FuncName),
+      new ExpressionInfo(classOf[ArgMaxStruct].getName, ArgMaxStruct.FuncName),
+      ArgMaxStruct.builder _))
     ext.injectOptimizerRule(_ => SimplifyFiscalValidation)
   }
 }

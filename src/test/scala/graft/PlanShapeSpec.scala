@@ -36,17 +36,27 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("inverted-index pairs/counts joins are sort-merge, never broadcast") {
+  test("inverted-index joins: no STATIC broadcast; AQE upgrades from true sizes") {
     // the 30× ScaleProbe run caught the static planner broadcasting the
     // pair aggregate off a garbage pre-checkpoint estimate (LogicalRDD
-    // stats through a UDF-explode) and OOM-ing a 24 GB driver; the
-    // kernel pins these joins to SMJ because BOTH sides are data-sized
-    // at corpus scale (one row per pair / one row per document)
+    // origin stats through a UDF-explode) and OOM-ing a 24 GB driver.
+    // AQE never demotes a static broadcast, so the only scale-safe shape
+    // is: statically a shuffle join (CheckpointShim drops the bogus
+    // stats), with AQE re-upgrading to broadcast where the MEASURED side
+    // is small. Assert both halves: the pre-execution plan has zero
+    // broadcast joins; the post-execution plan at this tiny sf has
+    // re-earned them from true sizes.
     for (q <- Seq("q_jaccard_pairs", "q_winnow_overlap")) {
-      val p = plan(q)
-      assert(p.contains("SortMergeJoin"), s"$q lost the merge pin:\n${p.take(1500)}")
-      assert(!p.contains("BroadcastHashJoin"),
-        s"$q re-grew a broadcast join over data-sized relations:\n${p.take(1500)}")
+      val df = SparkEntry.queries(q)(spark, sf)
+      val staticPlan = df.queryExecution.executedPlan.toString
+      assert(!staticPlan.contains("BroadcastHashJoin"),
+        s"$q statically broadcasts a data-sized relation:\n${staticPlan.take(1500)}")
+      assert(staticPlan.contains("SortMergeJoin") || staticPlan.contains("ShuffledHashJoin"),
+        s"$q static plan lost its shuffle join:\n${staticPlan.take(1500)}")
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"$q: AQE did not restore broadcast from true (tiny) sizes:\n${finalPlan.take(1500)}")
     }
   }
 

@@ -115,6 +115,27 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_latest: SQL-registered arg-max struct, cross-partition merge, null skip") {
+    // keys 0-3 see versions spread over 8 partitions (the merge path
+    // runs); versions divisible by 5 are NULL structs and must be
+    // skipped — for key 0 that excludes 40 and 20, so the max is 36.
+    // key 9 only ever sees NULL structs → NULL result.
+    val rows = (1 to 40).map(i => (i % 4L, i.toLong)) :+ (9L, 5L)
+    val df = rows.toDF("key", "ver").repartition(8)
+    df.createOrReplaceTempView("gl_in")
+    val out = spark.sql(
+      """SELECT key, graft_latest(CASE WHEN ver % 5 = 0 THEN NULL
+           ELSE struct(ver, concat('p', ver)) END) AS latest
+         FROM gl_in GROUP BY key""")
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val expected = Map(0L -> 36L, 1L -> 37L, 2L -> 38L, 3L -> 39L)
+    expected.foreach { case (k, v) =>
+      assert(out(k).map(_.getLong(0)) == Some(v), s"key $k: ${out(k)}")
+      assert(out(k).map(_.getString(1)) == Some(s"p$v"), s"key $k payload")
+    }
+    assert(out(9L).isEmpty, "a group of only NULL structs must evaluate to NULL")
+  }
+
   test("fiscal filters fuse into the codegen'd scan stage with pruned columns") {
     // the pushdown demo: both native predicates in one filter over a
     // parquet scan — the filter must sit inside WholeStageCodegen (no UDF
