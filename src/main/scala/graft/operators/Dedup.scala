@@ -198,9 +198,14 @@ HAVING CAST(COUNT(*) AS DOUBLE) / CAST(a.sh_count + b.sh_count - COUNT(*) AS DOU
     // runs the join exactly once; the pair list it pins is tiny (one row
     // per near-dup pair). No presentation sort — the CC loop only needs
     // the pair SET.
-    val pairs = jaccardPairsUnsorted(spark, dir, threshold, maxShingleDf)
-      .select("id_a", "id_b")
-      .localCheckpoint()
+    // stats-honest checkpoint: the CC loop joins labels (one row per
+    // NODE) against edges every round; a static broadcast of either off
+    // the raw checkpoint's garbage origin stats would be lethal at real
+    // node counts (see CheckpointShim — AQE re-earns the broadcast at
+    // toy scale from true sizes)
+    val pairs = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      jaccardPairsUnsorted(spark, dir, threshold, maxShingleDf)
+        .select("id_a", "id_b"))
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
@@ -309,23 +314,26 @@ FROM reach GROUP BY s ORDER BY doc_id
     // (graft_capped_collect — hot keys evaluate to NULL with constant
     // buffer cost); both sides derive from the checkpointed buckets
     graft.plans.CappedCollectLong.ensureRegistered(spark)
-    val agged = shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
-      .groupBy("key")
-      .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
-      .filter(col("ids").isNotNull)
-      .localCheckpoint()
+    val agged = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+        .groupBy("key")
+        .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
+        .filter(col("ids").isNotNull))
     val kept = agged.select(col("key"), explode(col("ids")).as("doc_id"))
     val evalKept = kept.filter(col("doc_id") % 17 === 0)
       .select(col("doc_id").as("eval_id"), col("key"))
       .localCheckpoint() // read twice (sizes + join)
     val evalSizes = evalKept.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    // eval is CONTRACT-tiny (benchmarks are KBs against the corpus), so
+    // the broadcast is explicit — the scale-correct plan must not depend
+    // on a size estimate in either direction
     kept
       .select(col("doc_id").as("train_id"), col("key"))
-      .join(evalKept, "key")
+      .join(broadcast(evalKept), "key")
       .filter(col("train_id") =!= col("eval_id"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
-      .join(evalSizes, "eval_id")
+      .join(broadcast(evalSizes), "eval_id")
       .withColumn("containment",
         col("shared").cast("double") / col("n_eval").cast("double"))
       .filter(col("containment") >= threshold)
@@ -380,11 +388,12 @@ ORDER BY train_id, eval_id
       .select(col("doc_id").as("eval_id"), col("shingle").as("key"))
       .localCheckpoint() // read twice (sizes + join); eval is the small side
     val evalSizes = evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    // explicit broadcast: eval is contract-tiny (see scale note in doc)
     trainKept
-      .join(evalSh, "key")
+      .join(broadcast(evalSh), "key")
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
-      .join(evalSizes, "eval_id")
+      .join(broadcast(evalSizes), "eval_id")
       .withColumn("containment",
         col("shared").cast("double") / col("n_eval").cast("double"))
       .filter(col("containment") >= threshold)
@@ -479,7 +488,11 @@ ORDER BY train_id, eval_id
       for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
         yield (ids(i), ids(j))
     }.distinct().toDF("id_a", "id_b")
-    val sh = shingled.toDF("doc_id", "shingles")
+    // stats-honest view for the verify joins: sh carries the full shingle
+    // arrays (the heaviest relation here) — a static broadcast of it off
+    // the checkpoint's garbage origin stats would OOM at corpus scale
+    val sh = org.apache.spark.sql.graft.CheckpointShim.honestStats(
+      shingled.toDF("doc_id", "shingles"))
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")

@@ -49,11 +49,16 @@ object Search {
     // instead of once per reference (the single-evaluation discipline of
     // the inverted-index family). n_docs/avgdl derive from dl's own rows:
     // one row per document, empty text included.
-    val tf = toks.filter(col("term").isin(q: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint()
+    // stats-honest checkpoints: dl is one row per DOCUMENT and tf grows
+    // with the posting lists of the query terms — a static broadcast of
+    // either off the checkpoint's garbage origin stats would be lethal at
+    // corpus scale (the df/stats broadcasts below stay explicit: those
+    // are contract-tiny — one row per query term / one row total)
+    val tf = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      toks.filter(col("term").isin(q: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf

@@ -421,10 +421,13 @@ ORDER BY id_a, id_b
   def passages(spark: SparkSession, dir: String, threshold: Double = 0.8,
                maxHashDf: Int = DefaultMaxHashDf): DataFrame = {
     val fpsUdf = udf((t: String) => winnowFingerprints(t)).asNondeterministic()
-    val fps = docs(spark, dir)
-      .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
-      .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
-      .localCheckpoint()
+    // stats-honest: fps is data-sized and feeds the posA joins below; the
+    // raw checkpoint's origin stats (tiny, via the UDF explode) would
+    // invite a static broadcast of a corpus-sized side (see CheckpointShim)
+    val fps = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      docs(spark, dir)
+        .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
+        .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash")))
     // the fused index kernel reads the distinct-key relation once, so no
     // checkpoint here; fps (positions) above IS checkpointed — it feeds
     // both this derivation and the posA side below

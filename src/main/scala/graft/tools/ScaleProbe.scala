@@ -99,13 +99,20 @@ object ScaleProbe {
       spark.sqlContext.clearCache()
       System.gc()
     }
+    // GRAFT_SCALE_QUERIES=q_a,q_b restricts the family — the isolated
+    // measurement mode: one JVM per query kills the cross-query
+    // block-manager/GC residency that contaminates warm numbers when the
+    // whole family runs back-to-back at 30× in one process
+    val family0 = if (annMode == "skip") Family.filterNot(_ == "q_ann_lsh") else Family
+    val family = sys.env.get("GRAFT_SCALE_QUERIES")
+      .map(s => family0.filter(s.split(',').map(_.trim).toSet))
+      .getOrElse(family0)
     // JVM/codegen warmup at the smallest SF so 1x cold isn't Janino time
-    Family.foreach { name =>
+    family.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case e: Throwable => System.err.println(s"[scale] prewarm $name: ${e.getMessage}") }
       finally drop()
     }
-    val family = if (annMode == "skip") Family.filterNot(_ == "q_ann_lsh") else Family
     def runQuery(name: String, dir: String): DataFrame =
       if (name == "q_ann_lsh" && annMode == "auto") {
         val aug = graft.operators.Similarity.augmentedEmb(spark, dir)

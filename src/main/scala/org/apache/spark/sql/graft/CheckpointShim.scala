@@ -25,10 +25,16 @@ import org.apache.spark.sql.DataFrame
   * broadcasts; 100 TB corpora keep their drivers. */
 object CheckpointShim {
 
-  def statsHonestLocalCheckpoint(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint()
-    val classic = ck.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+  /** Re-wrap `df`'s physical RDD in a fresh LogicalRDD with NO origin
+    * stats — downstream planning sees unknown=huge instead of whatever
+    * estimate `df`'s plan carried. No action is run; for an
+    * already-checkpointed `df` the wrapped RDD reads the stored blocks. */
+  def honestStats(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
     classic.sparkSession.internalCreateDataFrame(
-      classic.queryExecution.toRdd, ck.schema)
+      classic.queryExecution.toRdd, df.schema)
   }
+
+  def statsHonestLocalCheckpoint(df: DataFrame): DataFrame =
+    honestStats(df.localCheckpoint())
 }
