@@ -75,6 +75,9 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     // benchmark decontamination: eval-set containment in training docs
     "q_contamination" -> ((s, dir) => Dedup.contamination(s, dir)),
+    // incremental dedup: gate a new batch against the existing corpus
+    // (exact fingerprint + best near-dup match + keep/drop verdict)
+    "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
     // training-data pipeline: similarity search
     // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
     // top out near cos 0.51 — the low-threshold exact baseline.
@@ -163,6 +166,7 @@ object SparkEntry {
     "q_minhash_dedup" -> Dedup.jaccardPairsSql(),
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_contamination" -> Dedup.contaminationSql(),
+    "q_dedup_incremental" -> Dedup.incrementalDedupSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),

@@ -402,6 +402,146 @@ ORDER BY train_id, eval_id
       .orderBy("train_id", "eval_id")
   }
 
+  /** Incremental dedup — gate a NEW batch of documents against the
+    * existing corpus, the decision a daily-crawl append actually makes:
+    * one row per batch document with the exact-duplicate flag (canonical
+    * fingerprint seen in the corpus), the best near-dup corpus match by
+    * capped-shingle Jaccard (ties → lowest corpus id), and the combined
+    * keep/drop verdict.
+    *
+    * This carved form (batch = doc_id % 13 == 0, corpus = the rest, one
+    * relation, SHARED df cap — the exact convention of the jaccard
+    * oracle) exists for the driver gate; the deployment shape is
+    * [[incrementalDedupOn]]. Scale: one fused cap+bucket aggregation,
+    * batch/corpus sides split from the same stats-honest checkpoint, the
+    * probe is an equi-join on the 8-byte shingle hash, and the
+    * best-match step is [[graft.plans.ArgMaxStruct]] — hash aggregation,
+    * no per-batch-doc window sort. */
+  def incrementalDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    graft.plans.CappedCollectLong.ensureRegistered(spark)
+    graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    val agged = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+        .groupBy("key")
+        .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
+        .filter(col("ids").isNotNull))
+    val kept = agged.select(col("key"), explode(col("ids")).as("doc_id"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val isBatch = col("doc_id") % 13 === 0
+    val batchSh = kept.filter(isBatch).select(col("doc_id").as("batch_id"), col("key"))
+    val corpusSh = kept.filter(!isBatch).select(col("doc_id").as("corpus_id"), col("key"))
+    // unrounded jaccard decides the best match (rounding first could
+    // manufacture ties the oracle would break differently); round on output
+    val scored = corpusSh.join(batchSh, "key")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("batch_id"), col("n").as("nb")), "batch_id")
+      .join(sizes.select(col("doc_id").as("corpus_id"), col("n").as("nc")), "corpus_id")
+      .withColumn("j", col("shared").cast("double")
+        / (col("nb") + col("nc") - col("shared")).cast("double"))
+    val best = scored
+      .groupBy("batch_id")
+      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
+        "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
+      .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
+        col("best.j").as("j"))
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val batchFp = docs(spark, dir).filter(isBatch).select(col("doc_id"), fp.as("fp"))
+    val corpusFp = docs(spark, dir).filter(!isBatch).select(fp.as("fp"))
+      .distinct().withColumn("seen", lit(true))
+    batchFp
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("exact_dup", coalesce(col("seen"), lit(false)))
+      .join(best, col("doc_id") === col("batch_id"), "left")
+      .withColumn("is_dup",
+        col("exact_dup") || coalesce(col("j") >= threshold, lit(false)))
+      .select(col("doc_id"), col("exact_dup"), col("dup_of"),
+        round(col("j"), 6).as("jaccard"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: identical carve, cap, unrounded best-match ordering, and
+    * canonical-fingerprint exact check over the jaccard CTE chain. */
+  def incrementalDedupSql(threshold: Double = 0.5,
+                          maxShingleDf: Int = DefaultMaxShingleDf): String = s"""
+WITH ${jaccardCtes(maxShingleDf)},
+bsh AS (SELECT doc_id AS batch_id, sh_count AS nb, shingle FROM ex WHERE doc_id % 13 = 0),
+csh AS (SELECT doc_id AS corpus_id, sh_count AS nc, shingle FROM ex WHERE doc_id % 13 <> 0),
+scored AS (
+  SELECT b.batch_id, c.corpus_id, COUNT(*) AS shared, b.nb, c.nc,
+    CAST(COUNT(*) AS DOUBLE) / CAST(b.nb + c.nc - COUNT(*) AS DOUBLE) AS j
+  FROM bsh b JOIN csh c USING (shingle)
+  GROUP BY b.batch_id, c.corpus_id, b.nb, c.nc
+), best AS (
+  SELECT batch_id, corpus_id, j,
+    row_number() OVER (PARTITION BY batch_id ORDER BY j DESC, corpus_id ASC) AS rk
+  FROM scored
+), fps AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), cfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 13 <> 0)
+SELECT f.doc_id, (c.fp IS NOT NULL) AS exact_dup, b.corpus_id AS dup_of,
+  round(b.j, 6) AS jaccard,
+  ((c.fp IS NOT NULL) OR coalesce(b.j >= $threshold, FALSE)) AS is_dup
+FROM fps f
+LEFT JOIN cfp c ON c.fp = f.fp
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.batch_id = f.doc_id
+WHERE f.doc_id % 13 = 0
+ORDER BY f.doc_id
+""".trim
+
+  /** Two-relation incremental dedup — the deployment shape: `corpus` is
+    * the 100 TB side, `batch` the new arrivals. The df cap comes from the
+    * CORPUS side only (a corpus-hot shingle is dropped from the index and
+    * from corpus set sizes; batch set sizes are NEVER capped — same
+    * train-side-only convention as [[contaminationOn]], so a batch doc
+    * made of corpus-stopwords scores low Jaccard rather than joining on
+    * hot buckets). Jaccard here is |A∩kept(B)| / (|A| + |kept-B| − ∩):
+    * asymmetric under the cap by construction; at oracle scale the cap is
+    * inert and it degenerates to plain Jaccard. Scale: the corpus index
+    * builds in one fused aggregation, the batch probes it with an
+    * equi-join, nothing is broadcast on a static guess. */
+  def incrementalDedupOn(corpus: DataFrame, batch: DataFrame, threshold: Double = 0.5,
+                         maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.CappedCollectLong.ensureRegistered(spark)
+    graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    val corpusKept = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      shingleRows(corpus).withColumnRenamed("shingle", "key")
+        .groupBy("key")
+        .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
+        .filter(col("ids").isNotNull)
+        .select(col("key"), explode(col("ids")).as("corpus_id")))
+    val corpusSizes = corpusKept.groupBy("corpus_id").agg(count(lit(1)).as("nc"))
+    val batchSh = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      shingleRows(batch).select(col("doc_id").as("batch_id"), col("shingle").as("key")))
+    val batchSizes = batchSh.groupBy("batch_id").agg(count(lit(1)).as("nb"))
+    val best = corpusKept.join(batchSh, "key")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(batchSizes, "batch_id")
+      .join(corpusSizes, "corpus_id")
+      .withColumn("j", col("shared").cast("double")
+        / (col("nb") + col("nc") - col("shared")).cast("double"))
+      .groupBy("batch_id")
+      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
+        "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
+      .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
+        col("best.j").as("j"), col("best.shared").as("shared"))
+    val fp = md5(trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " ")))
+    val corpusFp = corpus.select(fp.as("fp")).distinct().withColumn("seen", lit(true))
+    batch.select(col("doc_id"), fp.as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("exact_dup", coalesce(col("seen"), lit(false)))
+      .join(best, col("doc_id") === col("batch_id"), "left")
+      .withColumn("is_dup",
+        col("exact_dup") || coalesce(col("j") >= threshold, lit(false)))
+      .select(col("doc_id"), col("exact_dup"), col("dup_of"), col("shared"),
+        round(col("j"), 6).as("jaccard"), col("is_dup"))
+      .orderBy("doc_id")
+  }
+
   // --- MinHash + LSH ---------------------------------------------------
 
   /** Number of hash functions and LSH banding layout: 32 hashes in 16

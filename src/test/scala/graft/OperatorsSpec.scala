@@ -374,6 +374,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 10L, 1.0), (1L, 20L, 1.0)), s"got $out")
   }
 
+  test("incrementalDedupOn: exact flag, best-match tie-break, novel docs pass") {
+    val corpus = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x y z w q r s"),
+      (4L, "x y z w q r s"), // identical twin of 2 — tie-break target
+      (3L, "now for something completely different okay here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e f g"),  // exact dup of 1 (and jaccard 1.0)
+      (11L, "a b c d e f h"),  // near dup of 1: 4 of 5 shingles shared
+      (12L, "totally novel content here indeed my friend"),
+      (14L, "x y z w q r t")   // ties 2 and 4 at equal jaccard → dup_of 2
+    ).toDF("doc_id", "text")
+    val rows = Dedup.incrementalDedupOn(corpus, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4),
+        r.getBoolean(5))).toSeq
+    // 7 words → 5 3-gram shingles; 11 shares 4 with doc 1 → 4/(5+5-4)=2/3
+    assert(rows == Seq(
+      (10L, true, 1L, 1.0, true),
+      (11L, false, 1L, 0.666667, true),
+      (12L, false, -1L, -1.0, false),
+      (14L, false, 2L, 0.666667, true)), s"got $rows")
+  }
+
   test("passages: merged spans reconstruct the shared passages, island per passage") {
     import graft.operators.TextAnalysis._
     // two docs sharing two passages separated by doc-unique gaps: the span
