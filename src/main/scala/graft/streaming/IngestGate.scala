@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming corpus-ingestion gate — the daily-crawl pipeline as a
+  * structured stream: every micro-batch of arriving documents is gated
+  * against the corpus with [[Dedup.incrementalDedupOn]] (canonical
+  * exact-duplicate check + best near-dup Jaccard match), admitted
+  * documents land in an append-only parquet zone, and every document —
+  * admitted or dropped — gets a verdict receipt.
+  *
+  * The corpus a batch is gated against is the STATIC corpus UNION the
+  * landing zone so far, re-read each micro-batch: a document admitted in
+  * batch N is a first-class dedup target for batch N+1, so replays
+  * across batches are dropped without any unbounded driver-side state —
+  * the landing zone itself is the ledger. Within one micro-batch the
+  * gate also collapses exact duplicates (canonical fingerprint, lowest
+  * doc_id wins); NEAR-dup pairs that co-arrive in a single batch are
+  * both admitted by design — run [[graft.operators.Dedup.jaccardPairs]]
+  * over the landing zone for the periodic sweep, exactly as a batch
+  * pipeline would.
+  *
+  * Delivery semantics: foreachBatch is at-least-once into the landing
+  * zone on crash between the write and the checkpoint commit; a replayed
+  * batch re-gates against the landing zone that already contains its own
+  * docs, so replayed documents are dropped as exact dups of themselves —
+  * the landing zone converges to exactly-once content (the receipts may
+  * carry the extra attempt, honestly labeled with its batch id).
+  *
+  * Scale: the gate inherits the incremental-dedup plan — fused corpus
+  * index, equi-join probe, stats-honest checkpoints, no static
+  * broadcasts; the landing-zone re-read is a parquet scan that prunes to
+  * the columns the gate needs. */
+object IngestGate {
+
+  /** Canonical content fingerprint (same normalization as [[Dedup.exact]]). */
+  private def fp = md5(trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " ")))
+
+  /** Gate one arriving batch against `corpus`; returns (receipts, kept).
+    * Receipts carry one row per ARRIVING doc: corpus verdicts for the
+    * within-batch representatives, plus (exact_dup=true, dup_of=the
+    * batch representative) rows for within-batch copies. Exposed for
+    * direct batch use and for the spec. */
+  def gateBatch(corpus: DataFrame, batch: DataFrame,
+                threshold: Double): (DataFrame, DataFrame) = {
+    // within-batch exact collapse first: lowest doc_id per canonical
+    // fingerprint represents the content; later copies get a receipt
+    // pointing at their in-batch representative
+    val ranked = batch.select(col("doc_id"), col("text"), fp.as("__fp"))
+    val firstPerFp = ranked.groupBy("__fp").agg(min(col("doc_id")).as("keep_id"))
+    val tagged = ranked.join(firstPerFp, "__fp")
+    val unique = tagged.filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "text")
+    val inBatchDups = tagged.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(true).as("exact_dup"),
+        col("keep_id").as("dup_of"), lit(null).cast("long").as("shared"),
+        lit(null).cast("double").as("jaccard"), lit(true).as("is_dup"))
+    val verdicts = Dedup.incrementalDedupOn(corpus, unique, threshold)
+    val receipts = verdicts.unionByName(inBatchDups)
+    // kept derives from `receipts` (not the verdicts subtree) so a caller
+    // persisting receipts pays for the gate exactly once across both uses
+    val kept = batch.select("doc_id", "text")
+      .join(receipts.filter(!col("is_dup")).select("doc_id"), "doc_id")
+    (receipts, kept)
+  }
+
+  /** Start the streaming gate. `stream` must carry (doc_id: long,
+    * text: string). Admitted docs append to `landingDir`; per-doc
+    * verdicts append to `receiptsDir` with the micro-batch id. */
+  def start(corpusDir: String, stream: DataFrame, landingDir: String,
+            receiptsDir: String, checkpointDir: String,
+            threshold: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val corpusStatic = spark.read.parquet(s"$corpusDir/documents.parquet")
+            .select("doc_id", "text")
+          val landed =
+            if (new java.io.File(landingDir).isDirectory)
+              Seq(spark.read.parquet(landingDir).select("doc_id", "text"))
+            else Nil
+          val corpus = (corpusStatic +: landed).reduce(_ unionAll _)
+          val (receipts, kept) = gateBatch(corpus, batch.select("doc_id", "text"), threshold)
+          // the gate (corpus index + probe) is computed once: receipts are
+          // pinned before both writes, released after (Serving's pattern)
+          receipts.persist()
+          try {
+            receipts.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(receiptsDir)
+            kept.write.mode("append").parquet(landingDir)
+          } finally receipts.unpersist()
+        }
+      }
+      .start()
+}
