@@ -28,11 +28,20 @@ object Dedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** THE canonical content fingerprint (lowercase, whitespace collapsed,
+    * md5) — the normalization every exact-dup decision in the engine must
+    * share ([[exact]], [[incrementalDedup]], the curation pipeline, the
+    * streaming ingest gate). NULL policy stays at call sites: pass
+    * `col("text")` to propagate NULL, `coalesce(col("text"), lit(""))`
+    * to treat NULL as empty. */
+  def canonicalFp(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
   /** Exact dedup on the canonical fingerprint: one row per distinct
     * content, keeping the smallest doc_id, with the duplicate count. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .groupBy(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy(canonicalFp(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
       .orderBy("keep_id")
 
@@ -446,7 +455,7 @@ ORDER BY train_id, eval_id
         "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
       .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
         col("best.j").as("j"))
-    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val fp = canonicalFp(col("text"))
     val batchFp = docs(spark, dir).filter(isBatch).select(col("doc_id"), fp.as("fp"))
     val corpusFp = docs(spark, dir).filter(!isBatch).select(fp.as("fp"))
       .distinct().withColumn("seen", lit(true))
@@ -529,8 +538,13 @@ ORDER BY f.doc_id
         "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
       .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
         col("best.j").as("j"), col("best.shared").as("shared"))
-    val fp = md5(trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " ")))
+    val fp = canonicalFp(coalesce(col("text"), lit("")))
     val corpusFp = corpus.select(fp.as("fp")).distinct().withColumn("seen", lit(true))
+    // no presentation sort: this is the deployment/composition form (the
+    // streaming ingest gate calls it per micro-batch and immediately
+    // appends to parquet — a global orderBy would pay a range exchange
+    // per batch for ordering nobody reads). The carved oracle query
+    // sorts; interactive callers can orderBy themselves.
     batch.select(col("doc_id"), fp.as("fp"))
       .join(corpusFp, Seq("fp"), "left")
       .withColumn("exact_dup", coalesce(col("seen"), lit(false)))
@@ -539,7 +553,6 @@ ORDER BY f.doc_id
         col("exact_dup") || coalesce(col("j") >= threshold, lit(false)))
       .select(col("doc_id"), col("exact_dup"), col("dup_of"), col("shared"),
         round(col("j"), 6).as("jaccard"), col("is_dup"))
-      .orderBy("doc_id")
   }
 
   // --- MinHash + LSH ---------------------------------------------------

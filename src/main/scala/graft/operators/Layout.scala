@@ -66,20 +66,36 @@ object Layout {
       .parquet(path)
   }
 
-  /** Compact a fragmented parquet directory (the small-files problem:
-    * streaming sinks and over-parallel writers leave thousands of tiny
-    * files; each costs a file-index entry, an open, a footer read, and a
-    * scheduler slot). Rewrites to ceil(rows / targetRowsPerFile) files,
-    * preserving data exactly; returns (filesBefore, filesAfter).
-    * Reads fully materialize before the overwrite of `path` would clobber
-    * the input — the write goes to a temp sibling first, then swaps, so a
-    * mid-compact crash leaves the original directory intact. */
+  /** Compact a fragmented UNPARTITIONED parquet directory (the
+    * small-files problem: streaming sinks and over-parallel writers leave
+    * thousands of tiny files; each costs a file-index entry, an open, a
+    * footer read, and a scheduler slot). Rewrites to
+    * ceil(rows / targetRowsPerFile) files, preserving data exactly;
+    * returns (filesBefore, filesAfter).
+    *
+    * Hive-partitioned directories are REFUSED: a naive read-and-rewrite
+    * would flatten `col=value` directories into plain data columns
+    * (losing partition pruning forever, and possibly re-typing the
+    * values) — compact each partition directory individually instead.
+    *
+    * Crash safety via rename-aside: the compacted data is fully written
+    * to a temp sibling first, then `path` → `path__old`, tmp → `path`,
+    * delete `__old`. A crash before the first rename leaves the original
+    * untouched; between the renames the original is intact at `__old`;
+    * after the second the new data is live — there is no window where
+    * the data exists only in the temp directory. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetRowsPerFile: Long): (Long, Long) = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be > 0, got $targetRowsPerFile")
-    val df = spark.read.parquet(path)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitionDirs = fs.listStatus(hadoopPath)
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact: $path is hive-partitioned (${partitionDirs.take(3).mkString(", ")}…) — " +
+        "compact each partition directory individually; a flat rewrite would " +
+        "demote partition columns to data columns and break pruning")
+    val df = spark.read.parquet(path)
     def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
       val it = fs.listFiles(p, true)
       var n = 0L
@@ -90,11 +106,17 @@ object Layout {
     val rows = df.count()
     val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    if (!fs.rename(tmp, hadoopPath))
+    if (!fs.rename(hadoopPath, old))
       throw new IllegalStateException(
-        s"compact: rename $tmp -> $hadoopPath failed; compacted data is at $tmp")
+        s"compact: rename $hadoopPath -> $old failed; original data untouched, compacted copy at $tmp")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // restore; best-effort
+      throw new IllegalStateException(
+        s"compact: rename $tmp -> $hadoopPath failed; original restored, compacted copy at $tmp")
+    }
+    fs.delete(old, true)
     (before, parquetFiles(hadoopPath))
   }
 }

@@ -54,7 +54,7 @@ ORDER BY lang, sample_rank
     * all upstream pruning). */
   def curationPipeline(spark: SparkSession, dir: String, minWords: Int = 30,
                        quota: Int = 100): DataFrame = {
-    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val fp = Dedup.canonicalFp(col("text"))
     val dedupWin = Window.partitionBy("fp").orderBy("doc_id")
     val best = TextAnalysis.predictedLang(col("text"))
     val rankWin = Window.partitionBy("predicted_lang")

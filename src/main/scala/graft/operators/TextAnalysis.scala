@@ -223,7 +223,7 @@ ORDER BY d.doc_id
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"),
+      Dedup.canonicalFp(col("text")).as("fp"),
       sha2(col("text"), 256).as("sha256")
     ).orderBy("doc_id")
 

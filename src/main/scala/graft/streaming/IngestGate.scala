@@ -37,7 +37,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object IngestGate {
 
   /** Canonical content fingerprint (same normalization as [[Dedup.exact]]). */
-  private def fp = md5(trim(regexp_replace(lower(coalesce(col("text"), lit(""))), "\\s+", " ")))
+  private def fp = Dedup.canonicalFp(coalesce(col("text"), lit("")))
 
   /** Gate one arriving batch against `corpus`; returns (receipts, kept).
     * Receipts carry one row per ARRIVING doc: corpus verdicts for the
@@ -81,8 +81,13 @@ object IngestGate {
           val spark = batch.sparkSession
           val corpusStatic = spark.read.parquet(s"$corpusDir/documents.parquet")
             .select("doc_id", "text")
+          // Hadoop FS, not java.io.File: the landing zone IS the ledger,
+          // and a local-only existence check on S3/HDFS would silently
+          // disable cross-batch dedup
+          val landingPath = new org.apache.hadoop.fs.Path(landingDir)
+          val fs = landingPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val landed =
-            if (new java.io.File(landingDir).isDirectory)
+            if (fs.exists(landingPath))
               Seq(spark.read.parquet(landingDir).select("doc_id", "text"))
             else Nil
           val corpus = (corpusStatic +: landed).reduce(_ unionAll _)

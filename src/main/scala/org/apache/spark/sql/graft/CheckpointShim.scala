@@ -28,11 +28,28 @@ object CheckpointShim {
   /** Re-wrap `df`'s physical RDD in a fresh LogicalRDD with NO origin
     * stats — downstream planning sees unknown=huge instead of whatever
     * estimate `df`'s plan carried. No action is run; for an
-    * already-checkpointed `df` the wrapped RDD reads the stored blocks. */
+    * already-checkpointed `df` the wrapped RDD reads the stored blocks.
+    *
+    * When `df` IS a bare checkpoint (its analyzed plan is already a
+    * LogicalRDD), the rewrap is an in-place copy minus origin stats, so
+    * every other physical property the checkpoint carries
+    * (outputPartitioning/outputOrdering) survives verbatim. Measured
+    * honestly: Spark 4.1's localCheckpoint itself reports
+    * UnknownPartitioning on the checkpointed relation, so today neither
+    * form avoids a downstream exchange — the copy branch simply
+    * guarantees this shim never makes the plan WORSE than the plain
+    * checkpoint, including under future Spark versions that do preserve
+    * partitioning. */
   def honestStats(df: DataFrame): DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    classic.sparkSession.internalCreateDataFrame(
-      classic.queryExecution.toRdd, df.schema)
+    val spark = classic.sparkSession
+    classic.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.classic.Dataset.ofRows(spark,
+          lr.copy()(spark, originStats = None, originConstraints = None))
+      case _ =>
+        spark.internalCreateDataFrame(classic.queryExecution.toRdd, df.schema)
+    }
   }
 
   def statsHonestLocalCheckpoint(df: DataFrame): DataFrame =

@@ -391,7 +391,7 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getBoolean(1),
         if (r.isNullAt(2)) -1L else r.getLong(2),
         if (r.isNullAt(4)) -1.0 else r.getDouble(4),
-        r.getBoolean(5))).toSeq
+        r.getBoolean(5))).toSeq.sortBy(_._1) // the On-form has no presentation sort
     // 7 words → 5 3-gram shingles; 11 shares 4 with doc 1 → 4/(5+5-4)=2/3
     assert(rows == Seq(
       (10L, true, 1L, 1.0, true),
