@@ -91,12 +91,18 @@ object SparkEntry {
     // random-pair candidate rate ≈1.2%)
     "q_cosine_pairs_hi" -> ((s, dir) =>
       Similarity.cosinePairsOn(Similarity.augmentedEmb(s, dir), threshold = 0.8)),
+    // banding PINNED at 48×12 here (the operator default is auto/bandingFor)
+    // so the DuckDB oracle can embed the exact plane sign-masks
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.annPairsOn(Similarity.augmentedEmb(s, dir), threshold = 0.8)),
-    "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(s, dir)),
+      Similarity.annPairsOn(Similarity.augmentedEmb(s, dir), threshold = 0.8,
+        bands = 48, planesPerBand = 12)),
+    // nCentroids PINNED at 8 for the oracle family (the operator default is
+    // auto: cellsFor(n) = √n, the n-scaled rule) — the SQL oracles unroll
+    // Lloyd training for exactly these cells
+    "q_ivf_assign" -> ((s, dir) => Similarity.ivfAssign(s, dir, nCentroids = 8)),
     // multi-probe IVF search: the dense/low-threshold ANN tool (probe the
     // 2 nearest of 8 cells, exact-rank within) — fully oracled
-    "q_ivf_search" -> ((s, dir) => Similarity.ivfSearch(s, dir)),
+    "q_ivf_search" -> ((s, dir) => Similarity.ivfSearch(s, dir, nCentroids = 8)),
     // int8 scalar quantization: the 4×-storage-reduction leg of the
     // similarity stack, exact-int oracle on the quantizer itself
     "q_quantize" -> ((s, dir) => Similarity.quantize(s, dir)),
@@ -104,7 +110,7 @@ object SparkEntry {
     // int8 codes (scale cancels in cosine → pure integer dots, 4× less
     // vector data through the candidate joins) — fully oracled, since
     // integer scoring has zero ulp hazard
-    "q_ivf_search_int8" -> ((s, dir) => Similarity.ivfSearchInt8(s, dir)),
+    "q_ivf_search_int8" -> ((s, dir) => Similarity.ivfSearchInt8(s, dir, nCentroids = 8)),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
     "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
@@ -173,11 +179,14 @@ object SparkEntry {
     "q_ivf_assign" -> Similarity.ivfAssignSql(),
     "q_ivf_search" -> Similarity.ivfSearchSql(),
     "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
-    "q_quantize" -> Similarity.quantizeSql()
-    // q_simhash_pairs, q_ann_lsh: probabilistic/hash-defined structures
-    // with no SQL equivalent → rows-only check here, plus a differential
-    // oracle in ScalaTest (SimHashDifferentialSpec reimplements xxHash64 +
-    // the voting/banding pipeline independently; OperatorsSpec pins LSH
-    // recall against the exact baseline).
+    "q_quantize" -> Similarity.quantizeSql(),
+    // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
+    // masks, embedded in the SQL as one BIGINT per plane (band/bits
+    // grouping mirrors the engine's injective bucket mix)
+    "q_ann_lsh" -> Similarity.annPairsSql(threshold = 0.8, bands = 48, planesPerBand = 12)
+    // q_simhash_pairs, q_multimodal: no SQL equivalent → rows-only check
+    // here, plus a differential oracle in ScalaTest
+    // (SimHashDifferentialSpec reimplements xxHash64 + the voting/banding
+    // pipeline independently; MediaDecodeSpec does real JDK decodes).
   )
 }

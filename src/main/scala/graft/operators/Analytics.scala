@@ -227,18 +227,30 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     * under stage retry (a monotonically_increasing_id salt recomputes
     * DIFFERENTLY after a fetch-failure recompute when the fact side is
     * itself shuffle output, duplicating or dropping join rows —
-    * SPARK-23207-class hazard). Restriction: rows identical in EVERY
-    * column share a salt, so a hot key whose rows are full duplicates
-    * stays on one partition — deduplicate or add a distinguishing column
-    * first. */
+    * SPARK-23207-class hazard). Restrictions: rows identical in EVERY
+    * hashable column share a salt, so a hot key whose rows are full
+    * duplicates stays on one partition — deduplicate or add a
+    * distinguishing column first; and the salt hashes only the hashable
+    * fact columns (MapType is unhashable in Spark — including it would
+    * fail the whole join at analysis time), so at least one fact column
+    * besides any maps must be hashable. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, salt: Int = 8): DataFrame = {
     // withColumn would silently REPLACE a caller's __salt column and the
     // final drop would then delete their data — fail loudly instead
     require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
       "saltedJoin reserves the column name __salt; rename it on the input first")
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.MapType(_, _, _) => false
+      case org.apache.spark.sql.types.ArrayType(et, _) => hashable(et)
+      case org.apache.spark.sql.types.StructType(fs)   => fs.forall(f => hashable(f.dataType))
+      case _                                           => true
+    }
+    val saltCols = fact.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedJoin: every fact column is unhashable (maps) — add a hashable column to salt on")
     val salted = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(salt)))
+      pmod(hash(saltCols.toIndexedSeq: _*), lit(salt)))
     val replicated = dim
       .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
     salted.join(replicated,

@@ -333,16 +333,19 @@ FROM reach GROUP BY s ORDER BY doc_id
       .select(col("doc_id").as("eval_id"), col("key"))
       .localCheckpoint() // read twice (sizes + join)
     val evalSizes = evalKept.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
-    // eval is CONTRACT-tiny (benchmarks are KBs against the corpus), so
-    // the broadcast is explicit — the scale-correct plan must not depend
-    // on a size estimate in either direction
+    // NO broadcast hints here: the carved eval side is doc_id % 17 — ~6%
+    // of the corpus, data-sized at scale — so forcing a broadcast would
+    // OOM exactly where graceful degradation matters. The checkpoint shim
+    // keeps stats honest; AQE broadcasts the eval side only while it is
+    // measured-small. contaminationOn keeps its explicit broadcasts
+    // because THERE eval is contract-tiny (a benchmark, not a carve).
     kept
       .select(col("doc_id").as("train_id"), col("key"))
-      .join(broadcast(evalKept), "key")
+      .join(evalKept, "key")
       .filter(col("train_id") =!= col("eval_id"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(evalSizes), "eval_id")
+      .join(evalSizes, "eval_id")
       .withColumn("containment",
         col("shared").cast("double") / col("n_eval").cast("double"))
       .filter(col("containment") >= threshold)

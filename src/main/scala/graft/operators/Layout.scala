@@ -83,7 +83,15 @@ object Layout {
     * delete `__old`. A crash before the first rename leaves the original
     * untouched; between the renames the original is intact at `__old`;
     * after the second the new data is live — there is no window where
-    * the data exists only in the temp directory. */
+    * the data exists only in the temp directory.
+    *
+    * Concurrent writers: the read pins its file listing at DataFrame
+    * creation, so files landed AFTER that point (a live streaming sink,
+    * say) would not be in the rewrite yet would be swept away by the
+    * directory rename. Guard: the parquet file set is captured before
+    * the read and re-listed just before the swap; if it changed, compact
+    * aborts (original intact, temp removed) — compaction requires
+    * quiescence and detects its absence rather than losing data. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetRowsPerFile: Long): (Long, Long) = {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be > 0, got $targetRowsPerFile")
@@ -95,19 +103,34 @@ object Layout {
       s"compact: $path is hive-partitioned (${partitionDirs.take(3).mkString(", ")}…) — " +
         "compact each partition directory individually; a flat rewrite would " +
         "demote partition columns to data columns and break pruning")
-    val df = spark.read.parquet(path)
-    def parquetFiles(p: org.apache.hadoop.fs.Path): Long = {
+    def parquetFileSet(p: org.apache.hadoop.fs.Path): Set[String] = {
       val it = fs.listFiles(p, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+      b.result()
     }
-    val before = parquetFiles(hadoopPath)
+    val listed = parquetFileSet(hadoopPath)
+    val df = spark.read.parquet(path)
+    val before = listed.size.toLong
     val rows = df.count()
     val files = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val old = new org.apache.hadoop.fs.Path(path + "__old")
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val relisted = parquetFileSet(hadoopPath)
+    if (relisted != listed) {
+      fs.delete(tmp, true)
+      val gained = (relisted -- listed).take(3)
+      val lost = (listed -- relisted).take(3)
+      throw new IllegalStateException(
+        s"compact: $path changed during the rewrite (+${(relisted -- listed).size} " +
+          s"-${(listed -- relisted).size} files, e.g. ${(gained ++ lost).mkString(", ")}); " +
+          "a concurrent writer is active — original left intact, temp removed. " +
+          "Quiesce writers and re-run.")
+    }
     if (!fs.rename(hadoopPath, old))
       throw new IllegalStateException(
         s"compact: rename $hadoopPath -> $old failed; original data untouched, compacted copy at $tmp")
@@ -117,6 +140,6 @@ object Layout {
         s"compact: rename $tmp -> $hadoopPath failed; original restored, compacted copy at $tmp")
     }
     fs.delete(old, true)
-    (before, parquetFiles(hadoopPath))
+    (before, parquetFileSet(hadoopPath).size.toLong)
   }
 }

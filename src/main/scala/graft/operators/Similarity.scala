@@ -278,9 +278,16 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * bands×planes (a 12×3 banding passes ~80% of random pairs), so the
     * candidate set degenerates toward all-pairs: for dense low-threshold
     * search, IVF probing ([[ivfSearch]]) or exact blocking is the right
-    * tool instead. Tune with: P(collide) = 1−(1−(1−θ/π)^planes)^bands. */
+    * tool instead. Tune with: P(collide) = 1−(1−(1−θ/π)^planes)^bands.
+    *
+    * Banding defaults to AUTO (`bands = 0`): the corpus is counted once
+    * (a metadata-cheap action) and [[bandingFor]] picks the banding whose
+    * random-collision noise stays linear in n — SCALING.md measured the
+    * old fixed 48×12 default at 3.4× slower WITH less recall at 10×.
+    * Pass explicit (bands, planesPerBand) to pin a banding (the oracle
+    * query does, so its SQL mirror can embed the plane masks). */
   def annPairs(spark: SparkSession, dir: String, threshold: Double = 0.8,
-               dim: Int = Dim, bands: Int = 48, planesPerBand: Int = 12): DataFrame =
+               dim: Int = Dim, bands: Int = 0, planesPerBand: Int = 0): DataFrame =
     annPairsOn(emb(spark, dir), threshold, dim, bands, planesPerBand)
 
   /** SRP banding parameters (bands, planesPerBand) for a corpus of `n`
@@ -317,19 +324,24 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
           "raise noisePerVector or use exact blocking"))
   }
 
-  /** [[annPairs]] over an explicit corpus. */
+  /** [[annPairs]] over an explicit corpus. `bands = 0` (the default) means
+    * AUTO: count the corpus and derive the banding from [[bandingFor]]. */
   def annPairsOn(corpus: DataFrame, threshold: Double = 0.8,
-                 dim: Int = Dim, bands: Int = 48, planesPerBand: Int = 12): DataFrame = {
+                 dim: Int = Dim, bands: Int = 0, planesPerBand: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val planes = Array.tabulate(bands, planesPerBand)((b, p) => planeComps(b, p, dim))
+    require((bands == 0) == (planesPerBand == 0),
+      s"annPairsOn: pass both bands and planesPerBand, or neither (auto); got ($bands, $planesPerBand)")
+    val (nBands, nPlanes) =
+      if (bands == 0) bandingFor(corpus.count(), threshold) else (bands, planesPerBand)
+    val planes = Array.tabulate(nBands, nPlanes)((b, p) => planeComps(b, p, dim))
     // band bucket key: 64-bit mix of (band, SRP bits) — 8-byte shuffle rows
     // instead of strings; a collision can only ADD a candidate pair, and
     // every candidate is exact-verified below (same policy as minhash)
     val bucketed = corpus.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
-        Iterator.range(0, bands).map { b =>
+        Iterator.range(0, nBands).map { b =>
           var h = 0x9E3779B97F4A7C15L * (b + 1)
           h ^= srpBucketP(v, planes(b)) * 0xC2B2AE3D27D4EB4FL
           h = java.lang.Long.rotateLeft(h, 27) * 0x9E3779B97F4A7C15L
@@ -368,6 +380,64 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
       .orderBy("id_a", "id_b")
   }
 
+  /** Full SQL oracle for the SRP-LSH pair query over the augmented corpus
+    * — what upgrades q_ann_lsh from `no_oracle` to hash-checked.
+    *
+    * The planes are deterministic ±1 components ([[planeComps]]), so each
+    * plane compresses to a 64-bit sign BITMASK embedded as one BIGINT
+    * literal per (band, plane) row — the oracle recomputes every signature
+    * bit from the same masks with the same left-to-right double
+    * accumulation as [[srpBucketP]] (each term is exactly ±v[i]: ±1.0
+    * multiplication is a sign flip, exact in both engines; the
+    * list_sum(list_transform(...)) ↔ primitive-loop parity is the one
+    * q_cosine_pairs already pins).
+    *
+    * One deliberate divergence: the engine groups candidates by a 64-bit
+    * MIX of (band, bits) while the oracle groups by (band, bits) directly
+    * — the mix is injective on the pair unless two distinct (band, bits)
+    * keys collide in 64 bits (birthday odds ≈ 10⁻¹¹ on this corpus, and
+    * DETERMINISTIC: a collision would fail the gate loudly, not flake). */
+  def annPairsSql(threshold: Double = 0.8, bands: Int = 48,
+                  planesPerBand: Int = 12, dim: Int = Dim): String = {
+    val maskRows = (for { b <- 0 until bands; p <- 0 until planesPerBand } yield {
+      val comps = planeComps(b, p, dim)
+      val mask = comps.zipWithIndex.foldLeft(0L) {
+        case (m, (c, j)) => if (c > 0) m | (1L << j) else m
+      }
+      s"($b, $p, CAST($mask AS BIGINT))"
+    }).mkString(",\n  ")
+    s"""
+WITH $AugSqlCte, masks(b, p, mask) AS (VALUES
+  $maskRows
+), sigs AS (
+  SELECT e.vec_id, m.b,
+    SUM(CASE WHEN list_sum(list_transform(generate_series(1, $dim),
+      j -> CAST(e.embedding[j] AS DOUBLE) *
+           (CASE WHEN ((m.mask >> (j - 1)) & 1) = 1 THEN 1.0 ELSE -1.0 END))) >= 0
+      THEN CAST(1 AS BIGINT) << m.p ELSE CAST(0 AS BIGINT) END) AS bits
+  FROM aug e, masks m
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+  FROM sigs s1 JOIN sigs s2
+    ON s1.b = s2.b AND s1.bits = s2.bits AND s1.vec_id < s2.vec_id
+), normed AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM aug
+), scored AS (
+  SELECT c.id_a, c.id_b,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+  FROM cand c
+  JOIN normed a ON a.vec_id = c.id_a
+  JOIN normed b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cos
+FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
+""".trim
+  }
+
   /** Lloyd iterations applied to the residue-mean seed before any IVF
     * assignment/search. Two rounds move the centroids most of the way to a
     * local optimum on this corpus while keeping the whole computation
@@ -375,6 +445,29 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * oracled with trained centroids (the round-3 residue cells were
     * arbitrary and made recall meaningless as an ANN signal). */
   val LloydIters = 2
+
+  /** Hard cap on the IVF model size: nCentroids × Dim doubles is collected
+    * to the driver and shipped in task closures — 2¹⁶ cells × 64 dims ×
+    * 8 B ≈ 34 MB, the upper end of a sane broadcast model. Above it the
+    * right structure is a hierarchical (two-level) quantizer, not a bigger
+    * flat collect — so the guard fails loudly instead of OOM-ing quietly. */
+  val MaxCentroids: Int = 1 << 16
+
+  /** IVF cell count for a corpus of `n` vectors — the scale rule the fixed
+    * default lacks (the [[bandingFor]] analog): `√n`, clamped to
+    * [1, [[MaxCentroids]]].
+    *
+    * Why √n: a query probing `nprobe` of `c` cells exact-scores
+    * ≈ n·nprobe/c candidates, while each Lloyd round pays n·c distance
+    * evaluations; c = √n makes the per-query candidate volume nprobe·√n
+    * (sub-linear — the index keeps being an index as n grows) and keeps
+    * training one broadcast-model scan per round. At a FIXED c=8, 10⁹
+    * vectors probing 2 cells scans a quarter of the corpus per query —
+    * measured in SCALING.md's IVF section alongside this rule. */
+  def cellsFor(n: Long): Int = {
+    require(n > 0, s"cellsFor($n): need a positive corpus size")
+    math.min(MaxCentroids.toLong, math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+  }
 
   /** IVF coarse quantization: assign each vector to the nearest of
     * `nCentroids` Lloyd-trained centroids ([[trainedCentroidArrays]]), emit
@@ -384,11 +477,12 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * (a cross-join + row_number formulation would pay an 8× row blowup
     * plus a per-vector sort shuffle, per scan, for what is arithmetically
     * an argmin). */
-  def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 8,
+  def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 0,
                 iters: Int = LloydIters): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
-    val cents = trainedCentroidArrays(base, nCentroids, iters)
+    val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
+    val cents = trainedCentroidArrays(base, cells, iters)
     base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => val (cid, d2) = nearestCell(v, cents); (id, cid.toLong, d2) }
       .toDF("vec_id", "centroid_id", "dist2")
@@ -435,6 +529,11 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
   def trainedCentroidArrays(base: DataFrame, nCentroids: Int,
                             iters: Int = LloydIters): Array[Array[Double]] = {
     import base.sparkSession.implicits._
+    // the model is driver-collected and closure-shipped: bound it loudly
+    // (34 MB at the cap) rather than discover the limit as an OOM
+    require(nCentroids >= 1 && nCentroids <= MaxCentroids,
+      s"IVF model: nCentroids=$nCentroids outside [1, $MaxCentroids] — a flat centroid " +
+        "collect beyond the cap stops being a broadcast model; use a two-level quantizer")
     def toModel(rows: Array[org.apache.spark.sql.Row], prev: Array[Array[Double]]): Array[Array[Double]] = {
       val next = prev.clone()
       rows.foreach { r =>
@@ -443,10 +542,15 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
       }
       next
     }
-    var cents = toModel(
-      base.withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
-        .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect(),
-      Array.fill(nCentroids)(Array.fill(Dim)(0.0)))
+    val seedRows = base.withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
+      .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect()
+    // an empty residue class would seed an all-zeros centroid that the
+    // oracle's cent0 CTE simply omits — refuse loudly instead of letting
+    // the engines diverge on sparse/non-dense vec_id spaces
+    require(seedRows.length == nCentroids,
+      s"IVF seed: only ${seedRows.length} of $nCentroids vec_id residue classes are populated — " +
+        "the id space is too sparse for this cell count; lower nCentroids or densify ids")
+    var cents = toModel(seedRows, Array.fill(nCentroids)(Array.fill(Dim)(0.0)))
     for (_ <- 1 to iters) {
       val model = cents
       cents = toModel(
@@ -472,12 +576,13 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * join is an equi-join on cid; vectors travel only for candidate rows.
     * At 100 TB the assignment relation is bucketed by cid so the probe
     * join co-locates. */
-  def ivfSearch(spark: SparkSession, dir: String, nCentroids: Int = 8,
+  def ivfSearch(spark: SparkSession, dir: String, nCentroids: Int = 0,
                 nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
                 iters: Int = LloydIters): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
-    val cand = ivfCandidates(base, nCentroids, nprobe, nQueries, iters)
+    val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
+    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters)
     // exact cosine on candidates only — same primitive kernel + norm-once
     // arithmetic as the verified baselines (topK hash-✓ pins the parity)
     val vecs = base.select(col("vec_id"), col("embedding"))
@@ -564,12 +669,13 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * SQL oracle ([[ivfSearchInt8Sql]]), not just a recall spec. Recall vs
     * the float path is pinned in OperatorsSpec (≥0.95 at k=5 probing all
     * cells, where quantization error is the only difference). */
-  def ivfSearchInt8(spark: SparkSession, dir: String, nCentroids: Int = 8,
+  def ivfSearchInt8(spark: SparkSession, dir: String, nCentroids: Int = 0,
                     nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
                     iters: Int = LloydIters): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
-    val cand = ivfCandidates(base, nCentroids, nprobe, nQueries, iters)
+    val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
+    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters)
     val qvecs = base.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>

@@ -46,6 +46,10 @@ object IngestGate {
     * direct batch use and for the spec. */
   def gateBatch(corpus: DataFrame, batch: DataFrame,
                 threshold: Double): (DataFrame, DataFrame) = {
+    // a wider batch schema carrying these names would be silently
+    // captured by the join below — fail loudly (saltedJoin precedent)
+    require(!batch.columns.contains("__fp") && !batch.columns.contains("keep_id"),
+      "gateBatch reserves the column names __fp and keep_id; rename them on the input first")
     // within-batch exact collapse first: lowest doc_id per canonical
     // fingerprint represents the content; later copies get a receipt
     // pointing at their in-batch representative

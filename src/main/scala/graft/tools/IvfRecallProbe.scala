@@ -23,7 +23,7 @@ object IvfRecallProbe {
     val exact = Similarity.topK(spark, sfDir, k = k, nQueries = 50)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     for (iters <- 0 to 3) {
-      val ivf = Similarity.ivfSearch(spark, sfDir, nprobe = nprobe, k = k,
+      val ivf = Similarity.ivfSearch(spark, sfDir, nCentroids = 8, nprobe = nprobe, k = k,
           nQueries = 50, iters = iters)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       val recall = (exact & ivf).size.toDouble / exact.size

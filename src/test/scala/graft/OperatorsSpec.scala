@@ -140,6 +140,46 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${Similarity.bandingFor(8000L, 0.8)}")
   }
 
+  test("annPairsOn auto default == explicit bandingFor parameters") {
+    // the deployment default derives banding from the corpus count — it
+    // must be EXACTLY the fixed run at bandingFor(n), not a third regime
+    val aug = Similarity.augmentedEmb(spark, sf)
+    val (b, p) = Similarity.bandingFor(aug.count(), 0.8)
+    val auto = Similarity.annPairsOn(aug, 0.8).collect().toSeq
+    val fixed = Similarity.annPairsOn(aug, 0.8, bands = b, planesPerBand = p).collect().toSeq
+    assert(auto == fixed, s"auto banding diverged from bandingFor=(${b}x$p)")
+    intercept[IllegalArgumentException] {
+      Similarity.annPairsOn(aug, 0.8, bands = 48) // half-specified
+    }
+  }
+
+  test("cellsFor: √n rule, clamped to the broadcast-model cap") {
+    assert(Similarity.cellsFor(64L) == 8)
+    assert(Similarity.cellsFor(1000000L) == 1000)
+    assert(Similarity.cellsFor(1L) == 1)
+    // at 10⁹ vectors the flat model hits the cap — the guard boundary
+    assert(Similarity.cellsFor(10000000000L) == Similarity.MaxCentroids)
+    intercept[IllegalArgumentException](Similarity.cellsFor(0L))
+    // candidate volume stays sub-linear: n·nprobe/cellsFor(n) ~ nprobe·√n
+    val perQuery1e6 = 1000000.0 * 2 / Similarity.cellsFor(1000000L)
+    assert(perQuery1e6 <= 2001.0, s"per-query candidates at 1e6: $perQuery1e6")
+  }
+
+  test("IVF model guards: centroid cap and sparse-id seed both fail loudly") {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.trainedCentroidArrays(base, Similarity.MaxCentroids + 1)
+    }
+    assert(e1.getMessage.contains("broadcast model"))
+    // more cells than populated vec_id residues: the all-zeros seed cells
+    // the oracle's cent0 CTE omits — refused instead of diverging
+    val n = base.count().toInt
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.trainedCentroidArrays(base, n + 7)
+    }
+    assert(e2.getMessage.contains("residue"))
+  }
+
   test("IVF search with nprobe = nCentroids degenerates to the exact top-k") {
     val ivfAll = Similarity.ivfSearch(spark, sf, nCentroids = 8, nprobe = 8, k = 3, nQueries = 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
@@ -150,7 +190,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("IVF search at nprobe=2 keeps useful recall vs exact top-k") {
     val k = 5
-    val ivf = Similarity.ivfSearch(spark, sf, nprobe = 2, k = k, nQueries = 50)
+    val ivf = Similarity.ivfSearch(spark, sf, nCentroids = 8, nprobe = 2, k = k, nQueries = 50)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val exact = Similarity.topK(spark, sf, k = k, nQueries = 50)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -171,7 +211,7 @@ class OperatorsSpec extends AnyFunSuite {
     val exact = Similarity.topK(spark, sf, k = k, nQueries = 50)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     def recall(iters: Int): Double = {
-      val ivf = Similarity.ivfSearch(spark, sf, nprobe = 2, k = k,
+      val ivf = Similarity.ivfSearch(spark, sf, nCentroids = 8, nprobe = 2, k = k,
           nQueries = 50, iters = iters)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
       (exact & ivf).size.toDouble / exact.size
@@ -191,7 +231,7 @@ class OperatorsSpec extends AnyFunSuite {
     val k = 5
     val exact = Similarity.topK(spark, sf, k = k, nQueries = 50)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
-    val q8 = Similarity.ivfSearchInt8(spark, sf, nprobe = 8, k = k, nQueries = 50)
+    val q8 = Similarity.ivfSearchInt8(spark, sf, nCentroids = 8, nprobe = 8, k = k, nQueries = 50)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     val recall = (exact.keySet & q8.keySet).size.toDouble / exact.size
     info(s"int8 ivf recall@$k (nprobe=8) = $recall")
