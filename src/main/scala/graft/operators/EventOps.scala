@@ -24,7 +24,7 @@ object EventOps {
     * exactly what DuckDB's ns→µs read does, so both engines see identical
     * timestamps. Integral `div` (not `/`) — ns epoch values exceed 2^53 and
     * would lose precision through a double. */
-  private[operators] def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     // The nanos flag is consulted at schema-inference time (the read call
     // below); restore the previous value so a reader helper doesn't leak
     // session-wide schema behavior to unrelated parquet reads.

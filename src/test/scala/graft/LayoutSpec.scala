@@ -112,6 +112,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(doc_id"), plan)
   }
 
+  test("timestamp sort key: footers carry int64 micros stats, not stat-less INT96") {
+    // Spark's default outputTimestampType=INT96 writes NO min/max
+    // statistics — a timestamp-clustered table would silently get zero
+    // row-group pruning. Layout forces TIMESTAMP_MICROS for its writes
+    // (and restores the session conf afterwards).
+    val out = tmpDir("tsrange")
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    val ev = spark.range(0, 1000)
+      .select(col("id"),
+        to_timestamp(lit("2024-01-01 00:00:00")).plus(expr("make_interval(0,0,0,0,0,0,id*60)")).as("ts"))
+    Layout.writeRangeClustered(ev, out, sortCols = Seq("ts"), numFiles = 4)
+    assert(spark.conf.getOption("spark.sql.parquet.outputTimestampType") == prev,
+      "Layout leaked the outputTimestampType conf")
+    // footerRanges casts the stats to Long — which only exists at all for
+    // the annotated int64 form — and the shards must be disjoint in µs
+    val ranges = footerRanges(out, "ts").sortBy(_._1)
+    assert(ranges.length >= 3, s"expected ~4 range shards, got $ranges")
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping ts range shards: $ranges")
+      case _ =>
+    }
+  }
+
   test("compact: file count collapses to ceil(rows/target), data unchanged") {
     val out = tmpDir("compact")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
