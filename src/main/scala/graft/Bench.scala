@@ -45,10 +45,21 @@ object Bench {
     // hands the dead references to the ContextCleaner (blocking-shuffle
     // config above makes the sweep synchronous). Safe between queries:
     // every run builds its checkpoints fresh.
+    // Attribution knobs (never set by the driver; default = driver shape):
+    // GRAFT_BENCH_NO_GC skips the between-query System.gc(),
+    // GRAFT_BENCH_GC_SETTLE_MS sleeps after it so the ContextCleaner —
+    // whose reference-queue drain is asynchronous even with the blocking
+    // config (blocking applies to each cleanup CALL, not to when the queue
+    // is processed) — finishes deleting the previous query's shuffle files
+    // OUTSIDE the next query's timed window. Used to decompose the r4
+    // suite-warm drift; see docs/PERF.md.
+    val noGc = sys.env.contains("GRAFT_BENCH_NO_GC")
+    val settleMs = sys.env.getOrElse("GRAFT_BENCH_GC_SETTLE_MS", "0").toLong
     def dropCheckpointBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sqlContext.clearCache()
-      System.gc()
+      if (!noGc) System.gc()
+      if (settleMs > 0) Thread.sleep(settleMs)
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)

@@ -22,10 +22,25 @@ object QueryRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same per-query hygiene as graft.Bench, so isolated numbers compare
+    // against suite numbers on harness-equal terms: codegen prewarmed at
+    // the smallest SF, checkpoint blocks/shuffle garbage dropped between
+    // runs (without this, repeated runs accumulate localCheckpoint blocks
+    // and "warm" drifts slower for harness reasons, not query reasons)
+    def drop(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache()
+      System.gc()
+    }
+    try fn(spark, "/root/testdata/sf0.001").count()
+    catch { case e: Throwable => System.err.println(s"[queryrunner] prewarm: ${e.getMessage}") }
+    finally drop()
     for (i <- 1 to n) {
       val t0 = System.nanoTime()
       val rows = fn(spark, sfDir).count()
-      println(f"[queryrunner] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s, $rows rows")
+      val sec = (System.nanoTime() - t0) / 1e9
+      drop()
+      println(f"[queryrunner] $name run $i: $sec%.3f s, $rows rows")
     }
     spark.stop()
   }

@@ -1,0 +1,142 @@
+package graft.tools
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.streaming.{IngestGate, StreamingSimilarity}
+import graft.streaming.StreamingSimilarity.VecRow
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Benchmark the streaming tier — the round-4 verdict noted zero perf
+  * numbers existed for the ingestion gate or the incremental top-k.
+  *
+  * Two measurements:
+  *  1. [[IngestGate]] gated-ingest throughput (docs/s per micro-batch):
+  *     `nBatches` batches of `batchSize` arriving docs against the
+  *     `sfDir` corpus. Arrivals are ~90% fresh (token-suffixed variants
+  *     of corpus docs — new shingle vocabulary) and ~10% exact corpus
+  *     copies, so the gate does real work on both paths. Each batch is
+  *     one AvailableNow drain (the operator's own deployment shape:
+  *     foreachBatch + restart), so per-batch wall includes query startup;
+  *     the listener's triggerExecution isolates the in-batch time. Note
+  *     the gate re-shingles corpus ∪ landing every batch by design (the
+  *     landing zone IS the ledger) — the throughput floor this measures.
+  *  2. [[StreamingSimilarity.incrementalTopK]] per-batch latency: one
+  *     LONG-RUNNING query (processAllAvailable per batch — no restart in
+  *     the timed window), `nBatches` batches of `vecBatch` vectors
+  *     against a 50-query panel, k=5. State is O(queries × k); the
+  *     number to watch is per-batch latency staying flat as the corpus
+  *     streamed past grows.
+  *
+  * Usage: runMain graft.tools.StreamBench [sfDir] [batchSize] [nBatches]
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchSize = if (args.length > 1) args(1).toInt else 2000
+    val nBatches = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // trigger-execution durations per completed micro-batch, by query
+    val trig = ArrayBuffer[(String, Long, Long)]() // (queryName, inputRows, ms)
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) trig.synchronized {
+          trig += ((Option(p.name).getOrElse("ingest"), p.numInputRows,
+            p.durationMs.getOrDefault("triggerExecution", -1L)))
+        }
+      }
+    })
+
+    // ---- 1. IngestGate ----
+    val root = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val corpusDir = s"$root/corpus"
+    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+      .write.parquet(s"$corpusDir/documents.parquet")
+    val corpusRows = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .as[(Long, String)].collect()
+    println(s"[streambench] corpus: ${corpusRows.length} docs from $sfDir")
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    var nextId = 100000000L
+    val gateTimes = ArrayBuffer[(Int, Int, Double)]()
+    for (b <- 0 until nBatches) {
+      val batch = (0 until batchSize).map { i =>
+        val src = corpusRows((b * batchSize + i) % corpusRows.length)
+        val id = nextId; nextId += 1
+        if (i % 10 == 9) (id, src._2) // exact corpus copy → drop path
+        else (id, src._2.split("\\s+").map(t => s"${t}_n${b}_$i").mkString(" "))
+      }
+      mem.addData(batch: _*)
+      val t0 = System.nanoTime()
+      IngestGate.start(corpusDir, stream, s"$root/landing", s"$root/receipts",
+        s"$root/ckpt").awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      gateTimes += ((b, batchSize, sec))
+      println(f"[streambench] ingest batch $b: $sec%.2f s wall (${batchSize / sec}%.0f docs/s)")
+    }
+    val landed = spark.read.parquet(s"$root/landing").count()
+    val receipts = spark.read.parquet(s"$root/receipts").count()
+    println(s"[streambench] landing=$landed receipts=$receipts " +
+      s"(expected receipts=${nBatches * batchSize})")
+
+    // ---- 2. incrementalTopK ----
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val panel = emb.take(50).map { case (id, v) => (id, v) }.toSeq
+    def signed(b: Int, v: Array[Float]): Array[Float] =
+      v.zipWithIndex.map { case (x, i) =>
+        var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = z ^ (z >>> 31)
+        if (b == 0 || z > 0) x else -x
+      }
+    val vmem = MemoryStream[VecRow]
+    val topkQ = StreamingSimilarity.incrementalTopK(vmem.toDS(), panel, k = 5)
+      .writeStream.outputMode("append").format("memory").queryName("inc_topk").start()
+    val topkTimes = ArrayBuffer[(Int, Int, Double)]()
+    for (b <- 0 until nBatches) {
+      val batch = emb.map { case (id, v) =>
+        VecRow(id + b.toLong * 10000000L, signed(b, v))
+      }
+      vmem.addData(batch.toIndexedSeq: _*)
+      val t0 = System.nanoTime()
+      topkQ.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      topkTimes += ((b, batch.length, sec))
+      println(f"[streambench] topk batch $b: ${batch.length} vectors in $sec%.2f s " +
+        f"(${batch.length / sec}%.0f vec/s)")
+    }
+    topkQ.stop()
+
+    Thread.sleep(500) // let listener events drain
+    println("\n| tier | batch | rows | wall s | rows/s | triggerExecution ms |")
+    println("|---|---|---|---|---|---|")
+    val gateTrig = trig.synchronized(trig.filter(_._1 == "ingest").toSeq)
+    gateTimes.zipWithIndex.foreach { case ((b, n, sec), i) =>
+      val t = if (i < gateTrig.length) gateTrig(i)._3.toString else "-"
+      println(f"| ingest-gate | $b | $n | $sec%.2f | ${n / sec}%.0f | $t |")
+    }
+    val topkTrig = trig.synchronized(trig.filter(_._1 == "inc_topk").toSeq)
+    topkTimes.zipWithIndex.foreach { case ((b, n, sec), i) =>
+      val t = if (i < topkTrig.length) topkTrig(i)._3.toString else "-"
+      println(f"| inc-topk | $b | $n | $sec%.2f | ${n / sec}%.0f | $t |")
+    }
+    spark.stop()
+  }
+}
