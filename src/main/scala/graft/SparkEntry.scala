@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +79,18 @@ object SparkEntry {
     // incremental dedup: gate a new batch against the existing corpus
     // (exact fingerprint + best near-dup match + keep/drop verdict)
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
+    // the same computation through the PERSISTENT bucketed shingle index
+    // (build once / probe per batch — the 100 TB deployment shape); the
+    // oracle is literally q_dedup_incremental's SQL, so the index path is
+    // pinned to the recompute path's exact answer
+    "q_dedup_indexed" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_shindex").getAbsolutePath
+      ShingleIndex.build(d.filter(col("doc_id") % 13 =!= 0), idxDir, "q_shindex")
+      ShingleIndex.probe(s, "q_shindex", d.filter(col("doc_id") % 13 === 0))
+        .drop("shared").orderBy("doc_id")
+    }),
     // training-data pipeline: similarity search
     // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
     // top out near cos 0.51 — the low-threshold exact baseline.
@@ -173,6 +186,9 @@ object SparkEntry {
     "q_dup_clusters" -> Dedup.dupClustersSql(),
     "q_contamination" -> Dedup.contaminationSql(),
     "q_dedup_incremental" -> Dedup.incrementalDedupSql(),
+    // identical SQL by design: the indexed path must reproduce the
+    // recompute path bit-for-bit
+    "q_dedup_indexed" -> Dedup.incrementalDedupSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent shingle inverted index — build once, probe per batch.
+  *
+  * [[Dedup.incrementalDedupOn]] is the right ALGORITHM for batch-vs-corpus
+  * dedup, but its cost model re-shingles and re-aggregates the ENTIRE
+  * corpus on every call: fine when the corpus relation is handed in fresh,
+  * absurd as the per-micro-batch deployment shape at 100 TB (the ingest
+  * gate's documented throughput floor). This operator splits that cost at
+  * the right joint:
+  *
+  *  - `build` pays the O(corpus) shingling + capped aggregation ONCE and
+  *    stores the result as bucketed catalog tables: occurrences
+  *    `(key, corpus_id)` bucketed+sorted by `key`, per-doc kept-set sizes
+  *    bucketed by `corpus_id`, distinct content fingerprints bucketed by
+  *    `fp`. Bucketing pre-pays the index side of every future join: a
+  *    probe joins against the stored layout with ZERO Exchange on the
+  *    index side (the scan reports its hash partitioning to the planner),
+  *    whether the batch side is AQE-broadcast (micro-batch regime) or
+  *    shuffled to the bucket count (large-backfill regime).
+  *  - `probe` then costs O(batch + matched index rows) shuffle per call —
+  *    independent of corpus size. The index is scanned (embarrassingly
+  *    parallel, no memory pressure) but never shuffled, never
+  *    re-aggregated.
+  *  - `append` admits new documents incrementally without a rebuild.
+  *
+  * Semantics are EXACTLY [[Dedup.incrementalDedupOn]]'s (same corpus-side
+  * df cap, same asymmetric Jaccard, same canonical fingerprint exact-dup
+  * leg, same unrounded best-match tie-break) — pinned by ShingleIndexSpec
+  * equality and by the `q_dedup_indexed` DuckDB oracle, which is literally
+  * `q_dedup_incremental`'s SQL computed through this physical path.
+  *
+  * Append-mode cap semantics: `build` drops a key entirely when its df
+  * exceeds the cap ([[graft.plans.CappedCollectLong]] returns NULL).
+  * `append` enforces the same bound FORWARD: a key's new occurrences are
+  * admitted only if its post-append df stays ≤ cap (batch-internal df
+  * counts too). Rows already stored for a key that crosses the cap later
+  * stay (parquet is append-only) — a bounded ≤cap-rows-per-key overshoot,
+  * restored to exact build semantics by `rebuild`. At oracle scale the cap
+  * is inert and append∘build ≡ build on the union (spec-pinned).
+  */
+object ShingleIndex {
+
+  def occTable(tag: String): String = s"${tag}_occ"
+  def sizesTable(tag: String): String = s"${tag}_sizes"
+  def fpTable(tag: String): String = s"${tag}_fp"
+
+  private def writeBucketed(df: DataFrame, table: String, path: String,
+                            buckets: Int, bucketCol: String, mode: SaveMode): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", s"$path/$table")
+      .saveAsTable(table)
+
+  /** Build the index tables from `corpus` under catalog names
+    * `<tag>_{occ,sizes,fp}` backed by `path`. Overwrite-idempotent.
+    *
+    * Bucket-count sizing at 100 TB follows the Bucketing scaladoc rule
+    * (index size / target partition size); 8 is the toy-scale default. */
+  def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
+            maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
+    val spark = corpus.sparkSession
+    graft.plans.CappedCollectLong.ensureRegistered(spark)
+    val occ = Dedup.shingleRows(corpus).withColumnRenamed("shingle", "key")
+      .groupBy("key")
+      .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
+      .filter(col("ids").isNotNull)
+      .select(col("key"), explode(col("ids")).as("corpus_id"))
+    writeBucketed(occ, occTable(tag), path, buckets, "key", SaveMode.Overwrite)
+    // sizes from the STORED occurrences, so nc is exactly the kept count
+    // the probe join will see (never the pre-cap shingle count)
+    writeBucketed(
+      spark.table(occTable(tag)).groupBy("corpus_id").agg(count(lit(1)).as("nc")),
+      sizesTable(tag), path, buckets, "corpus_id", SaveMode.Overwrite)
+    writeBucketed(
+      corpus.select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct(),
+      fpTable(tag), path, buckets, "fp", SaveMode.Overwrite)
+  }
+
+  /** Probe the stored index with a batch of `(doc_id, text)` arrivals.
+    * Output contract = [[Dedup.incrementalDedupOn]]:
+    * `(doc_id, exact_dup, dup_of, shared, jaccard, is_dup)`.
+    *
+    * The batch legs go through the stats-honest checkpoint (shingling is
+    * a typed flatMap whose static stats lie); the index legs are catalog
+    * scans with real statistics and pre-paid partitioning. Join strategy
+    * is AQE's from measured sizes — a micro-batch earns broadcast, a
+    * backfill rides the bucket-aligned sort-merge — per the repo's
+    * no-static-guess policy. */
+  def probe(spark: SparkSession, tag: String, batch: DataFrame,
+            threshold: Double = 0.5): DataFrame = {
+    graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    val corpusKept = spark.table(occTable(tag))
+    val corpusSizes = spark.table(sizesTable(tag))
+    val batchSh = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      Dedup.shingleRows(batch).select(col("doc_id").as("batch_id"), col("shingle").as("key")))
+    val batchSizes = batchSh.groupBy("batch_id").agg(count(lit(1)).as("nb"))
+    val best = corpusKept.join(batchSh, "key")
+      .groupBy("batch_id", "corpus_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(batchSizes, "batch_id")
+      .join(corpusSizes, "corpus_id")
+      .withColumn("j", col("shared").cast("double")
+        / (col("nb") + col("nc") - col("shared")).cast("double"))
+      .groupBy("batch_id")
+      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
+        "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
+      .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
+        col("best.j").as("j"), col("best.shared").as("shared"))
+    val fp = Dedup.canonicalFp(coalesce(col("text"), lit("")))
+    val corpusFp = spark.table(fpTable(tag)).withColumn("seen", lit(true))
+    batch.select(col("doc_id"), fp.as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .withColumn("exact_dup", coalesce(col("seen"), lit(false)))
+      .join(best, col("doc_id") === col("batch_id"), "left")
+      .withColumn("is_dup",
+        col("exact_dup") || coalesce(col("j") >= threshold, lit(false)))
+      .select(col("doc_id"), col("exact_dup"), col("dup_of"), col("shared"),
+        round(col("j"), 6).as("jaccard"), col("is_dup"))
+  }
+
+  /** Admit `newDocs` into the index without a rebuild.
+    *
+    * Cost: O(newDocs shingles + stored rows for TOUCHED keys) — the df
+    * census joins the occ table only on the new batch's vocabulary. New
+    * occurrences are admitted per key iff existing df + new df ≤ cap
+    * (see the cap-semantics note on the object); sizes rows are the
+    * ADMITTED counts; fingerprints are anti-joined so the fp table stays
+    * distinct (a duplicated fp would fan out every future probe's left
+    * join). */
+  def append(spark: SparkSession, tag: String, path: String, newDocs: DataFrame,
+             buckets: Int = 8,
+             maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
+    val occT = occTable(tag)
+    // a wrong `buckets` here cannot corrupt the index: Spark rejects an
+    // append whose bucket spec differs from the existing table's
+    val newOcc = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      Dedup.shingleRows(newDocs).withColumnRenamed("shingle", "key"))
+    val newDf = newOcc.groupBy("key").agg(count(lit(1)).as("new_df"))
+    val oldDf = spark.table(occT).join(newDf.select("key"), "key")
+      .groupBy("key").agg(count(lit(1)).as("old_df"))
+    val admittedKeys = newDf.join(oldDf, Seq("key"), "left")
+      .filter(coalesce(col("old_df"), lit(0L)) + col("new_df") <= maxShingleDf)
+      .select("key")
+    val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      newOcc.join(admittedKeys, "key")
+        .select(col("key"), col("doc_id").as("corpus_id")))
+    writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
+    writeBucketed(
+      admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
+      sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
+    val newFp = newDocs
+      .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
+      .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti")
+    writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
+  }
+
+  /** Re-apply exact build semantics (un-does append's bounded cap
+    * overshoot and re-compacts bucket files) by rebuilding from the
+    * given corpus relation. */
+  def rebuild(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
+              maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit =
+    build(corpus, path, tag, buckets, maxShingleDf)
+}
