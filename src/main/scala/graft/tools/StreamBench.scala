@@ -43,6 +43,8 @@ object StreamBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-sbench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -95,6 +97,34 @@ object StreamBench {
     println(s"[streambench] landing=$landed receipts=$receipts " +
       s"(expected receipts=${nBatches * batchSize})")
 
+    // ---- 1b. IngestGate, indexed (same arrivals, pre-built ShingleIndex) ----
+    val ixBuild0 = System.nanoTime()
+    graft.operators.ShingleIndex.build(
+      spark.read.parquet(s"$corpusDir/documents.parquet"), s"$root/index", "sbix")
+    println(f"[streambench] index build (once): ${(System.nanoTime() - ixBuild0) / 1e9}%.2f s")
+    val memIx = MemoryStream[(Long, String)]
+    val streamIx = memIx.toDF.toDF("doc_id", "text")
+    var nextIdIx = 200000000L
+    val gateIxTimes = ArrayBuffer[(Int, Int, Double)]()
+    for (b <- 0 until nBatches) {
+      val batch = (0 until batchSize).map { i =>
+        val src = corpusRows((b * batchSize + i) % corpusRows.length)
+        val id = nextIdIx; nextIdIx += 1
+        if (i % 10 == 9) (id, src._2)
+        else (id, src._2.split("\\s+").map(t => s"${t}_m${b}_$i").mkString(" "))
+      }
+      memIx.addData(batch: _*)
+      val t0 = System.nanoTime()
+      IngestGate.startIndexed("sbix", streamIx, s"$root/landing_ix",
+        s"$root/receipts_ix", s"$root/ckpt_ix").awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      gateIxTimes += ((b, batchSize, sec))
+      println(f"[streambench] ingest-ix batch $b: $sec%.2f s wall (${batchSize / sec}%.0f docs/s)")
+    }
+    val landedIx = spark.read.parquet(s"$root/landing_ix").count()
+    println(s"[streambench] indexed landing=$landedIx " +
+      s"(expected ${nBatches * batchSize * 9 / 10})")
+
     // ---- 2. incrementalTopK ----
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
@@ -131,6 +161,11 @@ object StreamBench {
     gateTimes.zipWithIndex.foreach { case ((b, n, sec), i) =>
       val t = if (i < gateTrig.length) gateTrig(i)._3.toString else "-"
       println(f"| ingest-gate | $b | $n | $sec%.2f | ${n / sec}%.0f | $t |")
+    }
+    gateIxTimes.zipWithIndex.foreach { case ((b, n, sec), i) =>
+      val j = gateTimes.length + i // indexed-gate batches follow in the same unnamed-query log
+      val t = if (j < gateTrig.length) gateTrig(j)._3.toString else "-"
+      println(f"| ingest-gate-indexed | $b | $n | $sec%.2f | ${n / sec}%.0f | $t |")
     }
     val topkTrig = trig.synchronized(trig.filter(_._1 == "inc_topk").toSeq)
     topkTimes.zipWithIndex.foreach { case ((b, n, sec), i) =>
