@@ -264,7 +264,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
   def saltedJoinAgg(spark: SparkSession, dir: String, salt: Int = 8): DataFrame = {
     // events.user_id is the fact key; the merge hint keeps the dim off
     // the broadcast path so the salted shuffle is what actually runs.
-    // (EventOps.events handles the nanos-timestamp schema of this table.)
+    // (EventOps.events normalizes the ts encoding of this table.)
     val events = EventOps.events(spark, dir).select(col("user_id"), col("value"))
     val customer = t(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
     saltedJoin(events, customer.hint("merge"), "user_id", "c_custkey", salt)

@@ -19,24 +19,40 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 refuses natively — read nanos as long and truncate to µs,
-    * exactly what DuckDB's ns→µs read does, so both engines see identical
-    * timestamps. Integral `div` (not `/`) — ns epoch values exceed 2^53 and
-    * would lose precision through a double. */
+  /** Reads the events table, normalizing `ts` to TimestampType (µs, UTC
+    * session tz) regardless of the writer's physical timestamp encoding.
+    * A 100 TB lake has mixed writers; hard-coding one encoding is exactly
+    * the brittleness that broke round 5 when the testdata generator moved
+    * from TIMESTAMP(NANOS) to TIMESTAMP_MICROS. Dispatch on the scanned
+    * schema instead:
+    *   - LongType (TIMESTAMP(NANOS) surfaced via the nanosAsLong legacy
+    *     flag — Spark 4 refuses ns natively): truncate ns→µs with integral
+    *     `div` (ns epoch values exceed 2^53; a double would lose precision),
+    *     matching DuckDB's ns→µs read so both engines see identical values.
+    *   - TimestampNTZType (µs, isAdjustedToUTC=false): cast to TimestampType
+    *     — epoch-preserving under the UTC session timezone all Graft
+    *     sessions pin ([[graft.GraftSession]]).
+    *   - TimestampType: pass through. */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // The nanos flag is consulted at schema-inference time (the read call
     // below); restore the previous value so a reader helper doesn't leak
     // session-wide schema behavior to unrelated parquet reads.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    val raw =
+      try spark.read.parquet(s"$dir/events.parquet")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet ts column has unsupported type $other (dir=$dir)")
     }
   }
 

@@ -41,7 +41,7 @@ object LayoutBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("graft-layoutbench").toString
-    val ev = EventOps.events(spark, sfDir) // nanos → µs timestamps
+    val ev = EventOps.events(spark, sfDir) // ts normalized to TimestampType
     val unclustered = s"$root/events_unclustered"
     val clustered = s"$root/events_clustered"
     ev.repartition(numFiles).write.parquet(unclustered)

@@ -22,19 +22,9 @@ class EventOpsRangeSpec extends AnyFunSuite {
     val binned = EventOps.binnedRangeJoin(spark, dir).collect()
     assert(binned.nonEmpty, "range join produced no rows — fixture mismatch")
 
-    // naive reference: read events the same ns->us way, theta-join directly
-    // (save/restore the nanos flag — unset would clobber a session-level
-    // setting some other fixture relies on)
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val ev =
-      try spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("us", expr("ts div 1000"))
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    // naive reference: same schema-adaptive read, theta-join directly
+    val ev = EventOps.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("us").as("click_us"), col("value"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -75,16 +65,7 @@ class EventOpsRangeSpec extends AnyFunSuite {
     val nVer = W.partitionBy("user_id", "event_type")
     val rows = compacted.collect()
     val windowRows = {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      val ev =
-        try spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
+      val ev = EventOps.events(spark, dir)
       ev.withColumn("rn", row_number().over(byVer))
         .withColumn("n_versions", count(lit(1)).over(nVer))
         .filter(col("rn") === 1)

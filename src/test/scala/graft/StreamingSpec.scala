@@ -34,9 +34,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed event counts with watermark drain under AvailableNow") {
     val landing = Files.createTempDirectory("graft-events").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.operators.EventOps.events(spark, "/root/testdata/sf0.001")
       .write.mode("overwrite").parquet(landing)
 
     val stream = spark.readStream
@@ -103,9 +101,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("stream-static dimension join enriches windowed counts") {
     val landing = Files.createTempDirectory("graft-enrich").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.operators.EventOps.events(spark, "/root/testdata/sf0.001")
       .write.mode("overwrite").parquet(landing)
     val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     val stream = spark.readStream
