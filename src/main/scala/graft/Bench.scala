@@ -19,6 +19,10 @@ object Bench {
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-flight: name any testdata schema drift BEFORE 57 queries fail
+    // against it with errors three layers from the cause (see r5).
+    graft.tools.SchemaCanary.preflight(spark.sparkContext.hadoopConfiguration,
+      Seq(sfDir, "/root/testdata/sf0.001").distinct)
     // Warm up the JVM/session once (codegen compiler, parquet reader,
     // shuffle machinery) so the cold pass measures per-query costs, not
     // ~8 s of one-time session start charged to whichever query runs first.

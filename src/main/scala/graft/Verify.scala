@@ -14,6 +14,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-flight: name any testdata schema drift before the query loop
+    // (violations are reported loudly but don't abort — queries on
+    // undrifted tables should still produce green rows).
+    graft.tools.SchemaCanary.preflight(spark.sparkContext.hadoopConfiguration, Seq(sfDir))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

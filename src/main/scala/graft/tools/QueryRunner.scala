@@ -22,6 +22,7 @@ object QueryRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaCanary.preflight(spark.sparkContext.hadoopConfiguration, Seq(sfDir))
     // same per-query hygiene as graft.Bench, so isolated numbers compare
     // against suite numbers on harness-equal terms: codegen prewarmed at
     // the smallest SF, checkpoint blocks/shuffle garbage dropped between
