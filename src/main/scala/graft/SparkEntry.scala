@@ -91,6 +91,20 @@ object SparkEntry {
       ShingleIndex.probe(s, "q_shindex", d.filter(col("doc_id") % 13 === 0))
         .drop("shared").orderBy("doc_id")
     }),
+    // the APPEND maintenance path under the same oracle: build on part of
+    // the corpus, append the rest, probe — must equal incremental dedup on
+    // the union (the df cap is inert at oracle scale, so append∘build ≡
+    // build; ShingleIndexSpec pins the cap-active semantics separately)
+    "q_dedup_index_append" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_shindex_app").getAbsolutePath
+      val corpus = d.filter(col("doc_id") % 13 =!= 0)
+      ShingleIndex.build(corpus.filter(col("doc_id") % 3 =!= 0), idxDir, "q_shindex_app")
+      ShingleIndex.append(s, "q_shindex_app", idxDir, corpus.filter(col("doc_id") % 3 === 0))
+      ShingleIndex.probe(s, "q_shindex_app", d.filter(col("doc_id") % 13 === 0))
+        .drop("shared").orderBy("doc_id")
+    }),
     // training-data pipeline: similarity search
     // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
     // top out near cos 0.51 — the low-threshold exact baseline.
@@ -189,6 +203,7 @@ object SparkEntry {
     // identical SQL by design: the indexed path must reproduce the
     // recompute path bit-for-bit
     "q_dedup_indexed" -> Dedup.incrementalDedupSql(),
+    "q_dedup_index_append" -> Dedup.incrementalDedupSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),

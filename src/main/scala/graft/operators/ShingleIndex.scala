@@ -39,14 +39,19 @@ import org.apache.spark.sql.functions._
   * admitted only if its post-append df stays ≤ cap (batch-internal df
   * counts too). Rows already stored for a key that crosses the cap later
   * stay (parquet is append-only) — a bounded ≤cap-rows-per-key overshoot,
-  * restored to exact build semantics by `rebuild`. At oracle scale the cap
-  * is inert and append∘build ≡ build on the union (spec-pinned).
+  * tracked per-key in the `<tag>_sat` saturation table, measured by
+  * [[overshootCensus]], and restored to exact build semantics by `rebuild`
+  * when [[rebuildIfNeeded]]'s threshold trips. At oracle scale the cap is
+  * inert and append∘build ≡ build on the union (spec-pinned).
   */
 object ShingleIndex {
 
   def occTable(tag: String): String = s"${tag}_occ"
   def sizesTable(tag: String): String = s"${tag}_sizes"
   def fpTable(tag: String): String = s"${tag}_fp"
+  /** Saturated keys — appends rejected occurrences for these, so their true
+    * union-corpus df exceeds the cap (see [[OvershootCensus]]). */
+  def satTable(tag: String): String = s"${tag}_sat"
 
   private def writeBucketed(df: DataFrame, table: String, path: String,
                             buckets: Int, bucketCol: String, mode: SaveMode): Unit =
@@ -78,6 +83,9 @@ object ShingleIndex {
     writeBucketed(
       corpus.select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct(),
       fpTable(tag), path, buckets, "fp", SaveMode.Overwrite)
+    // empty saturation table: build is exact, so nothing is saturated yet
+    writeBucketed(occ.select("key").limit(0), satTable(tag), path, buckets,
+      "key", SaveMode.Overwrite)
   }
 
   /** Probe the stored index with a batch of `(doc_id, text)` arrivals.
@@ -142,9 +150,20 @@ object ShingleIndex {
     val newDf = newOcc.groupBy("key").agg(count(lit(1)).as("new_df"))
     val oldDf = spark.table(occT).join(newDf.select("key"), "key")
       .groupBy("key").agg(count(lit(1)).as("old_df"))
-    val admittedKeys = newDf.join(oldDf, Seq("key"), "left")
-      .filter(coalesce(col("old_df"), lit(0L)) + col("new_df") <= maxShingleDf)
-      .select("key")
+    val dfCensus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      newDf.join(oldDf, Seq("key"), "left")
+        .withColumn("admitted",
+          coalesce(col("old_df"), lit(0L)) + col("new_df") <= maxShingleDf))
+    val admittedKeys = dfCensus.filter(col("admitted")).select("key")
+    // rejected keys are saturated: their true union df now exceeds the cap,
+    // which only a rebuild can reconcile — record them for overshootCensus.
+    // Anti-join keeps the sat table distinct across appends; materialized
+    // (checkpoint) BEFORE the write because the write appends to the very
+    // table the anti-join scans.
+    val newSat = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      dfCensus.filter(!col("admitted")).select("key")
+        .join(spark.table(satTable(tag)), Seq("key"), "left_anti"))
+    writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
     val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
       newOcc.join(admittedKeys, "key")
         .select(col("key"), col("doc_id").as("corpus_id")))
@@ -164,4 +183,122 @@ object ShingleIndex {
   def rebuild(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
               maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit =
     build(corpus, path, tag, buckets, maxShingleDf)
+
+  /** Rebuild when more than this fraction of stored occurrence rows sit
+    * under SATURATED keys (keys some append has rejected occurrences for —
+    * see [[overshootCensus]]). 1% keeps the semantic drift from exact
+    * build negligible while spacing full O(corpus) rebuilds far apart. */
+  val DefaultRebuildThreshold = 0.01
+
+  /** Drift of an appended index from exact build semantics.
+    *
+    * [[append]]'s forward cap keeps every key's STORED df ≤ cap, so "stored
+    * df vs cap" can never fire. The real drift is different: when an append
+    * REJECTS a key's occurrences (old+new df would exceed the cap), a fresh
+    * build on the union corpus would see that key's true df > cap and drop
+    * the key ENTIRELY — but the index still carries its previously-stored
+    * ≤cap rows. Those rows (and their contribution to per-doc sizes) are
+    * the overshoot. [[append]] therefore records every rejected key in the
+    * `<tag>_sat` saturation table (sticky until [[rebuild]] — a later small
+    * append could slip back under the stored cap, but the union df is
+    * already over), and the census counts stored rows under saturated keys. */
+  final case class OvershootCensus(saturatedKeys: Long, overshootRows: Long,
+                                   storedRows: Long) {
+    def overshootFraction: Double =
+      if (storedRows == 0L) 0.0 else overshootRows.toDouble / storedRows
+    def needsRebuild(threshold: Double = DefaultRebuildThreshold): Boolean =
+      overshootFraction > threshold
+  }
+
+  /** Measure the overshoot: stored occ rows under saturated keys. O(index)
+    * scan; the occ↔sat join is bucket-aligned (both bucketed by `key`), so
+    * the census pays no shuffle — vastly cheaper than the O(corpus)
+    * rebuild it gates. */
+  def overshootCensus(spark: SparkSession, tag: String): OvershootCensus = {
+    val sat = spark.table(satTable(tag))
+    val occ = spark.table(occTable(tag))
+    OvershootCensus(
+      saturatedKeys = sat.count(),
+      overshootRows = occ.join(sat, "key").count(),
+      storedRows = occ.count())
+  }
+
+  /** Rebuild iff the overshoot census crosses `threshold` — the measured
+    * rebuild policy: pay the O(index) census every maintenance cycle, pay
+    * the O(corpus) rebuild only when drift is material. Returns the census
+    * so callers can log the decision. */
+  def rebuildIfNeeded(corpus: DataFrame, path: String, tag: String,
+                      buckets: Int = 8,
+                      maxShingleDf: Int = Dedup.DefaultMaxShingleDf,
+                      threshold: Double = DefaultRebuildThreshold): OvershootCensus = {
+    val census = overshootCensus(corpus.sparkSession, tag)
+    if (census.needsRebuild(threshold)) rebuild(corpus, path, tag, buckets, maxShingleDf)
+    census
+  }
+
+  /** Compact append-accreted bucket files — the Layout story for the index
+    * tables. Every [[append]] adds one file per bucket per table; after N
+    * appends a probe opens O(N·buckets) files. Compaction rewrites each
+    * table once (staged write to a fresh generation directory, catalog
+    * swap, old files removed) preserving the bucket spec, so the pre-paid
+    * zero-Exchange probe join survives and file count returns to one per
+    * bucket. Data is unchanged — compaction does NOT touch cap overshoot
+    * (that is [[rebuild]]'s job; this is purely a file-layout operation,
+    * safe to run far more often). Not concurrency-safe with a writer, same
+    * as [[graft.operators.Layout.compact]]'s single-maintainer contract. */
+  def compact(spark: SparkSession, tag: String, path: String): Unit = {
+    val tables = Seq((occTable(tag), "key"), (sizesTable(tag), "corpus_id"),
+      (fpTable(tag), "fp"), (satTable(tag), "key"))
+    tables.foreach { case (t, bucketCol) =>
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$t is not bucketed — not a ShingleIndex table"))
+      val oldLocation = new org.apache.hadoop.fs.Path(meta.location)
+      // fresh generation dir: never rewrite in place (a failed job would
+      // destroy the only copy), never reuse a dir (stale files would be
+      // picked up by the new table's scan)
+      val gen = Iterator.from(0).map(g => s"$path/$t-gen$g")
+        .find(p => !new java.io.File(p).exists()).get
+      val stage = s"${t}_stage"
+      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+      // ZERO-shuffle rewrite: force the bucketed scan (one partition per
+      // bucket, all of that bucket's accreted files) so each write task
+      // holds exactly one bucket and emits exactly one file. Without the
+      // pin, the planner auto-disables the bucketed scan for a plain
+      // read-write (nothing downstream demands the distribution — an
+      // explicit repartition gets optimizer-removed as redundant against
+      // the table's bucketing first), tasks span buckets, and the
+      // "compaction" writes a file per (task × bucket) pair.
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.getOption(autoKey)
+      spark.conf.set(autoKey, "false")
+      try
+        spark.table(t).write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+          .option("path", gen).saveAsTable(stage)
+      finally prevAuto match {
+        case Some(v) => spark.conf.set(autoKey, v)
+        case None    => spark.conf.unset(autoKey)
+      }
+      spark.sql(s"DROP TABLE `$t`")
+      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$t`")
+      val fs = oldLocation.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(oldLocation, true)
+    }
+  }
+
+  /** Parquet file count across the index tables — the quantity [[compact]]
+    * bounds (and the spec asserts on). */
+  def fileCount(spark: SparkSession, tag: String): Long =
+    Seq(occTable(tag), sizesTable(tag), fpTable(tag), satTable(tag)).map { t =>
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }.sum
 }

@@ -23,7 +23,7 @@ class ShingleIndexSpec extends AnyFunSuite {
 
   private def drop(tag: String): Unit =
     Seq(ShingleIndex.occTable(tag), ShingleIndex.sizesTable(tag),
-      ShingleIndex.fpTable(tag))
+      ShingleIndex.fpTable(tag), ShingleIndex.satTable(tag))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   test("build+probe ≡ incrementalDedupOn, exactly") {
@@ -110,5 +110,82 @@ class ShingleIndexSpec extends AnyFunSuite {
       assert(sizes.filter(col("corpus_id") === 3).count() == 0)
       assert(sizes.filter(col("corpus_id") === 4).count() == 1)
     } finally drop("sixcap")
+  }
+
+  test("overshoot census detects saturation; threshold-gated rebuild restores exact build semantics") {
+    val dir = Files.createTempDirectory("graft-shindex-census").toString
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val base = Seq(1L -> shared, 2L -> shared).toDF("doc_id", "text")
+    val more = Seq(3L -> shared, // pushes shared keys over cap=2 → rejected
+      4L -> "unrelated totally different words here now").toDF("doc_id", "text")
+    try {
+      ShingleIndex.build(base, dir, "sixc", maxShingleDf = 2)
+      // exact build: nothing saturated, census clean, no rebuild triggered
+      val c0 = ShingleIndex.overshootCensus(spark, "sixc")
+      assert(c0 == ShingleIndex.OvershootCensus(0, 0, c0.storedRows) && c0.storedRows > 0)
+      assert(!c0.needsRebuild())
+
+      ShingleIndex.append(spark, "sixc", dir, more, maxShingleDf = 2)
+      val c1 = ShingleIndex.overshootCensus(spark, "sixc")
+      // every key of the shared text is saturated; docs 1+2's stored rows
+      // all sit under saturated keys → overshoot = those rows, far over 1%
+      assert(c1.saturatedKeys > 0)
+      assert(c1.overshootRows > 0 && c1.overshootRows < c1.storedRows)
+      assert(c1.needsRebuild())
+
+      // the policy: census trips → rebuild on the union → exact build
+      // semantics (over-cap keys DROPPED, not just bounded) + clean census
+      val c2 = ShingleIndex.rebuildIfNeeded(base.unionAll(more), dir, "sixc",
+        maxShingleDf = 2)
+      assert(c2 == c1) // returns the pre-rebuild census that made the call
+      val after = ShingleIndex.overshootCensus(spark, "sixc")
+      assert(after.saturatedKeys == 0 && after.overshootRows == 0)
+      // union df of the shared keys is 3 > cap → a fresh build drops them;
+      // only doc 4's under-cap keys survive
+      val occ = spark.table(ShingleIndex.occTable("sixc"))
+      assert(occ.filter(col("corpus_id").isin(1, 2, 3)).count() == 0)
+      assert(occ.filter(col("corpus_id") === 4).count() > 0)
+      // and a clean census does NOT pay the rebuild (census is the cheap
+      // gate): appending nothing new keeps needsRebuild false
+      assert(!after.needsRebuild())
+    } finally drop("sixc")
+  }
+
+  test("compact bounds file count after N appends; probe answers and bucketing survive") {
+    val dir = Files.createTempDirectory("graft-shindex-compact").toString
+    val corpus = docs.filter(col("doc_id") % 13 =!= 0)
+    val batch = docs.filter(col("doc_id") % 13 === 0)
+    val slices = (1 to 3).map(i => corpus.filter(col("doc_id") % 4 === i))
+    try {
+      ShingleIndex.build(corpus.filter(col("doc_id") % 4 === 0), dir, "sixf", buckets = 4)
+      slices.foreach(s => ShingleIndex.append(spark, "sixf", dir, s, buckets = 4))
+      val before = ShingleIndex.probe(spark, "sixf", batch)
+      val beforeRows = canon(before)
+      val filesBefore = ShingleIndex.fileCount(spark, "sixf")
+      // each append adds files per table; 1 build + 3 appends ≫ 1 file/bucket
+      assert(filesBefore > 4 * 4, s"filesBefore=$filesBefore")
+
+      ShingleIndex.compact(spark, "sixf", dir)
+      val filesAfter = ShingleIndex.fileCount(spark, "sixf")
+      // ≤ one file per (non-empty) bucket per table
+      assert(filesAfter <= 4 * 4, s"filesAfter=$filesAfter")
+      assert(filesAfter < filesBefore)
+      // data unchanged through the staged swap
+      assert(canon(ShingleIndex.probe(spark, "sixf", batch)) == beforeRows)
+      // the pre-paid layout survives: probe still scans bucketed tables
+      val broadcastConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        val probed = ShingleIndex.probe(spark, "sixf", batch)
+        probed.collect()
+        val plan = probed.queryExecution.executedPlan.toString
+        assert("Bucketed: true".r.findAllIn(plan).size >= 3, plan)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcastConf)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    } finally drop("sixf")
   }
 }
