@@ -478,11 +478,11 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * plus a per-vector sort shuffle, per scan, for what is arithmetically
     * an argmin). */
   def ivfAssign(spark: SparkSession, dir: String, nCentroids: Int = 0,
-                iters: Int = LloydIters): DataFrame = {
+                iters: Int = LloydIters, seed: IvfSeed = DefaultSeed): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cents = trainedCentroidArrays(base, cells, iters)
+    val cents = trainedCentroidArrays(base, cells, iters, resolveSeed(seed, nCentroids == 0))
     base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => val (cid, d2) = nearestCell(v, cents); (id, cid.toLong, d2) }
       .toDF("vec_id", "centroid_id", "dist2")
@@ -513,8 +513,36 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     (bestC, bestD)
   }
 
+  /** Seeding strategy for [[trainedCentroidArrays]]. */
+  sealed trait IvfSeed
+  /** vec_id-residue mean seed — SQL-expressible (what every IVF oracle
+    * pins), zero extra passes. */
+  case object ResidueSeed extends IvfSeed
+  /** Deterministic farthest-first traversal (k-means++ with the randomness
+    * replaced by max-min distance, k-means||'s oversampling collapsed to a
+    * strided sample): seeds are actual data points, each maximally far from
+    * the already-chosen set. One extra corpus scan (the strided sample
+    * collect) + O(sample × cells × dim) driver arithmetic — bounded by
+    * `sampleCap` and the cells guard, NOT by corpus size, so the 100 TB
+    * story is unchanged: the model is still a driver-built broadcast.
+    * Ties (exact-duplicate points) break to the lowest sample index;
+    * sample order is pinned by vec_id, so the seed is fully deterministic. */
+  final case class FarthestPointSeed(sampleCap: Int = 1 << 14) extends IvfSeed
+  /** Mode-resolved default: the AUTO path (nCentroids=0 → [[cellsFor]])
+    * uses [[FarthestPointSeed]] — measured in IvfScaleProbe (r6): at equal
+    * 2-round cost it lifts recall@5 at both probed scales (1×: 0.552 →
+    * 0.576; 10×: 0.360 → 0.408) while extra Lloyd rounds cost 1.5–3× time
+    * for smaller gains. Explicit-cells callers get [[ResidueSeed]] — the
+    * SQL-expressible seed every `q_ivf_*` oracle unrolls. */
+  case object DefaultSeed extends IvfSeed
+
+  private def resolveSeed(seed: IvfSeed, auto: Boolean): IvfSeed = seed match {
+    case DefaultSeed => if (auto) FarthestPointSeed() else ResidueSeed
+    case s => s
+  }
+
   /** K-means centroids (indexed by cid) trained with `iters` deterministic
-    * Lloyd rounds from the per-residue-mean seed. Each round: nearest-cell
+    * Lloyd rounds from the chosen [[IvfSeed]]. Each round: nearest-cell
     * assignment in a narrow kernel against the previous round's broadcast
     * model, then ONE map-side-combining aggregation (64 fixed-width avg
     * columns per cluster — per-group state independent of cluster size).
@@ -527,7 +555,8 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * each round stays one scan + one tiny aggregation; nothing data-sized
     * ever converges on the driver). */
   def trainedCentroidArrays(base: DataFrame, nCentroids: Int,
-                            iters: Int = LloydIters): Array[Array[Double]] = {
+                            iters: Int = LloydIters,
+                            seed: IvfSeed = ResidueSeed): Array[Array[Double]] = {
     import base.sparkSession.implicits._
     // the model is driver-collected and closure-shipped: bound it loudly
     // (34 MB at the cap) rather than discover the limit as an OOM
@@ -542,15 +571,50 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
       }
       next
     }
-    val seedRows = base.withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
-      .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect()
-    // an empty residue class would seed an all-zeros centroid that the
-    // oracle's cent0 CTE simply omits — refuse loudly instead of letting
-    // the engines diverge on sparse/non-dense vec_id spaces
-    require(seedRows.length == nCentroids,
-      s"IVF seed: only ${seedRows.length} of $nCentroids vec_id residue classes are populated — " +
-        "the id space is too sparse for this cell count; lower nCentroids or densify ids")
-    var cents = toModel(seedRows, Array.fill(nCentroids)(Array.fill(Dim)(0.0)))
+    var cents = resolveSeed(seed, auto = false) match {
+      case DefaultSeed => throw new IllegalStateException("unreachable: DefaultSeed resolves")
+      case ResidueSeed =>
+        val seedRows = base.withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
+          .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect()
+        // an empty residue class would seed an all-zeros centroid that the
+        // oracle's cent0 CTE simply omits — refuse loudly instead of letting
+        // the engines diverge on sparse/non-dense vec_id spaces
+        require(seedRows.length == nCentroids,
+          s"IVF seed: only ${seedRows.length} of $nCentroids vec_id residue classes are populated — " +
+            "the id space is too sparse for this cell count; lower nCentroids or densify ids")
+        toModel(seedRows, Array.fill(nCentroids)(Array.fill(Dim)(0.0)))
+      case FarthestPointSeed(sampleCap) =>
+        // driver arithmetic is O(sample × cells × dim): bound the cells the
+        // same way the broadcast-model guard bounds the collect
+        require(nCentroids <= 4096,
+          s"FarthestPointSeed: nCentroids=$nCentroids > 4096 — the driver-side max-min " +
+            "traversal stops being cheap; use ResidueSeed or a two-level quantizer")
+        val n = base.count()
+        val step = math.max(1L, n / math.max(sampleCap, 4 * nCentroids))
+        val sample = base.filter(pmod(col("vec_id"), lit(step)) === 0)
+          .orderBy("vec_id").select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().map(_._2)
+        require(sample.length >= nCentroids,
+          s"FarthestPointSeed: sample of ${sample.length} < $nCentroids cells")
+        val chosen = new Array[Array[Double]](nCentroids)
+        chosen(0) = sample(0).map(_.toDouble)
+        val minD = Array.fill(sample.length)(Double.MaxValue)
+        var c = 1
+        while (c < nCentroids) {
+          val last = chosen(c - 1)
+          var best = 0; var bestD = -1.0
+          var i = 0
+          while (i < sample.length) {
+            val d = dist2P(sample(i), last)
+            if (d < minD(i)) minD(i) = d
+            if (minD(i) > bestD) { bestD = minD(i); best = i }
+            i += 1
+          }
+          chosen(c) = sample(best).map(_.toDouble)
+          c += 1
+        }
+        chosen
+    }
     for (_ <- 1 to iters) {
       val model = cents
       cents = toModel(
@@ -578,11 +642,11 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * join co-locates. */
   def ivfSearch(spark: SparkSession, dir: String, nCentroids: Int = 0,
                 nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
-                iters: Int = LloydIters): DataFrame = {
+                iters: Int = LloydIters, seed: IvfSeed = DefaultSeed): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters)
+    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0))
     // exact cosine on candidates only — same primitive kernel + norm-once
     // arithmetic as the verified baselines (topK hash-✓ pins the parity)
     val vecs = base.select(col("vec_id"), col("embedding"))
@@ -610,9 +674,10 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * never through a window: the only shuffle here is the probe→cell
     * equi-join itself. */
   private def ivfCandidates(base: DataFrame, nCentroids: Int, nprobe: Int,
-                            nQueries: Int, iters: Int): DataFrame = {
+                            nQueries: Int, iters: Int,
+                            seed: IvfSeed = ResidueSeed): DataFrame = {
     import base.sparkSession.implicits._
-    val cents = trainedCentroidArrays(base, nCentroids, iters)
+    val cents = trainedCentroidArrays(base, nCentroids, iters, seed)
     val ranked = base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val lim = if (id < nQueries) math.max(1, nprobe) else 1
@@ -671,11 +736,11 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * cells, where quantization error is the only difference). */
   def ivfSearchInt8(spark: SparkSession, dir: String, nCentroids: Int = 0,
                     nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
-                    iters: Int = LloydIters): DataFrame = {
+                    iters: Int = LloydIters, seed: IvfSeed = DefaultSeed): DataFrame = {
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters)
+    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0))
     val qvecs = base.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>

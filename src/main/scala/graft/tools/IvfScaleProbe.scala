@@ -69,6 +69,37 @@ object IvfScaleProbe {
           f"${nprobe.toDouble / cells}%.3f | $cold%.2f | $warm%.2f | $recall%.3f |")
       }
     }
+    // Rounds × seeding frontier (r5 verdict #7): at the auto cell count,
+    // does more Lloyd work or a better seed lift recall, and at what cost?
+    // nprobe fixed at 8 (the r5 frontier config — nprobe is the caller's
+    // recall dial; rounds/seed shift the frontier itself).
+    println("\n| corpus | n | cells | seed | rounds | warm s | recall@5 |")
+    println("|---|---|---|---|---|---|---|")
+    for (dir <- Seq(src, gen)) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val auto = Similarity.cellsFor(n)
+      val exact = Similarity.topK(spark, dir, k = 5, nQueries = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      drop()
+      for (seed <- Seq(Similarity.ResidueSeed, Similarity.FarthestPointSeed());
+           rounds <- Seq(2, 5, 10)) {
+        def once(): (Double, Set[(Long, Long)]) = {
+          val t0 = System.nanoTime()
+          val got = Similarity.ivfSearch(spark, dir, nCentroids = auto,
+              nprobe = 8, k = 5, nQueries = 50, iters = rounds, seed = seed)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          val sec = (System.nanoTime() - t0) / 1e9
+          drop()
+          (sec, got)
+        }
+        val (_, got) = once()
+        val (warm, _) = once()
+        val recall = (exact & got).size.toDouble / exact.size
+        val seedName = if (seed == Similarity.ResidueSeed) "residue" else "farthest"
+        println(f"| ${if (dir == src) "1x" else s"${factor}x"} | $n | $auto | $seedName | " +
+          f"$rounds | $warm%.2f | $recall%.3f |")
+      }
+    }
     spark.stop()
   }
 }

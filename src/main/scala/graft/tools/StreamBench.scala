@@ -30,7 +30,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     number to watch is per-batch latency staying flat as the corpus
   *     streamed past grows.
   *
-  * Usage: runMain graft.tools.StreamBench [sfDir] [batchSize] [nBatches]
+  * Usage: runMain graft.tools.StreamBench [sfDir] [batchSize] [nBatches] [tiers]
+  * tiers: `all` (default) or `indexed` (only the indexed gate — the
+  * corpus-size-invariance check at big scale factors, where the recompute
+  * gate's O(corpus)-per-batch cost is precisely what we're NOT measuring).
+  * A missing `/tmp/graft_scale{N}x` sfDir is generated via
+  * [[ScaleProbe.generate]] from sf0.1.
   */
 object StreamBench {
 
@@ -38,6 +43,7 @@ object StreamBench {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val batchSize = if (args.length > 1) args(1).toInt else 2000
     val nBatches = if (args.length > 2) args(2).toInt else 4
+    val tiers = if (args.length > 3) args(3) else "all"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,20 +70,33 @@ object StreamBench {
       }
     })
 
+    if (!new java.io.File(s"$sfDir/documents.parquet").exists()) {
+      val m = "scale(\\d+)x".r.findFirstMatchIn(sfDir)
+      require(m.isDefined, s"no documents.parquet at $sfDir and not a scale dir")
+      println(s"[streambench] generating ${m.get.group(1)}x corpus at $sfDir")
+      ScaleProbe.generate(spark, "/root/testdata/sf0.1", m.get.group(1).toInt, sfDir)
+    }
+
     // ---- 1. IngestGate ----
     val root = java.nio.file.Files.createTempDirectory("graft-streambench").toString
     val corpusDir = s"$root/corpus"
     spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
       .write.parquet(s"$corpusDir/documents.parquet")
+    val corpusN = spark.read.parquet(s"$corpusDir/documents.parquet").count()
+    // batch material: only batchSize×nBatches source docs are ever used
+    // (cycled by modulo) — collect just those, not the corpus (at 100×
+    // the full collect would be data-sized on the driver)
     val corpusRows = spark.read.parquet(s"$corpusDir/documents.parquet")
+      .orderBy("doc_id").limit(math.max(1, batchSize * nBatches))
       .as[(Long, String)].collect()
-    println(s"[streambench] corpus: ${corpusRows.length} docs from $sfDir")
+    println(s"[streambench] corpus: $corpusN docs from $sfDir " +
+      s"(${corpusRows.length} collected as batch material)")
 
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF.toDF("doc_id", "text")
     var nextId = 100000000L
     val gateTimes = ArrayBuffer[(Int, Int, Double)]()
-    for (b <- 0 until nBatches) {
+    for (b <- 0 until nBatches if tiers != "indexed") {
       val batch = (0 until batchSize).map { i =>
         val src = corpusRows((b * batchSize + i) % corpusRows.length)
         val id = nextId; nextId += 1
@@ -92,10 +111,12 @@ object StreamBench {
       gateTimes += ((b, batchSize, sec))
       println(f"[streambench] ingest batch $b: $sec%.2f s wall (${batchSize / sec}%.0f docs/s)")
     }
-    val landed = spark.read.parquet(s"$root/landing").count()
-    val receipts = spark.read.parquet(s"$root/receipts").count()
-    println(s"[streambench] landing=$landed receipts=$receipts " +
-      s"(expected receipts=${nBatches * batchSize})")
+    if (tiers != "indexed") {
+      val landed = spark.read.parquet(s"$root/landing").count()
+      val receipts = spark.read.parquet(s"$root/receipts").count()
+      println(s"[streambench] landing=$landed receipts=$receipts " +
+        s"(expected receipts=${nBatches * batchSize})")
+    }
 
     // ---- 1b. IngestGate, indexed (same arrivals, pre-built ShingleIndex) ----
     val ixBuild0 = System.nanoTime()
@@ -126,6 +147,10 @@ object StreamBench {
       s"(expected ${nBatches * batchSize * 9 / 10})")
 
     // ---- 2. incrementalTopK ----
+    if (tiers == "indexed") {
+      summary(trig, gateTimes, gateIxTimes, ArrayBuffer.empty)
+      spark.stop(); return
+    }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
     val panel = emb.take(50).map { case (id, v) => (id, v) }.toSeq
@@ -153,7 +178,14 @@ object StreamBench {
         f"(${batch.length / sec}%.0f vec/s)")
     }
     topkQ.stop()
+    summary(trig, gateTimes, gateIxTimes, topkTimes)
+    spark.stop()
+  }
 
+  private def summary(trig: ArrayBuffer[(String, Long, Long)],
+                      gateTimes: ArrayBuffer[(Int, Int, Double)],
+                      gateIxTimes: ArrayBuffer[(Int, Int, Double)],
+                      topkTimes: ArrayBuffer[(Int, Int, Double)]): Unit = {
     Thread.sleep(500) // let listener events drain
     println("\n| tier | batch | rows | wall s | rows/s | triggerExecution ms |")
     println("|---|---|---|---|---|---|")
@@ -172,6 +204,5 @@ object StreamBench {
       val t = if (i < topkTrig.length) topkTrig(i)._3.toString else "-"
       println(f"| inc-topk | $b | $n | $sec%.2f | ${n / sec}%.0f | $t |")
     }
-    spark.stop()
   }
 }
