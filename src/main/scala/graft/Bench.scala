@@ -124,7 +124,19 @@ object Bench {
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def total(rs: Seq[(String, Double)]): Double = rs.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"sf":"$sfDir"}"""
+    // provenance: a bench artifact should be attributable to the code that
+    // produced it (ADVICE r5: evidence files with no run identity are
+    // indistinguishable from hand-edited ones)
+    val commit = try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD"))).trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))).trim
+      else head
+    } catch { case _: Throwable => "unknown" }
+    val ranAt = java.time.Instant.now().toString
+    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
     println(line)
     // Also land the JSON in a file: the driver reconstructed r2+r3 results
     // from a truncated stdout tail ("parsed": null in both BENCH files).
