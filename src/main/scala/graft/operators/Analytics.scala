@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Tables.read(spark, dir, name)
 
   /** TPC-H Q1-style pricing summary: single scan, partial agg, 4-group
     * output. At scale: no join, shuffle carries only 4×partitions rows. */

@@ -27,12 +27,12 @@ object Bucketing {
     * (overwrite). */
   def writeBucketed(spark: SparkSession, sfDir: String, path: String,
                     buckets: Int = 8): Unit = {
-    spark.read.parquet(s"$sfDir/orders.parquet")
+    graft.sources.Tables.read(spark, sfDir, "orders")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$path/orders_bucketed")
       .saveAsTable("orders_bucketed")
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    graft.sources.Tables.read(spark, sfDir, "lineitem")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$path/lineitem_bucketed")

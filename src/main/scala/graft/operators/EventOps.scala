@@ -19,41 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object EventOps {
 
-  /** Reads the events table, normalizing `ts` to TimestampType (µs, UTC
-    * session tz) regardless of the writer's physical timestamp encoding.
-    * A 100 TB lake has mixed writers; hard-coding one encoding is exactly
-    * the brittleness that broke round 5 when the testdata generator moved
-    * from TIMESTAMP(NANOS) to TIMESTAMP_MICROS. Dispatch on the scanned
-    * schema instead:
-    *   - LongType (TIMESTAMP(NANOS) surfaced via the nanosAsLong legacy
-    *     flag — Spark 4 refuses ns natively): truncate ns→µs with integral
-    *     `div` (ns epoch values exceed 2^53; a double would lose precision),
-    *     matching DuckDB's ns→µs read so both engines see identical values.
-    *   - TimestampNTZType (µs, isAdjustedToUTC=false): cast to TimestampType
-    *     — epoch-preserving under the UTC session timezone all Graft
-    *     sessions pin ([[graft.GraftSession]]).
-    *   - TimestampType: pass through. */
+  /** Reads the events table through the encoding-adaptive
+    * [[graft.sources.Tables]] reader (ns-as-long / TIMESTAMP_NTZ /
+    * TIMESTAMP all normalize to µs TimestampType instants — the
+    * mixed-writer-lake contract that broke in round 5 when this reader
+    * hard-coded one encoding), plus a loud contract check: every
+    * downstream event-time operator assumes `ts` is a TimestampType. */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // The nanos flag is consulted at schema-inference time (the read call
-    // below); restore the previous value so a reader helper doesn't leak
-    // session-wide schema behavior to unrelated parquet reads.
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    val raw =
-      try spark.read.parquet(s"$dir/events.parquet")
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType    => raw
-      case other => throw new IllegalStateException(
-        s"events.parquet ts column has unsupported type $other (dir=$dir)")
-    }
+    val df = graft.sources.Tables.read(spark, dir, "events")
+    val t = df.schema("ts").dataType
+    if (t != org.apache.spark.sql.types.TimestampType)
+      throw new IllegalStateException(
+        s"events.parquet ts read as unsupported type $t (dir=$dir)")
+    df
   }
 
   /** Tumbling 1-hour event-time windows per event type. */

@@ -87,8 +87,8 @@ object InvoicePipeline {
   /** Spark-side construction of one invoice document per order row.
     * Every arithmetic choice here is mirrored in [[oracleSql]]. */
   def syntheticCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+    val orders = graft.sources.Tables.read(spark, sfDir, "orders")
+    val customer = graft.sources.Tables.read(spark, sfDir, "customer")
     val k = col("o_orderkey")
 
     def centsCol(i: Int): Column = (k * 7 + lit(i) * 31) % 90000 + 10000

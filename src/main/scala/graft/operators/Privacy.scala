@@ -30,7 +30,7 @@ object Privacy {
   def contactCorpus(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
     def pad(c: Column, n: Int): Column = lpad(c.cast("string"), n, "0")
-    spark.read.parquet(s"$dir/customer.parquet").select(
+    graft.sources.Tables.read(spark, dir, "customer").select(
       k.as("cust_id"),
       concat(
         col("c_name"),

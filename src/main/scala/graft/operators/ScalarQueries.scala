@@ -38,7 +38,7 @@ object ScalarQueries {
   def cnpjValidate(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
     val v = Udfs.cnpjValidate(cnpjCandidate(k))
-    spark.read.parquet(s"$dir/customer.parquet").select(
+    graft.sources.Tables.read(spark, dir, "customer").select(
       k.as("id"),
       cnpjCandidate(k).as("input"),
       v.getField("valido").as("valido"),
@@ -116,7 +116,7 @@ SELECT k AS id, input, valido, erro, formatado, tipo, confianca FROM (
   def nfeKeyValidate(spark: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
     val v = Udfs.nfeKeyValidate(keyCandidate(k))
-    spark.read.parquet(s"$dir/orders.parquet").select(
+    graft.sources.Tables.read(spark, dir, "orders").select(
       k.as("id"),
       keyCandidate(k).as("input"),
       v.getField("valido").as("valido"),
@@ -201,7 +201,7 @@ FROM cand ORDER BY id
     val k = col("o_orderkey")
     val cand = moneyCandidate(k)
     val v = Udfs.moneyValidate(cand)
-    spark.read.parquet(s"$dir/orders.parquet").select(
+    graft.sources.Tables.read(spark, dir, "orders").select(
       k.as("id"),
       cand.as("input"),
       Udfs.currencyDetect(cand).as("moeda_detectada"),
@@ -270,7 +270,7 @@ FROM parts ORDER BY id
   def cleanNames(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
     val input = element_at(litArray(NameInputs), (k % 8).cast("int") + 1)
-    spark.read.parquet(s"$dir/customer.parquet").select(
+    graft.sources.Tables.read(spark, dir, "customer").select(
       k.as("id"),
       input.as("input"),
       Udfs.cleanPartyName(input).as("cleaned"),
@@ -308,7 +308,7 @@ FROM customer ORDER BY id
       lit("DATA: "), dateBr, lit(" 10:30:00\n"),
       lit("AB\nSP\nX1\n"),
       lit("DOC "), k.cast("string"), lit("TESTE"))
-    spark.read.parquet(s"$dir/orders.parquet").select(
+    graft.sources.Tables.read(spark, dir, "orders").select(
       k.as("id"),
       Normalizer.normalizeTextCol(messy).as("norm_text")
     ).orderBy("id")

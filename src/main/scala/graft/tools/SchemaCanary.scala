@@ -2,10 +2,6 @@ package graft.tools
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
-
-import scala.jdk.CollectionConverters._
 
 /** Testdata schema pre-flight: assert every table's column names and
   * PHYSICAL parquet types against the expected catalog before a bench or
@@ -75,30 +71,11 @@ object SchemaCanary {
     "embeddings" -> Seq(Col("vec_id", one("INT64")),
       Col("embedding.list.element", one("FLOAT")), Col("label", int3264)))
 
-  /** Column path → "PHYSICAL[:LOGICAL]" from the first parquet footer at
-    * `path` (a file, or a directory containing part files). */
-  def describe(path: Path, conf: Configuration): Map[String, String] = {
-    val fs = path.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(path).isFile) path
-      else {
-        val it = fs.listFiles(path, true)
-        var found: Path = null
-        while (found == null && it.hasNext) {
-          val f = it.next().getPath
-          if (f.getName.endsWith(".parquet")) found = f
-        }
-        require(found != null, s"no parquet file under $path")
-        found
-      }
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try reader.getFooter.getFileMetaData.getSchema.getColumns.asScala.map { cd =>
-      val pt = cd.getPrimitiveType
-      val logical = Option(pt.getLogicalTypeAnnotation).map(":" + _.toString).getOrElse("")
-      cd.getPath.mkString(".") -> (pt.getPrimitiveTypeName.toString + logical)
-    }.toMap
-    finally reader.close()
-  }
+  /** Column path → "PHYSICAL[:LOGICAL]" from the first parquet footer —
+    * shared with the adaptive reader ([[graft.sources.Tables]]), which
+    * dispatches on the same descriptors this canary polices. */
+  def describe(path: Path, conf: Configuration): Map[String, String] =
+    graft.sources.Tables.describe(path, conf)
 
   /** Violations ("table.column: expected X, found Y") for one sf dir.
     * Missing expected columns fire; extra columns are additive and don't. */
