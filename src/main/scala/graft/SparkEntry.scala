@@ -138,6 +138,16 @@ object SparkEntry {
     // vector data through the candidate joins) — fully oracled, since
     // integer scoring has zero ulp hazard
     "q_ivf_search_int8" -> ((s, dir) => Similarity.ivfSearchInt8(s, dir, nCentroids = 8)),
+    // the PERSISTENT bucketed IVF index (build once / search per batch —
+    // the ShingleIndex pattern for ANN); oracle is ivfSearch's literal SQL
+    // through the stored bucket-pruned path
+    "q_ivf_indexed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfindex").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfidx", nCentroids = 8, seed = Similarity.ResidueSeed)
+      IvfIndex.search(s, "q_ivfidx", e.filter(col("vec_id") < 50))
+    }),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
     "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
@@ -210,6 +220,7 @@ object SparkEntry {
     "q_ivf_assign" -> Similarity.ivfAssignSql(),
     "q_ivf_search" -> Similarity.ivfSearchSql(),
     "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
+    "q_ivf_indexed" -> Similarity.ivfSearchSql(),
     "q_quantize" -> Similarity.quantizeSql(),
     // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
     // masks, embedded in the SQL as one BIGINT per plane (band/bits

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent IVF index — build once, search per query batch: the ANN
+  * counterpart of [[ShingleIndex]] (same build/probe cost split, same
+  * bucketed-catalog deployment shape), making real what the in-memory
+  * [[Similarity.ivfSearch]] scaladoc only claims ("at 100 TB the
+  * assignment relation is bucketed by cid so the probe join co-locates").
+  *
+  *  - `build` trains the centroid model ([[Similarity.trainedCentroidArrays]]
+  *    — one broadcast-model scan per Lloyd round) ONCE, persists it as a
+  *    tiny model table, and writes the assignment relation
+  *    `(vec_id, cid, embedding)` BUCKETED BY `cid`: every vector stored
+  *    with its cell, vectors of one cell co-located in one bucket.
+  *  - `search` ranks cells per query against the loaded model (narrow
+  *    kernel), then reads ONLY the probed cells' buckets: the `cid IN (…)`
+  *    filter with literal cell ids triggers Spark's bucket pruning
+  *    (`SelectedBucketsCount` in the scan), so a query batch probing p of
+  *    c cells scans ~p/c of the stored corpus — file-level, before any
+  *    row is decoded. Candidates carry their vectors out of the scan (no
+  *    re-join with the corpus for the score).
+  *
+  * Semantics are EXACTLY [[Similarity.ivfSearch]]'s for the same
+  * (cells, seed, iters, nprobe, k) — same distance/tie-break/rounding
+  * discipline — pinned by IvfIndexSpec equality and by `q_ivf_indexed`,
+  * which runs [[Similarity.ivfSearchSql]]'s oracle through this stored
+  * path. Vectors added after `build` get correct cells via `assignInto`
+  * (the model does NOT retrain — standard IVF practice; retrain = rebuild,
+  * the [[ShingleIndex.rebuildIfNeeded]] analog would gate on assignment
+  * drift, out of scope here).
+  */
+object IvfIndex {
+
+  def modelTable(tag: String): String = s"${tag}_ivfmodel"
+  def assignTable(tag: String): String = s"${tag}_ivfassign"
+
+  /** Train + persist. `nCentroids = 0` → [[Similarity.cellsFor]] auto rule
+    * (farthest-point seed); explicit cells keep the oracle-parity residue
+    * seed — the same mode resolution as the in-memory path. */
+  def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
+            nCentroids: Int = 0, iters: Int = Similarity.LloydIters,
+            seed: Similarity.IvfSeed = Similarity.DefaultSeed): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val cells = if (nCentroids == 0) Similarity.cellsFor(base.count()) else nCentroids
+    val cents = Similarity.trainedCentroidArrays(base, cells, iters,
+      Similarity.resolveSeed(seed, nCentroids == 0))
+    cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/${modelTable(tag)}")
+      .saveAsTable(modelTable(tag))
+    val assigned = base.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
+      .toDF("vec_id", "cid", "embedding")
+    assigned.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .option("path", s"$path/${assignTable(tag)}")
+      .saveAsTable(assignTable(tag))
+  }
+
+  /** Assign new vectors into the EXISTING model (no retrain) and append
+    * them to the bucketed assignment relation — the maintenance path. */
+  def assignInto(spark: SparkSession, tag: String, path: String,
+                 newVecs: DataFrame, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val cents = loadModel(spark, tag)
+    newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
+      .toDF("vec_id", "cid", "embedding")
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .option("path", s"$path/${assignTable(tag)}")
+      .saveAsTable(assignTable(tag))
+  }
+
+  private def loadModel(spark: SparkSession, tag: String): Array[Array[Double]] = {
+    val rows = spark.table(modelTable(tag))
+      .select("cid", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+    val cents = new Array[Array[Double]](rows.length)
+    rows.foreach { case (cid, c) => cents(cid) = c }
+    require(cents.forall(_ != null), s"model table ${modelTable(tag)} has gaps in cid space")
+    cents
+  }
+
+  /** Top-k cosine neighbors for `queries` (`vec_id`, `embedding`) against
+    * the stored corpus. Output contract = [[Similarity.ivfSearch]]:
+    * `(query_id, rk, neighbor_id, cos)`, self-matches excluded. */
+  def search(spark: SparkSession, tag: String, queries: DataFrame,
+             nprobe: Int = 2, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val cents = loadModel(spark, tag)
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+          .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+          .iterator.take(math.max(1, nprobe))
+          .map { case (_, cid) => (id, cid, v, Similarity.normP(v)) }
+      }
+      .toDF("query_id", "cid", "vq", "nq")
+    // literal IN over the batch's probed cells → bucket pruning: the scan
+    // opens only the probed cells' buckets (IvfIndexSpec pins
+    // SelectedBucketsCount < total). The collect is ≤ queries × nprobe
+    // ints — probe metadata, not data.
+    val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
+    val cand = spark.table(assignTable(tag))
+      .filter(col("cid").isin(probedCells: _*))
+      .join(probes, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+    val scored = cand
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("vq"), col("nq"), col("embedding"))
+      .as[(Long, Long, Array[Float], Double, Array[Float])]
+      .map { case (q, nb, vq, nq, vn) =>
+        (q, nb, Similarity.dotP(vq, vn) / (nq * Similarity.normP(vn)))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+}

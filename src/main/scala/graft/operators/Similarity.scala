@@ -494,7 +494,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
   /** Squared L2 distance, left-to-right accumulation — the arithmetic-order
     * mirror of the oracle's `list_sum(list_transform(...))` distance (the
     * same ulp discipline as [[dotP]]). */
-  private def dist2P(v: Array[Float], c: Array[Double]): Double = {
+  private[graft] def dist2P(v: Array[Float], c: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < c.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
     s
@@ -502,7 +502,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
 
   /** Nearest cell as (cid, dist2) — strict `<` with ascending cid gives the
     * (dist2 ASC, cid ASC) tie-break every IVF oracle pins. */
-  private def nearestCell(v: Array[Float], cents: Array[Array[Double]]): (Int, Double) = {
+  private[graft] def nearestCell(v: Array[Float], cents: Array[Array[Double]]): (Int, Double) = {
     var bestC = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -536,7 +536,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * SQL-expressible seed every `q_ivf_*` oracle unrolls. */
   case object DefaultSeed extends IvfSeed
 
-  private def resolveSeed(seed: IvfSeed, auto: Boolean): IvfSeed = seed match {
+  private[graft] def resolveSeed(seed: IvfSeed, auto: Boolean): IvfSeed = seed match {
     case DefaultSeed => if (auto) FarthestPointSeed() else ResidueSeed
     case s => s
   }

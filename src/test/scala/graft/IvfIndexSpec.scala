@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The persistent IVF index must be a pure physical re-plumbing of
+  * ivfSearch (identical answers), its search scan must actually
+  * bucket-prune to the probed cells, and post-build arrivals must land in
+  * the cells the stored model dictates. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def drop(tag: String): Unit =
+    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("build+search ≡ ivfSearch, exactly (oracle-parity config)") {
+    val dir = Files.createTempDirectory("graft-ivfidx").toString
+    try {
+      IvfIndex.build(emb, dir, "ivx", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val got = IvfIndex.search(spark, "ivx", emb.filter(col("vec_id") < 50)).collect()
+      val want = Similarity.ivfSearch(spark, "/root/testdata/sf0.001", nCentroids = 8).collect()
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+    } finally drop("ivx")
+  }
+
+  test("search scan bucket-prunes to the probed cells") {
+    val dir = Files.createTempDirectory("graft-ivfidx-prune").toString
+    try {
+      IvfIndex.build(emb, dir, "ivxp", nCentroids = 8, seed = Similarity.ResidueSeed)
+      // 3 queries probing 2 cells each → at most 6 of 8 cells touched
+      val q = emb.filter(col("vec_id") < 3)
+      val res = IvfIndex.search(spark, "ivxp", q)
+      res.collect()
+      val plan = res.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$plan")
+      val (sel, tot) = (m.get.group(1).toInt, m.get.group(2).toInt)
+      assert(sel < tot, s"scan read all $tot buckets — pruning inert")
+      assert(sel <= 6, s"probed ≤6 cells but scanned $sel buckets")
+    } finally drop("ivxp")
+  }
+
+  test("assignInto lands arrivals in the stored model's cells; search sees them") {
+    val dir = Files.createTempDirectory("graft-ivfidx-app").toString
+    import spark.implicits._
+    try {
+      val base = emb.filter(col("vec_id") >= 50)
+      IvfIndex.build(base, dir, "ivxa", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val arrivals = emb.filter(col("vec_id") < 50)
+      IvfIndex.assignInto(spark, "ivxa", dir, arrivals)
+      // every appended row's cell equals the model's nearestCell verdict
+      val cents = spark.table(IvfIndex.modelTable("ivxa"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      val appended = spark.table(IvfIndex.assignTable("ivxa"))
+        .join(arrivals.select("vec_id"), "vec_id")
+        .select(col("vec_id"), col("cid"), col("embedding"))
+        .as[(Long, Int, Array[Float])].collect()
+      assert(appended.length == arrivals.count())
+      appended.foreach { case (id, cid, v) =>
+        assert(cid == Similarity.nearestCell(v, cents)._1, s"vec $id in wrong cell")
+      }
+      // an exact duplicate of a stored vector must surface as its top match
+      val probe = arrivals.limit(1).select(col("vec_id"), col("embedding"))
+      val dupId = probe.collect()(0).getLong(0)
+      val hits = IvfIndex.search(spark, "ivxa",
+          probe.select((col("vec_id") + 999999L).as("vec_id"), col("embedding")))
+        .filter(col("rk") === 1).collect()
+      assert(hits.length == 1 && hits(0).getLong(2) == dupId,
+        s"self-duplicate not top hit: ${hits.toSeq}")
+    } finally drop("ivxa")
+  }
+}
