@@ -114,9 +114,28 @@ object Bench {
       val probeSec = timed(
         graft.operators.ShingleIndex.probe(spark, "bench_shindex", batch).count())
       dropCheckpointBlocks()
+      // same split for the persistent IVF index (q_ivf_indexed's scoreboard
+      // entry also rebuilds in-query for oracle self-containment)
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val ivfDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bench_ivfindex").getAbsolutePath
+      val ivfBuildSec = timed(graft.operators.IvfIndex.build(
+        e, ivfDir, "bench_ivfidx", nCentroids = 8,
+        seed = graft.operators.Similarity.ResidueSeed))
+      dropCheckpointBlocks()
+      val queries50 = e.filter(col("vec_id") < 50)
+      val ivfSearchColdSec = timed(
+        graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50).count())
+      dropCheckpointBlocks()
+      val ivfSearchSec = timed(
+        graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50).count())
+      dropCheckpointBlocks()
       Seq("q_dedup_indexed_build" -> buildSec,
         "q_dedup_indexed_probe_cold" -> probeColdSec,
-        "q_dedup_indexed_probe" -> probeSec)
+        "q_dedup_indexed_probe" -> probeSec,
+        "q_ivf_indexed_build" -> ivfBuildSec,
+        "q_ivf_indexed_search_cold" -> ivfSearchColdSec,
+        "q_ivf_indexed_search" -> ivfSearchSec)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] breakdown FAILED: ${e.getMessage}")
       Seq.empty
