@@ -54,7 +54,9 @@ object IndexBench {
     }
 
     case class R(label: String, corpusRows: Long, buildS: Double,
-                 recomputeS: Double, probeS: Seq[Double], rows: Long)
+                 recomputeS: Double, probeS: Seq[Double], rows: Long,
+                 censusS: Double, compactS: Double, filesBefore: Long,
+                 filesAfter: Long, probeAfterCompactS: Double)
     val results = dirs.zipWithIndex.map { case (dir, i) =>
       val tag = s"ixb$i"
       val idxDir = java.nio.file.Files.createTempDirectory(s"graft-ixbench$i").toString
@@ -73,11 +75,32 @@ object IndexBench {
         drop()
         s
       }
+      // maintenance lifecycle costs (round 6): the census is the cheap gate
+      // in front of the O(corpus) rebuild — measure both sides of that
+      // claim, plus compaction after 3 appends (distinct-id slices of the
+      // batch docs so each append does real work)
+      val (censusS, census) = time(ShingleIndex.overshootCensus(spark, tag))
+      drop()
+      (1 to 3).foreach { k =>
+        ShingleIndex.append(spark, tag, idxDir,
+          batch.select((col("doc_id") + lit(k * 1000000000L)).as("doc_id"), col("text")),
+          buckets = 32)
+        drop()
+      }
+      val filesBefore = ShingleIndex.fileCount(spark, tag)
+      val (compactS, _) = time(ShingleIndex.compact(spark, tag, idxDir))
+      val filesAfter = ShingleIndex.fileCount(spark, tag)
+      drop()
+      val (probeAfterS, _) = time(ShingleIndex.probe(spark, tag, batch).count())
+      drop()
       val label = if (dir.endsWith("sf0.1")) "1x"
         else dir.replaceAll(".*scale", "").replaceAll("/.*", "")
       println(f"[ixbench] $label corpus=$corpusRows build=$buildS%.2f " +
-        f"recompute=$recomputeS%.2f probe=${probes.map(p => f"$p%.2f").mkString("/")} rows=$nRe")
-      R(label, corpusRows, buildS, recomputeS, probes, nRe)
+        f"recompute=$recomputeS%.2f probe=${probes.map(p => f"$p%.2f").mkString("/")} rows=$nRe " +
+        f"census=$censusS%.2f(${census.overshootRows} over) files=$filesBefore->$filesAfter " +
+        f"compact=$compactS%.2f probeAfter=$probeAfterS%.2f")
+      R(label, corpusRows, buildS, recomputeS, probes, nRe,
+        censusS, compactS, filesBefore, filesAfter, probeAfterS)
     }
 
     println("\n| corpus | docs | build once (s) | recompute per batch (s) | probe per batch (s, 3 runs) | probe speedup |")
@@ -86,6 +109,12 @@ object IndexBench {
       val best = r.probeS.min
       println(f"| ${r.label} | ${r.corpusRows} | ${r.buildS}%.2f | ${r.recomputeS}%.2f | " +
         f"${r.probeS.map(p => f"$p%.2f").mkString(" / ")} | ${r.recomputeS / best}%.1f× |")
+    }
+    println("\n| corpus | census (s) | census/rebuild cost ratio | files after 3 appends | compact (s) | files after compact | probe after compact (s) |")
+    println("|---|---|---|---|---|---|---|")
+    results.foreach { r =>
+      println(f"| ${r.label} | ${r.censusS}%.2f | ${r.censusS / r.buildS}%.2f | " +
+        f"${r.filesBefore} | ${r.compactS}%.2f | ${r.filesAfter} | ${r.probeAfterCompactS}%.2f |")
     }
     spark.stop()
   }
