@@ -138,6 +138,12 @@ object SparkEntry {
     // vector data through the candidate joins) — fully oracled, since
     // integer scoring has zero ulp hazard
     "q_ivf_search_int8" -> ((s, dir) => Similarity.ivfSearchInt8(s, dir, nCentroids = 8)),
+    // inverted multi-index: the two-level quantizer past the flat-IVF
+    // broadcast-model cap — k1² product cells from 2·k1 half-width model
+    // rows; both queries fully DuckDB-oracled (per-half residue seeds +
+    // unrolled Lloyd rounds, additive cell ranking)
+    "q_imi_assign" -> ((s, dir) => Imi.assign(s, dir, k1 = 8)),
+    "q_imi_search" -> ((s, dir) => Imi.search(s, dir, k1 = 8, nprobe = 4)),
     // the PERSISTENT bucketed IVF index (build once / search per batch —
     // the ShingleIndex pattern for ANN); oracle is ivfSearch's literal SQL
     // through the stored bucket-pruned path
@@ -221,6 +227,8 @@ object SparkEntry {
     "q_ivf_search" -> Similarity.ivfSearchSql(),
     "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
+    "q_imi_assign" -> Imi.assignSql(k1 = 8),
+    "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_quantize" -> Similarity.quantizeSql(),
     // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
     // masks, embedded in the SQL as one BIGINT per plane (band/bits

@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted multi-index (IMI) — the two-level quantizer the flat-IVF
+  * broadcast-model guard points at ([[Similarity.MaxCentroids]]).
+  *
+  * A flat IVF at 10¹⁰ vectors wants √n ≈ 10⁵ cells — beyond the 2¹⁶
+  * broadcast-model cap (the centroid table stops being a shippable task
+  * closure). The IMI (Babenko & Lempitsky, CVPR 2012) takes the PRODUCT of
+  * two independent sub-quantizers over the two halves of the vector:
+  * k1 cells per half → k1² effective cells from a model of only 2·k1
+  * half-width rows. k1 = 2¹⁰ gives ~10⁶ cells from a 0.5 MB model; the
+  * per-query candidate volume scales with n/k1², restoring the
+  * sub-linear-index property far past the flat cap.
+  *
+  * Everything is deterministic (per-half residue seeds + unrolled Lloyd
+  * rounds — the exact discipline of the flat-IVF oracles) so BOTH queries
+  * carry full DuckDB oracles: `q_imi_assign` (the product assignment) and
+  * `q_imi_search` (multi-probe search over product cells, ranked by the
+  * ADDITIVE property d(v, cell(i,j)) = dL(vL, ci) + dR(vR, cj) — the IMI's
+  * core trick: ranking k1² cells costs 2·k1 half-distance evaluations, not
+  * k1² full ones).
+  *
+  * Scale shape: models broadcast (2·k1 half-rows); assignment is a narrow
+  * zero-shuffle kernel; search candidates travel through one equi-join on
+  * cell_id. The persistent deployment form is [[IvfIndex]] with `cell_id`
+  * as the bucket column — same bucketed/bucket-pruned story, composable
+  * because the assignment relation has the same (vec_id, cell_id) shape. */
+object Imi {
+
+  val HalfDim: Int = Similarity.Dim / 2
+
+  /** Train the two half-space quantizers (residue seed — SQL-expressible,
+    * both oracles unroll it — over each half's dims). */
+  def models(base: DataFrame, k1: Int, iters: Int = Similarity.LloydIters)
+  : (Array[Array[Double]], Array[Array[Double]]) = {
+    val left = base.select(col("vec_id"), slice(col("embedding"), 1, HalfDim).as("embedding"))
+    val right = base.select(col("vec_id"), slice(col("embedding"), HalfDim + 1, HalfDim).as("embedding"))
+    (Similarity.trainedCentroidArrays(left, k1, iters, Similarity.ResidueSeed, HalfDim),
+      Similarity.trainedCentroidArrays(right, k1, iters, Similarity.ResidueSeed, HalfDim))
+  }
+
+  /** Product-cell assignment: `cell_id = cell_l · k1 + cell_r`. */
+  def assign(spark: SparkSession, dir: String, k1: Int = 8,
+             iters: Int = Similarity.LloydIters): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (cl, cr) = models(base, k1, iters)
+    base.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
+        val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
+        (id, l, r, l.toLong * k1 + r)
+      }
+      .toDF("vec_id", "cell_l", "cell_r", "cell_id")
+      .orderBy("vec_id")
+  }
+
+  /** Multi-probe search over product cells. Per query: 2·k1 half-distance
+    * evaluations rank all k1² cells additively; the `nprobe` best cells'
+    * members are exact-scored; top-k by cosine. With nprobe = k1² it
+    * degenerates to exact [[Similarity.topK]] (spec-pinned — the same
+    * whole-pipeline invariant the flat IVF carries). The k1² pair sort
+    * below is fine to k1 ≈ 2⁸ (65k pairs/query); past that the classic
+    * multi-sequence walk replaces it — same output, lazier enumeration. */
+  def search(spark: SparkSession, dir: String, k1: Int = 8, nprobe: Int = 4,
+             k: Int = 5, nQueries: Int = 50,
+             iters: Int = Similarity.LloydIters): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (cl, cr) = models(base, k1, iters)
+    val assigned = base.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
+        val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
+        (id, l.toLong * k1 + r, v, Similarity.normP(v))
+      }
+      .toDF("vec_id", "cell_id", "vec", "nrm")
+    val probes = base.filter(col("vec_id") < nQueries).as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val vl = v.take(HalfDim); val vr = v.drop(HalfDim)
+        val dl = Array.tabulate(k1)(i => Similarity.dist2P(vl, cl(i)))
+        val dr = Array.tabulate(k1)(j => Similarity.dist2P(vr, cr(j)))
+        val pairs = new Array[(Double, Long)](k1 * k1)
+        var i = 0
+        while (i < k1) {
+          var j = 0
+          while (j < k1) {
+            pairs(i * k1 + j) = (dl(i) + dr(j), i.toLong * k1 + j)
+            j += 1
+          }
+          i += 1
+        }
+        // (dsum ASC, cell_id ASC) — the oracle's pinned tie-break
+        pairs.sorted.iterator.take(math.max(1, nprobe))
+          .map { case (_, cell) => (id, cell, v, Similarity.normP(v)) }
+      }
+      .toDF("query_id", "cell_id", "vq", "nq")
+    val scored = probes.join(assigned, "cell_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("vq"), col("nq"), col("vec"), col("nrm"))
+      .as[(Long, Long, Array[Float], Double, Array[Float], Double)]
+      .map { case (q, nb, vq, nq, vn, nn) =>
+        (q, nb, Similarity.dotP(vq, vn) / (nq * nn))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Per-half centroid-training CTE chain — [[Similarity]]'s centroid CTE
+    * discipline with a dimension OFFSET (`embedding[i + off]`) and a name
+    * prefix so the two halves' chains coexist in one WITH clause. */
+  private def halfCtes(p: String, k1: Int, off: Int, iters: Int): String = {
+    val d = HalfDim
+    val sb = new StringBuilder(s"""${p}ex AS (
+  SELECT ((vec_id % $k1) + $k1) % $k1 AS cid, i, CAST(embedding[i + $off] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, $d) AS gs(i)
+), ${p}cm0 AS (
+  SELECT cid, i, avg(x) AS c FROM ${p}ex GROUP BY cid, i
+), ${p}cent0 AS (
+  SELECT cid, list(c ORDER BY i) AS centroid FROM ${p}cm0 GROUP BY cid
+)""")
+    for (t <- 1 to iters) {
+      sb ++= s""", ${p}d$t AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $d),
+      i -> (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN ${p}cent${t - 1} c
+), ${p}asg$t AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+    FROM ${p}d$t) rr WHERE r = 1
+), ${p}cm$t AS (
+  SELECT a.cid, gs.i, avg(CAST(e.embedding[gs.i + $off] AS DOUBLE)) AS c
+  FROM ${p}asg$t a JOIN embeddings e USING (vec_id), generate_series(1, $d) AS gs(i)
+  GROUP BY a.cid, gs.i
+), ${p}cent$t AS (
+  SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
+  FROM ${p}cent${t - 1} p LEFT JOIN (
+    SELECT cid, list(c ORDER BY i) AS centroid FROM ${p}cm$t GROUP BY cid) n USING (cid)
+)"""
+    }
+    sb ++= s", ${p}cent AS (SELECT cid, centroid FROM ${p}cent$iters)"
+    sb.toString
+  }
+
+  /** Final per-half assignment CTE (`<p>fin`): nearest trained half-cell
+    * per vector, (dist2 ASC, cid ASC) tie-break. */
+  private def halfAssign(p: String, off: Int): String = s"""${p}dd AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $HalfDim),
+      i -> (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN ${p}cent c
+), ${p}fin AS (
+  SELECT vec_id, cid, dist2 FROM (
+    SELECT vec_id, cid, dist2,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+    FROM ${p}dd) rr WHERE r = 1
+)"""
+
+  def assignSql(k1: Int = 8, iters: Int = Similarity.LloydIters): String = s"""
+WITH ${halfCtes("l_", k1, 0, iters)}, ${halfCtes("r_", k1, HalfDim, iters)},
+${halfAssign("l_", 0)}, ${halfAssign("r_", HalfDim)}
+SELECT l.vec_id, CAST(l.cid AS INTEGER) AS cell_l, CAST(r.cid AS INTEGER) AS cell_r,
+  CAST(l.cid * $k1 + r.cid AS BIGINT) AS cell_id
+FROM l_fin l JOIN r_fin r USING (vec_id)
+ORDER BY vec_id
+""".trim
+
+  /** The oracle-side cosine between aliases `a` and `b` — identical
+    * expression to the flat-IVF/pair oracles. */
+  private val CosSql: String =
+    """list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+
+  def searchSql(k1: Int = 8, nprobe: Int = 4, k: Int = 5, nQueries: Int = 50,
+                iters: Int = Similarity.LloydIters): String = s"""
+WITH ${halfCtes("l_", k1, 0, iters)}, ${halfCtes("r_", k1, HalfDim, iters)},
+${halfAssign("l_", 0)}, ${halfAssign("r_", HalfDim)},
+assign AS (
+  SELECT l.vec_id, l.cid * $k1 + r.cid AS cell_id
+  FROM l_fin l JOIN r_fin r USING (vec_id)
+), qdl AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $HalfDim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN l_cent c WHERE e.vec_id < $nQueries
+), qdr AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $HalfDim),
+      i -> (CAST(e.embedding[i + $HalfDim] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i + $HalfDim] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN r_cent c WHERE e.vec_id < $nQueries
+), cells AS (
+  SELECT ql.vec_id, ql.cid * $k1 + qr.cid AS cell_id, ql.dist2 + qr.dist2 AS dsum
+  FROM qdl ql JOIN qdr qr USING (vec_id)
+), probes AS (
+  SELECT vec_id AS query_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dsum ASC, cell_id ASC) AS r
+    FROM cells) rr WHERE r <= $nprobe
+), cand AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM probes p JOIN assign a2 ON a2.cell_id = p.cell_id AND a2.vec_id <> p.query_id
+), sims AS (
+  SELECT c.query_id, c.neighbor_id, $CosSql AS cos
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk
+""".trim
+}

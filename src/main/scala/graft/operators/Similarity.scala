@@ -556,7 +556,8 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * ever converges on the driver). */
   def trainedCentroidArrays(base: DataFrame, nCentroids: Int,
                             iters: Int = LloydIters,
-                            seed: IvfSeed = ResidueSeed): Array[Array[Double]] = {
+                            seed: IvfSeed = ResidueSeed,
+                            dim: Int = Dim): Array[Array[Double]] = {
     import base.sparkSession.implicits._
     // the model is driver-collected and closure-shipped: bound it loudly
     // (34 MB at the cap) rather than discover the limit as an OOM
@@ -567,22 +568,23 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
       val next = prev.clone()
       rows.foreach { r =>
         next(r.getAs[Number]("cid").intValue) =
-          Array.tabulate(Dim)(i => r.getAs[Double](s"__c${i + 1}"))
+          Array.tabulate(dim)(i => r.getAs[Double](s"__c${i + 1}"))
       }
       next
     }
     var cents = resolveSeed(seed, auto = false) match {
       case DefaultSeed => throw new IllegalStateException("unreachable: DefaultSeed resolves")
       case ResidueSeed =>
+        val avgs = centroidAvgs(dim)
         val seedRows = base.withColumn("cid", pmod(col("vec_id"), lit(nCentroids)))
-          .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect()
+          .groupBy("cid").agg(avgs.head, avgs.tail: _*).collect()
         // an empty residue class would seed an all-zeros centroid that the
         // oracle's cent0 CTE simply omits — refuse loudly instead of letting
         // the engines diverge on sparse/non-dense vec_id spaces
         require(seedRows.length == nCentroids,
           s"IVF seed: only ${seedRows.length} of $nCentroids vec_id residue classes are populated — " +
             "the id space is too sparse for this cell count; lower nCentroids or densify ids")
-        toModel(seedRows, Array.fill(nCentroids)(Array.fill(Dim)(0.0)))
+        toModel(seedRows, Array.fill(nCentroids)(Array.fill(dim)(0.0)))
       case FarthestPointSeed(sampleCap) =>
         // driver arithmetic is O(sample × cells × dim): bound the cells the
         // same way the broadcast-model guard bounds the collect
@@ -617,11 +619,12 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     }
     for (_ <- 1 to iters) {
       val model = cents
+      val avgs = centroidAvgs(dim)
       cents = toModel(
         base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
           .map { case (_, v) => (nearestCell(v, model)._1, v) }
           .toDF("cid", "embedding")
-          .groupBy("cid").agg(centroidAvgs.head, centroidAvgs.tail: _*).collect(),
+          .groupBy("cid").agg(avgs.head, avgs.tail: _*).collect(),
         cents)
     }
     cents
@@ -847,8 +850,8 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     * a collect_list + fold, the partial aggregates are fixed-width and
     * combine map-side — per-group state is 64 (sum, count) pairs no matter
     * how many vectors the group holds, so the shape survives 100 TB. */
-  private def centroidAvgs: Seq[Column] =
-    (1 to Dim).map(i => avg(element_at(col("embedding"), i).cast("double")).as(s"__c$i"))
+  private def centroidAvgs(dim: Int = Dim): Seq[Column] =
+    (1 to dim).map(i => avg(element_at(col("embedding"), i).cast("double")).as(s"__c$i"))
 
   /** Symmetric per-vector int8 scalar quantization — the storage leg of
     * the similarity stack: a float32 corpus quantized to int8 is 4×
