@@ -33,6 +33,17 @@ object Imi {
 
   val HalfDim: Int = Similarity.Dim / 2
 
+  /** Auto k1 for a corpus of n vectors: product cell count k1² tracks the
+    * flat rule's √n target ([[Similarity.cellsFor]]), so k1 = ⌈n^¼⌉ —
+    * same per-query candidate volume (≈ nprobe·√n) from a model of only
+    * 2·⌈n^¼⌉ half-rows. Uncapped where cellsFor clamps at 2¹⁶: at
+    * n = 10¹⁰, k1 = 317 → ~10⁵ product cells from a 159 KB model — the
+    * regime the flat broadcast guard refuses. */
+  def k1For(n: Long): Int = {
+    require(n > 0, s"k1For($n): need a positive corpus size")
+    math.max(1L, math.ceil(math.sqrt(math.sqrt(n.toDouble))).toLong).toInt
+  }
+
   /** Train the two half-space quantizers (residue seed — SQL-expressible,
     * both oracles unroll it — over each half's dims). */
   def models(base: DataFrame, k1: Int, iters: Int = Similarity.LloydIters)
@@ -44,17 +55,18 @@ object Imi {
   }
 
   /** Product-cell assignment: `cell_id = cell_l · k1 + cell_r`. */
-  def assign(spark: SparkSession, dir: String, k1: Int = 8,
+  def assign(spark: SparkSession, dir: String, k1: Int = 0,
              iters: Int = Similarity.LloydIters): DataFrame = {
     import spark.implicits._
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val (cl, cr) = models(base, k1, iters)
+    val kk = if (k1 == 0) k1For(base.count()) else k1
+    val (cl, cr) = models(base, kk, iters)
     base.as[(Long, Array[Float])]
       .map { case (id, v) =>
         val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
         val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
-        (id, l, r, l.toLong * k1 + r)
+        (id, l, r, l.toLong * kk + r)
       }
       .toDF("vec_id", "cell_l", "cell_r", "cell_id")
       .orderBy("vec_id")
@@ -67,31 +79,32 @@ object Imi {
     * whole-pipeline invariant the flat IVF carries). The k1² pair sort
     * below is fine to k1 ≈ 2⁸ (65k pairs/query); past that the classic
     * multi-sequence walk replaces it — same output, lazier enumeration. */
-  def search(spark: SparkSession, dir: String, k1: Int = 8, nprobe: Int = 4,
+  def search(spark: SparkSession, dir: String, k1: Int = 0, nprobe: Int = 4,
              k: Int = 5, nQueries: Int = 50,
              iters: Int = Similarity.LloydIters): DataFrame = {
     import spark.implicits._
     val base = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val (cl, cr) = models(base, k1, iters)
+    val kk = if (k1 == 0) k1For(base.count()) else k1
+    val (cl, cr) = models(base, kk, iters)
     val assigned = base.as[(Long, Array[Float])]
       .map { case (id, v) =>
         val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
         val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
-        (id, l.toLong * k1 + r, v, Similarity.normP(v))
+        (id, l.toLong * kk + r, v, Similarity.normP(v))
       }
       .toDF("vec_id", "cell_id", "vec", "nrm")
     val probes = base.filter(col("vec_id") < nQueries).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val vl = v.take(HalfDim); val vr = v.drop(HalfDim)
-        val dl = Array.tabulate(k1)(i => Similarity.dist2P(vl, cl(i)))
-        val dr = Array.tabulate(k1)(j => Similarity.dist2P(vr, cr(j)))
-        val pairs = new Array[(Double, Long)](k1 * k1)
+        val dl = Array.tabulate(kk)(i => Similarity.dist2P(vl, cl(i)))
+        val dr = Array.tabulate(kk)(j => Similarity.dist2P(vr, cr(j)))
+        val pairs = new Array[(Double, Long)](kk * kk)
         var i = 0
-        while (i < k1) {
+        while (i < kk) {
           var j = 0
-          while (j < k1) {
-            pairs(i * k1 + j) = (dl(i) + dr(j), i.toLong * k1 + j)
+          while (j < kk) {
+            pairs(i * kk + j) = (dl(i) + dr(j), i.toLong * kk + j)
             j += 1
           }
           i += 1
