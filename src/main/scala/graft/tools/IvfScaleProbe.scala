@@ -69,6 +69,37 @@ object IvfScaleProbe {
           f"${nprobe.toDouble / cells}%.3f | $cold%.2f | $warm%.2f | $recall%.3f |")
       }
     }
+    // Flat IVF vs the two-level IMI at matched candidate-volume targets
+    // (k1For: k1² tracks cellsFor's √n): same scanned-fraction story from
+    // a model of 2·k1 half-rows instead of √n full rows.
+    println("\n| corpus | n | index | cells | model rows | nprobe | warm s | recall@5 |")
+    println("|---|---|---|---|---|---|---|---|")
+    for (dir <- Seq(src, gen)) {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val auto = Similarity.cellsFor(n)
+      val k1 = graft.operators.Imi.k1For(n)
+      val exact = Similarity.topK(spark, dir, k = 5, nQueries = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      drop()
+      def rec(got: Set[(Long, Long)]): Double = (exact & got).size.toDouble / exact.size
+      def run(label: String, cells: Int, modelRows: Int, nprobe: Int)(f: => Set[(Long, Long)]): Unit = {
+        val (g0, _) = { val t0 = System.nanoTime(); val g = f; (g, (System.nanoTime() - t0) / 1e9) }
+        drop()
+        val t0 = System.nanoTime(); val g = f; val warm = (System.nanoTime() - t0) / 1e9
+        drop()
+        require(g == g0) // deterministic across runs
+        println(f"| ${if (dir == src) "1x" else s"${factor}x"} | $n | $label | $cells | $modelRows | $nprobe | $warm%.2f | ${rec(g)}%.3f |")
+      }
+      // matched probe budgets: flat probes 8 of √n cells; IMI probes the
+      // number of product cells covering the same expected corpus fraction
+      val imiProbe = math.max(1, math.round(8.0 * k1 * k1 / auto).toInt)
+      run("flat", auto, auto, 8)(
+        Similarity.ivfSearch(spark, dir, nCentroids = auto, nprobe = 8, k = 5, nQueries = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+      run("imi", k1 * k1, 2 * k1, imiProbe)(
+        graft.operators.Imi.search(spark, dir, k1 = k1, nprobe = imiProbe, k = 5, nQueries = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    }
     // Rounds × seeding frontier (r5 verdict #7): at the auto cell count,
     // does more Lloyd work or a better seed lift recall, and at what cost?
     // nprobe fixed at 8 (the r5 frontier config — nprobe is the caller's
