@@ -130,9 +130,17 @@ object Bench {
       val ivfSearchSec = timed(
         graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50).count())
       dropCheckpointBlocks()
+      // append alone (the q_dedup_index_append scoreboard entry rebuilds
+      // build+append+probe in-query for oracle self-containment; the
+      // deployment cost of admitting a batch into the index is just this)
+      val appendSec = timed(graft.operators.ShingleIndex.append(
+        spark, "bench_shindex", idxDir,
+        batch.select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))))
+      dropCheckpointBlocks()
       Seq("q_dedup_indexed_build" -> buildSec,
         "q_dedup_indexed_probe_cold" -> probeColdSec,
         "q_dedup_indexed_probe" -> probeSec,
+        "q_dedup_index_append_only" -> appendSec,
         "q_ivf_indexed_build" -> ivfBuildSec,
         "q_ivf_indexed_search_cold" -> ivfSearchColdSec,
         "q_ivf_indexed_search" -> ivfSearchSec)
