@@ -90,9 +90,13 @@ object IvfIndex {
 
   /** Top-k cosine neighbors for `queries` (`vec_id`, `embedding`) against
     * the stored corpus. Output contract = [[Similarity.ivfSearch]]:
-    * `(query_id, rk, neighbor_id, cos)`, self-matches excluded. */
+    * `(query_id, rk, neighbor_id, cos)`, same-id matches excluded by
+    * default. `excludeSelf = false` keeps them — the ingestion-gate
+    * replay story depends on it: a replayed arrival must match its own
+    * already-stored copy (cos 1) and be dropped, which is what converges
+    * an at-least-once foreachBatch to exactly-once index content. */
   def search(spark: SparkSession, tag: String, queries: DataFrame,
-             nprobe: Int = 2, k: Int = 5): DataFrame = {
+             nprobe: Int = 2, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val cents = loadModel(spark, tag)
     val probes = queries.select(col("vec_id"), col("embedding"))
@@ -109,10 +113,10 @@ object IvfIndex {
     // SelectedBucketsCount < total). The collect is ≤ queries × nprobe
     // ints — probe metadata, not data.
     val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
-    val cand = spark.table(assignTable(tag))
+    val joined = spark.table(assignTable(tag))
       .filter(col("cid").isin(probedCells: _*))
       .join(probes, "cid")
-      .filter(col("vec_id") =!= col("query_id"))
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
     val scored = cand
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("vq"), col("nq"), col("embedding"))

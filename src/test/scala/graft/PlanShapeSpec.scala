@@ -121,6 +121,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q_imi_search: candidates travel through an equi-join, never a nested loop") {
+    val df = SparkEntry.queries("q_imi_search")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ivf_indexed: the stored assignment scan is bucketed and pruned") {
+    val df = SparkEntry.queries("q_ivf_indexed")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"no bucket pruning in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_curation_pipeline is one scan of the corpus end-to-end") {
     val p = plan("q_curation_pipeline")
     assert(p.split("documents.parquet").length - 1 == 1,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.IvfIndex
+import graft.streaming.VectorIngestGate
+import graft.streaming.StreamingSimilarity.VecRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The streaming embedding gate: exact copies of indexed vectors are
+  * dropped, fresh vectors are admitted AND become dedup targets for the
+  * next batch (the index is the ledger), receipts name the duplicate's
+  * source. */
+class VectorIngestGateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def drop(tag: String): Unit =
+    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("gate drops exact dups, admits fresh, and the index is the cross-batch ledger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("graft-vecgate").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      IvfIndex.build(emb, s"$root/index", "vgate", nCentroids = 8,
+        seed = graft.operators.Similarity.ResidueSeed)
+      val all = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+
+      val mem = MemoryStream[VecRow]
+      def drain(): Unit = VectorIngestGate.start("vgate", s"$root/index",
+        mem.toDF(), s"$root/landing", s"$root/receipts", s"$root/ckpt",
+        threshold = 0.999, nprobe = 8).awaitTermination()
+
+      // batch 1: an exact copy of an indexed vector (drop) + a fresh
+      // orthogonal-ish vector (admit)
+      val fresh1 = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)
+      mem.addData(VecRow(900001L, all(0)._2), VecRow(900002L, fresh1))
+      drain()
+      val landed1 = spark.read.parquet(s"$root/landing")
+        .select("vec_id").as[Long].collect().toSet
+      assert(landed1 == Set(900002L), landed1.toString)
+      val r1 = spark.read.parquet(s"$root/receipts")
+        .select("vec_id", "dup_of", "is_dup").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).toMap
+      assert(r1(900001L) == (all(0)._1, true)) // names the indexed source
+      assert(!r1(900002L)._2)
+
+      // batch 2: an exact copy of batch 1's ADMITTED vector must now be
+      // dropped — cross-batch ledger through the index append
+      mem.addData(VecRow(900003L, fresh1))
+      drain()
+      val landed2 = spark.read.parquet(s"$root/landing")
+        .select("vec_id").as[Long].collect().toSet
+      assert(landed2 == Set(900002L), landed2.toString)
+      val r2 = spark.read.parquet(s"$root/receipts")
+        .filter(col("vec_id") === 900003L)
+        .select("dup_of", "is_dup").collect()(0)
+      assert(r2.getLong(0) == 900002L && r2.getBoolean(1))
+
+      // index content: base + exactly the one admitted vector
+      assert(spark.table(IvfIndex.assignTable("vgate")).count() == all.length + 1)
+    } finally drop("vgate")
+  }
+}
