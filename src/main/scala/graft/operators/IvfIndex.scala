@@ -49,6 +49,9 @@ object IvfIndex {
     val cells = if (nCentroids == 0) Similarity.cellsFor(base.count()) else nCentroids
     val cents = Similarity.trainedCentroidArrays(base, cells, iters,
       Similarity.resolveSeed(seed, nCentroids == 0))
+    // canonical-path re-pin on rebuild: drop a possibly-compacted table
+    // (and its generation-dir files) before the Overwrite create
+    BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
     cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
@@ -57,6 +60,7 @@ object IvfIndex {
     val assigned = base.as[(Long, Array[Float])]
       .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
       .toDF("vec_id", "cid", "embedding")
+    BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
     assigned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .option("path", s"$path/${assignTable(tag)}")
@@ -69,14 +73,53 @@ object IvfIndex {
                  newVecs: DataFrame, buckets: Int = 8): Unit = {
     import spark.implicits._
     val cents = loadModel(spark, tag)
+    // append through the catalog location (no path pin): after a
+    // [[compact]] the table lives in a generation dir and a pinned
+    // original path analysis-errors on the mismatch
     newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
       .toDF("vec_id", "cid", "embedding")
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
-      .option("path", s"$path/${assignTable(tag)}")
       .saveAsTable(assignTable(tag))
   }
+
+  /** Rebuild when the corpus has outgrown the model: search cost is
+    * O(batch × n·nprobe/c), so at a FIXED c the index "de-indexes" as n
+    * grows — measured in StreamBench's vecgate tier, where batch time
+    * doubles as appends double the corpus under the build-time cell
+    * count. Policy: retrain (with the auto √n rule and current default
+    * seed) when [[Similarity.cellsFor]] of the stored count reaches
+    * `growthFactor` × the stored model's cells — the [[ShingleIndex.rebuildIfNeeded]]
+    * analog, gated by a census that costs two tiny counts. Returns true
+    * iff a rebuild ran. The index contents are materialized (checkpoint)
+    * before the rebuild because build drops the table it would otherwise
+    * still be reading. */
+  def rebuildIfNeeded(spark: SparkSession, tag: String, path: String,
+                      buckets: Int = 8, growthFactor: Double = 2.0,
+                      iters: Int = Similarity.LloydIters,
+                      seed: Similarity.IvfSeed = Similarity.DefaultSeed): Boolean = {
+    val n = spark.table(assignTable(tag)).count()
+    val have = spark.table(modelTable(tag)).count()
+    if (n > 0 && Similarity.cellsFor(n) >= growthFactor * have) {
+      val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+        spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
+      build(corpus, path, tag, buckets, nCentroids = 0, iters, seed)
+      true
+    } else false
+  }
+
+  /** Compact the append-accreted assignment relation (each [[assignInto]]
+    * adds a file per bucket; a long-running [[graft.streaming.VectorIngestGate]]
+    * accretes one generation per micro-batch) — shared staged-swap
+    * mechanics, see [[BucketedMaintenance]]. The model table is tiny and
+    * overwrite-only; only the assignment needs it. */
+  def compact(spark: SparkSession, tag: String, path: String): Unit =
+    BucketedMaintenance.compact(spark, Seq((assignTable(tag), "cid")), path)
+
+  /** Parquet file count of the assignment relation — what [[compact]] bounds. */
+  def fileCount(spark: SparkSession, tag: String): Long =
+    BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
 
   private def loadModel(spark: SparkSession, tag: String): Array[Array[Double]] = {
     val rows = spark.table(modelTable(tag))

@@ -54,11 +54,25 @@ object ShingleIndex {
   def satTable(tag: String): String = s"${tag}_sat"
 
   private def writeBucketed(df: DataFrame, table: String, path: String,
-                            buckets: Int, bucketCol: String, mode: SaveMode): Unit =
-    df.write.mode(mode).format("parquet")
+                            buckets: Int, bucketCol: String, mode: SaveMode): Unit = {
+    val w = df.write.mode(mode).format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", s"$path/$table")
-      .saveAsTable(table)
+    // append to an EXISTING table through its catalog location — after a
+    // [[compact]] the table lives in a generation dir, and re-pinning the
+    // original path would analysis-error on the mismatch (found by
+    // StreamBench's per-batch-compaction cadence). Overwrite (build/
+    // rebuild) deliberately re-pins the canonical path.
+    if (mode == SaveMode.Append && df.sparkSession.catalog.tableExists(table))
+      w.saveAsTable(table)
+    else {
+      // Overwrite re-pins the canonical path; if a compact moved the table
+      // to a generation dir, drop it (and its files) first or the
+      // existing-location mismatch check rejects the write. Callers that
+      // rebuild FROM the table's own contents must materialize first.
+      BucketedMaintenance.dropWithFiles(df.sparkSession, table)
+      w.option("path", s"$path/$table").saveAsTable(table)
+    }
+  }
 
   /** Build the index tables from `corpus` under catalog names
     * `<tag>_{occ,sizes,fp}` backed by `path`. Overwrite-idempotent.
@@ -246,59 +260,14 @@ object ShingleIndex {
     * (that is [[rebuild]]'s job; this is purely a file-layout operation,
     * safe to run far more often). Not concurrency-safe with a writer, same
     * as [[graft.operators.Layout.compact]]'s single-maintainer contract. */
-  def compact(spark: SparkSession, tag: String, path: String): Unit = {
-    val tables = Seq((occTable(tag), "key"), (sizesTable(tag), "corpus_id"),
-      (fpTable(tag), "fp"), (satTable(tag), "key"))
-    tables.foreach { case (t, bucketCol) =>
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(t))
-      val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
-        throw new IllegalStateException(s"$t is not bucketed — not a ShingleIndex table"))
-      val oldLocation = new org.apache.hadoop.fs.Path(meta.location)
-      // fresh generation dir: never rewrite in place (a failed job would
-      // destroy the only copy), never reuse a dir (stale files would be
-      // picked up by the new table's scan)
-      val gen = Iterator.from(0).map(g => s"$path/$t-gen$g")
-        .find(p => !new java.io.File(p).exists()).get
-      val stage = s"${t}_stage"
-      spark.sql(s"DROP TABLE IF EXISTS `$stage`")
-      // ZERO-shuffle rewrite: force the bucketed scan (one partition per
-      // bucket, all of that bucket's accreted files) so each write task
-      // holds exactly one bucket and emits exactly one file. Without the
-      // pin, the planner auto-disables the bucketed scan for a plain
-      // read-write (nothing downstream demands the distribution — an
-      // explicit repartition gets optimizer-removed as redundant against
-      // the table's bucketing first), tasks span buckets, and the
-      // "compaction" writes a file per (task × bucket) pair.
-      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val prevAuto = spark.conf.getOption(autoKey)
-      spark.conf.set(autoKey, "false")
-      try
-        spark.table(t).write.mode(SaveMode.Overwrite).format("parquet")
-          .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-          .option("path", gen).saveAsTable(stage)
-      finally prevAuto match {
-        case Some(v) => spark.conf.set(autoKey, v)
-        case None    => spark.conf.unset(autoKey)
-      }
-      spark.sql(s"DROP TABLE `$t`")
-      spark.sql(s"ALTER TABLE `$stage` RENAME TO `$t`")
-      val fs = oldLocation.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(oldLocation, true)
-    }
-  }
+  def compact(spark: SparkSession, tag: String, path: String): Unit =
+    BucketedMaintenance.compact(spark,
+      Seq((occTable(tag), "key"), (sizesTable(tag), "corpus_id"),
+        (fpTable(tag), "fp"), (satTable(tag), "key")), path)
 
   /** Parquet file count across the index tables — the quantity [[compact]]
     * bounds (and the spec asserts on). */
   def fileCount(spark: SparkSession, tag: String): Long =
-    Seq(occTable(tag), sizesTable(tag), fpTable(tag), satTable(tag)).map { t =>
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(loc, true)
-      var n = 0L
-      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      n
-    }.sum
+    BucketedMaintenance.fileCount(spark,
+      Seq(occTable(tag), sizesTable(tag), fpTable(tag), satTable(tag)))
 }

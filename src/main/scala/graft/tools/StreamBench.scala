@@ -153,6 +153,53 @@ object StreamBench {
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+
+    // ---- 1c. VectorIngestGate (persistent-IVF embedding gate) ----
+    {
+      import graft.operators.IvfIndex
+      val vb0 = System.nanoTime()
+      IvfIndex.build(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        s"$root/vindex", "sbvix")
+      println(f"[streambench] vector index build (once): ${(System.nanoTime() - vb0) / 1e9}%.2f s")
+      val vmem = MemoryStream[VecRow]
+      var nextVid = 300000000L
+      def vsigned(b: Int, i: Int, v: Array[Float]): Array[Float] =
+        v.zipWithIndex.map { case (x, d) =>
+          var z = (b.toLong * 7919L + i.toLong) * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = z ^ (z >>> 31)
+          if (z > 0) x else -x
+        }
+      for (b <- 0 until nBatches) {
+        val batch = (0 until math.min(batchSize, emb.length)).map { i =>
+          val src = emb((b * batchSize + i) % emb.length)
+          val id = nextVid; nextVid += 1
+          // ~10% exact copies of indexed vectors → drop path; rest
+          // sign-scrambled (near-orthogonal) → admit path
+          if (i % 10 == 9) VecRow(id, src._2)
+          else VecRow(id, vsigned(b, i, src._2))
+        }
+        vmem.addData(batch: _*)
+        val t0 = System.nanoTime()
+        graft.streaming.VectorIngestGate.start("sbvix", s"$root/vindex",
+          vmem.toDF(), s"$root/vlanding", s"$root/vreceipts", s"$root/vckpt",
+          threshold = 0.999, nprobe = 8).awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[streambench] vecgate batch $b: ${batch.length} vectors in $sec%.2f s " +
+          f"(${batch.length / sec}%.0f vec/s)")
+        // maintenance cadence: compact the assignment relation between
+        // batches (each append adds a file per bucket — without this the
+        // batch time compounds file-accretion on top of the genuine
+        // candidate-volume growth; see SCALING.md vecgate note)
+        val tc = System.nanoTime()
+        graft.operators.IvfIndex.compact(spark, "sbvix", s"$root/vindex")
+        println(f"[streambench] vecgate compact $b: ${(System.nanoTime() - tc) / 1e9}%.2f s " +
+          f"(files=${graft.operators.IvfIndex.fileCount(spark, "sbvix")})")
+      }
+      val vLanded = spark.read.parquet(s"$root/vlanding").count()
+      val vReceipts = spark.read.parquet(s"$root/vreceipts").count()
+      println(s"[streambench] vecgate landing=$vLanded receipts=$vReceipts")
+    }
     val panel = emb.take(50).map { case (id, v) => (id, v) }.toSeq
     def signed(b: Int, v: Array[Float]): Array[Float] =
       v.zipWithIndex.map { case (x, i) =>

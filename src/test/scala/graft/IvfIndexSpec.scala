@@ -75,6 +75,36 @@ class IvfIndexSpec extends AnyFunSuite {
         .filter(col("rk") === 1).collect()
       assert(hits.length == 1 && hits(0).getLong(2) == dupId,
         s"self-duplicate not top hit: ${hits.toSeq}")
+
+      // compaction: appends accreted files; compact returns to one file
+      // per bucket with identical search answers and surviving pruning
+      val q = emb.filter(col("vec_id") < 10)
+      val before = IvfIndex.search(spark, "ivxa", q).collect().toSeq
+      val filesBefore = IvfIndex.fileCount(spark, "ivxa")
+      IvfIndex.compact(spark, "ivxa", dir)
+      val filesAfter = IvfIndex.fileCount(spark, "ivxa")
+      assert(filesAfter < filesBefore && filesAfter <= 8, s"$filesBefore -> $filesAfter")
+      val after = IvfIndex.search(spark, "ivxa", q)
+      assert(after.collect().toSeq == before)
+      val plan = after.queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: (\\d+) out of".r.findFirstMatchIn(plan).isDefined, plan)
+      // assignInto AFTER compact must follow the catalog to the new dir
+      val preCount = spark.table(IvfIndex.assignTable("ivxa")).count()
+      IvfIndex.assignInto(spark, "ivxa", dir,
+        probe.select((col("vec_id") + 5555555L).as("vec_id"), col("embedding")))
+      assert(spark.table(IvfIndex.assignTable("ivxa")).count() == preCount + 1)
+
+      // rebuild policy: the 8-cell model is far under cellsFor(n)≈21, so
+      // the growth census trips; the rebuild retrains from the stored
+      // index (post-compact — exercises the canonical-path re-pin) and the
+      // refreshed model serves searches
+      assert(IvfIndex.rebuildIfNeeded(spark, "ivxa", dir))
+      val cellsNow = spark.table(IvfIndex.modelTable("ivxa")).count()
+      assert(cellsNow > 8, s"model not retrained: $cellsNow cells")
+      assert(spark.table(IvfIndex.assignTable("ivxa")).count() == preCount + 1)
+      assert(IvfIndex.search(spark, "ivxa", q, nprobe = 4).count() > 0)
+      // and a fresh census right after does NOT rebuild again
+      assert(!IvfIndex.rebuildIfNeeded(spark, "ivxa", dir))
     } finally drop("ivxa")
   }
 }

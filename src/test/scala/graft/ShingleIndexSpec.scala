@@ -173,6 +173,12 @@ class ShingleIndexSpec extends AnyFunSuite {
       assert(filesAfter < filesBefore)
       // data unchanged through the staged swap
       assert(canon(ShingleIndex.probe(spark, "sixf", batch)) == beforeRows)
+      // append AFTER compact must follow the catalog to the generation dir
+      // (a pinned original path would analysis-error — StreamBench find)
+      ShingleIndex.append(spark, "sixf", dir,
+        corpus.limit(5).select((col("doc_id") + 5000000L).as("doc_id"), col("text")),
+        buckets = 4)
+      assert(ShingleIndex.probe(spark, "sixf", batch).count() == beforeRows.length)
       // the pre-paid layout survives: probe still scans bucketed tables
       val broadcastConf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
