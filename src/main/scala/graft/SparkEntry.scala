@@ -144,6 +144,10 @@ object SparkEntry {
     // unrolled Lloyd rounds, additive cell ranking)
     "q_imi_assign" -> ((s, dir) => Imi.assign(s, dir, k1 = 8)),
     "q_imi_search" -> ((s, dir) => Imi.search(s, dir, k1 = 8, nprobe = 4)),
+    // the streaming embedding gate's batch kernel under the DuckDB gate:
+    // index on the full corpus, deterministically-derived arrivals
+    // (exact copies + sign-flipped), receipts as the output relation
+    "q_vector_gate" -> ((s, dir) => graft.streaming.VectorIngestGate.gateQuery(s, dir)),
     // the PERSISTENT bucketed IVF index (build once / search per batch —
     // the ShingleIndex pattern for ANN); oracle is ivfSearch's literal SQL
     // through the stored bucket-pruned path
@@ -229,6 +233,7 @@ object SparkEntry {
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),
+    "q_vector_gate" -> graft.streaming.VectorIngestGate.gateQuerySql(),
     "q_quantize" -> Similarity.quantizeSql(),
     // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
     // masks, embedded in the SQL as one BIGINT per plane (band/bits

@@ -773,7 +773,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * dimension means, COALESCE-ing empty clusters to their previous
     * centroid exactly like [[trainedCentroidArrays]]. The final alias is
     * always `cent`. */
-  private def centroidCtes(nCentroids: Int, dim: Int, iters: Int): String = {
+  private[graft] def centroidCtes(nCentroids: Int, dim: Int, iters: Int): String = {
     val sb = new StringBuilder(s"""ex AS (
   SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
   FROM embeddings, generate_series(1, $dim) AS gs(i)

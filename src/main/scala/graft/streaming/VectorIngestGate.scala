@@ -51,6 +51,97 @@ object VectorIngestGate {
     (receipts, kept)
   }
 
+  /** Oracle-able carved form of one gate evaluation: index = the FULL
+    * embeddings table (8 cells, residue seed — the pinned oracle config),
+    * arrivals derived deterministically from `vec_id < 40` (new id
+    * `+10⁷`; even source ids arrive as EXACT copies — the drop path; odd
+    * ids with dims 1–8 negated — float sign-flips are exact in both
+    * engines, same trick as the augmented-corpus fixture). Output is the
+    * receipts relation `(vec_id, dup_of, cos, is_dup)`. This is literally
+    * [[gateBatch]] against a fresh index — the streaming gate's kernel
+    * under the DuckDB gate. */
+  def gateQuery(spark: org.apache.spark.sql.SparkSession, dir: String,
+                threshold: Double = 0.9, nprobe: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q_vecgate").getAbsolutePath
+    IvfIndex.build(e, idxDir, "q_vecgate", nCentroids = 8, seed = Similarity.ResidueSeed)
+    val arrivals = e.filter(col("vec_id") < 40).select(
+      (col("vec_id") + 10000000L).as("vec_id"),
+      when(col("vec_id") % 2 === 0, col("embedding"))
+        .otherwise(array((1 to Similarity.Dim).map { i =>
+          val x = element_at(col("embedding"), i)
+          if (i <= 8) (-x).as(s"_$i") else x.as(s"_$i")
+        }: _*)).as("embedding"))
+    val (receipts, _) = gateBatch("q_vecgate", arrivals, threshold, nprobe)
+    receipts.orderBy("vec_id")
+  }
+
+  /** Full relational oracle for [[gateQuery]] — the flat-IVF training/
+    * assignment CTE chain, the same derived arrivals, probe ranking with
+    * the pinned tie-breaks, top-1 cosine, thresholded verdict on the
+    * ROUNDED cosine (exactly what the Spark side thresholds). */
+  def gateQuerySql(threshold: Double = 0.9, nprobe: Int = 4,
+                   nCentroids: Int = 8,
+                   iters: Int = graft.operators.Similarity.LloydIters): String = {
+    val dim = graft.operators.Similarity.Dim
+    val cos =
+      """list_sum(list_transform(generate_series(1, len(a.embedding)),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    s"""
+WITH ${graft.operators.Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+    FROM dist) rr WHERE r = 1
+), arrivals AS (
+  SELECT vec_id + 10000000 AS vec_id,
+    CASE WHEN vec_id % 2 = 0 THEN embedding
+         ELSE list_transform(generate_series(1, $dim),
+                i -> CASE WHEN i <= 8 THEN -embedding[i] ELSE embedding[i] END)
+    END AS embedding
+  FROM embeddings WHERE vec_id < 40
+), qd AS (
+  SELECT q.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(q.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(q.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM arrivals q CROSS JOIN cent c
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+    FROM qd) rr WHERE r <= $nprobe
+), cand AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM probes p JOIN assign a2 ON a2.cid = p.cid
+), sims AS (
+  SELECT c.query_id, c.neighbor_id, $cos AS cos
+  FROM cand c
+  JOIN arrivals a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+), best AS (
+  SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM (
+    SELECT query_id, neighbor_id, cos,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM sims) rr WHERE rk = 1
+)
+SELECT a.vec_id, b.neighbor_id AS dup_of, b.cos,
+  coalesce(b.cos >= $threshold, FALSE) AS is_dup
+FROM arrivals a LEFT JOIN best b ON b.query_id = a.vec_id
+ORDER BY a.vec_id
+""".trim
+  }
+
   /** Start the gate. `stream` must carry (vec_id: long, embedding:
     * array<float>); the index under `indexTag`/`indexPath` must already
     * be built ([[IvfIndex.build]] — paid once). Admitted vectors are
