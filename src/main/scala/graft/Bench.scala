@@ -12,6 +12,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // Shuffle-file deletion rides the ContextCleaner; make it synchronous
@@ -155,12 +156,20 @@ object Bench {
     // produced it (ADVICE r5: evidence files with no run identity are
     // indistinguishable from hand-edited ones)
     val commit = try {
-      val head = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(".git/HEAD"))).trim
-      if (head.startsWith("ref: "))
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(".git/" + head.stripPrefix("ref: ")))).trim
-      else head
+      import java.nio.file.{Files, Paths}
+      val head = new String(Files.readAllBytes(Paths.get(".git/HEAD"))).trim
+      if (head.startsWith("ref: ")) {
+        val ref = head.stripPrefix("ref: ")
+        val loose = Paths.get(".git/" + ref)
+        if (Files.exists(loose)) new String(Files.readAllBytes(loose)).trim
+        else {
+          // packed refs (fresh clone / post-gc): "<sha> <refname>" lines
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(Paths.get(".git/packed-refs")).asScala
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(" ")(0)).getOrElse("unknown")
+        }
+      } else head
     } catch { case _: Throwable => "unknown" }
     val ranAt = java.time.Instant.now().toString
     val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""

@@ -129,44 +129,12 @@ object Imi {
       .orderBy("query_id", "rk")
   }
 
-  /** Per-half centroid-training CTE chain — [[Similarity]]'s centroid CTE
-    * discipline with a dimension OFFSET (`embedding[i + off]`) and a name
-    * prefix so the two halves' chains coexist in one WITH clause. */
-  private def halfCtes(p: String, k1: Int, off: Int, iters: Int): String = {
-    val d = HalfDim
-    val sb = new StringBuilder(s"""${p}ex AS (
-  SELECT ((vec_id % $k1) + $k1) % $k1 AS cid, i, CAST(embedding[i + $off] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, $d) AS gs(i)
-), ${p}cm0 AS (
-  SELECT cid, i, avg(x) AS c FROM ${p}ex GROUP BY cid, i
-), ${p}cent0 AS (
-  SELECT cid, list(c ORDER BY i) AS centroid FROM ${p}cm0 GROUP BY cid
-)""")
-    for (t <- 1 to iters) {
-      sb ++= s""", ${p}d$t AS (
-  SELECT e.vec_id, c.cid,
-    list_sum(list_transform(generate_series(1, $d),
-      i -> (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]) *
-           (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]))) AS dist2
-  FROM embeddings e CROSS JOIN ${p}cent${t - 1} c
-), ${p}asg$t AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
-    FROM ${p}d$t) rr WHERE r = 1
-), ${p}cm$t AS (
-  SELECT a.cid, gs.i, avg(CAST(e.embedding[gs.i + $off] AS DOUBLE)) AS c
-  FROM ${p}asg$t a JOIN embeddings e USING (vec_id), generate_series(1, $d) AS gs(i)
-  GROUP BY a.cid, gs.i
-), ${p}cent$t AS (
-  SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
-  FROM ${p}cent${t - 1} p LEFT JOIN (
-    SELECT cid, list(c ORDER BY i) AS centroid FROM ${p}cm$t GROUP BY cid) n USING (cid)
-)"""
-    }
-    sb ++= s", ${p}cent AS (SELECT cid, centroid FROM ${p}cent$iters)"
-    sb.toString
-  }
+  /** Per-half centroid-training CTE chain — [[Similarity.centroidCtes]]
+    * with a name prefix and the half's dimension offset (one shared
+    * implementation of the Lloyd oracle discipline; drift between the
+    * flat and half chains is impossible by construction). */
+  private def halfCtes(p: String, k1: Int, off: Int, iters: Int): String =
+    Similarity.centroidCtes(k1, HalfDim, iters, p, off)
 
   /** Final per-half assignment CTE (`<p>fin`): nearest trained half-cell
     * per vector, (dist2 ASC, cid ASC) tie-break. */
@@ -192,13 +160,9 @@ FROM l_fin l JOIN r_fin r USING (vec_id)
 ORDER BY vec_id
 """.trim
 
-  /** The oracle-side cosine between aliases `a` and `b` — identical
-    * expression to the flat-IVF/pair oracles. */
-  private val CosSql: String =
-    """list_sum(list_transform(generate_series(1, len(a.embedding)),
-      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+  /** The oracle-side cosine — the one shared pinned expression
+    * ([[Similarity.CosineSqlExpr]]). */
+  private val CosSql: String = Similarity.CosineSqlExpr
 
   def searchSql(k1: Int = 8, nprobe: Int = 4, k: Int = 5, nQueries: Int = 50,
                 iters: Int = Similarity.LloydIters): String = s"""

@@ -48,7 +48,7 @@ object IvfIndex {
     val base = corpus.select(col("vec_id"), col("embedding"))
     val cells = if (nCentroids == 0) Similarity.cellsFor(base.count()) else nCentroids
     val cents = Similarity.trainedCentroidArrays(base, cells, iters,
-      Similarity.resolveSeed(seed, nCentroids == 0))
+      Similarity.resolveSeed(seed, nCentroids == 0, cells))
     // canonical-path re-pin on rebuild: drop a possibly-compacted table
     // (and its generation-dir files) before the Overwrite create
     BucketedMaintenance.dropWithFiles(spark, modelTable(tag))

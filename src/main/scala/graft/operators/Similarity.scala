@@ -135,7 +135,7 @@ object Similarity {
 
   /** The oracle-side cosine expression between table aliases `a` and `b`
     * (shared by the pair and top-k oracles). */
-  private val CosineSqlExpr: String =
+  private[graft] val CosineSqlExpr: String =
     """list_sum(list_transform(generate_series(1, len(a.embedding)),
       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
     (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
@@ -482,7 +482,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cents = trainedCentroidArrays(base, cells, iters, resolveSeed(seed, nCentroids == 0))
+    val cents = trainedCentroidArrays(base, cells, iters, resolveSeed(seed, nCentroids == 0, cells))
     base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => val (cid, d2) = nearestCell(v, cents); (id, cid.toLong, d2) }
       .toDF("vec_id", "centroid_id", "dist2")
@@ -532,12 +532,22 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * uses [[FarthestPointSeed]] — measured in IvfScaleProbe (r6): at equal
     * 2-round cost it lifts recall@5 at both probed scales (1×: 0.552 →
     * 0.576; 10×: 0.360 → 0.408) while extra Lloyd rounds cost 1.5–3× time
-    * for smaller gains. Explicit-cells callers get [[ResidueSeed]] — the
+    * for smaller gains — EXCEPT past the farthest-first driver guard
+    * (4096 cells), where the auto path falls back to [[ResidueSeed]]
+    * rather than refusing (the residue seed trains fine to the 2¹⁶
+    * broadcast cap; a default must never crash the documented scale
+    * path). Explicit-cells callers get [[ResidueSeed]] — the
     * SQL-expressible seed every `q_ivf_*` oracle unrolls. */
   case object DefaultSeed extends IvfSeed
 
-  private[graft] def resolveSeed(seed: IvfSeed, auto: Boolean): IvfSeed = seed match {
-    case DefaultSeed => if (auto) FarthestPointSeed() else ResidueSeed
+  /** Cells above which [[FarthestPointSeed]]'s driver-side max-min
+    * traversal stops being cheap (O(sample × cells × dim)). */
+  val MaxFarthestCells = 4096
+
+  private[graft] def resolveSeed(seed: IvfSeed, auto: Boolean,
+                                 cells: Int = 1): IvfSeed = seed match {
+    case DefaultSeed =>
+      if (auto && cells <= MaxFarthestCells) FarthestPointSeed() else ResidueSeed
     case s => s
   }
 
@@ -588,12 +598,18 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
       case FarthestPointSeed(sampleCap) =>
         // driver arithmetic is O(sample × cells × dim): bound the cells the
         // same way the broadcast-model guard bounds the collect
-        require(nCentroids <= 4096,
-          s"FarthestPointSeed: nCentroids=$nCentroids > 4096 — the driver-side max-min " +
-            "traversal stops being cheap; use ResidueSeed or a two-level quantizer")
+        require(nCentroids <= MaxFarthestCells,
+          s"FarthestPointSeed: nCentroids=$nCentroids > $MaxFarthestCells — the driver-side " +
+            "max-min traversal stops being cheap; use ResidueSeed or a two-level quantizer")
         val n = base.count()
-        val step = math.max(1L, n / math.max(sampleCap, 4 * nCentroids))
-        val sample = base.filter(pmod(col("vec_id"), lit(step)) === 0)
+        val cap = math.max(sampleCap, 4 * nCentroids).toLong
+        // ceil-divide so the expected sample stays ≤ cap (floor-divide
+        // collected up to 2× cap for n just under 2·cap); stride on a HASH
+        // of the id, not the id itself — a structured id space (all-odd
+        // caller ids, block strides) can leave an id-congruence class
+        // near-empty and starve the seed on a healthy corpus
+        val step = math.max(1L, (n + cap - 1L) / cap)
+        val sample = base.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
           .orderBy("vec_id").select(col("vec_id"), col("embedding"))
           .as[(Long, Array[Float])].collect().map(_._2)
         require(sample.length >= nCentroids,
@@ -649,7 +665,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0))
+    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0, cells))
     // exact cosine on candidates only — same primitive kernel + norm-once
     // arithmetic as the verified baselines (topK hash-✓ pins the parity)
     val vecs = base.select(col("vec_id"), col("embedding"))
@@ -743,7 +759,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0))
+    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0, cells))
     val qvecs = base.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -773,38 +789,45 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * dimension means, COALESCE-ing empty clusters to their previous
     * centroid exactly like [[trainedCentroidArrays]]. The final alias is
     * always `cent`. */
-  private[graft] def centroidCtes(nCentroids: Int, dim: Int, iters: Int): String = {
-    val sb = new StringBuilder(s"""ex AS (
-  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[i] AS DOUBLE) AS x
+  /** Lloyd-training CTE chain. `p` prefixes every CTE name (so two chains
+    * — e.g. the IMI's left/right halves — coexist in one WITH clause) and
+    * `off` offsets the embedding index (`embedding[i + off]` — the IMI's
+    * right half). With the defaults the emitted SQL is exactly the flat
+    * chain the q_ivf_* oracles have always pinned. */
+  private[graft] def centroidCtes(nCentroids: Int, dim: Int, iters: Int,
+                                  p: String = "", off: Int = 0): String = {
+    def ix(v: String): String = if (off == 0) v else s"($v + $off)"
+    val sb = new StringBuilder(s"""${p}ex AS (
+  SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[${ix("i")}] AS DOUBLE) AS x
   FROM embeddings, generate_series(1, $dim) AS gs(i)
-), cm0 AS (
-  SELECT cid, i, avg(x) AS c FROM ex GROUP BY cid, i
-), cent0 AS (
-  SELECT cid, list(c ORDER BY i) AS centroid FROM cm0 GROUP BY cid
+), ${p}cm0 AS (
+  SELECT cid, i, avg(x) AS c FROM ${p}ex GROUP BY cid, i
+), ${p}cent0 AS (
+  SELECT cid, list(c ORDER BY i) AS centroid FROM ${p}cm0 GROUP BY cid
 )""")
     for (t <- 1 to iters) {
-      sb ++= s""", d$t AS (
+      sb ++= s""", ${p}d$t AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(generate_series(1, $dim),
-      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
-           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
-  FROM embeddings e CROSS JOIN cent${t - 1} c
-), asg$t AS (
+      i -> (CAST(e.embedding[${ix("i")}] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[${ix("i")}] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN ${p}cent${t - 1} c
+), ${p}asg$t AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
       row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
-    FROM d$t) rr WHERE r = 1
-), cm$t AS (
-  SELECT a.cid, gs.i, avg(CAST(e.embedding[gs.i] AS DOUBLE)) AS c
-  FROM asg$t a JOIN embeddings e USING (vec_id), generate_series(1, $dim) AS gs(i)
+    FROM ${p}d$t) rr WHERE r = 1
+), ${p}cm$t AS (
+  SELECT a.cid, gs.i, avg(CAST(e.embedding[${ix("gs.i")}] AS DOUBLE)) AS c
+  FROM ${p}asg$t a JOIN embeddings e USING (vec_id), generate_series(1, $dim) AS gs(i)
   GROUP BY a.cid, gs.i
-), cent$t AS (
+), ${p}cent$t AS (
   SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid
-  FROM cent${t - 1} p LEFT JOIN (
-    SELECT cid, list(c ORDER BY i) AS centroid FROM cm$t GROUP BY cid) n USING (cid)
+  FROM ${p}cent${t - 1} p LEFT JOIN (
+    SELECT cid, list(c ORDER BY i) AS centroid FROM ${p}cm$t GROUP BY cid) n USING (cid)
 )"""
     }
-    sb ++= s", cent AS (SELECT cid, centroid FROM cent$iters)"
+    sb ++= s", ${p}cent AS (SELECT cid, centroid FROM ${p}cent$iters)"
     sb.toString
   }
 

@@ -26,8 +26,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - Replay convergence: foreachBatch is at-least-once; a replayed batch
   *    probes WITH self-matches kept (`excludeSelf = false`), so its own
   *    already-stored copies answer at cos 1 and every replayed arrival is
-  *    dropped — index content converges to exactly-once (receipts may
-  *    carry the extra attempt, labeled with its batch id).
+  *    dropped — index content converges to exactly-once. Landing and
+  *    receipts are batch_id-partitioned and written with dynamic
+  *    partition overwrite, so a replay rewrites its own partition rather
+  *    than appending duplicates — exactly-once there too (a replay that
+  *    lands AFTER the index append produces an empty kept set, which
+  *    touches no partitions and leaves the first attempt's rows intact).
   */
 object VectorIngestGate {
 
@@ -86,11 +90,7 @@ object VectorIngestGate {
                    nCentroids: Int = 8,
                    iters: Int = graft.operators.Similarity.LloydIters): String = {
     val dim = graft.operators.Similarity.Dim
-    val cos =
-      """list_sum(list_transform(generate_series(1, len(a.embedding)),
-      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"""
+    val cos = graft.operators.Similarity.CosineSqlExpr
     s"""
 WITH ${graft.operators.Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
   SELECT e.vec_id, c.cid,
@@ -155,15 +155,33 @@ ORDER BY a.vec_id
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
           val (receipts, kept) = gateBatch(indexTag, batch, threshold, nprobe)
           // one gate evaluation feeds receipts, landing AND the index
           // append — persist so the probe join runs once
           kept.persist(); receipts.persist()
           try {
-            receipts.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(receiptsDir)
-            kept.write.mode("append").parquet(landingDir)
-            IvfIndex.assignInto(batch.sparkSession, indexTag, indexPath, kept)
+            // landing/receipts are partitioned by batch_id and written with
+            // DYNAMIC partition overwrite: a replayed attempt overwrites
+            // its OWN partition instead of appending duplicates, so the
+            // landing zone is exactly-once too — not just the index. (A
+            // replay arriving after the index append finds all its
+            // arrivals self-matched and kept empty; an empty dynamic
+            // overwrite touches no partitions, so the first attempt's
+            // landing rows — which ARE in the index — survive.)
+            val pmKey = "spark.sql.sources.partitionOverwriteMode"
+            val prev = spark.conf.getOption(pmKey)
+            spark.conf.set(pmKey, "dynamic")
+            try {
+              receipts.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite").partitionBy("batch_id").parquet(receiptsDir)
+              kept.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite").partitionBy("batch_id").parquet(landingDir)
+            } finally prev match {
+              case Some(v) => spark.conf.set(pmKey, v)
+              case None    => spark.conf.unset(pmKey)
+            }
+            IvfIndex.assignInto(spark, indexTag, indexPath, kept)
           } finally { kept.unpersist(); receipts.unpersist() }
         }
       }

@@ -26,6 +26,7 @@ object IndexBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
@@ -55,7 +56,8 @@ object IndexBench {
 
     case class R(label: String, corpusRows: Long, buildS: Double,
                  recomputeS: Double, probeS: Seq[Double], rows: Long,
-                 censusS: Double, compactS: Double, filesBefore: Long,
+                 censusCleanS: Double, censusSatS: Double, satKeys: Long,
+                 compactS: Double, filesBefore: Long,
                  filesAfter: Long, probeAfterCompactS: Double)
     val results = dirs.zipWithIndex.map { case (dir, i) =>
       val tag = s"ixb$i"
@@ -79,7 +81,7 @@ object IndexBench {
       // in front of the O(corpus) rebuild — measure both sides of that
       // claim, plus compaction after 3 appends (distinct-id slices of the
       // batch docs so each append does real work)
-      val (censusS, census) = time(ShingleIndex.overshootCensus(spark, tag))
+      val (censusCleanS, _) = time(ShingleIndex.overshootCensus(spark, tag))
       drop()
       (1 to 3).foreach { k =>
         ShingleIndex.append(spark, tag, idxDir,
@@ -87,6 +89,16 @@ object IndexBench {
           buckets = 32)
         drop()
       }
+      // populate the saturation table so the timed census joins a REAL sat
+      // side, not the post-build empty one (an empty sat lets AQE collapse
+      // the join — that would time the best case, not the claim): a
+      // cap-2 append rejects nearly every repeated key
+      ShingleIndex.append(spark, tag, idxDir,
+        batch.select((col("doc_id") + lit(4000000000L)).as("doc_id"), col("text")),
+        buckets = 32, maxShingleDf = 2)
+      drop()
+      val (censusS, census) = time(ShingleIndex.overshootCensus(spark, tag))
+      drop()
       val filesBefore = ShingleIndex.fileCount(spark, tag)
       val (compactS, _) = time(ShingleIndex.compact(spark, tag, idxDir))
       val filesAfter = ShingleIndex.fileCount(spark, tag)
@@ -97,10 +109,10 @@ object IndexBench {
         else dir.replaceAll(".*scale", "").replaceAll("/.*", "")
       println(f"[ixbench] $label corpus=$corpusRows build=$buildS%.2f " +
         f"recompute=$recomputeS%.2f probe=${probes.map(p => f"$p%.2f").mkString("/")} rows=$nRe " +
-        f"census=$censusS%.2f(${census.overshootRows} over) files=$filesBefore->$filesAfter " +
+        f"census=$censusCleanS%.2f/$censusS%.2f(${census.saturatedKeys} sat keys, ${census.overshootRows} over) files=$filesBefore->$filesAfter " +
         f"compact=$compactS%.2f probeAfter=$probeAfterS%.2f")
       R(label, corpusRows, buildS, recomputeS, probes, nRe,
-        censusS, compactS, filesBefore, filesAfter, probeAfterS)
+        censusCleanS, censusS, census.saturatedKeys, compactS, filesBefore, filesAfter, probeAfterS)
     }
 
     println("\n| corpus | docs | build once (s) | recompute per batch (s) | probe per batch (s, 3 runs) | probe speedup |")
@@ -110,10 +122,10 @@ object IndexBench {
       println(f"| ${r.label} | ${r.corpusRows} | ${r.buildS}%.2f | ${r.recomputeS}%.2f | " +
         f"${r.probeS.map(p => f"$p%.2f").mkString(" / ")} | ${r.recomputeS / best}%.1f× |")
     }
-    println("\n| corpus | census (s) | census/rebuild cost ratio | files after 3 appends | compact (s) | files after compact | probe after compact (s) |")
-    println("|---|---|---|---|---|---|---|")
+    println("\n| corpus | census clean (s) | census saturated (s, sat keys) | census/rebuild cost ratio | files after 4 appends | compact (s) | files after compact | probe after compact (s) |")
+    println("|---|---|---|---|---|---|---|---|")
     results.foreach { r =>
-      println(f"| ${r.label} | ${r.censusS}%.2f | ${r.censusS / r.buildS}%.2f | " +
+      println(f"| ${r.label} | ${r.censusCleanS}%.2f | ${r.censusSatS}%.2f (${r.satKeys}) | ${r.censusSatS / r.buildS}%.2f | " +
         f"${r.filesBefore} | ${r.compactS}%.2f | ${r.filesAfter} | ${r.probeAfterCompactS}%.2f |")
     }
     spark.stop()

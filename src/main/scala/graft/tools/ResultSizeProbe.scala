@@ -14,6 +14,7 @@ object ResultSizeProbe {
     val name = if (args.length > 1) args(1) else "q_winnow_overlap"
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "8g")

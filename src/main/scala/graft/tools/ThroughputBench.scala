@@ -8,6 +8,7 @@ object ThroughputBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = args.headOption.map(_.toInt).getOrElse(100000)
     val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
