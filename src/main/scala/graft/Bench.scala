@@ -7,6 +7,26 @@ import org.apache.spark.sql.SparkSession
   * steady-state throughput, what PERF.md cites). `value` stays the cold
   * total so round-over-round BENCH files compare like-for-like. */
 object Bench {
+
+  /** HEAD commit of the repo at cwd — loose ref or packed-refs fallback
+    * (fresh clones / post-gc store branch heads only in packed-refs).
+    * Shared by the bench and verify provenance stamps. */
+  private[graft] def headCommit(): String = try {
+    import java.nio.file.{Files, Paths}
+    val head = new String(Files.readAllBytes(Paths.get(".git/HEAD"))).trim
+    if (head.startsWith("ref: ")) {
+      val ref = head.stripPrefix("ref: ")
+      val loose = Paths.get(".git/" + ref)
+      if (Files.exists(loose)) new String(Files.readAllBytes(loose)).trim
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(Paths.get(".git/packed-refs")).asScala
+          .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+          .map(_.split(" ")(0)).getOrElse("unknown")
+      }
+    } else head
+  } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -155,22 +175,7 @@ object Bench {
     // provenance: a bench artifact should be attributable to the code that
     // produced it (ADVICE r5: evidence files with no run identity are
     // indistinguishable from hand-edited ones)
-    val commit = try {
-      import java.nio.file.{Files, Paths}
-      val head = new String(Files.readAllBytes(Paths.get(".git/HEAD"))).trim
-      if (head.startsWith("ref: ")) {
-        val ref = head.stripPrefix("ref: ")
-        val loose = Paths.get(".git/" + ref)
-        if (Files.exists(loose)) new String(Files.readAllBytes(loose)).trim
-        else {
-          // packed refs (fresh clone / post-gc): "<sha> <refname>" lines
-          import scala.jdk.CollectionConverters._
-          Files.readAllLines(Paths.get(".git/packed-refs")).asScala
-            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
-            .map(_.split(" ")(0)).getOrElse("unknown")
-        }
-      } else head
-    } catch { case _: Throwable => "unknown" }
+    val commit = headCommit()
     val ranAt = java.time.Instant.now().toString
     val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
     println(line)

@@ -41,6 +41,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // provenance: make the correctness artifact attributable to the code
+    // that produced it (ADVICE r5 — evidence with no run identity is
+    // indistinguishable from a hand-edited file)
+    Files.writeString(Paths.get(s"$outDir/provenance.json"),
+      s"""{"commit": ${q(Bench.headCommit())}, "ran_at": ${q(java.time.Instant.now().toString)}, "sf_dir": ${q(sfDir)}, "queries": ${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }
