@@ -68,8 +68,10 @@ object IvfIndex {
   }
 
   /** Assign new vectors into the EXISTING model (no retrain) and append
-    * them to the bucketed assignment relation — the maintenance path. */
-  def assignInto(spark: SparkSession, tag: String, path: String,
+    * them to the bucketed assignment relation — the maintenance path.
+    * Writes through the catalog location, so it follows the table
+    * wherever [[compact]] last moved it. */
+  def assignInto(spark: SparkSession, tag: String,
                  newVecs: DataFrame, buckets: Int = 8): Unit = {
     import spark.implicits._
     val cents = loadModel(spark, tag)

@@ -143,11 +143,12 @@ ORDER BY a.vec_id
   }
 
   /** Start the gate. `stream` must carry (vec_id: long, embedding:
-    * array<float>); the index under `indexTag`/`indexPath` must already
-    * be built ([[IvfIndex.build]] — paid once). Admitted vectors are
-    * appended to the index AND to `landingDir`; verdicts append to
-    * `receiptsDir` with the micro-batch id. */
-  def start(indexTag: String, indexPath: String, stream: DataFrame,
+    * array<float>); the index under `indexTag` must already be built
+    * ([[IvfIndex.build]] — paid once; appends follow the catalog, so the
+    * compact/rebuild maintenance cadence runs independently alongside).
+    * Admitted vectors are appended to the index AND to `landingDir`;
+    * verdicts land in `receiptsDir` partitioned by micro-batch id. */
+  def start(indexTag: String, stream: DataFrame,
             landingDir: String, receiptsDir: String, checkpointDir: String,
             threshold: Double = 0.92, nprobe: Int = 4): StreamingQuery =
     stream.writeStream
@@ -181,7 +182,7 @@ ORDER BY a.vec_id
               case Some(v) => spark.conf.set(pmKey, v)
               case None    => spark.conf.unset(pmKey)
             }
-            IvfIndex.assignInto(spark, indexTag, indexPath, kept)
+            IvfIndex.assignInto(spark, indexTag, kept)
           } finally { kept.unpersist(); receipts.unpersist() }
         }
       }

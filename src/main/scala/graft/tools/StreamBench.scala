@@ -182,7 +182,7 @@ object StreamBench {
         }
         vmem.addData(batch: _*)
         val t0 = System.nanoTime()
-        graft.streaming.VectorIngestGate.start("sbvix", s"$root/vindex",
+        graft.streaming.VectorIngestGate.start("sbvix",
           vmem.toDF(), s"$root/vlanding", s"$root/vreceipts", s"$root/vckpt",
           threshold = 0.999, nprobe = 8).awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9

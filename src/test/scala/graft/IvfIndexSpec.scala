@@ -54,7 +54,7 @@ class IvfIndexSpec extends AnyFunSuite {
       val base = emb.filter(col("vec_id") >= 50)
       IvfIndex.build(base, dir, "ivxa", nCentroids = 8, seed = Similarity.ResidueSeed)
       val arrivals = emb.filter(col("vec_id") < 50)
-      IvfIndex.assignInto(spark, "ivxa", dir, arrivals)
+      IvfIndex.assignInto(spark, "ivxa", arrivals)
       // every appended row's cell equals the model's nearestCell verdict
       val cents = spark.table(IvfIndex.modelTable("ivxa"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -90,7 +90,7 @@ class IvfIndexSpec extends AnyFunSuite {
       assert("SelectedBucketsCount: (\\d+) out of".r.findFirstMatchIn(plan).isDefined, plan)
       // assignInto AFTER compact must follow the catalog to the new dir
       val preCount = spark.table(IvfIndex.assignTable("ivxa")).count()
-      IvfIndex.assignInto(spark, "ivxa", dir,
+      IvfIndex.assignInto(spark, "ivxa",
         probe.select((col("vec_id") + 5555555L).as("vec_id"), col("embedding")))
       assert(spark.table(IvfIndex.assignTable("ivxa")).count() == preCount + 1)
 

@@ -32,7 +32,7 @@ class VectorIngestGateSpec extends AnyFunSuite {
       val all = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
 
       val mem = MemoryStream[VecRow]
-      def drain(): Unit = VectorIngestGate.start("vgate", s"$root/index",
+      def drain(): Unit = VectorIngestGate.start("vgate",
         mem.toDF(), s"$root/landing", s"$root/receipts", s"$root/ckpt",
         threshold = 0.999, nprobe = 8).awaitTermination()
 
