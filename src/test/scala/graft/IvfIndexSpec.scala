@@ -105,6 +105,16 @@ class IvfIndexSpec extends AnyFunSuite {
       assert(IvfIndex.search(spark, "ivxa", q, nprobe = 4).count() > 0)
       // and a fresh census right after does NOT rebuild again
       assert(!IvfIndex.rebuildIfNeeded(spark, "ivxa", dir))
+      // the rebuilt index is indistinguishable from a fresh build over the
+      // same corpus (training is deterministic given corpus + auto config)
+      val freshDir = Files.createTempDirectory("graft-ivfidx-fresh").toString
+      try {
+        IvfIndex.build(spark.table(IvfIndex.assignTable("ivxa"))
+          .select("vec_id", "embedding"), freshDir, "ivxfresh")
+        val a = IvfIndex.search(spark, "ivxa", q, nprobe = 4).collect().toSeq
+        val b = IvfIndex.search(spark, "ivxfresh", q, nprobe = 4).collect().toSeq
+        assert(a == b, s"rebuilt != fresh: ${a.take(3)} vs ${b.take(3)}")
+      } finally drop("ivxfresh")
     } finally drop("ivxa")
   }
 }
