@@ -17,6 +17,13 @@ object BucketedMaintenance {
     * generation directories. */
   def compact(spark: SparkSession, tables: Seq[(String, String)], path: String): Unit =
     tables.foreach { case (t, bucketCol) =>
+      // REFRESH before reading: appends may have come from another session
+      // (streaming foreachBatch runs in a cloned session) and this
+      // session's cached file listing would not include them — a compact
+      // over a stale listing would rewrite the stale subset and then
+      // delete the directory holding the unseen files. Found live by
+      // StreamBench's vecgate census (index frozen while landing grew).
+      spark.catalog.refreshTable(t)
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(t))
       val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(

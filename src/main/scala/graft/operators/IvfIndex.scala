@@ -101,6 +101,11 @@ object IvfIndex {
                       buckets: Int = 8, growthFactor: Double = 2.0,
                       iters: Int = Similarity.LloydIters,
                       seed: Similarity.IvfSeed = Similarity.DefaultSeed): Boolean = {
+    // refresh both relations: the appends being censused typically come
+    // from streaming foreachBatch clones, invisible to this session's
+    // cached file listings otherwise
+    spark.catalog.refreshTable(assignTable(tag))
+    spark.catalog.refreshTable(modelTable(tag))
     val n = spark.table(assignTable(tag)).count()
     val have = spark.table(modelTable(tag)).count()
     if (n > 0 && Similarity.cellsFor(n) >= growthFactor * have) {
@@ -124,6 +129,7 @@ object IvfIndex {
     BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
 
   private def loadModel(spark: SparkSession, tag: String): Array[Array[Double]] = {
+    spark.catalog.refreshTable(modelTable(tag)) // cross-session appends/rebuilds
     val rows = spark.table(modelTable(tag))
       .select("cid", "centroid").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -144,6 +150,7 @@ object IvfIndex {
              nprobe: Int = 2, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val cents = loadModel(spark, tag)
+    spark.catalog.refreshTable(assignTable(tag)) // see cross-session appends
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>

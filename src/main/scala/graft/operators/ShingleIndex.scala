@@ -115,6 +115,10 @@ object ShingleIndex {
   def probe(spark: SparkSession, tag: String, batch: DataFrame,
             threshold: Double = 0.5): DataFrame = {
     graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    // cross-session appends (streaming foreachBatch clones) are invisible
+    // to this session's cached file listings without a refresh
+    Seq(occTable(tag), sizesTable(tag), fpTable(tag))
+      .foreach(spark.catalog.refreshTable)
     val corpusKept = spark.table(occTable(tag))
     val corpusSizes = spark.table(sizesTable(tag))
     val batchSh = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
@@ -229,6 +233,7 @@ object ShingleIndex {
     * the census pays no shuffle — vastly cheaper than the O(corpus)
     * rebuild it gates. */
   def overshootCensus(spark: SparkSession, tag: String): OvershootCensus = {
+    Seq(occTable(tag), satTable(tag)).foreach(spark.catalog.refreshTable)
     val sat = spark.table(satTable(tag))
     val occ = spark.table(occTable(tag))
     OvershootCensus(

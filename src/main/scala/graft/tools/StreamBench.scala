@@ -31,9 +31,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     streamed past grows.
   *
   * Usage: runMain graft.tools.StreamBench [sfDir] [batchSize] [nBatches] [tiers]
-  * tiers: `all` (default) or `indexed` (only the indexed gate — the
+  * tiers: `all` (default), `indexed` (only the indexed document gate — the
   * corpus-size-invariance check at big scale factors, where the recompute
-  * gate's O(corpus)-per-batch cost is precisely what we're NOT measuring).
+  * gate's O(corpus)-per-batch cost is precisely what we're NOT measuring),
+  * or `vecgate` (only the embedding gate — run with enough batches for the
+  * census-gated rebuild to trip).
   * A missing `/tmp/graft_scale{N}x` sfDir is generated via
   * [[ScaleProbe.generate]] from sf0.1.
   */
@@ -97,7 +99,7 @@ object StreamBench {
     val stream = mem.toDF.toDF("doc_id", "text")
     var nextId = 100000000L
     val gateTimes = ArrayBuffer[(Int, Int, Double)]()
-    for (b <- 0 until nBatches if tiers != "indexed") {
+    for (b <- 0 until nBatches if tiers == "all") {
       val batch = (0 until batchSize).map { i =>
         val src = corpusRows((b * batchSize + i) % corpusRows.length)
         val id = nextId; nextId += 1
@@ -112,7 +114,7 @@ object StreamBench {
       gateTimes += ((b, batchSize, sec))
       println(f"[streambench] ingest batch $b: $sec%.2f s wall (${batchSize / sec}%.0f docs/s)")
     }
-    if (tiers != "indexed") {
+    if (tiers == "all") {
       val landed = spark.read.parquet(s"$root/landing").count()
       val receipts = spark.read.parquet(s"$root/receipts").count()
       println(s"[streambench] landing=$landed receipts=$receipts " +
@@ -120,6 +122,8 @@ object StreamBench {
     }
 
     // ---- 1b. IngestGate, indexed (same arrivals, pre-built ShingleIndex) ----
+    val gateIxTimes = ArrayBuffer[(Int, Int, Double)]()
+    if (tiers != "vecgate") {
     val ixBuild0 = System.nanoTime()
     graft.operators.ShingleIndex.build(
       spark.read.parquet(s"$corpusDir/documents.parquet"), s"$root/index", "sbix")
@@ -127,7 +131,6 @@ object StreamBench {
     val memIx = MemoryStream[(Long, String)]
     val streamIx = memIx.toDF.toDF("doc_id", "text")
     var nextIdIx = 200000000L
-    val gateIxTimes = ArrayBuffer[(Int, Int, Double)]()
     for (b <- 0 until nBatches) {
       val batch = (0 until batchSize).map { i =>
         val src = corpusRows((b * batchSize + i) % corpusRows.length)
@@ -146,8 +149,8 @@ object StreamBench {
     val landedIx = spark.read.parquet(s"$root/landing_ix").count()
     println(s"[streambench] indexed landing=$landedIx " +
       s"(expected ${nBatches * batchSize * 9 / 10})")
+    }
 
-    // ---- 2. incrementalTopK ----
     if (tiers == "indexed") {
       summary(trig, gateTimes, gateIxTimes, ArrayBuffer.empty)
       spark.stop(); return
@@ -156,7 +159,7 @@ object StreamBench {
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
 
     // ---- 1c. VectorIngestGate (persistent-IVF embedding gate) ----
-    {
+    if (tiers == "all" || tiers == "vecgate") {
       import graft.operators.IvfIndex
       val vb0 = System.nanoTime()
       IvfIndex.build(spark.read.parquet(s"$sfDir/embeddings.parquet"),
@@ -196,11 +199,26 @@ object StreamBench {
         graft.operators.IvfIndex.compact(spark, "sbvix", s"$root/vindex")
         println(f"[streambench] vecgate compact $b: ${(System.nanoTime() - tc) / 1e9}%.2f s " +
           f"(files=${graft.operators.IvfIndex.fileCount(spark, "sbvix")})")
+        // complete cadence: census-gated retrain when the corpus outgrows
+        // the model (the candidate-volume growth term — see SCALING.md)
+        println(s"[streambench] vecgate census $b: " +
+          s"n=${spark.table(graft.operators.IvfIndex.assignTable("sbvix")).count()} " +
+          s"model=${spark.table(graft.operators.IvfIndex.modelTable("sbvix")).count()} " +
+          s"auto=${graft.operators.Similarity.cellsFor(
+            spark.table(graft.operators.IvfIndex.assignTable("sbvix")).count())}")
+        val tr = System.nanoTime()
+        if (graft.operators.IvfIndex.rebuildIfNeeded(spark, "sbvix", s"$root/vindex"))
+          println(f"[streambench] vecgate REBUILD after batch $b: " +
+            f"${(System.nanoTime() - tr) / 1e9}%.2f s " +
+            s"(model=${spark.table(graft.operators.IvfIndex.modelTable("sbvix")).count()} cells)")
       }
       val vLanded = spark.read.parquet(s"$root/vlanding").count()
       val vReceipts = spark.read.parquet(s"$root/vreceipts").count()
       println(s"[streambench] vecgate landing=$vLanded receipts=$vReceipts")
     }
+    if (tiers == "vecgate") { spark.stop(); return }
+
+    // ---- 2. incrementalTopK ----
     val panel = emb.take(50).map { case (id, v) => (id, v) }.toSeq
     def signed(b: Int, v: Array[Float]): Array[Float] =
       v.zipWithIndex.map { case (x, i) =>
