@@ -9,13 +9,54 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * pinned bucketed scan (one partition per bucket — see the inline note),
   * write one file per bucket to a fresh generation directory, swap the
   * catalog entry, delete the old files. Data and bucket layout are
-  * unchanged. Not concurrency-safe with a writer (single-maintainer
-  * contract, same as [[Layout.compact]]). */
+  * unchanged.
+  *
+  * Concurrent writers are DETECTED, not tolerated (same stance as
+  * [[Layout.compact]]): the table's parquet file set is captured before
+  * the staged read and re-listed just before the catalog swap; if a
+  * writer committed files in between, compact aborts — stage table
+  * dropped, generation dir removed, original table and the interleaved
+  * append both intact — instead of silently deleting the unseen files
+  * with the old directory. A writer that commits AFTER the re-list but
+  * before the swap is the residual (tiny) race, identical to
+  * [[Layout.compact]]'s; true multi-writer safety needs a transactional
+  * table format.
+  *
+  * Crash recovery: the swap is DROP-free on the data path — `t` is
+  * renamed to `<t>_precompact`, the stage renamed to `t`, then the
+  * backup entry dropped (tables are external: renames touch only the
+  * catalog, drops never touch files). A crash between the two renames
+  * leaves the data reachable under `<t>_precompact` — recover by
+  * renaming it back; at every other instant a live entry for the data
+  * exists under `t`. */
 object BucketedMaintenance {
 
+  private def parquetFileSet(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+    }
+    b.result()
+  }
+
   /** Rewrite each (table, bucketColumn) once. `path` hosts the fresh
-    * generation directories. */
+    * generation directories. Throws `IllegalStateException` if a
+    * concurrent writer committed files during a table's rewrite (that
+    * table is left un-compacted with ALL its rows — the staged copy is
+    * discarded, never the live one). */
   def compact(spark: SparkSession, tables: Seq[(String, String)], path: String): Unit =
+    compact(spark, tables, path, _ => ())
+
+  /** Test seam: `beforeSwap(table)` runs after the staged write and
+    * before the concurrent-writer re-list, so a spec can interleave a
+    * real append inside exactly the window the guard protects. */
+  private[graft] def compact(spark: SparkSession, tables: Seq[(String, String)],
+                             path: String, beforeSwap: String => Unit): Unit =
     tables.foreach { case (t, bucketCol) =>
       // REFRESH before reading: appends may have come from another session
       // (streaming foreachBatch runs in a cloned session) and this
@@ -29,11 +70,17 @@ object BucketedMaintenance {
       val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$t is not bucketed — nothing to compact"))
       val oldLocation = new org.apache.hadoop.fs.Path(meta.location)
+      val fs = oldLocation.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // fresh generation dir: never rewrite in place (a failed job would
       // destroy the only copy), never reuse a dir (stale files would be
-      // picked up by the new table's scan)
+      // picked up by the new table's scan). Existence via the table
+      // location's FileSystem, NOT java.io.File — on an object-store
+      // deployment a local-disk probe would always say "not exists" and
+      // silently reuse gen0 in place.
       val gen = Iterator.from(0).map(g => s"$path/$t-gen$g")
-        .find(p => !new java.io.File(p).exists()).get
+        .find(p => !fs.exists(new org.apache.hadoop.fs.Path(p))).get
+      // pin the pre-rewrite file set: the write-write guard's baseline
+      val listed = parquetFileSet(fs, oldLocation)
       val stage = s"${t}_stage"
       spark.sql(s"DROP TABLE IF EXISTS `$stage`")
       // ZERO-shuffle rewrite: force the bucketed scan (one partition per
@@ -55,9 +102,29 @@ object BucketedMaintenance {
         case Some(v) => spark.conf.set(autoKey, v)
         case None    => spark.conf.unset(autoKey)
       }
-      spark.sql(s"DROP TABLE `$t`")
+      beforeSwap(t)
+      // write-write guard: a writer that committed into the old location
+      // during the rewrite would have its rows missing from the staged
+      // copy AND its files deleted with the old directory — abort instead
+      // (stage discarded, live table + interleaved append intact).
+      val relisted = parquetFileSet(fs, oldLocation)
+      if (relisted != listed) {
+        spark.sql(s"DROP TABLE IF EXISTS `$stage`")
+        fs.delete(new org.apache.hadoop.fs.Path(gen), true)
+        throw new IllegalStateException(
+          s"compact: `$t` changed during the rewrite (+${(relisted -- listed).size} " +
+            s"-${(listed -- relisted).size} files) — a concurrent writer is active. " +
+            "Staged copy discarded; the table and the interleaved append are intact. " +
+            "Quiesce writers and re-run.")
+      }
+      // backup-rename swap: a live catalog entry for the data exists at
+      // every instant except between the two renames, where it is
+      // reachable under the backup name (recovery: rename it back)
+      val backup = s"${t}_precompact"
+      spark.sql(s"DROP TABLE IF EXISTS `$backup`")
+      spark.sql(s"ALTER TABLE `$t` RENAME TO `$backup`")
       spark.sql(s"ALTER TABLE `$stage` RENAME TO `$t`")
-      val fs = oldLocation.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.sql(s"DROP TABLE `$backup`")
       fs.delete(oldLocation, true)
     }
 

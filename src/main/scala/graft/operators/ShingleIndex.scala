@@ -53,6 +53,25 @@ object ShingleIndex {
     * union-corpus df exceeds the cap (see [[OvershootCensus]]). */
   def satTable(tag: String): String = s"${tag}_sat"
 
+  /** Migration shim: indexes built before the saturation table existed
+    * have `occ/sizes/fp` but no `<tag>_sat` — an append or census against
+    * one would die on TABLE_OR_VIEW_NOT_FOUND. Create it lazily (empty —
+    * a pre-sat index is by definition un-appended, hence unsaturated),
+    * deriving bucket count and parent path from the occ table's own
+    * metadata so the shim needs no caller-supplied layout. */
+  private def ensureSatTable(spark: SparkSession, tag: String): Unit =
+    if (!spark.catalog.tableExists(satTable(tag))) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(occTable(tag)))
+      val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"${occTable(tag)} is not bucketed"))
+      // both the original `$path/$table` layout and a post-compact
+      // generation dir `$path/$table-genN` share the same parent
+      val parent = new org.apache.hadoop.fs.Path(meta.location).getParent.toString
+      writeBucketed(spark.table(occTable(tag)).select("key").limit(0),
+        satTable(tag), parent, buckets, "key", SaveMode.Overwrite)
+    }
+
   private def writeBucketed(df: DataFrame, table: String, path: String,
                             buckets: Int, bucketCol: String, mode: SaveMode): Unit = {
     val w = df.write.mode(mode).format("parquet")
@@ -161,6 +180,7 @@ object ShingleIndex {
              buckets: Int = 8,
              maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
     val occT = occTable(tag)
+    ensureSatTable(spark, tag) // pre-sat-version index migration
     // a wrong `buckets` here cannot corrupt the index: Spark rejects an
     // append whose bucket spec differs from the existing table's
     val newOcc = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
@@ -233,6 +253,7 @@ object ShingleIndex {
     * the census pays no shuffle — vastly cheaper than the O(corpus)
     * rebuild it gates. */
   def overshootCensus(spark: SparkSession, tag: String): OvershootCensus = {
+    ensureSatTable(spark, tag) // pre-sat-version index migration
     Seq(occTable(tag), satTable(tag)).foreach(spark.catalog.refreshTable)
     val sat = spark.table(satTable(tag))
     val occ = spark.table(occTable(tag))
@@ -263,16 +284,21 @@ object ShingleIndex {
     * zero-Exchange probe join survives and file count returns to one per
     * bucket. Data is unchanged — compaction does NOT touch cap overshoot
     * (that is [[rebuild]]'s job; this is purely a file-layout operation,
-    * safe to run far more often). Not concurrency-safe with a writer, same
-    * as [[graft.operators.Layout.compact]]'s single-maintainer contract. */
-  def compact(spark: SparkSession, tag: String, path: String): Unit =
+    * safe to run far more often). A concurrent [[append]] is DETECTED and
+    * the compact aborts with both the table and the append intact — see
+    * [[BucketedMaintenance]]'s write-write guard. */
+  def compact(spark: SparkSession, tag: String, path: String): Unit = {
+    ensureSatTable(spark, tag) // pre-sat-version index migration
     BucketedMaintenance.compact(spark,
       Seq((occTable(tag), "key"), (sizesTable(tag), "corpus_id"),
         (fpTable(tag), "fp"), (satTable(tag), "key")), path)
+  }
 
   /** Parquet file count across the index tables — the quantity [[compact]]
     * bounds (and the spec asserts on). */
-  def fileCount(spark: SparkSession, tag: String): Long =
+  def fileCount(spark: SparkSession, tag: String): Long = {
+    ensureSatTable(spark, tag) // pre-sat-version index migration
     BucketedMaintenance.fileCount(spark,
       Seq(occTable(tag), sizesTable(tag), fpTable(tag), satTable(tag)))
+  }
 }

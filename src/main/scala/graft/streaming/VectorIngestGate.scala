@@ -38,7 +38,17 @@ object VectorIngestGate {
   /** Gate one batch (vec_id, embedding) against the index; returns
     * (receipts, kept). Receipts: one row per arrival —
     * (vec_id, dup_of, cos, is_dup). Exposed for direct batch use and
-    * for the spec. */
+    * for the spec.
+    *
+    * A SELF-match (`dup_of == vec_id`) can only happen on an
+    * at-least-once replay — the arrival's own copy is already stored, so
+    * the first attempt admitted it. The two outputs treat it
+    * differently, on purpose: `kept` still DROPS it (re-appending would
+    * duplicate the index row — the replay-convergence invariant), but
+    * the receipt verdict reports `is_dup = false`, matching the first
+    * attempt's admission, so a replay-overwritten receipts partition
+    * still reconciles with landing and index content (`dup_of`/`cos`
+    * keep the observed self-match — an honest replay marker). */
   def gateBatch(tag: String, batch: DataFrame, threshold: Double,
                 nprobe: Int): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
@@ -47,11 +57,15 @@ object VectorIngestGate {
         excludeSelf = false)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
         col("cos"))
-    val receipts = arrivals.select("vec_id")
+    val verdicts = arrivals.select("vec_id")
       .join(best, Seq("vec_id"), "left")
-      .withColumn("is_dup", coalesce(col("cos") >= threshold, lit(false)))
-    val kept = arrivals
-      .join(receipts.filter(!col("is_dup")).select("vec_id"), "vec_id")
+      .withColumn("self_match", col("dup_of") === col("vec_id"))
+      .withColumn("is_dup",
+        coalesce(col("cos") >= threshold && !col("self_match"), lit(false)))
+    val receipts = verdicts.select("vec_id", "dup_of", "cos", "is_dup")
+    val kept = arrivals.join(
+      verdicts.filter(!(col("is_dup") || coalesce(col("self_match"), lit(false))))
+        .select("vec_id"), "vec_id")
     (receipts, kept)
   }
 
