@@ -156,7 +156,19 @@ object SparkEntry {
       val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_q_ivfindex").getAbsolutePath
       IvfIndex.build(e, idxDir, "q_ivfidx", nCentroids = 8, seed = Similarity.ResidueSeed)
-      IvfIndex.search(s, "q_ivfidx", e.filter(col("vec_id") < 50))
+      // nprobe pinned at the oracle's constant (the operator default is
+      // the nprobeFor recall-floor rule)
+      IvfIndex.search(s, "q_ivfidx", e.filter(col("vec_id") < 50), nprobe = 2)
+    }),
+    // the PERSISTENT product-cell index (the ImiIndex deployment shape
+    // past the flat broadcast cap); oracle is Imi.searchSql's literal SQL
+    // through the stored bucket-pruned path
+    "q_imi_indexed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_imiindex").getAbsolutePath
+      ImiIndex.build(e, idxDir, "q_imiidx", k1 = 8)
+      ImiIndex.search(s, "q_imiidx", e.filter(col("vec_id") < 50), nprobe = 4)
     }),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
@@ -231,6 +243,7 @@ object SparkEntry {
     "q_ivf_search" -> Similarity.ivfSearchSql(),
     "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
+    "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_vector_gate" -> graft.streaming.VectorIngestGate.gateQuerySql(),

@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: models broadcast (2·k1 half-rows); assignment is a narrow
   * zero-shuffle kernel; search candidates travel through one equi-join on
-  * cell_id. The persistent deployment form is [[IvfIndex]] with `cell_id`
-  * as the bucket column — same bucketed/bucket-pruned story, composable
-  * because the assignment relation has the same (vec_id, cell_id) shape. */
+  * cell_id. The persistent deployment form is [[ImiIndex]] — the same
+  * bucketed/bucket-pruned catalog shape as [[IvfIndex]], with `cell_id`
+  * as the bucket column and the stored path oracled by `q_imi_indexed`. */
 object Imi {
 
   val HalfDim: Int = Similarity.Dim / 2
@@ -54,6 +54,16 @@ object Imi {
       Similarity.trainedCentroidArrays(right, k1, iters, Similarity.ResidueSeed, HalfDim))
   }
 
+  /** Product-cell id of `v` under the two half-models:
+    * `cell_id = cell_l · k1 + cell_r` — the one shared assignment kernel
+    * ([[assign]], [[search]], [[ImiIndex]]). */
+  private[graft] def cellIdOf(v: Array[Float], cl: Array[Array[Double]],
+                              cr: Array[Array[Double]], k1: Int): Long = {
+    val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
+    val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
+    l.toLong * k1 + r
+  }
+
   /** Product-cell assignment: `cell_id = cell_l · k1 + cell_r`. */
   def assign(spark: SparkSession, dir: String, k1: Int = 0,
              iters: Int = Similarity.LloydIters): DataFrame = {
@@ -72,13 +82,81 @@ object Imi {
       .orderBy("vec_id")
   }
 
+  /** Reference cell ranking: materialize all k1² (dsum, cell_id) pairs and
+    * sort — O(k1² log k1²) per query, fine to k1 ≈ 2⁸ (65k pairs), the
+    * memory wall past it (k1 = 2¹⁰ → 10⁶ pairs PER QUERY in a flatMap).
+    * Kept as the differential oracle for [[rankCellsWalk]] (ImiSpec pins
+    * walk ≡ sort on every config including ties); the walk is the
+    * production path. */
+  private[graft] def rankCellsSort(dl: Array[Double], dr: Array[Double],
+                                   k1: Int, nprobe: Int): Array[Long] = {
+    val pairs = new Array[(Double, Long)](k1 * k1)
+    var i = 0
+    while (i < k1) {
+      var j = 0
+      while (j < k1) {
+        pairs(i * k1 + j) = (dl(i) + dr(j), i.toLong * k1 + j)
+        j += 1
+      }
+      i += 1
+    }
+    // (dsum ASC, cell_id ASC) — the oracle's pinned tie-break
+    pairs.sorted.take(math.min(pairs.length, math.max(1, nprobe))).map(_._2)
+  }
+
+  /** Multi-sequence walk (Babenko & Lempitsky §3.1): enumerate product
+    * cells lazily in (dsum ASC, cell_id ASC) order WITHOUT materializing
+    * the k1² pair array — the enumeration that makes k1 = 2¹⁰ real
+    * (10⁶ cells ranked from two sorted 1,024-entry half-lists, touching
+    * O(nprobe) heap entries per query instead of 10⁶ sorted pairs).
+    *
+    * Each half's (distance, cid) list is sorted ascending; a min-heap
+    * seeded at position (0,0) pops the cheapest unvisited position and
+    * pushes its two successors — additivity makes successors never
+    * cheaper, so pops are nondecreasing in dsum. EXACT tie parity with
+    * the sort (and the DuckDB `row_number` oracle): equal-dsum cells are
+    * drained as a GROUP (draining expands successors, which can add more
+    * equal-dsum members — the loop re-checks the heap head), sorted by
+    * cell_id, emitted in order, and only then truncated to nprobe. */
+  private[graft] def rankCellsWalk(dl: Array[Double], dr: Array[Double],
+                                   k1: Int, nprobe: Int): Array[Long] = {
+    val want = math.min(k1.toLong * k1, math.max(1, nprobe).toLong).toInt
+    val sl = Array.tabulate(k1)(i => (dl(i), i)).sorted
+    val sr = Array.tabulate(k1)(j => (dr(j), j)).sorted
+    def cellOf(pi: Int, pj: Int): Long = sl(pi)._2.toLong * k1 + sr(pj)._2
+    def dsumOf(pi: Int, pj: Int): Double = sl(pi)._1 + sr(pj)._1
+    implicit val ord: Ordering[(Double, Long, Int, Int)] =
+      Ordering.by[(Double, Long, Int, Int), (Double, Long)](e => (e._1, e._2)).reverse
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int, Int)]
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    def push(pi: Int, pj: Int): Unit =
+      if (pi < k1 && pj < k1 && seen.add(pi.toLong * k1 + pj))
+        heap.enqueue((dsumOf(pi, pj), cellOf(pi, pj), pi, pj))
+    push(0, 0)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](want)
+    while (out.length < want && heap.nonEmpty) {
+      val (d0, c0, pi0, pj0) = heap.dequeue()
+      val group = scala.collection.mutable.ArrayBuffer(c0)
+      push(pi0 + 1, pj0); push(pi0, pj0 + 1)
+      // drain the whole equal-dsum tie group before emitting: a member's
+      // successors can tie too, so the head re-check happens per pop
+      while (heap.nonEmpty && heap.head._1 == d0) {
+        val (_, c, pi, pj) = heap.dequeue()
+        group += c
+        push(pi + 1, pj); push(pi, pj + 1)
+      }
+      out ++= group.sorted
+    }
+    out.take(want).toArray
+  }
+
   /** Multi-probe search over product cells. Per query: 2·k1 half-distance
-    * evaluations rank all k1² cells additively; the `nprobe` best cells'
-    * members are exact-scored; top-k by cosine. With nprobe = k1² it
-    * degenerates to exact [[Similarity.topK]] (spec-pinned — the same
-    * whole-pipeline invariant the flat IVF carries). The k1² pair sort
-    * below is fine to k1 ≈ 2⁸ (65k pairs/query); past that the classic
-    * multi-sequence walk replaces it — same output, lazier enumeration. */
+    * evaluations rank the best cells additively ([[rankCellsWalk]] — the
+    * lazy multi-sequence enumeration; [[rankCellsSort]] is the spec's
+    * differential reference); the `nprobe` best cells' members are
+    * exact-scored; top-k by cosine. With nprobe = k1² it degenerates to
+    * exact [[Similarity.topK]] (spec-pinned — the same whole-pipeline
+    * invariant the flat IVF carries). */
   def search(spark: SparkSession, dir: String, k1: Int = 0, nprobe: Int = 4,
              k: Int = 5, nQueries: Int = 50,
              iters: Int = Similarity.LloydIters): DataFrame = {
@@ -88,30 +166,15 @@ object Imi {
     val kk = if (k1 == 0) k1For(base.count()) else k1
     val (cl, cr) = models(base, kk, iters)
     val assigned = base.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
-        val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
-        (id, l.toLong * kk + r, v, Similarity.normP(v))
-      }
+      .map { case (id, v) => (id, cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
       .toDF("vec_id", "cell_id", "vec", "nrm")
     val probes = base.filter(col("vec_id") < nQueries).as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val vl = v.take(HalfDim); val vr = v.drop(HalfDim)
         val dl = Array.tabulate(kk)(i => Similarity.dist2P(vl, cl(i)))
         val dr = Array.tabulate(kk)(j => Similarity.dist2P(vr, cr(j)))
-        val pairs = new Array[(Double, Long)](kk * kk)
-        var i = 0
-        while (i < kk) {
-          var j = 0
-          while (j < kk) {
-            pairs(i * kk + j) = (dl(i) + dr(j), i.toLong * kk + j)
-            j += 1
-          }
-          i += 1
-        }
-        // (dsum ASC, cell_id ASC) — the oracle's pinned tie-break
-        pairs.sorted.iterator.take(math.max(1, nprobe))
-          .map { case (_, cell) => (id, cell, v, Similarity.normP(v)) }
+        rankCellsWalk(dl, dr, kk, nprobe).iterator
+          .map(cell => (id, cell, v, Similarity.normP(v)))
       }
       .toDF("query_id", "cell_id", "vq", "nq")
     val scored = probes.join(assigned, "cell_id")

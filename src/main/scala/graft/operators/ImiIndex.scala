@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent inverted multi-index — [[Imi]]'s product-cell quantizer in
+  * [[IvfIndex]]'s deployment shape, making the composability the Imi
+  * scaladoc claims real: build once, search bucket-pruned, append without
+  * retrain, same census/compact maintenance cadence.
+  *
+  *  - `build` trains the TWO half-space quantizers ([[Imi.models]] —
+  *    residue seed, the oracle discipline) once, persists them as one
+  *    tiny model table keyed by (side, cid), and writes the assignment
+  *    relation `(vec_id, cell_id, embedding)` BUCKETED BY `cell_id`.
+  *  - `search` ranks product cells per query with the multi-sequence
+  *    walk ([[Imi.rankCellsWalk]] — 2·k1 half-distances rank k1² cells
+  *    lazily), then reads ONLY the probed cells' buckets: the literal
+  *    `cell_id IN (…)` filter triggers bucket pruning
+  *    (`SelectedBucketsCount` — ImiIndexSpec pins it), so a batch
+  *    probing p product cells scans ~p/k1² of the corpus file-level.
+  *
+  * This is the regime PAST the flat broadcast cap: at 10¹⁰ vectors the
+  * flat model wants 10⁵ full-width rows (over [[Similarity.MaxCentroids]]);
+  * here the same cell count ships as 2·k1 ≈ 640 half-rows. Semantics are
+  * EXACTLY [[Imi.search]]'s for the same (k1, iters, nprobe, k) — pinned
+  * by ImiIndexSpec equality and by `q_imi_indexed`, which runs
+  * [[Imi.searchSql]]'s oracle through this stored path. */
+object ImiIndex {
+
+  def modelTable(tag: String): String = s"${tag}_imimodel"
+  def assignTable(tag: String): String = s"${tag}_imiassign"
+
+  /** Train + persist. `k1 = 0` → [[Imi.k1For]] auto rule (k1² product
+    * cells track cellsFor's √n target). */
+  def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
+            k1: Int = 0, iters: Int = Similarity.LloydIters): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col("vec_id"), col("embedding"))
+    val kk = if (k1 == 0) Imi.k1For(base.count()) else k1
+    val (cl, cr) = Imi.models(base, kk, iters)
+    BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
+    val modelRows =
+      cl.zipWithIndex.map { case (c, cid) => ("l", cid, c) } ++
+        cr.zipWithIndex.map { case (c, cid) => ("r", cid, c) }
+    modelRows.toSeq.toDF("side", "cid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/${modelTable(tag)}")
+      .saveAsTable(modelTable(tag))
+    val assigned = base.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v) }
+      .toDF("vec_id", "cell_id", "embedding")
+    BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
+    assigned.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .option("path", s"$path/${assignTable(tag)}")
+      .saveAsTable(assignTable(tag))
+  }
+
+  /** Assign new vectors into the EXISTING half-models (no retrain) and
+    * append bucketed — the [[IvfIndex.assignInto]] analog, writing
+    * through the catalog so it follows a compacted table's location. */
+  def assignInto(spark: SparkSession, tag: String,
+                 newVecs: DataFrame, buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val (cl, cr) = loadModels(spark, tag)
+    val kk = cl.length
+    newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v) }
+      .toDF("vec_id", "cell_id", "embedding")
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .saveAsTable(assignTable(tag))
+  }
+
+  /** Retrain when the corpus outgrows k1 — [[IvfIndex.rebuildIfNeeded]]'s
+    * census (two tiny counts), gating on [[Imi.k1For]] of the stored
+    * count vs the stored model's k1. Returns true iff a rebuild ran. */
+  def rebuildIfNeeded(spark: SparkSession, tag: String, path: String,
+                      buckets: Int = 8, growthFactor: Double = 2.0,
+                      iters: Int = Similarity.LloydIters): Boolean = {
+    spark.catalog.refreshTable(assignTable(tag))
+    spark.catalog.refreshTable(modelTable(tag))
+    val n = spark.table(assignTable(tag)).count()
+    val haveK1 = spark.table(modelTable(tag)).filter(col("side") === "l").count()
+    if (n > 0 && Imi.k1For(n) >= growthFactor * haveK1) {
+      val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+        spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
+      build(corpus, path, tag, buckets, k1 = 0, iters)
+      true
+    } else false
+  }
+
+  /** Compact the append-accreted assignment relation — shared staged-swap
+    * mechanics with the concurrent-writer guard ([[BucketedMaintenance]]). */
+  def compact(spark: SparkSession, tag: String, path: String): Unit =
+    BucketedMaintenance.compact(spark, Seq((assignTable(tag), "cell_id")), path)
+
+  /** Parquet file count of the assignment relation — what [[compact]] bounds. */
+  def fileCount(spark: SparkSession, tag: String): Long =
+    BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
+
+  private def loadModels(spark: SparkSession, tag: String)
+  : (Array[Array[Double]], Array[Array[Double]]) = {
+    spark.catalog.refreshTable(modelTable(tag)) // cross-session rebuilds
+    val rows = spark.table(modelTable(tag))
+      .select("side", "cid", "centroid").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def side(s: String): Array[Array[Double]] = {
+      val picked = rows.filter(_._1 == s)
+      val cents = new Array[Array[Double]](picked.length)
+      picked.foreach { case (_, cid, c) => cents(cid) = c }
+      require(cents.nonEmpty && cents.forall(_ != null),
+        s"model table ${modelTable(tag)} side '$s' has gaps in cid space")
+      cents
+    }
+    (side("l"), side("r"))
+  }
+
+  /** Top-k cosine neighbors for `queries` against the stored corpus.
+    * Output contract = [[Imi.search]]: `(query_id, rk, neighbor_id, cos)`.
+    * `excludeSelf = false` keeps same-id matches — the streaming-gate
+    * replay story, identical to [[IvfIndex.search]]. */
+  def search(spark: SparkSession, tag: String, queries: DataFrame,
+             nprobe: Int = 4, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (cl, cr) = loadModels(spark, tag)
+    val kk = cl.length
+    spark.catalog.refreshTable(assignTable(tag)) // cross-session appends
+    val probes = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        val dl = Array.tabulate(kk)(i => Similarity.dist2P(v.take(Imi.HalfDim), cl(i)))
+        val dr = Array.tabulate(kk)(j => Similarity.dist2P(v.drop(Imi.HalfDim), cr(j)))
+        Imi.rankCellsWalk(dl, dr, kk, nprobe).iterator
+          .map(cell => (id, cell, v, Similarity.normP(v)))
+      }
+      .toDF("query_id", "cell_id", "vq", "nq")
+    // literal IN over the probed product cells → bucket pruning; the
+    // collect is ≤ queries × nprobe longs — probe metadata, not data
+    val probedCells = probes.select("cell_id").distinct().as[Long].collect().toSeq
+    val joined = spark.table(assignTable(tag))
+      .filter(col("cell_id").isin(probedCells: _*))
+      .join(probes, "cell_id")
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    val scored = cand
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("vq"), col("nq"), col("embedding"))
+      .as[(Long, Long, Array[Float], Double, Array[Float])]
+      .map { case (q, nb, vq, nq, vn) =>
+        (q, nb, Similarity.dotP(vq, vn) / (nq * Similarity.normP(vn)))
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+}

@@ -469,6 +469,17 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     math.min(MaxCentroids.toLong, math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   }
 
+  /** Probe width for a `cells`-cell index — the recall-floor rule the
+    * fixed default lacked (measured in IvfNprobeFrontier: at fixed
+    * nprobe 8 under √n cells, recall@5 fell 0.576 → 0.408 from 1× to 10×
+    * because the probed CELL fraction fell with n). `⌈1.25·√cells⌉`
+    * (floored at 8, capped at cells) keeps per-query candidate volume at
+    * n·nprobe/cells ≈ 1.25·n^(3/4) — still sub-linear, so the index keeps
+    * being an index — while the probed fraction decays only as n^(-1/4)
+    * instead of n^(-1/2). Fit to the measured frontier in SCALING.md r7. */
+  def nprobeFor(cells: Int): Int =
+    math.min(cells, math.max(8, math.ceil(1.25 * math.sqrt(cells.toDouble)).toInt))
+
   /** IVF coarse quantization: assign each vector to the nearest of
     * `nCentroids` Lloyd-trained centroids ([[trainedCentroidArrays]]), emit
     * the assignment + residual norm. Search-time probing then restricts
