@@ -101,10 +101,22 @@ object ImiIndex {
   def fileCount(spark: SparkSession, tag: String): Long =
     BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
 
+  /** Per-JVM model cache keyed by (location, createTime) — same
+    * rationale and invalidation as [[IvfIndex]]'s: the model table is
+    * immutable between build/rebuild, which recreate it. */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Array[Array[Double]], Array[Array[Double]]))]()
+
   private def loadModels(spark: SparkSession, tag: String)
   : (Array[Array[Double]], Array[Array[Double]]) = {
-    spark.catalog.refreshTable(modelTable(tag)) // cross-session rebuilds
-    val rows = spark.table(modelTable(tag))
+    val t = modelTable(tag)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val version = s"${meta.location}#${meta.createTime}"
+    val hit = modelCache.get(t)
+    if (hit != null && hit._1 == version) return hit._2
+    spark.catalog.refreshTable(t) // cross-session rebuild: drop the stale listing
+    val rows = spark.table(t)
       .select("side", "cid", "centroid").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
     def side(s: String): Array[Array[Double]] = {
@@ -115,25 +127,31 @@ object ImiIndex {
         s"model table ${modelTable(tag)} side '$s' has gaps in cid space")
       cents
     }
-    (side("l"), side("r"))
+    val models = (side("l"), side("r"))
+    modelCache.put(t, (version, models))
+    models
   }
 
   /** Top-k cosine neighbors for `queries` against the stored corpus.
     * Output contract = [[Imi.search]]: `(query_id, rk, neighbor_id, cos)`.
     * `excludeSelf = false` keeps same-id matches — the streaming-gate
-    * replay story, identical to [[IvfIndex.search]]. */
+    * replay story, identical to [[IvfIndex.search]]. `nprobe = 0` (the
+    * default) resolves to [[Similarity.nprobeFor]] of the k1² product
+    * cell count — the same measured recall-floor rule as the flat index
+    * (2·√(k1²) = 2·k1 cells probed). */
   def search(spark: SparkSession, tag: String, queries: DataFrame,
-             nprobe: Int = 4, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+             nprobe: Int = 0, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
+    val np = if (nprobe == 0) Similarity.nprobeFor(kk * kk) else nprobe
     spark.catalog.refreshTable(assignTable(tag)) // cross-session appends
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         val dl = Array.tabulate(kk)(i => Similarity.dist2P(v.take(Imi.HalfDim), cl(i)))
         val dr = Array.tabulate(kk)(j => Similarity.dist2P(v.drop(Imi.HalfDim), cr(j)))
-        Imi.rankCellsWalk(dl, dr, kk, nprobe).iterator
+        Imi.rankCellsWalk(dl, dr, kk, np).iterator
           .map(cell => (id, cell, v, Similarity.normP(v)))
       }
       .toDF("query_id", "cell_id", "vq", "nq")

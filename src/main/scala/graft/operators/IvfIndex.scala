@@ -128,14 +128,32 @@ object IvfIndex {
   def fileCount(spark: SparkSession, tag: String): Long =
     BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
 
+  /** Per-JVM model cache keyed by the catalog entry's (location,
+    * createTime): a batch gate calls search + assignInto every
+    * micro-batch, and re-collecting an IMMUTABLE model table per call was
+    * measured as a visible slice of the vector gate's batch wall
+    * (StreamBench r7 attribution). The model only changes via
+    * build/rebuild, which drop-and-recreate the table → new createTime,
+    * even from another session (shared external catalog), so staleness
+    * detection needs no file listing — one driver-side metadata read. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
+
   private def loadModel(spark: SparkSession, tag: String): Array[Array[Double]] = {
-    spark.catalog.refreshTable(modelTable(tag)) // cross-session appends/rebuilds
-    val rows = spark.table(modelTable(tag))
+    val t = modelTable(tag)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val version = s"${meta.location}#${meta.createTime}"
+    val hit = modelCache.get(t)
+    if (hit != null && hit._1 == version) return hit._2
+    spark.catalog.refreshTable(t) // cross-session rebuild: drop the stale listing
+    val rows = spark.table(t)
       .select("cid", "centroid").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
     val cents = new Array[Array[Double]](rows.length)
     rows.foreach { case (cid, c) => cents(cid) = c }
-    require(cents.forall(_ != null), s"model table ${modelTable(tag)} has gaps in cid space")
+    require(cents.forall(_ != null), s"model table $t has gaps in cid space")
+    modelCache.put(t, (version, cents))
     cents
   }
 
@@ -145,18 +163,26 @@ object IvfIndex {
     * default. `excludeSelf = false` keeps them — the ingestion-gate
     * replay story depends on it: a replayed arrival must match its own
     * already-stored copy (cos 1) and be dropped, which is what converges
-    * an at-least-once foreachBatch to exactly-once index content. */
+    * an at-least-once foreachBatch to exactly-once index content.
+    *
+    * `nprobe = 0` (the default) resolves to [[Similarity.nprobeFor]] of
+    * the STORED model's cell count — the measured recall-floor rule, so
+    * a gate built on this index holds its recall as appends grow the
+    * corpus and rebuilds grow the cell count, instead of silently
+    * turning into a sieve at a fixed constant. Oracle queries pass their
+    * pinned constants explicitly. */
   def search(spark: SparkSession, tag: String, queries: DataFrame,
-             nprobe: Int = 2, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+             nprobe: Int = 0, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
     val cents = loadModel(spark, tag)
+    val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
     spark.catalog.refreshTable(assignTable(tag)) // see cross-session appends
     val probes = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
         Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
           .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
-          .iterator.take(math.max(1, nprobe))
+          .iterator.take(math.max(1, np))
           .map { case (_, cid) => (id, cid, v, Similarity.normP(v)) }
       }
       .toDF("query_id", "cid", "vq", "nq")

@@ -471,14 +471,18 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
 
   /** Probe width for a `cells`-cell index — the recall-floor rule the
     * fixed default lacked (measured in IvfNprobeFrontier: at fixed
-    * nprobe 8 under √n cells, recall@5 fell 0.576 → 0.408 from 1× to 10×
-    * because the probed CELL fraction fell with n). `⌈1.25·√cells⌉`
-    * (floored at 8, capped at cells) keeps per-query candidate volume at
-    * n·nprobe/cells ≈ 1.25·n^(3/4) — still sub-linear, so the index keeps
-    * being an index — while the probed fraction decays only as n^(-1/4)
-    * instead of n^(-1/2). Fit to the measured frontier in SCALING.md r7. */
+    * nprobe 8 under √n cells, recall@5 fell 0.576 → 0.392 → 0.324 → 0.248
+    * across 1×/10×/30×/100× because the probed CELL fraction fell with n).
+    * `⌈2·√cells⌉` (floored at 8, capped at cells) holds measured recall@5
+    * in a ≥0.55 band across all four scale points (0.73 / 0.63 / 0.60 /
+    * 0.61 — SCALING.md r7 table) while the probed fraction still DECAYS
+    * as 2/n^(1/4) (0.31 → 0.17 → 0.13 → 0.096): per-query candidate
+    * volume n·nprobe/cells ≈ 2·n^(3/4) stays sub-linear, so the index
+    * keeps being an index AND keeps its recall as the corpus grows —
+    * α fit to the measured frontier, not guessed (α=1.25 measured 0.60 /
+    * 0.51 / 0.50 / 0.51 — just under the band at every grown scale). */
   def nprobeFor(cells: Int): Int =
-    math.min(cells, math.max(8, math.ceil(1.25 * math.sqrt(cells.toDouble)).toInt))
+    math.min(cells, math.max(8, math.ceil(2.0 * math.sqrt(cells.toDouble)).toInt))
 
   /** IVF coarse quantization: assign each vector to the nearest of
     * `nCentroids` Lloyd-trained centroids ([[trainedCentroidArrays]]), emit
@@ -673,10 +677,14 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
   def ivfSearch(spark: SparkSession, dir: String, nCentroids: Int = 0,
                 nprobe: Int = 2, k: Int = 5, nQueries: Int = 50,
                 iters: Int = LloydIters, seed: IvfSeed = DefaultSeed): DataFrame = {
+    // nprobe = 0 → the nprobeFor recall-floor rule (the persistent-index
+    // default); the literal 2 stays the signature default for the pinned
+    // q_ivf_search oracle family
     import spark.implicits._
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
-    val cand = ivfCandidates(base, cells, nprobe, nQueries, iters, resolveSeed(seed, nCentroids == 0, cells))
+    val np = if (nprobe == 0) nprobeFor(cells) else nprobe
+    val cand = ivfCandidates(base, cells, np, nQueries, iters, resolveSeed(seed, nCentroids == 0, cells))
     // exact cosine on candidates only — same primitive kernel + norm-once
     // arithmetic as the verified baselines (topK hash-✓ pins the parity)
     val vecs = base.select(col("vec_id"), col("embedding"))

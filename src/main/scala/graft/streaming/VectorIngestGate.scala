@@ -20,9 +20,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    sweep is [[graft.operators.Similarity.annPairs]] over the corpus.
   *  - The gate's recall IS the ANN recall at the configured nprobe: an
   *    arrival whose true near-neighbor lives in an unprobed cell is
-  *    admitted. That is the standard ANN-dedup trade — raise nprobe to
-  *    buy recall; the exact alternative re-scores the corpus per batch,
-  *    which is precisely what this gate exists to avoid.
+  *    admitted. That is the standard ANN-dedup trade — and the default
+  *    `nprobe = 0` resolves to [[graft.operators.Similarity.nprobeFor]]
+  *    of the stored model, the measured recall-floor rule, so the gate's
+  *    recall HOLDS as appends/rebuilds grow the index instead of
+  *    silently decaying at a fixed constant. The exact alternative
+  *    re-scores the corpus per batch, which is precisely what this gate
+  *    exists to avoid.
   *  - Replay convergence: foreachBatch is at-least-once; a replayed batch
   *    probes WITH self-matches kept (`excludeSelf = false`), so its own
   *    already-stored copies answer at cos 1 and every replayed arrival is
@@ -164,13 +168,24 @@ ORDER BY a.vec_id
     * verdicts land in `receiptsDir` partitioned by micro-batch id. */
   def start(indexTag: String, stream: DataFrame,
             landingDir: String, receiptsDir: String, checkpointDir: String,
-            threshold: Double = 0.92, nprobe: Int = 4): StreamingQuery =
+            threshold: Double = 0.92, nprobe: Int = 0,
+            verbose: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // phase attribution (verbose): the receipts write pays the gate
+          // probe (first materialization of the persisted relations), the
+          // landing write reuses it, the append assigns + writes bucketed
+          def phase[A](name: String)(f: => A): A = {
+            val t0 = System.nanoTime()
+            val r = f
+            if (verbose) println(
+              f"[vecgate] batch $batchId $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            r
+          }
           val (receipts, kept) = gateBatch(indexTag, batch, threshold, nprobe)
           // one gate evaluation feeds receipts, landing AND the index
           // append — persist so the probe join runs once
@@ -188,15 +203,17 @@ ORDER BY a.vec_id
             val prev = spark.conf.getOption(pmKey)
             spark.conf.set(pmKey, "dynamic")
             try {
-              receipts.withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite").partitionBy("batch_id").parquet(receiptsDir)
-              kept.withColumn("batch_id", lit(batchId))
-                .write.mode("overwrite").partitionBy("batch_id").parquet(landingDir)
+              phase("gate+receipts")(
+                receipts.withColumn("batch_id", lit(batchId))
+                  .write.mode("overwrite").partitionBy("batch_id").parquet(receiptsDir))
+              phase("landing")(
+                kept.withColumn("batch_id", lit(batchId))
+                  .write.mode("overwrite").partitionBy("batch_id").parquet(landingDir))
             } finally prev match {
               case Some(v) => spark.conf.set(pmKey, v)
               case None    => spark.conf.unset(pmKey)
             }
-            IvfIndex.assignInto(spark, indexTag, kept)
+            phase("index-append")(IvfIndex.assignInto(spark, indexTag, kept))
           } finally { kept.unpersist(); receipts.unpersist() }
         }
       }

@@ -187,7 +187,7 @@ object StreamBench {
         val t0 = System.nanoTime()
         graft.streaming.VectorIngestGate.start("sbvix",
           vmem.toDF(), s"$root/vlanding", s"$root/vreceipts", s"$root/vckpt",
-          threshold = 0.999, nprobe = 8).awaitTermination()
+          threshold = 0.999, nprobe = 8, verbose = true).awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[streambench] vecgate batch $b: ${batch.length} vectors in $sec%.2f s " +
           f"(${batch.length / sec}%.0f vec/s)")

@@ -23,11 +23,34 @@ class IvfIndexSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-ivfidx").toString
     try {
       IvfIndex.build(emb, dir, "ivx", nCentroids = 8, seed = Similarity.ResidueSeed)
-      val got = IvfIndex.search(spark, "ivx", emb.filter(col("vec_id") < 50)).collect()
+      val got = IvfIndex.search(spark, "ivx", emb.filter(col("vec_id") < 50),
+        nprobe = 2).collect()
       val want = Similarity.ivfSearch(spark, "/root/testdata/sf0.001", nCentroids = 8).collect()
       assert(got.length == want.length && got.nonEmpty)
       got.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
     } finally drop("ivx")
+  }
+
+  test("nprobeFor is the measured recall-floor rule; default search resolves it") {
+    // pinned at the measured frontier cell counts (SCALING.md r7): the
+    // ⌈2√cells⌉ band that held recall@5 ≥ 0.55 across 1×/10×/30×/100×
+    assert(Similarity.nprobeFor(45) == 14)
+    assert(Similarity.nprobeFor(142) == 24)
+    assert(Similarity.nprobeFor(245) == 32)
+    assert(Similarity.nprobeFor(448) == 43)
+    assert(Similarity.nprobeFor(10) == 8, "floor: small indexes probe ≥8")
+    assert(Similarity.nprobeFor(4) == 4, "cap: never more cells than exist")
+    assert(Similarity.nprobeFor(1 << 16) == 512, "at the broadcast cap: 512 of 65,536")
+    val dir = Files.createTempDirectory("graft-ivfidx-rule").toString
+    try {
+      IvfIndex.build(emb, dir, "ivxr", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val q = emb.filter(col("vec_id") < 5)
+      // default nprobe resolves through the rule (8 cells → floor 8)
+      val auto = IvfIndex.search(spark, "ivxr", q).collect().toSeq
+      val explicit = IvfIndex.search(spark, "ivxr", q,
+        nprobe = Similarity.nprobeFor(8)).collect().toSeq
+      assert(auto == explicit && auto.nonEmpty)
+    } finally drop("ivxr")
   }
 
   test("search scan bucket-prunes to the probed cells") {
@@ -36,7 +59,7 @@ class IvfIndexSpec extends AnyFunSuite {
       IvfIndex.build(emb, dir, "ivxp", nCentroids = 8, seed = Similarity.ResidueSeed)
       // 3 queries probing 2 cells each → at most 6 of 8 cells touched
       val q = emb.filter(col("vec_id") < 3)
-      val res = IvfIndex.search(spark, "ivxp", q)
+      val res = IvfIndex.search(spark, "ivxp", q, nprobe = 2)
       res.collect()
       val plan = res.queryExecution.executedPlan.toString
       val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
