@@ -172,7 +172,11 @@ object SparkEntry {
     }),
     // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
     // this corpus carries opaque bytes → deterministic byte-level features)
-    "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir))
+    "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir)),
+    // the oracle-able byte-feature leg of the multimodal stack: sizes,
+    // magic sniff, header-derived dims, nibble histogram bins, md5 — all
+    // columnar (hex/regexp builtins), fully pinned by DuckDB
+    "q_media_bytes" -> ((s, dir) => Multimodal.byteFeatureQuery(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -251,7 +255,8 @@ object SparkEntry {
     // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
     // masks, embedded in the SQL as one BIGINT per plane (band/bits
     // grouping mirrors the engine's injective bucket mix)
-    "q_ann_lsh" -> Similarity.annPairsSql(threshold = 0.8, bands = 48, planesPerBand = 12)
+    "q_ann_lsh" -> Similarity.annPairsSql(threshold = 0.8, bands = 48, planesPerBand = 12),
+    "q_media_bytes" -> Multimodal.byteFeatureSql
     // q_simhash_pairs, q_multimodal: no SQL equivalent → rows-only check
     // here, plus a differential oracle in ScalaTest
     // (SimHashDifferentialSpec reimplements xxHash64 + the voting/banding

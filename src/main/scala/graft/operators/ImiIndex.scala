@@ -64,6 +64,7 @@ object ImiIndex {
   def assignInto(spark: SparkSession, tag: String,
                  newVecs: DataFrame, buckets: Int = 8): Unit = {
     import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
     newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -142,19 +143,23 @@ object ImiIndex {
   def search(spark: SparkSession, tag: String, queries: DataFrame,
              nprobe: Int = 0, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
     val np = if (nprobe == 0) Similarity.nprobeFor(kk * kk) else nprobe
     spark.catalog.refreshTable(assignTable(tag)) // cross-session appends
-    val probes = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        val dl = Array.tabulate(kk)(i => Similarity.dist2P(v.take(Imi.HalfDim), cl(i)))
-        val dr = Array.tabulate(kk)(j => Similarity.dist2P(v.drop(Imi.HalfDim), cr(j)))
-        Imi.rankCellsWalk(dl, dr, kk, np).iterator
-          .map(cell => (id, cell, v, Similarity.normP(v)))
-      }
-      .toDF("query_id", "cell_id", "vq", "nq")
+    // checkpointed for the same reason as [[IvfIndex.search]]'s probes:
+    // the ranking kernel feeds both the probed-cells collect and the join
+    val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          val dl = Array.tabulate(kk)(i => Similarity.dist2P(v.take(Imi.HalfDim), cl(i)))
+          val dr = Array.tabulate(kk)(j => Similarity.dist2P(v.drop(Imi.HalfDim), cr(j)))
+          Imi.rankCellsWalk(dl, dr, kk, np).iterator
+            .map(cell => (id, cell, v, Similarity.normP(v)))
+        }
+        .toDF("query_id", "cell_id", "vq", "nq"))
     // literal IN over the probed product cells → bucket pruning; the
     // collect is ≤ queries × nprobe longs — probe metadata, not data
     val probedCells = probes.select("cell_id").distinct().as[Long].collect().toSeq

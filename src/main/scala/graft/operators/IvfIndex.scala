@@ -74,6 +74,7 @@ object IvfIndex {
   def assignInto(spark: SparkSession, tag: String,
                  newVecs: DataFrame, buckets: Int = 8): Unit = {
     import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val cents = loadModel(spark, tag)
     // append through the catalog location (no path pin): after a
     // [[compact]] the table lives in a generation dir and a pinned
@@ -174,18 +175,24 @@ object IvfIndex {
   def search(spark: SparkSession, tag: String, queries: DataFrame,
              nprobe: Int = 0, k: Int = 5, excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val cents = loadModel(spark, tag)
     val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
     spark.catalog.refreshTable(assignTable(tag)) // see cross-session appends
-    val probes = queries.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .flatMap { case (id, v) =>
-        Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
-          .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
-          .iterator.take(math.max(1, np))
-          .map { case (_, cid) => (id, cid, v, Similarity.normP(v)) }
-      }
-      .toDF("query_id", "cid", "vq", "nq")
+    // checkpointed: the cell-ranking kernel feeds BOTH the probed-cells
+    // collect below and the candidate join — without the barrier it runs
+    // twice per search call (a measured slice of the streaming gate's
+    // batch wall; the relation is small — queries × nprobe rows)
+    val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+            .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+            .iterator.take(math.max(1, np))
+            .map { case (_, cid) => (id, cid, v, Similarity.normP(v)) }
+        }
+        .toDF("query_id", "cid", "vq", "nq"))
     // literal IN over the batch's probed cells → bucket pruning: the scan
     // opens only the probed cells' buckets (IvfIndexSpec pins
     // SelectedBucketsCount < total). The collect is ≤ queries × nprobe

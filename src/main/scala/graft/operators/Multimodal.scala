@@ -372,6 +372,106 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** The ORACLED byte-feature leg of the multimodal stack — every feature
+    * a decoder-free pass can extract from an opaque binary column, computed
+    * COLUMNAR (hex/regexp/length builtins, whole-stage codegen; no UDF, no
+    * typed map) so DuckDB can compute the identical relation over the same
+    * parquet ([[byteFeatureSql]] — `q_media_bytes`). This splits
+    * `q_multimodal` at the oracle boundary: byte features (sizes, magic
+    * sniff, header-derived dims, nibble histogram bins, content hash) are
+    * exactly checkable; only the codec leg (real JDK rasters/PCM —
+    * [[featureQuery]]) stays differential (MediaDecodeSpec).
+    *
+    * Feature definitions mirror [[DeterministicDecoder]]: dims from header
+    * bytes 0..2 (zero-padded like `padTo(4, 0)`), histogram = high-nibble
+    * frequency (bins 0 and 7 published, same picks as [[featureQuery]]),
+    * plus the magic sniff [[MediaDecoder]] routes on and an md5 content
+    * hash (both engines print lowercase hex). All arithmetic is integer
+    * counts + double division, exact in both engines. */
+  def byteFeatureQuery(spark: SparkSession, dir: String): DataFrame = {
+    val m = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("kind"),
+        encode(col("text"), "UTF-8").as("content"))
+    val hx = hex(col("content"))
+    val withHex = m
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+      .withColumn("hx", hx)
+      // keep the FIRST hex char of each pair → the string of high nibbles
+      .withColumn("nibs", regexp_replace(hx, "(.).", "$1"))
+    def byteAt(i: Int) = // header byte i, 0 when the payload is shorter
+      when(col("n_bytes") > i,
+        conv(substring(col("hx"), 2 * i + 1, 2), 16, 10).cast("int"))
+        .otherwise(lit(0))
+    def bin(nibble: String) = round(
+      (length(col("nibs")) - length(regexp_replace(col("nibs"), nibble, "")))
+        .cast("double") / greatest(col("n_bytes"), lit(1L)).cast("double"), 6)
+    withHex
+      .withColumn("magic",
+        when(substring(col("hx"), 1, 8) === "89504E47", "png")
+          .when(substring(col("hx"), 1, 4) === "FFD8", "jpeg")
+          .when(substring(col("hx"), 1, 4) === "424D", "bmp")
+          .when(substring(col("hx"), 1, 8) === "47494638", "gif")
+          .when(substring(col("hx"), 1, 8) === "52494646" &&
+            substring(col("hx"), 17, 8) === "57415645", "wav")
+          .otherwise("opaque"))
+      .withColumn("width", lit(64) + byteAt(0) % 64)
+      .withColumn("height", lit(64) + byteAt(1) % 64)
+      .withColumn("n_frames",
+        when(col("kind") === "video", lit(1) + byteAt(2) % 30).otherwise(lit(1)))
+      .withColumn("f0", bin("0"))
+      .withColumn("f7", bin("7"))
+      .withColumn("content_md5", md5(col("content")))
+      .select("media_id", "kind", "magic", "n_bytes", "width", "height",
+        "n_frames", "f0", "f7", "content_md5")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB oracle for [[byteFeatureQuery]] — same hex/nibble algebra
+    * (DuckDB's `hex` prints uppercase like Spark's; byte values recovered
+    * via nibble positions in the hex alphabet since DuckDB has no base
+    * conversion on strings). */
+  def byteFeatureSql: String = {
+    val nv = (k: String) => s"(strpos('0123456789ABCDEF', substr(hx, $k, 1)) - 1)"
+    def byteAt(i: Int) =
+      s"CASE WHEN n_bytes > $i THEN 16 * ${nv(s"${2 * i + 1}")} + ${nv(s"${2 * i + 2}")} ELSE 0 END"
+    def bin(nibble: Char) =
+      s"round(CAST(length(nibs) - length(replace(nibs, '$nibble', '')) AS DOUBLE) " +
+        s"/ greatest(n_bytes, 1), 6)"
+    s"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    text, encode(text) AS content
+  FROM documents
+), h AS (
+  SELECT media_id, kind, text,
+    CAST(octet_length(content) AS BIGINT) AS n_bytes,
+    hex(content) AS hx
+  FROM m
+), n AS (
+  SELECT *, regexp_replace(hx, '(.).', '\\1', 'g') AS nibs FROM h
+)
+SELECT media_id, kind,
+  CASE WHEN substr(hx, 1, 8) = '89504E47' THEN 'png'
+       WHEN substr(hx, 1, 4) = 'FFD8' THEN 'jpeg'
+       WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
+       WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+       WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+       ELSE 'opaque' END AS magic,
+  n_bytes,
+  64 + ${byteAt(0)} % 64 AS width,
+  64 + ${byteAt(1)} % 64 AS height,
+  CASE WHEN kind = 'video' THEN 1 + ${byteAt(2)} % 30 ELSE 1 END AS n_frames,
+  ${bin('0')} AS f0,
+  ${bin('7')} AS f7,
+  md5(text) AS content_md5
+FROM n
+ORDER BY media_id
+""".trim
+  }
+
   /** Feature-extraction query over the fake media corpus; deterministic,
     * so usable as a rows-only correctness query and a bench workload. */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {

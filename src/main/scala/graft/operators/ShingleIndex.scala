@@ -138,6 +138,7 @@ object ShingleIndex {
     // to this session's cached file listings without a refresh
     Seq(occTable(tag), sizesTable(tag), fpTable(tag))
       .foreach(spark.catalog.refreshTable)
+    IndexCanary.check(spark, occTable(tag), sizesTable(tag), fpTable(tag))
     val corpusKept = spark.table(occTable(tag))
     val corpusSizes = spark.table(sizesTable(tag))
     val batchSh = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
@@ -181,6 +182,7 @@ object ShingleIndex {
              maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
     val occT = occTable(tag)
     ensureSatTable(spark, tag) // pre-sat-version index migration
+    IndexCanary.check(spark, occT, sizesTable(tag), fpTable(tag), satTable(tag))
     // a wrong `buckets` here cannot corrupt the index: Spark rejects an
     // append whose bucket spec differs from the existing table's
     val newOcc = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
@@ -255,6 +257,7 @@ object ShingleIndex {
   def overshootCensus(spark: SparkSession, tag: String): OvershootCensus = {
     ensureSatTable(spark, tag) // pre-sat-version index migration
     Seq(occTable(tag), satTable(tag)).foreach(spark.catalog.refreshTable)
+    IndexCanary.check(spark, occTable(tag), satTable(tag))
     val sat = spark.table(satTable(tag))
     val occ = spark.table(occTable(tag))
     OvershootCensus(

@@ -61,11 +61,19 @@ object VectorIngestGate {
         excludeSelf = false)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
         col("cos"))
-    val verdicts = arrivals.select("vec_id")
-      .join(best, Seq("vec_id"), "left")
-      .withColumn("self_match", col("dup_of") === col("vec_id"))
-      .withColumn("is_dup",
-        coalesce(col("cos") >= threshold && !col("self_match"), lit(false)))
+    // CHECKPOINT the verdicts (one tiny row per arrival): receipts, the
+    // landing write and the index append are three separate consumer DAGs,
+    // and without a materialization barrier each one would re-run the
+    // bucket-probe search — measured as the dominant slice of the gate's
+    // per-batch wall (StreamBench r7 attribution: the search ran 3× per
+    // batch; caller-side persist() on receipts/kept did NOT help because
+    // the two relations never shared a cached subtree).
+    val verdicts = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      arrivals.select("vec_id")
+        .join(best, Seq("vec_id"), "left")
+        .withColumn("self_match", col("dup_of") === col("vec_id"))
+        .withColumn("is_dup",
+          coalesce(col("cos") >= threshold && !col("self_match"), lit(false))))
     val receipts = verdicts.select("vec_id", "dup_of", "cos", "is_dup")
     val kept = arrivals.join(
       verdicts.filter(!(col("is_dup") || coalesce(col("self_match"), lit(false))))
@@ -176,9 +184,11 @@ ORDER BY a.vec_id
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          // phase attribution (verbose): the receipts write pays the gate
-          // probe (first materialization of the persisted relations), the
-          // landing write reuses it, the append assigns + writes bucketed
+          // phase attribution (verbose): "gate" pays the probe search once
+          // (gateBatch checkpoints the verdicts — the materialization
+          // barrier that keeps the three consumer DAGs below from each
+          // re-running it), the two writes and the append then read the
+          // tiny checkpointed relation
           def phase[A](name: String)(f: => A): A = {
             val t0 = System.nanoTime()
             val r = f
@@ -186,35 +196,31 @@ ORDER BY a.vec_id
               f"[vecgate] batch $batchId $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
             r
           }
-          val (receipts, kept) = gateBatch(indexTag, batch, threshold, nprobe)
-          // one gate evaluation feeds receipts, landing AND the index
-          // append — persist so the probe join runs once
-          kept.persist(); receipts.persist()
+          val (receipts, kept) =
+            phase("gate")(gateBatch(indexTag, batch, threshold, nprobe))
+          // landing/receipts are partitioned by batch_id and written with
+          // DYNAMIC partition overwrite: a replayed attempt overwrites
+          // its OWN partition instead of appending duplicates, so the
+          // landing zone is exactly-once too — not just the index. (A
+          // replay arriving after the index append finds all its
+          // arrivals self-matched and kept empty; an empty dynamic
+          // overwrite touches no partitions, so the first attempt's
+          // landing rows — which ARE in the index — survive.)
+          val pmKey = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(pmKey)
+          spark.conf.set(pmKey, "dynamic")
           try {
-            // landing/receipts are partitioned by batch_id and written with
-            // DYNAMIC partition overwrite: a replayed attempt overwrites
-            // its OWN partition instead of appending duplicates, so the
-            // landing zone is exactly-once too — not just the index. (A
-            // replay arriving after the index append finds all its
-            // arrivals self-matched and kept empty; an empty dynamic
-            // overwrite touches no partitions, so the first attempt's
-            // landing rows — which ARE in the index — survive.)
-            val pmKey = "spark.sql.sources.partitionOverwriteMode"
-            val prev = spark.conf.getOption(pmKey)
-            spark.conf.set(pmKey, "dynamic")
-            try {
-              phase("gate+receipts")(
-                receipts.withColumn("batch_id", lit(batchId))
-                  .write.mode("overwrite").partitionBy("batch_id").parquet(receiptsDir))
-              phase("landing")(
-                kept.withColumn("batch_id", lit(batchId))
-                  .write.mode("overwrite").partitionBy("batch_id").parquet(landingDir))
-            } finally prev match {
-              case Some(v) => spark.conf.set(pmKey, v)
-              case None    => spark.conf.unset(pmKey)
-            }
-            phase("index-append")(IvfIndex.assignInto(spark, indexTag, kept))
-          } finally { kept.unpersist(); receipts.unpersist() }
+            phase("receipts")(
+              receipts.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite").partitionBy("batch_id").parquet(receiptsDir))
+            phase("landing")(
+              kept.withColumn("batch_id", lit(batchId))
+                .write.mode("overwrite").partitionBy("batch_id").parquet(landingDir))
+          } finally prev match {
+            case Some(v) => spark.conf.set(pmKey, v)
+            case None    => spark.conf.unset(pmKey)
+          }
+          phase("index-append")(IvfIndex.assignInto(spark, indexTag, kept))
         }
       }
       .start()
