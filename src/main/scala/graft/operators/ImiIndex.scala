@@ -48,9 +48,11 @@ object ImiIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("path", s"$path/${modelTable(tag)}")
       .saveAsTable(modelTable(tag))
+    // nrm precomputed at write time — same scoring-stage rationale as
+    // [[IvfIndex.build]]
     val assigned = base.as[(Long, Array[Float])]
-      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v) }
-      .toDF("vec_id", "cell_id", "embedding")
+      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
+      .toDF("vec_id", "cell_id", "embedding", "nrm")
     BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
     assigned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "cell_id").sortBy("cell_id")
@@ -68,8 +70,8 @@ object ImiIndex {
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
     newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v) }
-      .toDF("vec_id", "cell_id", "embedding")
+      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
+      .toDF("vec_id", "cell_id", "embedding", "nrm")
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "cell_id").sortBy("cell_id")
       .saveAsTable(assignTable(tag))
@@ -167,17 +169,14 @@ object ImiIndex {
       .filter(col("cell_id").isin(probedCells: _*))
       .join(probes, "cell_id")
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    // native codegen scoring with the stored norm — see [[IvfIndex.search]]
+    graft.plans.DotFloat.ensureRegistered(spark)
     val scored = cand
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("vq"), col("nq"), col("embedding"))
-      .as[(Long, Long, Array[Float], Double, Array[Float])]
-      .map { case (q, nb, vq, nq, vn) =>
-        (q, nb, Similarity.dotP(vq, vn) / (nq * Similarity.normP(vn)))
-      }
-      .toDF("query_id", "neighbor_id", "cos")
-    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
-      .orderBy("query_id", "rk")
+        (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
+          / (col("nq") * col("nrm"))).as("cos"))
+    // k = 1 rides the hash arg-max; k > 1 the window — see
+    // [[IvfIndex.topKScored]]
+    IvfIndex.topKScored(scored, k)
   }
 }

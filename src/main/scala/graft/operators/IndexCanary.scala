@@ -50,12 +50,13 @@ object IndexCanary {
     "_sat" -> Shape(Seq("key" -> "bigint"), Some("key")),
     "_ivfmodel" -> Shape(Seq("cid" -> "int", "centroid" -> "array<double>"), None),
     "_ivfassign" -> Shape(
-      Seq("vec_id" -> "bigint", "cid" -> "int", "embedding" -> "array<float>"), Some("cid")),
+      Seq("vec_id" -> "bigint", "cid" -> "int", "embedding" -> "array<float>",
+        "nrm" -> "double"), Some("cid")),
     "_imimodel" -> Shape(
       Seq("side" -> "string", "cid" -> "int", "centroid" -> "array<double>"), None),
     "_imiassign" -> Shape(
-      Seq("vec_id" -> "bigint", "cell_id" -> "bigint", "embedding" -> "array<float>"),
-      Some("cell_id")))
+      Seq("vec_id" -> "bigint", "cell_id" -> "bigint", "embedding" -> "array<float>",
+        "nrm" -> "double"), Some("cell_id")))
 
   /** table name → verified catalog version (location#createTime). */
   private val okCache = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -57,9 +57,14 @@ object IvfIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("path", s"$path/${modelTable(tag)}")
       .saveAsTable(modelTable(tag))
+    // nrm is precomputed at WRITE time: the scoring stage evaluates one
+    // cosine per (query, neighbor) candidate pair, and recomputing the
+    // stored side's norm per PAIR (instead of once per stored vector)
+    // was a measured slice of the streaming gate's batch wall
     val assigned = base.as[(Long, Array[Float])]
-      .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
-      .toDF("vec_id", "cid", "embedding")
+      .map { case (id, v) =>
+        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v)) }
+      .toDF("vec_id", "cid", "embedding", "nrm")
     BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
     assigned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
@@ -80,8 +85,9 @@ object IvfIndex {
     // [[compact]] the table lives in a generation dir and a pinned
     // original path analysis-errors on the mismatch
     newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
-      .toDF("vec_id", "cid", "embedding")
+      .map { case (id, v) =>
+        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v)) }
+      .toDF("vec_id", "cid", "embedding", "nrm")
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(assignTable(tag))
@@ -202,17 +208,43 @@ object IvfIndex {
       .filter(col("cid").isin(probedCells: _*))
       .join(probes, "cid")
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    // scoring is a native codegen expression over the in-place ArrayData
+    // (see [[graft.plans.DotFloat]]) with the stored norm — bit-identical
+    // arithmetic to the typed dotP/normP path it replaced, no Encoder
+    // round-trip, no per-pair norm recomputation
+    graft.plans.DotFloat.ensureRegistered(spark)
     val scored = cand
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("vq"), col("nq"), col("embedding"))
-      .as[(Long, Long, Array[Float], Double, Array[Float])]
-      .map { case (q, nb, vq, nq, vn) =>
-        (q, nb, Similarity.dotP(vq, vn) / (nq * Similarity.normP(vn)))
-      }
-      .toDF("query_id", "neighbor_id", "cos")
-    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
-      .orderBy("query_id", "rk")
+        (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
+          / (col("nq") * col("nrm"))).as("cos"))
+    topKScored(scored, k)
   }
+
+  /** Top-k per query over `(query_id, neighbor_id, cos)` with the pinned
+    * (cos DESC, neighbor_id ASC) tie-break. k = 1 — the streaming gate's
+    * shape — goes through [[graft.plans.ArgMaxStruct]] (hash arg-max,
+    * map-side combine: each map split keeps ONE row per query) instead of
+    * the window, which would shuffle and locally sort every candidate row
+    * just to keep the first — measured as the residual slice of the
+    * vector gate's batch wall once scoring went native. Lexicographic max
+    * of struct(cos, -neighbor_id) ≡ the window's ordering, so the two
+    * paths are interchangeable (spec-pinned). */
+  private[operators] def topKScored(scored: DataFrame, k: Int): DataFrame =
+    if (k == 1) {
+      graft.plans.ArgMaxStruct.ensureRegistered(scored.sparkSession)
+      scored.groupBy("query_id")
+        .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
+          "struct(cos, -neighbor_id AS neg_id, neighbor_id))").as("best"))
+        .select(col("query_id"), lit(1).as("rk"),
+          col("best.neighbor_id").as("neighbor_id"),
+          round(col("best.cos"), 6).as("cos"))
+        .orderBy("query_id")
+    } else {
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("query_id", "rk")
+    }
 }

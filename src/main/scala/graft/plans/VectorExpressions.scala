@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Shared float-vector kernel for interpreted eval and generated code —
+  * operates directly on Catalyst [[ArrayData]] (no `Array[Float]`
+  * materialization, no Encoder round-trip). The arithmetic REPLICATES
+  * [[graft.operators.Similarity.dotP]] exactly: left-to-right sum of
+  * per-element double-promoted products, so a plan scored through this
+  * expression is bit-identical to the typed-map path it replaces (the
+  * DuckDB oracles' rounding discipline depends on that). */
+object VectorKernels {
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+}
+
+/** Native codegen dot product over two `array<float>` columns — the
+  * ANN scoring hot path. The candidate-scoring stage of
+  * [[graft.operators.IvfIndex.search]] / [[graft.operators.ImiIndex.search]]
+  * evaluates one dot per (query, neighbor) candidate pair — the single
+  * largest term in the streaming vector gate's per-batch wall (StreamBench
+  * r7 attribution). As a typed Dataset `.map` that cost an Encoder
+  * deserialization of BOTH 64-float vectors per pair plus a norm
+  * recomputation of the stored side; as a native expression the scoring
+  * stays inside whole-stage codegen reading [[ArrayData]] in place.
+  *
+  * Null semantics: SQL-idiomatic (either side NULL → NULL); array
+  * ELEMENTS are assumed non-null (embedding columns are dense by
+  * contract — a null element would read as 0.0, same as the typed path's
+  * Encoder would produce). Length contract matches `dotP`: iterates the
+  * LEFT array's length. */
+case class DotFloat(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${DotFloat.FuncName} requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = DotFloat.FuncName
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.dotF($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotFloat {
+  val FuncName = "graft_dot_f"
+
+  /** Idempotent per-session registration (same pattern as
+    * [[CappedCollectLong.ensureRegistered]]). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(FuncName)
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id))
+      registry.registerFunction(id,
+        new ExpressionInfo(classOf[DotFloat].getName, FuncName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$FuncName takes exactly 2 arguments")
+          DotFloat(children.head, children(1))
+        })
+  }
+}

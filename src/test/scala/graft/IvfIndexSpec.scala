@@ -140,4 +140,25 @@ class IvfIndexSpec extends AnyFunSuite {
       } finally drop("ivxfresh")
     } finally drop("ivxa")
   }
+
+  test("k=1 hash arg-max ≡ window top-1 (ties included, self-matches kept)") {
+    val dir = Files.createTempDirectory("graft-ivfidx-top1").toString
+    try {
+      IvfIndex.build(emb, dir, "ivx1", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val q = emb.filter(col("vec_id") < 30)
+      // excludeSelf = false makes every query tie-break at cos 1 against
+      // its own stored copy — the hardest ordering case for the arg-max
+      val top1 = IvfIndex.search(spark, "ivx1", q, nprobe = 3, k = 1,
+        excludeSelf = false).collect().toSeq
+      val viaWindow = IvfIndex.search(spark, "ivx1", q, nprobe = 3, k = 5,
+          excludeSelf = false)
+        .filter(col("rk") === 1).collect().toSeq
+      assert(top1 == viaWindow && top1.nonEmpty)
+      // and the plan really is a hash aggregate, not a window sort
+      val plan = IvfIndex.search(spark, "ivx1", q, nprobe = 3, k = 1,
+        excludeSelf = false).queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), s"k=1 demoted from hash agg:\n$plan")
+      assert(!plan.contains("Window"), s"k=1 still windows:\n$plan")
+    } finally drop("ivx1")
+  }
 }
