@@ -187,7 +187,12 @@ object StreamBench {
         val t0 = System.nanoTime()
         graft.streaming.VectorIngestGate.start("sbvix",
           vmem.toDF(), s"$root/vlanding", s"$root/vreceipts", s"$root/vckpt",
-          threshold = 0.999, nprobe = 8, verbose = true).awaitTermination()
+          // nprobe = 0 → the recall-floor rule (the deployment default):
+          // the bench measures what a user gets, and the rule is what
+          // keeps the gate's recall from decaying as the corpus grows —
+          // so per-batch cost here carries the rule's candidate volume
+          // (≈2·n^(3/4)), not a flattering fixed constant
+          threshold = 0.999, nprobe = 0, verbose = true).awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[streambench] vecgate batch $b: ${batch.length} vectors in $sec%.2f s " +
           f"(${batch.length / sec}%.0f vec/s)")
