@@ -160,6 +160,17 @@ object SparkEntry {
       // the nprobeFor recall-floor rule)
       IvfIndex.search(s, "q_ivfidx", e.filter(col("vec_id") < 50), nprobe = 2)
     }),
+    // the stored int8 tier of the same index: candidates scored as exact
+    // integer dots over the 64-byte code column (scan never reads the
+    // float vectors); oracle is ivfSearchInt8's literal SQL through the
+    // stored path
+    "q_ivf_indexed_int8" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfindex8").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfidx8", nCentroids = 8, seed = Similarity.ResidueSeed)
+      IvfIndex.searchInt8(s, "q_ivfidx8", e.filter(col("vec_id") < 50), nprobe = 2)
+    }),
     // the PERSISTENT product-cell index (the ImiIndex deployment shape
     // past the flat broadcast cap); oracle is Imi.searchSql's literal SQL
     // through the stored bucket-pruned path
@@ -247,6 +258,7 @@ object SparkEntry {
     "q_ivf_search" -> Similarity.ivfSearchSql(),
     "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
+    "q_ivf_indexed_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),

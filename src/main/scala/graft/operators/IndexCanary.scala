@@ -51,7 +51,7 @@ object IndexCanary {
     "_ivfmodel" -> Shape(Seq("cid" -> "int", "centroid" -> "array<double>"), None),
     "_ivfassign" -> Shape(
       Seq("vec_id" -> "bigint", "cid" -> "int", "embedding" -> "array<float>",
-        "nrm" -> "double"), Some("cid")),
+        "nrm" -> "double", "qvec" -> "binary", "qnrm" -> "double"), Some("cid")),
     "_imimodel" -> Shape(
       Seq("side" -> "string", "cid" -> "int", "centroid" -> "array<double>"), None),
     "_imiassign" -> Shape(

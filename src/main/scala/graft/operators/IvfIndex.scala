@@ -60,11 +60,16 @@ object IvfIndex {
     // nrm is precomputed at WRITE time: the scoring stage evaluates one
     // cosine per (query, neighbor) candidate pair, and recomputing the
     // stored side's norm per PAIR (instead of once per stored vector)
-    // was a measured slice of the streaming gate's batch wall
+    // was a measured slice of the streaming gate's batch wall. qvec/qnrm
+    // are the int8 storage leg — 64-byte codes + their integer-dot norm —
+    // so [[searchInt8]] can column-prune the scan down to a quarter of
+    // the float vectors' bytes.
     val assigned = base.as[(Long, Array[Float])]
       .map { case (id, v) =>
-        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v)) }
-      .toDF("vec_id", "cid", "embedding", "nrm")
+        val q = Similarity.quantizeVec(v)
+        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
+          q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
+      .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
     BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
     assigned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
@@ -86,8 +91,10 @@ object IvfIndex {
     // original path analysis-errors on the mismatch
     newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) =>
-        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v)) }
-      .toDF("vec_id", "cid", "embedding", "nrm")
+        val q = Similarity.quantizeVec(v)
+        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
+          q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
+      .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(assignTable(tag))
@@ -217,6 +224,56 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
           / (col("nq") * col("nrm"))).as("cos"))
+    topKScored(scored, k)
+  }
+
+  /** [[search]] scored on the STORED int8 codes — [[Similarity.ivfSearchInt8]]
+    * through the persistent path (the `q_ivf_indexed_int8` contract):
+    * same float-space cell ranking (the model is float; probe quality is
+    * unchanged), but candidates are scored as exact integer dots over the
+    * 64-byte `qvec` column with the stored `qnrm` — the scan reads
+    * (vec_id, cid, qvec, qnrm) ONLY, a quarter of the float vectors'
+    * bytes (spec pins `embedding` out of the ReadSchema). The per-vector
+    * quantization scale cancels in cosine, so ranking quality differs
+    * from [[search]] only by quantization error (recall ≥0.95 pinned in
+    * OperatorsSpec for the in-memory twin). At 100 TB this is the
+    * scan-bytes lever: probe WIDE in int8 at 4× less I/O per cell, then
+    * re-rank the survivors in float via [[search]] over the top cells if
+    * exact ordering matters. */
+  def searchInt8(spark: SparkSession, tag: String, queries: DataFrame,
+                 nprobe: Int = 0, k: Int = 5,
+                 excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
+    val cents = loadModel(spark, tag)
+    val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
+    spark.catalog.refreshTable(assignTable(tag))
+    val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          val q = Similarity.quantizeVec(v)
+          val na = math.sqrt(Similarity.dotI(q, q).toDouble)
+          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+            .sorted
+            .iterator.take(math.max(1, np))
+            .map { case (_, cid) => (id, cid, q, na) }
+        }
+        .toDF("query_id", "cid", "qa", "na"))
+    val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
+    // explicit narrow select BEFORE the join: the int8 path's point is
+    // that the scan never reads the float vectors
+    val joined = spark.table(assignTable(tag))
+      .select("vec_id", "cid", "qvec", "qnrm")
+      .filter(col("cid").isin(probedCells: _*))
+      .join(probes, "cid")
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    graft.plans.DotInt8.ensureRegistered(spark)
+    val scored = cand
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("na") === 0 || col("qnrm") === 0, lit(0.0))
+          .otherwise(expr(s"${graft.plans.DotInt8.FuncName}(qa, qvec)")
+            .cast("double") / (col("na") * col("qnrm"))).as("cos"))
     topKScored(scored, k)
   }
 

@@ -23,6 +23,18 @@ object VectorKernels {
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
+
+  /** Integer dot over int8 code arrays (`binary` columns) — replicates
+    * [[graft.operators.Similarity.dotI]]: exact integer arithmetic, no
+    * floating point until the caller's final division, which is what
+    * keeps the int8 search path hash-oracle-able. */
+  def dotI8(a: Array[Byte], b: Array[Byte]): Long = {
+    val n = a.length
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
 }
 
 /** Native codegen dot product over two `array<float>` columns — the
@@ -63,6 +75,48 @@ case class DotFloat(left: Expression, right: Expression) extends BinaryExpressio
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotFloat =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen integer dot product over two `binary` int8-code
+  * columns — the scoring kernel of the stored int8 search tier
+  * ([[graft.operators.IvfIndex.searchInt8]]): 64-byte codes instead of
+  * 256-byte float arrays per candidate (4× less scanned/joined data),
+  * exact integer scoring. Same null/length contract as [[DotFloat]]. */
+case class DotInt8(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${DotInt8.FuncName} requires two binary arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = DotInt8.FuncName
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotI8(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VectorKernels.dotI8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotInt8 {
+  val FuncName = "graft_dot_i8"
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(FuncName)
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id))
+      registry.registerFunction(id,
+        new ExpressionInfo(classOf[DotInt8].getName, FuncName),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$FuncName takes exactly 2 arguments")
+          DotInt8(children.head, children(1))
+        })
+  }
 }
 
 object DotFloat {

@@ -141,6 +141,30 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally drop("ivxa")
   }
 
+  test("stored int8 search ≡ ivfSearchInt8; scan never reads the float vectors") {
+    val dir = Files.createTempDirectory("graft-ivfidx-i8").toString
+    try {
+      IvfIndex.build(emb, dir, "ivx8", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val got = IvfIndex.searchInt8(spark, "ivx8", emb.filter(col("vec_id") < 50),
+        nprobe = 2)
+      val rows = got.collect()
+      val want = Similarity.ivfSearchInt8(spark, "/root/testdata/sf0.001",
+        nCentroids = 8).collect()
+      assert(rows.length == want.length && rows.nonEmpty)
+      rows.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+      // the whole point of the tier: the assignment scan's ReadSchema
+      // carries the 64-byte codes, not the float vectors — and it still
+      // bucket-prunes
+      val plan = got.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator.filter(_.contains("ivx8_ivfassign"))
+        .mkString("\n")
+      assert(scanLine.contains("qvec"), s"int8 codes not in scan:\n$scanLine")
+      assert(!scanLine.contains("embedding"),
+        s"int8 search still reads float vectors:\n$scanLine")
+      assert("SelectedBucketsCount: (\\d+) out of".r.findFirstMatchIn(plan).isDefined, plan)
+    } finally drop("ivx8")
+  }
+
   test("k=1 hash arg-max ≡ window top-1 (ties included, self-matches kept)") {
     val dir = Files.createTempDirectory("graft-ivfidx-top1").toString
     try {
