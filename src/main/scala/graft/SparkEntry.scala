@@ -171,6 +171,18 @@ object SparkEntry {
       IvfIndex.build(e, idxDir, "q_ivfidx8", nCentroids = 8, seed = Similarity.ResidueSeed)
       IvfIndex.searchInt8(s, "q_ivfidx8", e.filter(col("vec_id") < 50), nprobe = 2)
     }),
+    // the widening composition: int8-wide candidate cut → exact float
+    // re-rank of the survivors only; widen=2 makes the cut BITE at this
+    // scale so the oracle pins the two-stage semantics, not a degenerate
+    // pass-through
+    "q_ivf_rerank" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfrerank").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfrr", nCentroids = 8, seed = Similarity.ResidueSeed)
+      IvfIndex.searchRerank(s, "q_ivfrr", e.filter(col("vec_id") < 50),
+        nprobe = 2, widen = 2)
+    }),
     // the PERSISTENT product-cell index (the ImiIndex deployment shape
     // past the flat broadcast cap); oracle is Imi.searchSql's literal SQL
     // through the stored bucket-pruned path
@@ -259,6 +271,7 @@ object SparkEntry {
     "q_ivf_search_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
     "q_ivf_indexed_int8" -> Similarity.ivfSearchInt8Sql(),
+    "q_ivf_rerank" -> Similarity.ivfSearchRerankSql(widen = 2),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),

@@ -277,6 +277,76 @@ object IvfIndex {
     topKScored(scored, k)
   }
 
+  /** Int8-wide probe → float re-rank: the widening composition the two
+    * storage legs exist for. Stage 1 scores ALL candidates of the probed
+    * cells as integer dots over the 64-byte codes (the cheap-bytes pass —
+    * scan reads no floats) and keeps the k·widen best per query; stage 2
+    * re-scores ONLY those survivors with exact float cosine (a second
+    * bucket-pruned scan of the survivors' cells, float columns this time,
+    * joined to the tiny survivor set) and returns the float top-k. Cost:
+    * stage 1 = [[searchInt8]]; stage 2 = O(queries × k·widen) float dots +
+    * one pruned scan. With `widen` large enough to keep every candidate,
+    * the result is EXACTLY [[search]] (spec-pinned); at small widen the
+    * int8 cut can only drop candidates whose quantized rank fell below
+    * k·widen — the standard re-rank trade, oracled end-to-end by
+    * `q_ivf_rerank`. */
+  def searchRerank(spark: SparkSession, tag: String, queries: DataFrame,
+                   nprobe: Int = 0, k: Int = 5, widen: Int = 4,
+                   excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
+    val cents = loadModel(spark, tag)
+    val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
+    spark.catalog.refreshTable(assignTable(tag))
+    // probe rows carry BOTH query forms: the int8 code for stage 1 and
+    // the float vector + norm for stage 2
+    val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          val q = Similarity.quantizeVec(v)
+          val na = math.sqrt(Similarity.dotI(q, q).toDouble)
+          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+            .sorted
+            .iterator.take(math.max(1, np))
+            .map { case (_, cid) => (id, cid, q, na, v, Similarity.normP(v)) }
+        }
+        .toDF("query_id", "cid", "qa", "na", "vq", "nq"))
+    val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
+    graft.plans.DotInt8.ensureRegistered(spark)
+    graft.plans.DotFloat.ensureRegistered(spark)
+    val joined = spark.table(assignTable(tag))
+      .select("vec_id", "cid", "qvec", "qnrm")
+      .filter(col("cid").isin(probedCells: _*))
+      .join(probes.select("query_id", "cid", "qa", "na"), "cid")
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    val scored8 = cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      col("cid"),
+      when(col("na") === 0 || col("qnrm") === 0, lit(0.0))
+        .otherwise(expr(s"${graft.plans.DotInt8.FuncName}(qa, qvec)")
+          .cast("double") / (col("na") * col("qnrm"))).as("cos"))
+    // the k·widen cut on the int8 order, pinned tie-break; checkpointed —
+    // the survivor set is tiny and feeds both the cell collect and the
+    // re-rank join
+    val wWide = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val wide = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      scored8.withColumn("rw", row_number().over(wWide))
+        .filter(col("rw") <= k * widen)
+        .select("query_id", "neighbor_id", "cid"))
+    val wideCells = wide.select("cid").distinct().as[Int].collect().toSeq
+    val floats = spark.table(assignTable(tag))
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("embedding"), col("nrm"))
+      .filter(col("cid").isin(wideCells: _*))
+    val scoredF = wide.drop("cid")
+      .join(floats.drop("cid"), "neighbor_id")
+      .join(probes.select("query_id", "vq", "nq").dropDuplicates("query_id"), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
+          / (col("nq") * col("nrm"))).as("cos"))
+    topKScored(scoredF, k)
+  }
+
   /** Top-k per query over `(query_id, neighbor_id, cos)` with the pinned
     * (cos DESC, neighbor_id ASC) tie-break. k = 1 — the streaming gate's
     * shape — goes through [[graft.plans.ArgMaxStruct]] (hash arg-max,

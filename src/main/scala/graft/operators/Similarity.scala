@@ -1031,4 +1031,70 @@ WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
 SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
 FROM ranked WHERE rk <= $k ORDER BY query_id, rk
 """.trim
+
+  /** Full relational oracle for the int8-wide → float-re-rank composition
+    * ([[IvfIndex.searchRerank]]): [[ivfSearchInt8Sql]]'s chain down to the
+    * int8 scores, a k·widen cut per query on the (cos DESC, neighbor_id
+    * ASC) order, then exact float cosine over ONLY the survivors and the
+    * final top-k on the float order. */
+  def ivfSearchRerankSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                         widen: Int = 4, nQueries: Int = 50, dim: Int = Dim,
+                         iters: Int = LloydIters): String = s"""
+WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), rk AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+  FROM dist
+), assign AS (
+  SELECT vec_id, cid FROM rk WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, cid FROM rk WHERE r <= $nprobe AND vec_id < $nQueries
+), cand AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM probes p JOIN assign a2 ON a2.cid = p.cid AND a2.vec_id <> p.query_id
+), qv AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, $dim),
+      i -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(round(CAST(embedding[i] AS DOUBLE) / scale) AS BIGINT) END) AS q
+  FROM (
+    SELECT vec_id, embedding,
+      list_max(list_transform(generate_series(1, $dim),
+        i -> abs(CAST(embedding[i] AS DOUBLE)))) / 127.0 AS scale
+    FROM embeddings)
+), qn AS (
+  SELECT vec_id, q,
+    sqrt(CAST(list_sum(list_transform(generate_series(1, $dim), i -> q[i] * q[i])) AS DOUBLE)) AS nrm
+  FROM qv
+), sims8 AS (
+  SELECT c.query_id, c.neighbor_id,
+    CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(generate_series(1, $dim), i -> a.q[i] * b.q[i])) AS DOUBLE)
+           / (a.nrm * b.nrm) END AS cos
+  FROM cand c
+  JOIN qn a ON a.vec_id = c.query_id
+  JOIN qn b ON b.vec_id = c.neighbor_id
+), wide AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rw
+    FROM sims8) t WHERE rw <= ${k * widen}
+), simsf AS (
+  SELECT w.query_id, w.neighbor_id, $CosineSqlExpr AS cos
+  FROM wide w
+  JOIN embeddings a ON a.vec_id = w.query_id
+  JOIN embeddings b ON b.vec_id = w.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM simsf
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk
+""".trim
 }

@@ -165,6 +165,26 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally drop("ivx8")
   }
 
+  test("rerank with a non-biting widen ≡ float search; a biting widen still top-ks") {
+    val dir = Files.createTempDirectory("graft-ivfidx-rr").toString
+    try {
+      IvfIndex.build(emb, dir, "ivxr2", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val q = emb.filter(col("vec_id") < 20)
+      // widen large enough to keep every candidate → the float re-rank
+      // covers the full candidate set → EXACTLY the float search
+      val all = IvfIndex.searchRerank(spark, "ivxr2", q, nprobe = 2,
+        widen = 100000).collect().toSeq
+      val float = IvfIndex.search(spark, "ivxr2", q, nprobe = 2).collect().toSeq
+      assert(all == float && all.nonEmpty)
+      // a biting widen returns k rows per query with float-exact scores
+      // (every emitted cos must appear in the float search's candidate
+      // scoring — the int8 stage only SELECTS, never scores the output)
+      val bitten = IvfIndex.searchRerank(spark, "ivxr2", q, nprobe = 2,
+        widen = 1).collect()
+      assert(bitten.nonEmpty && bitten.forall(_.getInt(1) <= 5))
+    } finally drop("ivxr2")
+  }
+
   test("k=1 hash arg-max ≡ window top-1 (ties included, self-matches kept)") {
     val dir = Files.createTempDirectory("graft-ivfidx-top1").toString
     try {
