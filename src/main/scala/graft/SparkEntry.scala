@@ -73,7 +73,10 @@ object SparkEntry {
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
     "q_minhash_dedup" -> ((s, dir) => Dedup.minhashDedup(s, dir)),
     "q_dup_clusters" -> ((s, dir) => Dedup.dupClusters(s, dir)),
-    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    // hasher="md5" puts the whole simhash pipeline (hash included) under
+    // the DuckDB oracle; the xxh64 deployment kernel stays pinned by
+    // SimHashDifferentialSpec (identical voting/banding code path)
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir, hasher = "md5")),
     // benchmark decontamination: eval-set containment in training docs
     "q_contamination" -> ((s, dir) => Dedup.contamination(s, dir)),
     // incremental dedup: gate a new batch against the existing corpus
@@ -159,6 +162,21 @@ object SparkEntry {
       // nprobe pinned at the oracle's constant (the operator default is
       // the nprobeFor recall-floor rule)
       IvfIndex.search(s, "q_ivfidx", e.filter(col("vec_id") < 50), nprobe = 2)
+    }),
+    // SemDeDup (Abbas et al. 2023): k-means-localized embedding near-dup
+    // verdicts — cluster, then dup iff a lower-id cell-mate has cosine ≥ τ
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(s, dir, nCentroids = 8, threshold = 0.45)),
+    // the same verdict through the PERSISTENT IvfIndex: the bucketed
+    // assignment relation makes the within-cell pair join bucket-local
+    // (zero Exchange — SemanticDedupSpec pins the plan); identical oracle
+    // SQL pins stored ≡ recompute bit-for-bit
+    "q_semdedup_indexed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_semdedup").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_semdd", nCentroids = 8, seed = Similarity.ResidueSeed)
+      Dedup.semanticDedupIndexed(s, "q_semdd", threshold = 0.45)
     }),
     // the stored int8 tier of the same index: candidates scored as exact
     // integer dots over the 64-byte code column (scan never reads the
@@ -276,15 +294,24 @@ object SparkEntry {
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_vector_gate" -> graft.streaming.VectorIngestGate.gateQuerySql(),
+    "q_semantic_dedup" -> Dedup.semanticDedupSql(nCentroids = 8, threshold = 0.45),
+    // identical SQL by design: the indexed path must reproduce the
+    // recompute path bit-for-bit
+    "q_semdedup_indexed" -> Dedup.semanticDedupSql(nCentroids = 8, threshold = 0.45),
     "q_quantize" -> Similarity.quantizeSql(),
     // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
     // masks, embedded in the SQL as one BIGINT per plane (band/bits
     // grouping mirrors the engine's injective bucket mix)
     "q_ann_lsh" -> Similarity.annPairsSql(threshold = 0.8, bands = 48, planesPerBand = 12),
-    "q_media_bytes" -> Multimodal.byteFeatureSql
-    // q_simhash_pairs, q_multimodal: no SQL equivalent → rows-only check
-    // here, plus a differential oracle in ScalaTest
-    // (SimHashDifferentialSpec reimplements xxHash64 + the voting/banding
-    // pipeline independently; MediaDecodeSpec does real JDK decodes).
+    "q_media_bytes" -> Multimodal.byteFeatureSql,
+    // the full simhash pipeline under the oracle: MD5 is the one 64-bit
+    // hash both engines compute identically, so the query variant pins
+    // hash + voting + banding + Hamming end-to-end in DuckDB; the xxh64
+    // deployment kernel shares every line but the hash call and keeps its
+    // independent differential oracle (SimHashDifferentialSpec)
+    "q_simhash_pairs" -> Dedup.simhashPairsSql()
+    // q_multimodal: codec features (real decodes) have no SQL equivalent →
+    // rows-only check here plus MediaDecodeSpec's real JDK decodes; its
+    // deterministic byte-feature half is q_media_bytes, fully oracled.
   )
 }

@@ -682,14 +682,28 @@ ORDER BY f.doc_id
     * whole-stage-codegen'd into a class Janino took ~20 s to compile on
     * first use (the driver's cold bench ate it every round). Signatures are
     * bit-identical to that shape (SimHashDifferentialSpec pins them against
-    * an independent XXH64 + voting reimplementation). */
-  def simhashSignatures(docsDf: DataFrame): DataFrame = {
+    * an independent XXH64 + voting reimplementation).
+    *
+    * The token hash is a PARAMETER of the algorithm, not its identity:
+    *  - `"xxh64"` (default) — Spark's own xxHash64 (seed 42), the cheap
+    *    deployment kernel, pinned differentially (SimHashDifferentialSpec);
+    *  - `"md5"`  — the 64 most-significant bits of standard MD5 over the
+    *    token's UTF-8 bytes. MD5 is computed identically by every engine
+    *    that ships it, which makes THIS variant fully expressible in ANSI
+    *    SQL ([[simhashPairsSql]]) and therefore DuckDB-oracle-able
+    *    end-to-end — the hash, the ±1 voting, the banding and the Hamming
+    *    verify are all pinned by an independent engine, not a
+    *    reimplementation in the same test JVM. */
+  def simhashSignatures(docsDf: DataFrame, hasher: String = "xxh64"): DataFrame = {
     import docsDf.sparkSession.implicits._
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
+    require(hasher == "xxh64" || hasher == "md5", s"unknown simhash hasher: $hasher")
+    val useMd5 = hasher == "md5"
     docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        val md = if (useMd5) java.security.MessageDigest.getInstance("MD5") else null
         val toks = (if (text == null) "" else text).split(" ", -1)
         val seen = new java.util.HashSet[String](toks.length * 2)
         val votes = new Array[Int](64)
@@ -697,7 +711,15 @@ ORDER BY f.doc_id
         while (k < toks.length) {
           val t = toks(k)
           if (seen.add(t)) {
-            val h = XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+            val h =
+              if (useMd5) {
+                // first 8 digest bytes big-endian ≡ the hash's first 16 hex
+                // chars — the value the SQL oracle reconstructs digit-wise
+                md.reset()
+                java.nio.ByteBuffer
+                  .wrap(md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0, 8)
+                  .getLong
+              } else XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
             var i = 0
             while (i < 64) {
               if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -716,8 +738,9 @@ ORDER BY f.doc_id
 
   /** SimHash near-dup pairs: group by band (4×16-bit chunks — Hamming
     * distance ≤3 guarantees ≥1 identical chunk), verify by popcount of XOR. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val base = simhashSignatures(docs(spark, dir))
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3,
+                   hasher: String = "xxh64"): DataFrame = {
+    val base = simhashSignatures(docs(spark, dir), hasher)
     val banded = base.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         concat_ws(":", lit(i), shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL))): _*)).as("chunk"))
@@ -732,4 +755,179 @@ ORDER BY f.doc_id
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
       .orderBy("id_a", "id_b")
   }
+
+  /** ANSI SQL for [[simhashPairs]] with `hasher = "md5"` — the full
+    * pipeline (tokenize → distinct → hash → ±1 bit votes → 4×16-bit
+    * banding → Hamming verify) in one statement DuckDB runs on the raw
+    * `documents` table. The 64-bit hash value never materializes as an
+    * integer (no unsigned-64 type in ANSI SQL): each bit is read straight
+    * out of the MD5 hex string — bit `i` (LSB-first, matching the Scala
+    * kernel's `(h >>> i) & 1`) lives in hex digit `16 - i/4` (1-based),
+    * nibble bit `i % 4` — and the signature is carried as four 16-bit
+    * chunk INTEGERs, which is exactly the banding decomposition anyway. */
+  def simhashPairsSql(maxHamming: Int = 3): String = {
+    val chunks = (0 until 4).map { c =>
+      s"CAST(SUM(CASE WHEN v > 0 AND bit // 16 = $c THEN 1 << (bit % 16) ELSE 0 END) AS INTEGER) AS c$c"
+    }.mkString(",\n             ")
+    s"""WITH toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+       |    FROM documents)
+       |), th AS (
+       |  SELECT doc_id, md5(tok) AS h FROM toks
+       |), votes AS (
+       |  SELECT doc_id, b.bit,
+       |         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - b.bit // 4, 1)) - 1)
+       |                        >> (b.bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+       |  GROUP BY doc_id, b.bit
+       |), sig AS (
+       |  SELECT doc_id,
+       |         $chunks
+       |  FROM votes GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, c0, c1, c2, c3, i.i,
+       |         CASE i.i WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS chunk
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+       |         bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+       |FROM pairs WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // --- Semantic dedup (SemDeDup) ---------------------------------------
+
+  /** Per-cell target size for the AUTO cluster count of [[semanticDedup]].
+    * Semantic dedup's cost is the within-cell quadratic, n·κ for cell size
+    * κ — so the right cell count is n/κ (fixed cell size, linear total
+    * work), NOT the √n rule search uses (√n cells mean √n-sized cells and
+    * n^1.5 pair work). κ=256: 32k float dots per cell, milliseconds per
+    * task, and cells stay under [[Similarity.MaxCentroids]] up to
+    * n = 2¹⁶·256 ≈ 16.8M vectors per model — past that, shard the corpus
+    * or move the assignment to the IMI product cells (documented in
+    * `Imi`), exactly as for search. */
+  val SemDedupCellSize = 256
+
+  /** Cluster count for semantic dedup over `n` vectors: `⌈n/κ⌉` clamped
+    * to the broadcast-model cap. */
+  def semanticCellsFor(n: Long): Int =
+    math.min(Similarity.MaxCentroids.toLong,
+      math.max(1L, math.ceil(n.toDouble / SemDedupCellSize).toLong)).toInt
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with k-means, then
+    * call a vector a duplicate iff some SAME-CELL neighbor with a LOWER
+    * vec_id has cosine ≥ `threshold`. The lowest-id member of every
+    * near-duplicate chain survives, so the verdict is deterministic and
+    * needs no connected components — clustering localizes the quadratic
+    * (the whole point of SemDeDup: all-pairs cosine at corpus scale is
+    * unpayable, within-cell it's n·κ).
+    *
+    * Output: (vec_id, centroid_id, is_dup, dup_of) — `dup_of` is the
+    * LOWEST qualifying lower-id cell-mate (NULL when kept).
+    *
+    * `nCentroids = 0` → [[semanticCellsFor]] (fixed cell SIZE — see
+    * [[SemDedupCellSize]] for why search's √n rule is wrong here).
+    * Explicit `nCentroids` trains with the SQL-expressible residue seed,
+    * which is what keeps the oracle ([[semanticDedupSql]]) total. */
+  def semanticDedup(spark: SparkSession, dir: String, nCentroids: Int = 0,
+                    threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cells = if (nCentroids == 0) semanticCellsFor(base.count()) else nCentroids
+    val cents = Similarity.trainedCentroidArrays(base, cells, Similarity.LloydIters,
+      Similarity.resolveSeed(Similarity.DefaultSeed, nCentroids == 0, cells))
+    val assigned = base.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, Similarity.nearestCell(v, cents)._1.toLong, v, Similarity.normP(v)) }
+      .toDF("vec_id", "cid", "embedding", "nrm")
+    semanticVerdict(assigned, threshold)
+  }
+
+  /** [[semanticDedup]] through a PERSISTENT [[IvfIndex]] — the 100 TB
+    * shape: the stored assignment relation is bucketed by `cid` and
+    * already carries (embedding, nrm), so the within-cell pair join is
+    * bucket-local (both sides share the bucketing — NO Exchange on
+    * either input, pinned in SemanticDedupSpec) and the verdict is one
+    * scan + one tiny aggregate. Build once, re-verdict any time the
+    * threshold moves, without re-clustering. Must equal [[semanticDedup]]
+    * with the index's cell count exactly — same oracle SQL. */
+  def semanticDedupIndexed(spark: SparkSession, tag: String,
+                           threshold: Double = 0.8): DataFrame = {
+    IndexCanary.check(spark, IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+    spark.catalog.refreshTable(IvfIndex.assignTable(tag))
+    semanticVerdict(
+      spark.table(IvfIndex.assignTable(tag))
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("embedding"), col("nrm")),
+      threshold)
+  }
+
+  /** Shared verdict kernel over an assignment relation
+    * (vec_id, cid, embedding, nrm): within-cell lower-id pairs, codegen
+    * cosine ([[graft.plans.DotFloat]] with the precomputed norms — the
+    * same scoring discipline as `IvfIndex.search`, ulp-identical to the
+    * oracle's list-fold), min qualifying cell-mate per vector. */
+  private[graft] def semanticVerdict(assigned: DataFrame, threshold: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    graft.plans.DotFloat.ensureRegistered(spark)
+    val lhs = assigned.select(col("cid"), col("vec_id").as("id_i"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val rhs = assigned.select(col("cid"), col("vec_id").as("id_j"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dup = lhs.join(rhs, "cid")
+      .filter(col("id_j") < col("id_i"))
+      .filter(expr(s"${graft.plans.DotFloat.FuncName}(va, vb)")
+        / (col("na") * col("nb")) >= threshold)
+      .groupBy("id_i").agg(min("id_j").as("dup_of"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dup, assigned("vec_id") === dup("id_i"), "left")
+      .select(col("vec_id"), col("cid").as("centroid_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** ANSI oracle for [[semanticDedup]] with explicit `nCentroids`: the
+    * unrolled Lloyd training chain ([[Similarity.centroidCtes]] — the
+    * same CTEs every `q_ivf_*` oracle pins), nearest-cell assignment,
+    * within-cell lower-id pairs over exact cosine, min qualifying
+    * neighbor. Serves [[semanticDedupIndexed]] unchanged — the stored
+    * path must reproduce the recompute path bit-for-bit. */
+  def semanticDedupSql(nCentroids: Int = 8, threshold: Double = 0.8,
+                       dim: Int = Similarity.Dim,
+                       iters: Int = Similarity.LloydIters): String = s"""
+WITH ${Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), rk AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+  FROM dist
+), assign AS (
+  SELECT vec_id, cid FROM rk WHERE r = 1
+), pairs AS (
+  SELECT ai.vec_id AS id_i, aj.vec_id AS id_j
+  FROM assign ai
+  JOIN assign aj ON aj.cid = ai.cid AND aj.vec_id < ai.vec_id
+  JOIN embeddings a ON a.vec_id = ai.vec_id
+  JOIN embeddings b ON b.vec_id = aj.vec_id
+  WHERE ${Similarity.CosineSqlExpr} >= $threshold
+), dup AS (
+  SELECT id_i, MIN(id_j) AS dup_of FROM pairs GROUP BY id_i
+)
+SELECT s.vec_id, CAST(s.cid AS BIGINT) AS centroid_id,
+       d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM assign s LEFT JOIN dup d ON d.id_i = s.vec_id
+ORDER BY s.vec_id
+""".trim
 }

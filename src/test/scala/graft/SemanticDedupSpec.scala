@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{Dedup, IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** SemDeDup semantics: the verdict must agree with an independent
+  * brute-force reimplementation (assignment included), the persistent-index
+  * path must equal the recompute path exactly AND pay zero Exchange for the
+  * within-cell pair join, and the auto cell rule must target a fixed cell
+  * SIZE (linear total pair work), not search's √n. */
+class SemanticDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def drop(tag: String): Unit =
+    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("verdicts agree with an independent brute-force within-cell check") {
+    val got = Dedup.semanticDedup(spark, dir, nCentroids = 8, threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.length == emb.count())
+
+    // independent reimplementation: same centroids API, but assignment,
+    // cosine, and the lower-id-neighbor rule all recomputed with plain
+    // double loops here (no DotFloat, no joins)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = Similarity.trainedCentroidArrays(
+      emb.select("vec_id", "embedding"), 8, Similarity.LloydIters,
+      Similarity.ResidueSeed)
+    def cell(v: Array[Float]): Long = {
+      var best = 0; var bd = Double.MaxValue
+      for (c <- cents.indices) {
+        var s = 0.0
+        for (i <- cents(c).indices) { val d = v(i) - cents(c)(i); s += d * d }
+        if (s < bd) { bd = s; best = c }
+      }
+      best.toLong
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cellOf = vecs.map { case (id, v) => id -> cell(v) }
+    var dups = 0
+    got.foreach { case (id, cid, isDup, dupOf) =>
+      assert(cid == cellOf(id), s"vec $id assigned to $cid, expected ${cellOf(id)}")
+      val mates = cellOf.collect { case (j, c) if c == cid && j < id => j }
+      val qualifying = mates.filter(j => cos(vecs(id), vecs(j)) >= 0.45)
+      if (isDup) {
+        dups += 1
+        assert(qualifying.nonEmpty && dupOf == qualifying.min,
+          s"vec $id: dup_of=$dupOf, qualifying=${qualifying.toSeq.sorted}")
+      } else assert(qualifying.isEmpty,
+        s"vec $id kept but has qualifying lower-id cell-mates $qualifying")
+    }
+    assert(dups > 0, "test corpus has planted near-dups; none detected")
+  }
+
+  test("indexed path ≡ recompute path, exactly; pair join pays no Exchange") {
+    val tmp = Files.createTempDirectory("graft-semdd").toString
+    try {
+      IvfIndex.build(emb, tmp, "sdd", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val indexed = Dedup.semanticDedupIndexed(spark, "sdd", threshold = 0.45)
+      val want = Dedup.semanticDedup(spark, dir, nCentroids = 8, threshold = 0.45).collect()
+      val got = indexed.collect()
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+      // both pair-join inputs come from the cid-bucketed assignment
+      // relation: the self-join must reuse the bucketing, not shuffle
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(cid"),
+        s"within-cell pair join shuffled on cid:\n$plan")
+    } finally drop("sdd")
+  }
+
+  test("auto cell rule targets fixed cell size, clamped to the model cap") {
+    assert(Dedup.semanticCellsFor(1) == 1)
+    assert(Dedup.semanticCellsFor(256) == 1)
+    assert(Dedup.semanticCellsFor(257) == 2)
+    assert(Dedup.semanticCellsFor(500) == 2, "sf0.001 corpus → 2 cells")
+    assert(Dedup.semanticCellsFor(1L << 24) == 1 << 16)
+    assert(Dedup.semanticCellsFor(1L << 40) == Similarity.MaxCentroids,
+      "past 16.8M vectors the model cap binds — shard or IMI, documented")
+  }
+
+  test("md5 simhash ≡ xxh64 simhash on the hasher-invariant pairs") {
+    // the signature is a function of the distinct-token SET, so docs with
+    // equal token sets collide at hamming 0 under ANY hash — every such
+    // pair must surface from BOTH hashers. (Hamming-1..3 boundary pairs
+    // are legitimately hash-dependent: different hashes vote different
+    // bits for weakly-similar sets.)
+    val md5 = Dedup.simhashPairs(spark, dir, hasher = "md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val xxh = Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(md5.nonEmpty && xxh.nonEmpty)
+    val tokenSets = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ", -1).toSet)
+    val samePairs = for {
+      (a, ta) <- tokenSets; (b, tb) <- tokenSets if a < b && ta == tb
+    } yield (a, b)
+    assert(samePairs.length > 100, "corpus plants identical-token-set dups")
+    samePairs.foreach { p =>
+      assert(md5.get(p).contains(0), s"pair $p missing/nonzero under md5")
+      assert(xxh.get(p).contains(0), s"pair $p missing/nonzero under xxh64")
+    }
+  }
+}
