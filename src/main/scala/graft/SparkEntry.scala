@@ -68,6 +68,10 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
     "q_pack_sequences" -> ((s, dir) => Packing.packSequences(s, dir)),
     "q_curation_pipeline" -> ((s, dir) => Sampling.curationPipeline(s, dir)),
+    // α=0.5 mixture re-weighting (accept-prob k/√n_lang, md5-uniform coin)
+    "q_temperature_sample" -> ((s, dir) => Sampling.temperatureSample(s, dir)),
+    // deterministic global shuffle → shard manifest (md5 order, running totals)
+    "q_shard_manifest" -> ((s, dir) => Sharding.shardManifest(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
@@ -263,6 +267,8 @@ object SparkEntry {
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),
     "q_curation_pipeline" -> Sampling.curationPipelineSql(),
+    "q_temperature_sample" -> Sampling.temperatureSampleSql(),
+    "q_shard_manifest" -> Sharding.shardManifestSql(),
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // minhash LSH at 16×2 bands has empirically-total recall at the 0.5

@@ -43,6 +43,57 @@ FROM ranked WHERE sample_rank <= $quota
 ORDER BY lang, sample_rank
 """.trim
 
+  /** Temperature-smoothed mixture sampling — the domain/language
+    * re-weighting step of a multilingual/multi-domain training mix
+    * (α-smoothing as in Lample & Conneau 2019, arXiv:1901.07291 §3.1):
+    * high-resource strata are down-sampled relative to their share so the
+    * mix follows p_s^α instead of p_s. With acceptance probability
+    * a_s = min(1, k/√n_s), the expected take per stratum is
+    * min(n_s, k·√n_s) ∝ √n_s — exactly the α = 0.5 mixture, and the ONLY
+    * α whose `pow` is IEEE-correctly-rounded everywhere (`sqrt`), which
+    * is what lets an independent engine reproduce the accept/reject
+    * boundary bit-for-bit. `k` sets the global take; callers wanting a
+    * target row count T pick k = T / Σ_s √n_s driver-side.
+    *
+    * The per-document coin is the usual engine-portable hash uniform:
+    * the first 52 bits of md5(doc_id) as a double in [0,1) — 52 bits so
+    * the integer→double conversion is exact. Deterministic across runs,
+    * engines, and partitionings; selection needs one tiny broadcast join
+    * (distinct strata counts), no shuffle of the corpus itself. */
+  def temperatureSample(spark: SparkSession, dir: String, k: Double = 4.0): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("double") / lit(4503599627370496.0)) // 2^52 — exact division
+    val accept = least(lit(1.0), lit(k) / sqrt(col("n_lang")))
+    d.join(broadcast(counts), "lang")
+      .withColumn("u", u)
+      .withColumn("a", accept)
+      .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"),
+        round(col("a"), 6).as("accept_prob"),
+        (col("u") < col("a")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  def temperatureSampleSql(k: Double = 4.0): String = s"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+), uu AS (
+  SELECT doc_id, lang,
+    CAST(list_sum(list_transform(generate_series(1, 13),
+      i -> (strpos('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - i))))) AS DOUBLE)
+    / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT d.doc_id, d.lang, round(d.u, 6) AS u,
+  round(least(1.0, $k / sqrt(c.n_lang)), 6) AS accept_prob,
+  d.u < least(1.0, $k / sqrt(c.n_lang)) AS kept
+FROM uu d JOIN counts c USING (lang)
+ORDER BY d.doc_id
+""".trim
+
   /** The composed curation pipeline — the end-to-end flow a training-data
     * run actually executes, as ONE declarative plan Catalyst optimizes
     * whole: exact dedup (keep min doc_id per canonical fingerprint) →
