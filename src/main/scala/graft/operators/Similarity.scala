@@ -474,8 +474,10 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * nprobe 8 under √n cells, recall@5 fell 0.576 → 0.392 → 0.324 → 0.248
     * across 1×/10×/30×/100× because the probed CELL fraction fell with n).
     * `⌈2·√cells⌉` (floored at 8, capped at cells) holds measured recall@5
-    * in a ≥0.55 band across all four scale points (0.73 / 0.63 / 0.60 /
-    * 0.61 — SCALING.md r7 table) while the probed fraction still DECAYS
+    * in a ≥0.55 band across FIVE scale points spanning three decades
+    * (0.72 / 0.63 / 0.60 / 0.62 / 0.62 at 1×–1000×, the last through the
+    * stored index at 2M vectors — SCALING.md r7 tables, DeepScaleProbe)
+    * while the probed fraction still DECAYS
     * as 2/n^(1/4) (0.31 → 0.17 → 0.13 → 0.096): per-query candidate
     * volume n·nprobe/cells ≈ 2·n^(3/4) stays sub-linear, so the index
     * keeps being an index AND keeps its recall as the corpus grows —

@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The THIRD decade: does the nprobe recall-floor rule still hold at
+  * 1000× (2M vectors — exactly the exact-baseline guard's cap, so this
+  * is the largest corpus whose recall is still measurable against the
+  * true top-k)? Unlike [[IvfNprobeFrontier]] (which retrains per sweep
+  * point through the in-memory path), this probe measures the DEPLOYMENT
+  * shape: one [[IvfIndex.build]], then the stored bucket-pruned search
+  * swept over nprobe — so the sweep pays no repeated training and the
+  * timings are the per-batch numbers a production gate would see.
+  *
+  * Usage: runMain graft.tools.DeepScaleProbe [srcDir] [factor] [genDir]
+  */
+object DeepScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 1000
+    val gen = if (args.length > 2) args(2) else s"/tmp/graft_scale${factor}x_vec"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-deep-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$gen/embeddings.parquet").isDirectory) {
+      println(s"[deep] generating ${factor}x vector corpus at $gen")
+      val t0 = System.nanoTime()
+      ScaleProbe.generateEmbeddings(spark, src, factor, gen)
+      println(f"[deep] generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    def drop(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.sqlContext.clearCache()
+      System.gc()
+    }
+    val emb = spark.read.parquet(s"$gen/embeddings.parquet")
+    val n = emb.count()
+    val cells = Similarity.cellsFor(n)
+    val rule = Similarity.nprobeFor(cells)
+    println(s"[deep] n=$n cells=$cells rule nprobe=$rule")
+    val tx = System.nanoTime()
+    val exact = Similarity.topK(spark, gen, k = 5, nQueries = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    println(f"[deep] exact ground truth in ${(System.nanoTime() - tx) / 1e9}%.1f s")
+    drop()
+    val tag = "deepivf"
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-deepivf").toString
+    val tb = System.nanoTime()
+    IvfIndex.build(emb, idxDir, tag, buckets = 32)
+    println(f"[deep] IvfIndex.build (train+assign+write) ${(System.nanoTime() - tb) / 1e9}%.1f s")
+    drop()
+    val queries = emb.filter(col("vec_id") < 50)
+    println("\n| corpus | n | cells | variant | nprobe | cell frac | warm s | recall@5 |")
+    println("|---|---|---|---|---|---|---|---|")
+    for ((variant, nprobe) <- Seq(("float", 8), ("float", rule / 2), ("float", rule),
+        ("float", 2 * rule), ("int8", rule), ("int8", 2 * rule))) {
+      def once(): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val df = if (variant == "int8")
+          IvfIndex.searchInt8(spark, tag, queries, nprobe = nprobe)
+        else IvfIndex.search(spark, tag, queries, nprobe = nprobe)
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        ((System.nanoTime() - t0) / 1e9, got)
+      }
+      once(); drop()
+      val (warm, got) = once(); drop()
+      val recall = (exact & got).size.toDouble / exact.size
+      val label = if (nprobe == rule) s"$nprobe (rule)" else s"$nprobe"
+      println(f"| ${factor}x | $n | $cells | $variant | $label | " +
+        f"${nprobe.toDouble / cells}%.3f | $warm%.2f | $recall%.3f |")
+    }
+    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}

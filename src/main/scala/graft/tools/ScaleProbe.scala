@@ -51,6 +51,29 @@ object ScaleProbe {
     if (z > 0) 1.0f else -1.0f
   }
 
+  /** Vectors-only corpus scaling for the deep ANN scale points (the
+    * IVF/IMI tools read only embeddings.parquet; replicating the text
+    * corpus 1000× buys nothing there). Blocks are written in chunked
+    * append jobs so factor = 1000 never builds a 1000-way union plan. */
+  def generateEmbeddings(spark: SparkSession, src: String, factor: Int,
+                         out: String, chunk: Int = 50): Unit = {
+    val dim = graft.operators.Similarity.Dim
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until factor).grouped(chunk).zipWithIndex.foreach { case (bs, ci) =>
+      val blocks = bs.map { b =>
+        if (b == 0) emb
+        else emb.select(
+          (col("vec_id") + lit(b * BlockStride)).as("vec_id"),
+          array((1 to dim).map(i =>
+            element_at(col("embedding"), i) * lit(sign(b, i))): _*).as("embedding"),
+          col("label"))
+      }
+      blocks.reduce(_ unionAll _).write
+        .mode(if (ci == 0) "overwrite" else "append")
+        .parquet(s"$out/embeddings.parquet")
+    }
+  }
+
   def generate(spark: SparkSession, src: String, factor: Int, out: String): Unit = {
     val dim = graft.operators.Similarity.Dim
     val docs = spark.read.parquet(s"$src/documents.parquet")
