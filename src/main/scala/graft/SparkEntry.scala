@@ -63,6 +63,8 @@ object SparkEntry {
     "q_winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
     "q_passages" -> ((s, dir) => TextAnalysis.passages(s, dir)),
     "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
+    // the hashing trick: stateless text → fixed-width sparse features
+    "q_hashed_features" -> ((s, dir) => TextAnalysis.hashedFeatures(s, dir)),
     // training-data pipeline: corpus curation (PII scrub, sampling, packing)
     "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -263,6 +265,7 @@ object SparkEntry {
     "q_winnow_overlap" -> TextAnalysis.winnowOverlapSql(),
     "q_passages" -> TextAnalysis.passagesSql(),
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
+    "q_hashed_features" -> TextAnalysis.hashedFeaturesSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),

@@ -528,4 +528,49 @@ SELECT doc_id,
   upper(hex(encode(substr(text, 1, 8)))) AS head_hex
 FROM documents ORDER BY doc_id
 """.trim
+
+  /** Feature hashing (the hashing trick — Weinberger et al. 2009,
+    * arXiv:0902.2206): token → md5-derived index in [0, dim), per-document
+    * term frequency normalized by token count. The text→fixed-width-vector
+    * step of a featurization pipeline with NO vocabulary state: no
+    * dictionary build, no fit/transform split, no shuffle beyond the
+    * (doc, feature) aggregation — which makes it embarrassingly
+    * distributable and bit-reproducible across engines (the same 52-bit
+    * md5 integer [[Sampling.temperatureSample]] flips, mod dim; tf is a
+    * ratio of exact integers). Output is the sparse relational form
+    * (doc_id, feat, tf) — the dense array is one `map_from_entries` away
+    * but the sparse rows are what a 100 TB corpus shuffles. */
+  def hashedFeatures(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("tok"))
+    val tot = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val h52 = conv(substring(md5(col("tok")), 1, 13), 16, 10).cast("long")
+    toks.withColumn("feat", (h52 % dim).cast("int"))
+      .groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
+      .join(tot, "doc_id")
+      .select(col("doc_id"), col("feat"),
+        round(col("c").cast("double") / col("n_tok"), 6).as("tf"))
+      .orderBy("doc_id", "feat")
+  }
+
+  def hashedFeaturesSql(dim: Int = 64): String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS tok
+  FROM documents
+), tot AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), hashed AS (
+  SELECT doc_id,
+    CAST(CAST(list_sum(list_transform(generate_series(1, 13),
+      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - i))))) AS BIGINT) % $dim AS INTEGER) AS feat
+  FROM toks
+), tf AS (
+  SELECT doc_id, feat, count(*) AS c FROM hashed GROUP BY doc_id, feat
+)
+SELECT t.doc_id, t.feat, round(CAST(t.c AS DOUBLE) / o.n_tok, 6) AS tf
+FROM tf t JOIN tot o USING (doc_id)
+ORDER BY t.doc_id, t.feat
+""".trim
 }

@@ -21,12 +21,29 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *  - The gate's recall IS the ANN recall at the configured nprobe: an
   *    arrival whose true near-neighbor lives in an unprobed cell is
   *    admitted. That is the standard ANN-dedup trade — and the default
-  *    `nprobe = 0` resolves to [[graft.operators.Similarity.nprobeFor]]
-  *    of the stored model, the measured recall-floor rule, so the gate's
-  *    recall HOLDS as appends/rebuilds grow the index instead of
-  *    silently decaying at a fixed constant. The exact alternative
-  *    re-scores the corpus per batch, which is precisely what this gate
-  *    exists to avoid.
+  *    `nprobe = 0` resolves per REGIME, because the two uses of the gate
+  *    have different geometry:
+  *      - `threshold ≥` [[DupGateThreshold]] (duplicate gating): a match
+  *        at cos ≥ 0.99 is a near-copy, and a near-copy of a stored
+  *        vector quantizes like the stored vector — an EXACT copy lands
+  *        in the same argmin cell deterministically, a 0.999-copy can
+  *        only cross to a cell whose boundary it already straddles. A
+  *        small fixed probe ([[DupGateNprobe]]) therefore keeps dup
+  *        recall, at any corpus size. Measured at 2M vectors
+  *        (StreamBench, 1000× corpus, τ=0.999): nprobe 8 produces
+  *        VERDICT-IDENTICAL landings to the full recall rule (7,199 =
+  *        7,199 of 8,000) while the gate phase drops 40 s → 6–8.6 s per
+  *        2,000-vector batch — the rule's ≈2·n^(3/4) candidate volume
+  *        buys nothing here because dup matches are not generic
+  *        neighbors (SCALING.md r7 deep-scale section).
+  *      - `threshold <` [[DupGateThreshold]] (semantic gating): matches
+  *        are genuine nearest-neighbor queries, so the default is
+  *        [[graft.operators.Similarity.nprobeFor]] of the stored model —
+  *        the measured recall-floor rule, which holds the gate's recall
+  *        as appends/rebuilds grow the index instead of silently
+  *        decaying at a fixed constant.
+  *    The exact alternative re-scores the corpus per batch, which is
+  *    precisely what this gate exists to avoid.
   *  - Replay convergence: foreachBatch is at-least-once; a replayed batch
   *    probes WITH self-matches kept (`excludeSelf = false`), so its own
   *    already-stored copies answer at cos 1 and every replayed arrival is
@@ -38,6 +55,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    touches no partitions and leaves the first attempt's rows intact).
   */
 object VectorIngestGate {
+
+  /** Threshold at and above which `nprobe = 0` resolves to the dup-gate
+    * regime (see the class doc): a required cosine this high means the
+    * match is a near-copy, and near-copies share the stored copy's cell
+    * geometry — generic-ANN probe budgets are wasted there. */
+  val DupGateThreshold = 0.99
+
+  /** Probe width of the dup-gate regime — fixed, corpus-size-independent;
+    * verdict-identical to the full recall rule at 2M vectors (measured,
+    * SCALING.md r7) with cell-boundary headroom beyond the argmin cell an
+    * exact copy provably shares. */
+  val DupGateNprobe = 8
+
+  /** `nprobe = 0` resolution for a gate at `threshold` (0 passes through
+    * to [[graft.operators.IvfIndex.search]]'s recall-floor rule). */
+  private def resolveNprobe(nprobe: Int, threshold: Double): Int =
+    if (nprobe == 0 && threshold >= DupGateThreshold) DupGateNprobe else nprobe
 
   /** Gate one batch (vec_id, embedding) against the index; returns
     * (receipts, kept). Receipts: one row per arrival —
@@ -57,7 +91,8 @@ object VectorIngestGate {
                 nprobe: Int): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val arrivals = batch.select(col("vec_id"), col("embedding"))
-    val best = IvfIndex.search(spark, tag, arrivals, nprobe = nprobe, k = 1,
+    val best = IvfIndex.search(spark, tag, arrivals,
+        nprobe = resolveNprobe(nprobe, threshold), k = 1,
         excludeSelf = false)
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
         col("cos"))

@@ -46,6 +46,9 @@ object StreamBench {
     val batchSize = if (args.length > 1) args(1).toInt else 2000
     val nBatches = if (args.length > 2) args(2).toInt else 4
     val tiers = if (args.length > 3) args(3) else "all"
+    // vecgate probe width: 0 → the gate's default; explicit values let the
+    // dup-gate-vs-recall-rule comparison run on the same corpus (SCALING r7)
+    val gateNprobe = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -155,8 +158,15 @@ object StreamBench {
       summary(trig, gateTimes, gateIxTimes, ArrayBuffer.empty)
       spark.stop(); return
     }
+    // arrival-synthesis pool: the driver only needs batchSize × nBatches
+    // source vectors, not the corpus — cap the collect so deep-scale
+    // corpora (2M vectors at 1000×) don't pull 600 MB to the driver to
+    // fabricate 8k arrivals. Sorted → deterministic pool at every scale
+    // (≤ 60k corpora collected everything before, so published numbers
+    // at those scales are composition-identical).
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .sort("vec_id").limit(100000).collect()
 
     // ---- 1c. VectorIngestGate (persistent-IVF embedding gate) ----
     if (tiers == "all" || tiers == "vecgate") {
@@ -192,7 +202,7 @@ object StreamBench {
           // keeps the gate's recall from decaying as the corpus grows —
           // so per-batch cost here carries the rule's candidate volume
           // (≈2·n^(3/4)), not a flattering fixed constant
-          threshold = 0.999, nprobe = 0, verbose = true).awaitTermination()
+          threshold = 0.999, nprobe = gateNprobe, verbose = true).awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[streambench] vecgate batch $b: ${batch.length} vectors in $sec%.2f s " +
           f"(${batch.length / sec}%.0f vec/s)")

@@ -66,4 +66,34 @@ class VectorIngestGateSpec extends AnyFunSuite {
       assert(spark.table(IvfIndex.assignTable("vgate")).count() == all.length + 1)
     } finally drop("vgate")
   }
+
+  test("auto nprobe resolves per regime: dup gate fixed, semantic gate rule") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vecgate-np").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      IvfIndex.build(emb, s"$root/index", "vgnp", nCentroids = 8,
+        seed = graft.operators.Similarity.ResidueSeed)
+      val arrivals = emb.filter(col("vec_id") < 30)
+        .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+      // regime constants are the measured ones (SCALING.md r7 deep-scale)
+      assert(VectorIngestGate.DupGateThreshold == 0.99)
+      assert(VectorIngestGate.DupGateNprobe == 8)
+      // dup regime: auto ≡ explicit DupGateNprobe
+      val autoDup = VectorIngestGate
+        .gateBatch("vgnp", arrivals, threshold = 0.999, nprobe = 0)._1.collect().toSeq
+      val fixedDup = VectorIngestGate
+        .gateBatch("vgnp", arrivals, threshold = 0.999, nprobe = VectorIngestGate.DupGateNprobe)
+        ._1.collect().toSeq
+      assert(autoDup == fixedDup && autoDup.nonEmpty)
+      // semantic regime: auto falls through to IvfIndex.search's recall rule
+      val autoSem = VectorIngestGate
+        .gateBatch("vgnp", arrivals, threshold = 0.5, nprobe = 0)._1.collect().toSeq
+      val ruleSem = VectorIngestGate
+        .gateBatch("vgnp", arrivals, threshold = 0.5,
+          nprobe = graft.operators.Similarity.nprobeFor(8))._1.collect().toSeq
+      assert(autoSem == ruleSem && autoSem.nonEmpty)
+    } finally drop("vgnp")
+  }
 }
