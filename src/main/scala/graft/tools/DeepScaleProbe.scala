@@ -13,13 +13,17 @@ import org.apache.spark.sql.functions._
   * swept over nprobe — so the sweep pays no repeated training and the
   * timings are the per-batch numbers a production gate would see.
   *
-  * Usage: runMain graft.tools.DeepScaleProbe [srcDir] [factor] [genDir]
+  * Usage: runMain graft.tools.DeepScaleProbe [srcDir] [factor] [genDir] [tiers]
+  * tiers: `flat` (default), `imi`, or `flat,imi` — the IMI tier builds the
+  * persistent product-cell index on the same corpus and measures its
+  * recall tax vs the flat index at the matched (rule / 2·rule) budgets.
   */
 object DeepScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 1000
     val gen = if (args.length > 2) args(2) else s"/tmp/graft_scale${factor}x_vec"
+    val tiers = if (args.length > 3) args(3) else "flat"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -51,34 +55,59 @@ object DeepScaleProbe {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     println(f"[deep] exact ground truth in ${(System.nanoTime() - tx) / 1e9}%.1f s")
     drop()
-    val tag = "deepivf"
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-deepivf").toString
-    val tb = System.nanoTime()
-    IvfIndex.build(emb, idxDir, tag, buckets = 32)
-    println(f"[deep] IvfIndex.build (train+assign+write) ${(System.nanoTime() - tb) / 1e9}%.1f s")
-    drop()
     val queries = emb.filter(col("vec_id") < 50)
     println("\n| corpus | n | cells | variant | nprobe | cell frac | warm s | recall@5 |")
     println("|---|---|---|---|---|---|---|---|")
-    for ((variant, nprobe) <- Seq(("float", 8), ("float", rule / 2), ("float", rule),
-        ("float", 2 * rule), ("int8", rule), ("int8", 2 * rule))) {
+    def sweep(variant: String, cellCount: Int, nprobe: Int)(
+        run: Int => org.apache.spark.sql.DataFrame): Unit = {
       def once(): (Double, Set[(Long, Long)]) = {
         val t0 = System.nanoTime()
-        val df = if (variant == "int8")
-          IvfIndex.searchInt8(spark, tag, queries, nprobe = nprobe)
-        else IvfIndex.search(spark, tag, queries, nprobe = nprobe)
-        val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val got = run(nprobe).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
         ((System.nanoTime() - t0) / 1e9, got)
       }
       once(); drop()
       val (warm, got) = once(); drop()
       val recall = (exact & got).size.toDouble / exact.size
       val label = if (nprobe == rule) s"$nprobe (rule)" else s"$nprobe"
-      println(f"| ${factor}x | $n | $cells | $variant | $label | " +
-        f"${nprobe.toDouble / cells}%.3f | $warm%.2f | $recall%.3f |")
+      println(f"| ${factor}x | $n | $cellCount | $variant | $label | " +
+        f"${nprobe.toDouble / cellCount}%.3f | $warm%.2f | $recall%.3f |")
     }
-    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    if (tiers.contains("flat")) {
+      val tag = "deepivf"
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-deepivf").toString
+      val tb = System.nanoTime()
+      IvfIndex.build(emb, idxDir, tag, buckets = 32)
+      println(f"[deep] IvfIndex.build (train+assign+write) ${(System.nanoTime() - tb) / 1e9}%.1f s")
+      drop()
+      for ((variant, nprobe) <- Seq(("float", 8), ("float", rule / 2), ("float", rule),
+          ("float", 2 * rule), ("int8", rule), ("int8", 2 * rule))) {
+        sweep(variant, cells, nprobe) { np =>
+          if (variant == "int8") IvfIndex.searchInt8(spark, tag, queries, nprobe = np)
+          else IvfIndex.search(spark, tag, queries, nprobe = np)
+        }
+      }
+      Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+    if (tiers.contains("imi")) {
+      import graft.operators.{Imi, ImiIndex}
+      val k1 = Imi.k1For(n)
+      val productCells = k1 * k1
+      val tag = "deepimi"
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-deepimi").toString
+      val tb = System.nanoTime()
+      ImiIndex.build(emb, idxDir, tag, buckets = 32, k1 = k1)
+      println(f"[deep] ImiIndex.build (k1=$k1 → $productCells product cells) " +
+        f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      drop()
+      for (nprobe <- Seq(rule, 2 * rule)) {
+        sweep("imi", productCells, nprobe) { np =>
+          ImiIndex.search(spark, tag, queries, nprobe = np)
+        }
+      }
+      Seq(ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     spark.stop()
   }
 }
