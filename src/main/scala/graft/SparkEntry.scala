@@ -65,6 +65,8 @@ object SparkEntry {
     "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
     // the hashing trick: stateless text → fixed-width sparse features
     "q_hashed_features" -> ((s, dir) => TextAnalysis.hashedFeatures(s, dir)),
+    // BPE merge candidates: freq-weighted adjacent-char pair counts
+    "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
     // training-data pipeline: corpus curation (PII scrub, sampling, packing)
     "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -266,6 +268,7 @@ object SparkEntry {
     "q_passages" -> TextAnalysis.passagesSql(),
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
     "q_hashed_features" -> TextAnalysis.hashedFeaturesSql(),
+    "q_bpe_pairs" -> TextAnalysis.bpePairCountsSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),

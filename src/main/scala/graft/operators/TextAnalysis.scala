@@ -529,6 +529,47 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """.trim
 
+  /** BPE merge-candidate counting — the inner statistic of byte-pair-
+    * encoding tokenizer training (Sennrich et al. 2016, arXiv:1508.07909):
+    * corpus-frequency-weighted counts of adjacent character pairs inside
+    * words, ranked. One BPE training iteration = take the top pair, merge
+    * it, recount; the COUNTING is the distributed-scale part (the corpus
+    * scan), and it factors through the word-frequency table — the
+    * character expansion only ever touches DISTINCT words (vocabulary-
+    * sized, not corpus-sized), which is what makes tokenizer training on
+    * a 100 TB corpus a sequence of cheap jobs over a small aggregate:
+    * scan once for word counts, iterate merges against the vocabulary.
+    * Top-N cut is deterministic under (cnt DESC, a, b). */
+  def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("a"),
+        expr("substring(w, i + 1, 1)").as("b"), col("freq"))
+      .groupBy("a", "b").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  def bpePairCountsSql(topN: Int = 50): String = s"""
+WITH words AS (
+  SELECT tok AS w, count(*) AS freq FROM (
+    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 2 GROUP BY tok
+), pairs AS (
+  SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+         substr(w, CAST(i AS INTEGER) + 1, 1) AS b, freq
+  FROM words, LATERAL (SELECT unnest(range(1, length(w))) AS i) t
+)
+SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+FROM pairs GROUP BY a, b
+ORDER BY cnt DESC, a, b LIMIT $topN
+""".trim
+
   /** Feature hashing (the hashing trick — Weinberger et al. 2009,
     * arXiv:0902.2206): token → md5-derived index in [0, dim), per-document
     * term frequency normalized by token count. The text→fixed-width-vector

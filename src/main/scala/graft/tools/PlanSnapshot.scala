@@ -16,7 +16,8 @@ object PlanSnapshot {
       "q_passages", "q_pack_sequences", "q_pii_redact", "q_repetition",
       "q_contamination", "q_salted_join", "q_curation_pipeline", "q_bm25",
       "q_ivf_search", "q_ivf_search_int8", "q_latest_by_key",
-      "q_dedup_incremental")
+      "q_dedup_incremental", "q_semantic_dedup", "q_temperature_sample",
+      "q_shard_manifest", "q_hashed_features", "q_simhash_pairs")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.tools.PlanSnapshot\"`. Lines\n")
