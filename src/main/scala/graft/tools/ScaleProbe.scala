@@ -75,29 +75,29 @@ object ScaleProbe {
   }
 
   def generate(spark: SparkSession, src: String, factor: Int, out: String): Unit = {
-    val dim = graft.operators.Similarity.Dim
+    generateDocs(spark, src, factor, out)
+    generateEmbeddings(spark, src, factor, out)
+  }
+
+  /** Documents-only block replication, chunked like [[generateEmbeddings]]
+    * (a factor-wide unionAll plan stops being analyzable near 1000 children;
+    * content is block-for-block identical to the unchunked original). */
+  def generateDocs(spark: SparkSession, src: String, factor: Int,
+                   out: String, chunk: Int = 50): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val docBlocks = (0 until factor).map { b =>
-      if (b == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(b * BlockStride)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", "$1_b" + b).as("text"),
-        col("lang"), col("source"),
-        length(regexp_replace(col("text"), "(\\S+)", "$1_b" + b)).cast("long").as("n_chars"))
+    (0 until factor).grouped(chunk).zipWithIndex.foreach { case (bs, ci) =>
+      val blocks = bs.map { b =>
+        if (b == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(b * BlockStride)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_b" + b).as("text"),
+          col("lang"), col("source"),
+          length(regexp_replace(col("text"), "(\\S+)", "$1_b" + b)).cast("long").as("n_chars"))
+      }
+      blocks.reduce(_ unionAll _).write
+        .mode(if (ci == 0) "overwrite" else "append")
+        .parquet(s"$out/documents.parquet")
     }
-    docBlocks.reduce(_ unionAll _).write.mode("overwrite")
-      .parquet(s"$out/documents.parquet")
-    val embBlocks = (0 until factor).map { b =>
-      if (b == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(b * BlockStride)).as("vec_id"),
-        array((1 to dim).map(i =>
-          element_at(col("embedding"), i) * lit(sign(b, i))): _*).as("embedding"),
-        col("label"))
-    }
-    embBlocks.reduce(_ unionAll _).write.mode("overwrite")
-      .parquet(s"$out/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
