@@ -63,17 +63,21 @@ object ImiIndex {
   /** Assign new vectors into the EXISTING half-models (no retrain) and
     * append bucketed — the [[IvfIndex.assignInto]] analog, writing
     * through the catalog so it follows a compacted table's location. */
+  /** `buckets = 0` (the default) follows the STORED table's bucket spec
+    * — see [[IvfIndex.assignInto]]. */
   def assignInto(spark: SparkSession, tag: String,
-                 newVecs: DataFrame, buckets: Int = 8): Unit = {
+                 newVecs: DataFrame, buckets: Int = 0): Unit = {
     import spark.implicits._
     IndexCanary.check(spark, modelTable(tag), assignTable(tag))
+    val bk = if (buckets == 0)
+      BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
     newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
       .toDF("vec_id", "cell_id", "embedding", "nrm")
       .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .bucketBy(bk, "cell_id").sortBy("cell_id")
       .saveAsTable(assignTable(tag))
   }
 
@@ -81,16 +85,19 @@ object ImiIndex {
     * census (two tiny counts), gating on [[Imi.k1For]] of the stored
     * count vs the stored model's k1. Returns true iff a rebuild ran. */
   def rebuildIfNeeded(spark: SparkSession, tag: String, path: String,
-                      buckets: Int = 8, growthFactor: Double = 2.0,
+                      buckets: Int = 0, growthFactor: Double = 2.0,
                       iters: Int = Similarity.LloydIters): Boolean = {
     spark.catalog.refreshTable(assignTable(tag))
     spark.catalog.refreshTable(modelTable(tag))
     val n = spark.table(assignTable(tag)).count()
     val haveK1 = spark.table(modelTable(tag)).filter(col("side") === "l").count()
     if (n > 0 && Imi.k1For(n) >= growthFactor * haveK1) {
+      // preserve the stored physical layout across retrains
+      val bk = if (buckets == 0)
+        BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
       val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
         spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
-      build(corpus, path, tag, buckets, k1 = 0, iters)
+      build(corpus, path, tag, bk, k1 = 0, iters)
       true
     } else false
   }
@@ -104,36 +111,24 @@ object ImiIndex {
   def fileCount(spark: SparkSession, tag: String): Long =
     BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
 
-  /** Per-JVM model cache keyed by (location, createTime) — same
-    * rationale and invalidation as [[IvfIndex]]'s: the model table is
-    * immutable between build/rebuild, which recreate it. */
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, (Array[Array[Double]], Array[Array[Double]]))]()
-
+  /** Driver-side half-quantizer models, cached per JVM via
+    * [[BucketedMaintenance.cachedByVersion]]. */
   private def loadModels(spark: SparkSession, tag: String)
-  : (Array[Array[Double]], Array[Array[Double]]) = {
-    val t = modelTable(tag)
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(t))
-    val version = s"${meta.location}#${meta.createTime}"
-    val hit = modelCache.get(t)
-    if (hit != null && hit._1 == version) return hit._2
-    spark.catalog.refreshTable(t) // cross-session rebuild: drop the stale listing
-    val rows = spark.table(t)
-      .select("side", "cid", "centroid").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    def side(s: String): Array[Array[Double]] = {
-      val picked = rows.filter(_._1 == s)
-      val cents = new Array[Array[Double]](picked.length)
-      picked.foreach { case (_, cid, c) => cents(cid) = c }
-      require(cents.nonEmpty && cents.forall(_ != null),
-        s"model table ${modelTable(tag)} side '$s' has gaps in cid space")
-      cents
+  : (Array[Array[Double]], Array[Array[Double]]) =
+    BucketedMaintenance.cachedByVersion(spark, modelTable(tag)) {
+      val rows = spark.table(modelTable(tag))
+        .select("side", "cid", "centroid").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      def side(s: String): Array[Array[Double]] = {
+        val picked = rows.filter(_._1 == s)
+        val cents = new Array[Array[Double]](picked.length)
+        picked.foreach { case (_, cid, c) => cents(cid) = c }
+        require(cents.nonEmpty && cents.forall(_ != null),
+          s"model table ${modelTable(tag)} side '$s' has gaps in cid space")
+        cents
+      }
+      (side("l"), side("r"))
     }
-    val models = (side("l"), side("r"))
-    modelCache.put(t, (version, models))
-    models
-  }
 
   /** Top-k cosine neighbors for `queries` against the stored corpus.
     * Output contract = [[Imi.search]]: `(query_id, rk, neighbor_id, cos)`.

@@ -80,11 +80,15 @@ object IvfIndex {
   /** Assign new vectors into the EXISTING model (no retrain) and append
     * them to the bucketed assignment relation — the maintenance path.
     * Writes through the catalog location, so it follows the table
-    * wherever [[compact]] last moved it. */
+    * wherever [[compact]] last moved it. `buckets = 0` (the default)
+    * follows the STORED table's bucket spec — an explicit count that
+    * disagrees with it would fail Spark's spec-mismatch check. */
   def assignInto(spark: SparkSession, tag: String,
-                 newVecs: DataFrame, buckets: Int = 8): Unit = {
+                 newVecs: DataFrame, buckets: Int = 0): Unit = {
     import spark.implicits._
     IndexCanary.check(spark, modelTable(tag), assignTable(tag))
+    val bk = if (buckets == 0)
+      BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
     val cents = loadModel(spark, tag)
     // append through the catalog location (no path pin): after a
     // [[compact]] the table lives in a generation dir and a pinned
@@ -96,7 +100,7 @@ object IvfIndex {
           q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
       .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
       .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(buckets, "cid").sortBy("cid")
+      .bucketBy(bk, "cid").sortBy("cid")
       .saveAsTable(assignTable(tag))
   }
 
@@ -112,7 +116,7 @@ object IvfIndex {
     * before the rebuild because build drops the table it would otherwise
     * still be reading. */
   def rebuildIfNeeded(spark: SparkSession, tag: String, path: String,
-                      buckets: Int = 8, growthFactor: Double = 2.0,
+                      buckets: Int = 0, growthFactor: Double = 2.0,
                       iters: Int = Similarity.LloydIters,
                       seed: Similarity.IvfSeed = Similarity.DefaultSeed): Boolean = {
     // refresh both relations: the appends being censused typically come
@@ -123,9 +127,13 @@ object IvfIndex {
     val n = spark.table(assignTable(tag)).count()
     val have = spark.table(modelTable(tag)).count()
     if (n > 0 && Similarity.cellsFor(n) >= growthFactor * have) {
+      // preserve the stored physical layout across retrains: a rebuild
+      // must change the MODEL, never silently the bucket count
+      val bk = if (buckets == 0)
+        BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
       val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
         spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
-      build(corpus, path, tag, buckets, nCentroids = 0, iters, seed)
+      build(corpus, path, tag, bk, nCentroids = 0, iters, seed)
       true
     } else false
   }
@@ -150,26 +158,19 @@ object IvfIndex {
     * build/rebuild, which drop-and-recreate the table → new createTime,
     * even from another session (shared external catalog), so staleness
     * detection needs no file listing — one driver-side metadata read. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[Array[Double]])]()
-
-  private def loadModel(spark: SparkSession, tag: String): Array[Array[Double]] = {
-    val t = modelTable(tag)
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(t))
-    val version = s"${meta.location}#${meta.createTime}"
-    val hit = modelCache.get(t)
-    if (hit != null && hit._1 == version) return hit._2
-    spark.catalog.refreshTable(t) // cross-session rebuild: drop the stale listing
-    val rows = spark.table(t)
-      .select("cid", "centroid").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-    val cents = new Array[Array[Double]](rows.length)
-    rows.foreach { case (cid, c) => cents(cid) = c }
-    require(cents.forall(_ != null), s"model table $t has gaps in cid space")
-    modelCache.put(t, (version, cents))
-    cents
-  }
+  /** Driver-side centroid model, cached per JVM via
+    * [[BucketedMaintenance.cachedByVersion]] (the model table only
+    * changes through build/rebuild, which recreate the catalog entry). */
+  private def loadModel(spark: SparkSession, tag: String): Array[Array[Double]] =
+    BucketedMaintenance.cachedByVersion(spark, modelTable(tag)) {
+      val rows = spark.table(modelTable(tag))
+        .select("cid", "centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      val cents = new Array[Array[Double]](rows.length)
+      rows.foreach { case (cid, c) => cents(cid) = c }
+      require(cents.forall(_ != null), s"model table ${modelTable(tag)} has gaps in cid space")
+      cents
+    }
 
   /** Top-k cosine neighbors for `queries` (`vec_id`, `embedding`) against
     * the stored corpus. Output contract = [[Similarity.ivfSearch]]:
@@ -243,6 +244,18 @@ object IvfIndex {
   def searchInt8(spark: SparkSession, tag: String, queries: DataFrame,
                  nprobe: Int = 0, k: Int = 5,
                  excludeSelf: Boolean = true): DataFrame = {
+    val (_, scored8) = int8Stage(spark, tag, queries, nprobe, excludeSelf)
+    topKScored(scored8.drop("cid"), k)
+  }
+
+  /** The stage [[searchInt8]] and [[searchRerank]] share: quantized probe
+    * rows (carrying both query forms — int8 code + norm for scoring, the
+    * float vector + norm for a re-rank consumer), the bucket-pruned NARROW
+    * scan (vec_id, cid, qvec, qnrm — never the float vectors; spec pins
+    * the ReadSchema), and the zero-norm-guarded integer-dot cosine.
+    * Returns (probes, scored8(query_id, neighbor_id, cid, cos)). */
+  private def int8Stage(spark: SparkSession, tag: String, queries: DataFrame,
+                        nprobe: Int, excludeSelf: Boolean): (DataFrame, DataFrame) = {
     import spark.implicits._
     IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val cents = loadModel(spark, tag)
@@ -257,24 +270,24 @@ object IvfIndex {
           Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
             .sorted
             .iterator.take(math.max(1, np))
-            .map { case (_, cid) => (id, cid, q, na) }
+            .map { case (_, cid) => (id, cid, q, na, v, Similarity.normP(v)) }
         }
-        .toDF("query_id", "cid", "qa", "na"))
+        .toDF("query_id", "cid", "qa", "na", "vq", "nq"))
     val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
-    // explicit narrow select BEFORE the join: the int8 path's point is
+    graft.plans.DotInt8.ensureRegistered(spark)
+    // explicit narrow select BEFORE the join: the int8 stage's point is
     // that the scan never reads the float vectors
     val joined = spark.table(assignTable(tag))
       .select("vec_id", "cid", "qvec", "qnrm")
       .filter(col("cid").isin(probedCells: _*))
-      .join(probes, "cid")
+      .join(probes.select("query_id", "cid", "qa", "na"), "cid")
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
-    graft.plans.DotInt8.ensureRegistered(spark)
-    val scored = cand
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    val scored8 = cand
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
         when(col("na") === 0 || col("qnrm") === 0, lit(0.0))
           .otherwise(expr(s"${graft.plans.DotInt8.FuncName}(qa, qvec)")
             .cast("double") / (col("na") * col("qnrm"))).as("cos"))
-    topKScored(scored, k)
+    (probes, scored8)
   }
 
   /** Int8-wide probe → float re-rank: the widening composition the two
@@ -294,37 +307,8 @@ object IvfIndex {
                    nprobe: Int = 0, k: Int = 5, widen: Int = 4,
                    excludeSelf: Boolean = true): DataFrame = {
     import spark.implicits._
-    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
-    val cents = loadModel(spark, tag)
-    val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
-    spark.catalog.refreshTable(assignTable(tag))
-    // probe rows carry BOTH query forms: the int8 code for stage 1 and
-    // the float vector + norm for stage 2
-    val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      queries.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (id, v) =>
-          val q = Similarity.quantizeVec(v)
-          val na = math.sqrt(Similarity.dotI(q, q).toDouble)
-          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
-            .sorted
-            .iterator.take(math.max(1, np))
-            .map { case (_, cid) => (id, cid, q, na, v, Similarity.normP(v)) }
-        }
-        .toDF("query_id", "cid", "qa", "na", "vq", "nq"))
-    val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
-    graft.plans.DotInt8.ensureRegistered(spark)
+    val (probes, scored8) = int8Stage(spark, tag, queries, nprobe, excludeSelf)
     graft.plans.DotFloat.ensureRegistered(spark)
-    val joined = spark.table(assignTable(tag))
-      .select("vec_id", "cid", "qvec", "qnrm")
-      .filter(col("cid").isin(probedCells: _*))
-      .join(probes.select("query_id", "cid", "qa", "na"), "cid")
-    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
-    val scored8 = cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
-      col("cid"),
-      when(col("na") === 0 || col("qnrm") === 0, lit(0.0))
-        .otherwise(expr(s"${graft.plans.DotInt8.FuncName}(qa, qvec)")
-          .cast("double") / (col("na") * col("qnrm"))).as("cos"))
     // the k·widen cut on the int8 order, pinned tie-break; checkpointed —
     // the survivor set is tiny and feeds both the cell collect and the
     // re-rank join

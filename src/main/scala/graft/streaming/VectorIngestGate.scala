@@ -31,10 +31,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *        small fixed probe ([[DupGateNprobe]]) therefore keeps dup
   *        recall, at any corpus size. Measured at 2M vectors
   *        (StreamBench, 1000× corpus, τ=0.999): nprobe 8 produces
-  *        VERDICT-IDENTICAL landings to the full recall rule (7,199 =
-  *        7,199 of 8,000) while the gate phase drops 40 s → 6–8.6 s per
-  *        2,000-vector batch — the rule's ≈2·n^(3/4) candidate volume
-  *        buys nothing here because dup matches are not generic
+  *        VERDICT-IDENTICAL landings to the full recall rule (7,200 =
+  *        7,200 of 8,000) while the batch wall drops ~30 s → 6.7–8.8 s
+  *        per 2,000-vector batch — the rule's ≈2·n^(3/4) candidate
+  *        volume buys nothing here because dup matches are not generic
   *        neighbors (SCALING.md r7 deep-scale section).
   *      - `threshold <` [[DupGateThreshold]] (semantic gating): matches
   *        are genuine nearest-neighbor queries, so the default is
@@ -103,10 +103,18 @@ object VectorIngestGate {
     // per-batch wall (StreamBench r7 attribution: the search ran 3× per
     // batch; caller-side persist() on receipts/kept did NOT help because
     // the two relations never shared a cached subtree).
+    // self_match requires BOTH the id match AND the threshold: a replay's
+    // stored copy answers at cos 1 ≥ any threshold, whereas an arrival
+    // that merely COLLIDES with a stored vec_id (different embedding — a
+    // caller-contract violation the bench itself once armed: synthetic ids
+    // straddling a ScaleProbe block range) must not be silently swallowed.
+    // Below the threshold such a collision is treated as fresh; the id
+    // uniqueness of admitted vectors remains the caller's contract.
     val verdicts = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
       arrivals.select("vec_id")
         .join(best, Seq("vec_id"), "left")
-        .withColumn("self_match", col("dup_of") === col("vec_id"))
+        .withColumn("self_match",
+          col("dup_of") === col("vec_id") && col("cos") >= threshold)
         .withColumn("is_dup",
           coalesce(col("cos") >= threshold && !col("self_match"), lit(false))))
     val receipts = verdicts.select("vec_id", "dup_of", "cos", "is_dup")

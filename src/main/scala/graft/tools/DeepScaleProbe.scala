@@ -34,7 +34,16 @@ object DeepScaleProbe {
         java.nio.file.Files.createTempDirectory("graft-deep-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$gen/embeddings.parquet").isDirectory) {
+    // chunked generation commits data append-by-append, so an existing
+    // directory is only trustworthy if it holds EXACTLY factor × base rows
+    // — a crashed partial run must be regenerated, not silently measured
+    val baseN = spark.read.parquet(s"$src/embeddings.parquet").count()
+    val existing = new java.io.File(s"$gen/embeddings.parquet").isDirectory
+    val complete = existing &&
+      spark.read.parquet(s"$gen/embeddings.parquet").count() == baseN * factor
+    if (existing && !complete)
+      println(s"[deep] $gen is a PARTIAL generation — regenerating")
+    if (!complete) {
       println(s"[deep] generating ${factor}x vector corpus at $gen")
       val t0 = System.nanoTime()
       ScaleProbe.generateEmbeddings(spark, src, factor, gen)

@@ -35,8 +35,11 @@ object IvfNprobeFrontier {
     }
     Similarity.ivfSearch(spark, "/root/testdata/sf0.001", nCentroids = 8).count() // codegen prewarm
     drop()
-    println("\n| corpus | n | cells | nprobe | cell frac | scan frac | warm s | recall@5 | rule |")
-    println("|---|---|---|---|---|---|---|---|---|")
+    // one fraction column on purpose: nprobe/cells is the probed-CELL
+    // fraction, a parameter; the scanned-ROW fraction equals it only in
+    // expectation (balanced cells) and is not measured here
+    println("\n| corpus | n | cells | nprobe | cell frac | warm s | recall@5 | rule |")
+    println("|---|---|---|---|---|---|---|---|")
     for (dir <- src +: gens) {
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val cells = Similarity.cellsFor(n)
@@ -62,7 +65,7 @@ object IvfNprobeFrontier {
         val recall = (exact & got).size.toDouble / exact.size
         val label = if (nprobe == rule) " ← nprobeFor" else ""
         println(f"| ${dir.split('/').last} | $n | $cells | $nprobe | " +
-          f"${nprobe.toDouble / cells}%.3f | ${nprobe.toDouble / cells}%.3f | " +
+          f"${nprobe.toDouble / cells}%.3f | " +
           f"$warm%.2f | $recall%.3f |$label |")
       }
     }

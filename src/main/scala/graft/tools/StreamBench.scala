@@ -176,7 +176,10 @@ object StreamBench {
         s"$root/vindex", "sbvix")
       println(f"[streambench] vector index build (once): ${(System.nanoTime() - vb0) / 1e9}%.2f s")
       val vmem = MemoryStream[VecRow]
-      var nextVid = 300000000L
+      // OUTSIDE any reachable ScaleProbe block id range (block b occupies
+      // b·10⁷ + [0, base); 300M — the old start — was exactly block 30,
+      // so factor ≥ 31 corpora collided arrival ids with stored ids)
+      var nextVid = 20000000000L
       def vsigned(b: Int, i: Int, v: Array[Float]): Array[Float] =
         v.zipWithIndex.map { case (x, d) =>
           var z = (b.toLong * 7919L + i.toLong) * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
@@ -197,11 +200,10 @@ object StreamBench {
         val t0 = System.nanoTime()
         graft.streaming.VectorIngestGate.start("sbvix",
           vmem.toDF(), s"$root/vlanding", s"$root/vreceipts", s"$root/vckpt",
-          // nprobe = 0 → the recall-floor rule (the deployment default):
-          // the bench measures what a user gets, and the rule is what
-          // keeps the gate's recall from decaying as the corpus grows —
-          // so per-batch cost here carries the rule's candidate volume
-          // (≈2·n^(3/4)), not a flattering fixed constant
+          // nprobe = 0 → the gate's regime default (dup regime at this
+          // threshold: fixed DupGateNprobe — see VectorIngestGate's class
+          // doc and the SCALING r7 deep-scale A/B; pass an explicit value
+          // as args(4) to measure the recall-rule budget instead)
           threshold = 0.999, nprobe = gateNprobe, verbose = true).awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[streambench] vecgate batch $b: ${batch.length} vectors in $sec%.2f s " +

@@ -54,6 +54,26 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally drop("ivxr")
   }
 
+  test("maintenance follows the stored bucket spec, not a caller default") {
+    val dir = Files.createTempDirectory("graft-ivfidx-bk").toString
+    try {
+      IvfIndex.build(emb, dir, "ivbk", buckets = 32, nCentroids = 8,
+        seed = Similarity.ResidueSeed)
+      def stored: Int = graft.operators.BucketedMaintenance
+        .storedBuckets(spark, IvfIndex.assignTable("ivbk"))
+      assert(stored == 32)
+      // default-parameter append must NOT fail the spec-mismatch check
+      IvfIndex.assignInto(spark, "ivbk",
+        emb.filter(col("vec_id") < 3).select(
+          (col("vec_id") + 900100L).as("vec_id"), col("embedding")))
+      assert(stored == 32, "append preserved the 32-bucket layout")
+      // census-gated rebuild (forced via growthFactor 0) must retrain the
+      // MODEL without silently rewriting the physical layout
+      assert(IvfIndex.rebuildIfNeeded(spark, "ivbk", dir, growthFactor = 0.0))
+      assert(stored == 32, "rebuild preserved the 32-bucket layout")
+    } finally drop("ivbk")
+  }
+
   test("search scan bucket-prunes to the probed cells") {
     val dir = Files.createTempDirectory("graft-ivfidx-prune").toString
     try {

@@ -67,6 +67,37 @@ class VectorIngestGateSpec extends AnyFunSuite {
     } finally drop("vgate")
   }
 
+  test("an id COLLISION below the threshold is not swallowed as a self-match") {
+    // regression: self_match used to key on id equality alone, so an
+    // arrival whose top-1 neighbor merely shared its vec_id (different
+    // embedding — a caller-contract violation the stream bench once
+    // armed via a block-range id overlap) was silently dropped from
+    // `kept` while its receipt claimed admission
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vecgate-coll").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      IvfIndex.build(emb, s"$root/index", "vgcoll", nCentroids = 8,
+        seed = graft.operators.Similarity.ResidueSeed)
+      // reuse a stored id with a DIFFERENT vector: vec 7's id carrying
+      // vec 3's embedding with two dims negated (cos far below 0.999 to
+      // vec 7; possibly matching others but never at ≥ 0.999)
+      val dim = graft.operators.Similarity.Dim
+      val collider = emb.filter(col("vec_id") === 3L).select(
+        lit(7L).as("vec_id"),
+        org.apache.spark.sql.functions.array((1 to dim).map { i =>
+          val x = org.apache.spark.sql.functions.element_at(col("embedding"), i)
+          if (i <= 2) (-x).as(s"_$i") else x.as(s"_$i")
+        }: _*).as("embedding"))
+      val (receipts, kept) = VectorIngestGate.gateBatch("vgcoll", collider,
+        threshold = 0.999, nprobe = 8)
+      val r = receipts.collect()(0)
+      assert(!r.getBoolean(3), s"collision below threshold reported dup: $r")
+      assert(kept.count() == 1, "collision below threshold must stay admitted")
+    } finally drop("vgcoll")
+  }
+
   test("auto nprobe resolves per regime: dup gate fixed, semantic gate rule") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-vecgate-np").toString
