@@ -186,6 +186,16 @@ object SparkEntry {
       IvfIndex.build(e, idxDir, "q_semdd", nCentroids = 8, seed = Similarity.ResidueSeed)
       Dedup.semanticDedupIndexed(s, "q_semdd", threshold = 0.45)
     }),
+    // semantic dedup with the assignment from the persistent IMI — the
+    // past-the-broadcast-cap regime; oracle composes Imi's product-cell
+    // assignment CTEs with the shared verdict tail
+    "q_semdedup_imi" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_semdd_imi").getAbsolutePath
+      ImiIndex.build(e, idxDir, "q_sddimi", k1 = 8)
+      Dedup.semanticDedupImi(s, "q_sddimi", threshold = 0.45)
+    }),
     // the stored int8 tier of the same index: candidates scored as exact
     // integer dots over the 64-byte code column (scan never reads the
     // float vectors); oracle is ivfSearchInt8's literal SQL through the
@@ -310,6 +320,7 @@ object SparkEntry {
     // identical SQL by design: the indexed path must reproduce the
     // recompute path bit-for-bit
     "q_semdedup_indexed" -> Dedup.semanticDedupSql(nCentroids = 8, threshold = 0.45),
+    "q_semdedup_imi" -> Dedup.semanticDedupImiSql(k1 = 8, threshold = 0.45),
     "q_quantize" -> Similarity.quantizeSql(),
     // q_ann_lsh IS oracle-able: the SRP planes are deterministic ±1 sign
     // masks, embedded in the SQL as one BIGINT per plane (band/bits

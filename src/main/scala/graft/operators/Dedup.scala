@@ -894,12 +894,30 @@ ORDER BY f.doc_id
       .orderBy("vec_id")
   }
 
+  /** The verdict tail every semantic-dedup oracle shares, given a
+    * preceding `assign(vec_id, cid)` CTE: within-cell lower-id pairs over
+    * exact cosine, min qualifying neighbor, LEFT-join verdict. */
+  private def semanticVerdictSql(threshold: Double): String = s"""pairs AS (
+  SELECT ai.vec_id AS id_i, aj.vec_id AS id_j
+  FROM assign ai
+  JOIN assign aj ON aj.cid = ai.cid AND aj.vec_id < ai.vec_id
+  JOIN embeddings a ON a.vec_id = ai.vec_id
+  JOIN embeddings b ON b.vec_id = aj.vec_id
+  WHERE ${Similarity.CosineSqlExpr} >= $threshold
+), dup AS (
+  SELECT id_i, MIN(id_j) AS dup_of FROM pairs GROUP BY id_i
+)
+SELECT s.vec_id, CAST(s.cid AS BIGINT) AS centroid_id,
+       d.dup_of IS NOT NULL AS is_dup, d.dup_of
+FROM assign s LEFT JOIN dup d ON d.id_i = s.vec_id
+ORDER BY s.vec_id"""
+
   /** ANSI oracle for [[semanticDedup]] with explicit `nCentroids`: the
     * unrolled Lloyd training chain ([[Similarity.centroidCtes]] — the
     * same CTEs every `q_ivf_*` oracle pins), nearest-cell assignment,
-    * within-cell lower-id pairs over exact cosine, min qualifying
-    * neighbor. Serves [[semanticDedupIndexed]] unchanged — the stored
-    * path must reproduce the recompute path bit-for-bit. */
+    * then the shared verdict tail. Serves [[semanticDedupIndexed]]
+    * unchanged — the stored path must reproduce the recompute path
+    * bit-for-bit. */
   def semanticDedupSql(nCentroids: Int = 8, threshold: Double = 0.8,
                        dim: Int = Similarity.Dim,
                        iters: Int = Similarity.LloydIters): String = s"""
@@ -915,19 +933,38 @@ WITH ${Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
   FROM dist
 ), assign AS (
   SELECT vec_id, cid FROM rk WHERE r = 1
-), pairs AS (
-  SELECT ai.vec_id AS id_i, aj.vec_id AS id_j
-  FROM assign ai
-  JOIN assign aj ON aj.cid = ai.cid AND aj.vec_id < ai.vec_id
-  JOIN embeddings a ON a.vec_id = ai.vec_id
-  JOIN embeddings b ON b.vec_id = aj.vec_id
-  WHERE ${Similarity.CosineSqlExpr} >= $threshold
-), dup AS (
-  SELECT id_i, MIN(id_j) AS dup_of FROM pairs GROUP BY id_i
-)
-SELECT s.vec_id, CAST(s.cid AS BIGINT) AS centroid_id,
-       d.dup_of IS NOT NULL AS is_dup, d.dup_of
-FROM assign s LEFT JOIN dup d ON d.id_i = s.vec_id
-ORDER BY s.vec_id
+), ${semanticVerdictSql(threshold)}
+""".trim
+
+  /** [[semanticDedup]] with the ASSIGNMENT coming from a persistent
+    * [[ImiIndex]] — semantic dedup past the flat broadcast-model cap.
+    * Why it matters at depth: the κ-rule cell count is n/256, and flat
+    * k-means training costs n·cells distance evals per Lloyd round —
+    * quadratic in n under the rule (at 2M vectors: 7,813 cells, ~45×
+    * the IMI's training work; past 2¹⁶ cells the flat model cannot
+    * broadcast AT ALL). The IMI trains two k1-cell half-quantizers
+    * (2·k1 ≈ 2·√cells half-distances per vector per round) and its
+    * product cells carry the same verdict — same bucket-local pair
+    * join, same lowest-id-survivor rule, and the deep-scale probe
+    * measured its per-cell recall tax at zero on this corpus family.
+    * Must equal the in-memory [[Imi.assign]]-based verdict exactly —
+    * the DuckDB oracle composes [[Imi.assignCteSql]] with the shared
+    * verdict tail. */
+  def semanticDedupImi(spark: SparkSession, tag: String,
+                       threshold: Double = 0.8): DataFrame = {
+    IndexCanary.check(spark, ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
+    spark.catalog.refreshTable(ImiIndex.assignTable(tag))
+    semanticVerdict(
+      spark.table(ImiIndex.assignTable(tag))
+        .select(col("vec_id"), col("cell_id").as("cid"),
+          col("embedding"), col("nrm")),
+      threshold)
+  }
+
+  /** ANSI oracle for [[semanticDedupImi]]: [[Imi.assignCteSql]]'s product
+    * cell assignment + the shared verdict tail. */
+  def semanticDedupImiSql(k1: Int = 8, threshold: Double = 0.8,
+                          iters: Int = Similarity.LloydIters): String = s"""
+WITH ${Imi.assignCteSql(k1, iters)}, ${semanticVerdictSql(threshold)}
 """.trim
 }

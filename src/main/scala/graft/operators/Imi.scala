@@ -223,6 +223,18 @@ FROM l_fin l JOIN r_fin r USING (vec_id)
 ORDER BY vec_id
 """.trim
 
+  /** The assignment chain as a REUSABLE `WITH`-body fragment ending in
+    * `assign(vec_id, cid)` (product cell id) — the composition point for
+    * oracles that verdict OVER the IMI assignment rather than search it
+    * (e.g. [[Dedup.semanticDedupImiSql]], semantic dedup past the flat
+    * broadcast-model cap). */
+  def assignCteSql(k1: Int = 8, iters: Int = Similarity.LloydIters): String =
+    s"""${halfCtes("l_", k1, 0, iters)}, ${halfCtes("r_", k1, HalfDim, iters)},
+${halfAssign("l_", 0)}, ${halfAssign("r_", HalfDim)}, assign AS (
+  SELECT l.vec_id, CAST(l.cid * $k1 + r.cid AS BIGINT) AS cid
+  FROM l_fin l JOIN r_fin r USING (vec_id)
+)"""
+
   /** The oracle-side cosine — the one shared pinned expression
     * ([[Similarity.CosineSqlExpr]]). */
   private val CosSql: String = Similarity.CosineSqlExpr

@@ -84,6 +84,34 @@ class SemanticDedupSpec extends AnyFunSuite {
     } finally drop("sdd")
   }
 
+  test("IMI-assigned verdict ≡ in-memory Imi.assign verdict; no Exchange") {
+    import graft.operators.{Imi, ImiIndex, Similarity => Sim}
+    val tmp = Files.createTempDirectory("graft-semdd-imi").toString
+    try {
+      ImiIndex.build(emb, tmp, "sddi", k1 = 8)
+      val indexed = Dedup.semanticDedupImi(spark, "sddi", threshold = 0.45)
+      val got = indexed.collect()
+      // independent verdict: in-memory product-cell assignment joined to
+      // raw vectors+norms, pushed through the same verdict kernel
+      val assigned = Imi.assign(spark, dir, k1 = 8)
+        .select(col("vec_id"), col("cell_id").as("cid"))
+        .join(emb, "vec_id")
+        .withColumn("nrm", org.apache.spark.sql.functions.sqrt(
+          org.apache.spark.sql.functions.aggregate(
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              x => x.cast("double") * x.cast("double")),
+            org.apache.spark.sql.functions.lit(0.0), (acc, x) => acc + x)))
+      val want = Dedup.semanticVerdict(assigned, 0.45).collect()
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(cid"),
+        s"IMI pair join shuffled on cid:\n$plan")
+      assert(Sim.Dim == 64) // the halves the oracle offsets depend on
+    } finally Seq(ImiIndex.modelTable("sddi"), ImiIndex.assignTable("sddi"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("auto cell rule targets fixed cell size, clamped to the model cap") {
     assert(Dedup.semanticCellsFor(1) == 1)
     assert(Dedup.semanticCellsFor(256) == 1)
