@@ -45,7 +45,9 @@ object IvfScaleProbe {
     // codegen prewarm off the tiny SF
     Similarity.ivfSearch(spark, "/root/testdata/sf0.001", nCentroids = 8).count()
     drop()
-    println("\n| corpus | n | cells | nprobe | scanned frac | cold s | warm s | recall@5 |")
+    // nprobe/cells is the probed-CELL fraction (a parameter): the scanned-ROW
+    // fraction equals it only in expectation under balanced cells
+    println("\n| corpus | n | cells | nprobe | cell frac | cold s | warm s | recall@5 |")
     println("|---|---|---|---|---|---|---|---|")
     for (dir <- Seq(src, gen)) {
       val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
