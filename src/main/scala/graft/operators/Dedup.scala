@@ -829,6 +829,18 @@ ORDER BY f.doc_id
     * (the whole point of SemDeDup: all-pairs cosine at corpus scale is
     * unpayable, within-cell it's n·κ).
     *
+    * CHAIN-PRUNING SEMANTICS (deliberate deviation from keep-one-per-
+    * group): chains prune transitively. In a chain A–B–C where
+    * cos(A,B) ≥ τ and cos(B,C) ≥ τ but cos(A,C) < τ, B is dropped
+    * (dup_of=A) and C is ALSO dropped (dup_of=B) even though B — C's
+    * only qualifying mate — did not survive. The kept set is therefore
+    * NOT a τ-cover of the dropped set: a dropped vector may have no
+    * kept representative within τ (stricter pruning than reference
+    * SemDeDup's one-survivor-per-duplicate-group). `dup_of` records the
+    * qualifying EVIDENCE mate, not a surviving representative; resolve
+    * chains via [[dupClusters]] when a surviving root per group is
+    * needed. Pinned by SemanticDedupSpec's 3-chain case.
+    *
     * Output: (vec_id, centroid_id, is_dup, dup_of) — `dup_of` is the
     * LOWEST qualifying lower-id cell-mate (NULL when kept).
     *
@@ -860,22 +872,29 @@ ORDER BY f.doc_id
     * threshold moves, without re-clustering. Must equal [[semanticDedup]]
     * with the index's cell count exactly — same oracle SQL. */
   def semanticDedupIndexed(spark: SparkSession, tag: String,
-                           threshold: Double = 0.8): DataFrame = {
+                           threshold: Double = 0.8,
+                           ordered: Boolean = true): DataFrame = {
     IndexCanary.check(spark, IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
     spark.catalog.refreshTable(IvfIndex.assignTable(tag))
     semanticVerdict(
       spark.table(IvfIndex.assignTable(tag))
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("embedding"), col("nrm")),
-      threshold)
+      threshold, ordered)
   }
 
   /** Shared verdict kernel over an assignment relation
     * (vec_id, cid, embedding, nrm): within-cell lower-id pairs, codegen
     * cosine ([[graft.plans.DotFloat]] with the precomputed norms — the
     * same scoring discipline as `IvfIndex.search`, ulp-identical to the
-    * oracle's list-fold), min qualifying cell-mate per vector. */
-  private[graft] def semanticVerdict(assigned: DataFrame, threshold: Double): DataFrame = {
+    * oracle's list-fold), min qualifying cell-mate per vector.
+    *
+    * `ordered = true` appends a total `ORDER BY vec_id` — required by the
+    * oracle contract (deterministic output), but a corpus-width exchange a
+    * 10⁹-vector deployment re-verdict does not need: pass `false` there
+    * (the verdict itself is per-cell local either way). */
+  private[graft] def semanticVerdict(assigned: DataFrame, threshold: Double,
+                                     ordered: Boolean = true): DataFrame = {
     val spark = assigned.sparkSession
     graft.plans.DotFloat.ensureRegistered(spark)
     val lhs = assigned.select(col("cid"), col("vec_id").as("id_i"),
@@ -887,11 +906,11 @@ ORDER BY f.doc_id
       .filter(expr(s"${graft.plans.DotFloat.FuncName}(va, vb)")
         / (col("na") * col("nb")) >= threshold)
       .groupBy("id_i").agg(min("id_j").as("dup_of"))
-    assigned.select(col("vec_id"), col("cid"))
+    val verdict = assigned.select(col("vec_id"), col("cid"))
       .join(dup, assigned("vec_id") === dup("id_i"), "left")
       .select(col("vec_id"), col("cid").as("centroid_id"),
         col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
-      .orderBy("vec_id")
+    if (ordered) verdict.orderBy("vec_id") else verdict
   }
 
   /** The verdict tail every semantic-dedup oracle shares, given a
@@ -951,14 +970,15 @@ WITH ${Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
     * the DuckDB oracle composes [[Imi.assignCteSql]] with the shared
     * verdict tail. */
   def semanticDedupImi(spark: SparkSession, tag: String,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       ordered: Boolean = true): DataFrame = {
     IndexCanary.check(spark, ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
     spark.catalog.refreshTable(ImiIndex.assignTable(tag))
     semanticVerdict(
       spark.table(ImiIndex.assignTable(tag))
         .select(col("vec_id"), col("cell_id").as("cid"),
           col("embedding"), col("nrm")),
-      threshold)
+      threshold, ordered)
   }
 
   /** ANSI oracle for [[semanticDedupImi]]: [[Imi.assignCteSql]]'s product

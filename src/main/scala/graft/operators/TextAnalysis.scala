@@ -540,8 +540,16 @@ FROM documents ORDER BY doc_id
     * a 100 TB corpus a sequence of cheap jobs over a small aggregate:
     * scan once for word counts, iterate merges against the vocabulary.
     * Top-N cut is deterministic under (cnt DESC, a, b). */
-  def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
-    val words = docs(spark, dir)
+  def bpePairCounts(spark: SparkSession, dir: String, topN: Int = 50): DataFrame =
+    bpePairCountsOn(docs(spark, dir), topN)
+
+  /** [[bpePairCounts]] over an explicit documents relation (needs a `text`
+    * column). Character semantics are CODEPOINT-based end-to-end: Spark's
+    * `substring`/`length` and DuckDB's `substr`/`length` both index
+    * Unicode code points, so astral-plane (surrogate-pair) characters
+    * count as ONE character — pinned by TextFeaturesSpec's non-BMP case. */
+  def bpePairCountsOn(documents: DataFrame, topN: Int = 50): DataFrame = {
+    val words = documents
       .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))

@@ -112,6 +112,34 @@ class SemanticDedupSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("3-chain pins chain-pruning: dup_of may itself be dropped (not a τ-cover)") {
+    import spark.implicits._
+    // A=(1,0,..), B=(√½,√½,0,..), C=(0,1,0,..) in one cell, τ=0.7:
+    // cos(A,B)=cos(B,C)=√½≈0.7071 ≥ τ, cos(A,C)=0 < τ.
+    val h = math.sqrt(0.5).toFloat
+    def v(x: Float, y: Float) =
+      Array(x, y) ++ Array.fill(Similarity.Dim - 2)(0.0f)
+    val assigned = Seq(
+      (1L, 0L, v(1f, 0f), 1.0), (2L, 0L, v(h, h), 1.0), (3L, 0L, v(0f, 1f), 1.0))
+      .toDF("vec_id", "cid", "embedding", "nrm")
+    val got = Dedup.semanticVerdict(assigned, 0.7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == (false, -1L), "A survives (lowest id)")
+    assert(got(2L) == (true, 1L), "B drops with dup_of=A")
+    // the pinned deviation: C drops citing B, but B itself was dropped —
+    // C has NO kept representative within τ (cos(A,C)=0). The kept set
+    // {A} is not a τ-cover of the dropped set {B, C}.
+    assert(got(3L) == (true, 2L), "C drops with dup_of=B (a dropped vector)")
+    // unordered deployment form: same verdict rows, no total sort in plan
+    val unordered = Dedup.semanticVerdict(assigned, 0.7, ordered = false)
+    assert(unordered.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      == got.map { case (k, (d, _)) => k -> d })
+    val plan = unordered.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"ordered=false must not pay the total sort exchange:\n$plan")
+  }
+
   test("auto cell rule targets fixed cell size, clamped to the model cap") {
     assert(Dedup.semanticCellsFor(1) == 1)
     assert(Dedup.semanticCellsFor(256) == 1)

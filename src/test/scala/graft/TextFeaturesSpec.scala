@@ -35,22 +35,50 @@ class TextFeaturesSpec extends AnyFunSuite {
       assert(math.abs(got(k) - v) < 1e-9, s"$k: ${got(k)} vs $v") }
   }
 
+  /** Code-POINT pair counting — the engine (Spark `substring`) and the
+    * oracle (DuckDB `substr`) both index code points, so the test
+    * reimplementation must too: UTF-16 `String.sliding` would split
+    * surrogate pairs and diverge on astral-plane characters. */
+  private def pairCounts(wordFreq: collection.Map[String, Long]): Map[(String, String), Long] = {
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    wordFreq.foreach { case (w, f) =>
+      val cps = w.codePoints().toArray
+      (0 until cps.length - 1).foreach { i =>
+        val k = (new String(Character.toChars(cps(i))),
+          new String(Character.toChars(cps(i + 1))))
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+    }
+    counts.toMap
+  }
+
   test("BPE pair counts ≡ loop reimplementation; top cut deterministic") {
     val got = TextAnalysis.bpePairCounts(spark, dir, topN = 50).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(got.length == 50)
-    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
     val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
-    texts.foreach(_._2.split(" ", -1).filter(_.length >= 2)
+    texts.foreach(_._2.split(" ", -1)
+      .filter(w => w.codePointCount(0, w.length) >= 2)
       .foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1))
-    wordFreq.foreach { case (w, f) =>
-      w.sliding(2).foreach { p =>
-        val k = (p.substring(0, 1), p.substring(1, 2))
-        counts(k) = counts.getOrElse(k, 0L) + f
-      }
-    }
-    val want = counts.toSeq.map { case ((a, b), c) => (a, b, c) }
+    val want = pairCounts(wordFreq).toSeq.map { case ((a, b), c) => (a, b, c) }
       .sortBy { case (a, b, c) => (-c, a, b) }.take(50)
     assert(got.toSeq == want, s"\n got=${got.take(5).toSeq}\nwant=${want.take(5)}")
+  }
+
+  test("BPE pairs on astral-plane (non-BMP) text: codepoints, not UTF-16 units") {
+    import spark.implicits._
+    // 𝕏 (U+1D54F) and 😀 (U+1F600) are surrogate pairs in UTF-16; a
+    // char-indexed scan would emit broken half-surrogate "pairs".
+    val docsDf = Seq((1L, "𝕏a𝕏a 😀b😀"), (2L, "a𝕏 𝕏a𝕏a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCountsOn(docsDf, topN = 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val wordFreq = Map("𝕏a𝕏a" -> 2L, "😀b😀" -> 1L, "a𝕏" -> 1L)
+    val want = pairCounts(wordFreq).toSeq.map { case ((a, b), c) => (a, b, c) }
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    assert(got.exists(_._1 == "𝕏"), "astral char must surface whole")
+    def loneSurrogate(s: String) = s.length == 1 && Character.isSurrogate(s.charAt(0))
+    assert(got.forall { case (a, b, _) => !loneSurrogate(a) && !loneSurrogate(b) },
+      "no lone surrogate halves in output")
   }
 }
