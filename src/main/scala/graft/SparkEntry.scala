@@ -67,6 +67,9 @@ object SparkEntry {
     "q_hashed_features" -> ((s, dir) => TextAnalysis.hashedFeatures(s, dir)),
     // BPE merge candidates: freq-weighted adjacent-char pair counts
     "q_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+    // the full BPE merge LOOP (k rounds of count→merge-top-pair→recount
+    // over the cached vocabulary — corpus scanned once)
+    "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
     // training-data pipeline: corpus curation (PII scrub, sampling, packing)
     "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -279,6 +282,8 @@ object SparkEntry {
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
     "q_hashed_features" -> TextAnalysis.hashedFeaturesSql(),
     "q_bpe_pairs" -> TextAnalysis.bpePairCountsSql(),
+    // k-unrolled merge rounds (the Lloyd-CTE discipline applied to BPE)
+    "q_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),

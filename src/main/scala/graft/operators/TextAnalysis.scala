@@ -578,6 +578,117 @@ FROM pairs GROUP BY a, b
 ORDER BY cnt DESC, a, b LIMIT $topN
 """.trim
 
+  /** Symbol separator for the BPE merge loop's wrapped-string word
+    * representation: U+001F (unit separator), a control character that
+    * never occurs in natural text. Words containing it are excluded in
+    * BOTH engines, so the oracle stays exact even if one ever appears. */
+  val BpeSep = "\u001F"
+
+  /** BPE merge-loop TRAINING (Sennrich et al. 2016, arXiv:1508.07909) —
+    * [[bpePairCounts]] grown from one iteration's statistic into the real
+    * tokenizer-training op: k rounds of (count adjacent symbol pairs,
+    * merge the most frequent, recount). Output is the learned merge table
+    * (it, a, b, cnt) with the deterministic tie-break (cnt DESC, a, b).
+    *
+    * Scale shape: the corpus is scanned ONCE (word-frequency aggregate);
+    * every merge round then runs against the cached vocabulary-sized word
+    * table — at 100 TB the corpus scan is the only heavy job and k rounds
+    * cost k small jobs over the vocabulary. The per-round top-1 collect is
+    * the adjudicated model read (1 row/round — the merge table IS the
+    * model being trained, like Lloyd's centroid loop).
+    *
+    * Representation: each word's symbol sequence is one string with every
+    * symbol wrapped in [[BpeSep]] (`abc` → `␟a␟␟b␟␟c␟`). Merging pair
+    * (a,b) is then a literal `replace(ws, ␟a␟␟b␟, ␟ab␟)` — and because a
+    * match always ends exactly at a token boundary, string-level
+    * left-to-right non-overlapping replacement is EXACTLY token-level BPE
+    * merge semantics ([a,b,a,b] → [ab,ab]), in Spark and DuckDB alike —
+    * which is what keeps the k-round oracle ([[bpeMergesSql]]) total.
+    * Character indexing is codepoint-based in both engines. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    bpeMergesOn(docs(spark, dir), k)
+
+  def bpeMergesOn(documents: DataFrame, k: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var ws = words.select(
+      regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("ws"),
+      col("freq")).cache()
+    ws.count() // materialize: merge rounds never rescan the corpus
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      val top = bpePairCountsOf(ws)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, a, b, c))
+        val prev = ws
+        ws = ws.select(
+          replace(col("ws"), lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+            lit(BpeSep + a + b + BpeSep)).as("ws"),
+          col("freq")).cache()
+        ws.count()
+        prev.unpersist()
+        round += 1
+      }
+    }
+    ws.unpersist()
+    merges.toSeq.toDF("it", "a", "b", "cnt").orderBy("it")
+  }
+
+  /** Frequency-weighted adjacent symbol-pair counts over a wrapped-string
+    * word relation (ws, freq) — the merge loop's inner statistic. */
+  private def bpePairCountsOf(ws: DataFrame): DataFrame =
+    ws.select(split(expr(s"substring(ws, 2, length(ws) - 2)"),
+        BpeSep + BpeSep).as("toks"), col("freq"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("toks"), col("freq"),
+        explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+      .select(element_at(col("toks"), col("i")).as("a"),
+        element_at(col("toks"), col("i") + 1).as("b"), col("freq"))
+      .groupBy("a", "b").agg(sum("freq").as("cnt"))
+
+  /** k-unrolled ANSI oracle for [[bpeMerges]] — the Lloyd-CTE discipline
+    * applied to merge rounds: ws{j} derives from ws{j-1} by replacing the
+    * round's top pair (m{j}, an ORDER BY/LIMIT 1 CTE), and the output is
+    * the union of the k top-pair rows. */
+  def bpeMergesSql(k: Int = 8): String = {
+    val S = BpeSep
+    val rounds = (1 to k).map { j =>
+      s"""p$j AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b, sum(freq) AS cnt FROM (
+    SELECT string_split(substr(ws, 2, length(ws) - 2), '$S$S') AS toks, freq
+    FROM ws${j - 1}) t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) x
+  GROUP BY 1, 2
+), m$j AS (
+  SELECT $j AS it, a, b, cnt FROM p$j ORDER BY cnt DESC, a, b LIMIT 1
+), ws$j AS (
+  SELECT replace(ws, '$S' || m.a || '$S$S' || m.b || '$S',
+                 '$S' || m.a || m.b || '$S') AS ws, freq
+  FROM ws${j - 1} CROSS JOIN m$j m
+)"""
+    }.mkString(", ")
+    s"""
+WITH words AS (
+  SELECT tok AS w, count(*) AS freq FROM (
+    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 2 AND NOT contains(tok, '$S') GROUP BY tok
+), ws0 AS (
+  SELECT regexp_replace(w, '(?s)(.)', '$S\\1$S', 'g') AS ws, freq FROM words
+), $rounds
+SELECT CAST(it AS INTEGER) AS it, a, b, CAST(cnt AS BIGINT) AS cnt
+FROM (${(1 to k).map(j => s"SELECT * FROM m$j").mkString(" UNION ALL ")})
+ORDER BY it
+""".trim
+  }
+
   /** Feature hashing (the hashing trick — Weinberger et al. 2009,
     * arXiv:0902.2206): token → md5-derived index in [0, dim), per-document
     * term frequency normalized by token count. The text→fixed-width-vector

@@ -81,4 +81,68 @@ class TextFeaturesSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, _) => !loneSurrogate(a) && !loneSurrogate(b) },
       "no lone surrogate halves in output")
   }
+
+  /** Classic token-level BPE loop (Sennrich 2016), codepoint-based —
+    * the independent reimplementation the engine's wrapped-string
+    * replace() formulation must reproduce merge-for-merge. */
+  private def bpeLoop(wordFreq: collection.Map[String, Long],
+                      k: Int): Seq[(Int, String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] = wordFreq.toSeq.map { case (w, f) =>
+      w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp))) -> f
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to k) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        (0 until syms.length - 1).foreach { i =>
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((round, a, b, c))
+        words = words.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              merged += (a + b); i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> f
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE merge loop ≡ token-level loop reimplementation") {
+    val k = 8
+    val got = TextAnalysis.bpeMerges(spark, dir, k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.length == k)
+    val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_._2.split(" ", -1)
+      .filter(w => w.codePointCount(0, w.length) >= 2 && !w.contains(TextAnalysis.BpeSep))
+      .foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1))
+    assert(got == bpeLoop(wordFreq, k), s"\n got=$got\nwant=${bpeLoop(wordFreq, k)}")
+    // merged symbols actually grow: by round 8 some merge must involve a
+    // multi-char symbol (a merge OF a previous merge), or the loop never
+    // left the pair statistic
+    assert(got.exists { case (_, a, b, _) =>
+      a.codePointCount(0, a.length) > 1 || b.codePointCount(0, b.length) > 1 },
+      s"no compound-symbol merge in $k rounds: $got")
+  }
+
+  test("BPE merge loop handles adjacent occurrences ([a,b,a,b] → [ab,ab])") {
+    import spark.implicits._
+    val docsDf = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergesOn(docsDf, k = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1: pairs (a,b)x2·2 docs? word "abab" freq 2 → (a,b) cnt 4, (b,a) cnt 2,
+    // (c,d) cnt 1 → merge (a,b,4). round 2: "abab"→[ab,ab] → (ab,ab) cnt 2 beats (c,d) 1.
+    assert(got == Seq((1, "a", "b", 4L), (2, "ab", "ab", 2L)), got.toString)
+  }
 }
