@@ -232,9 +232,12 @@ object SparkEntry {
       ImiIndex.build(e, idxDir, "q_imiidx", k1 = 8)
       ImiIndex.search(s, "q_imiidx", e.filter(col("vec_id") < 50), nprobe = 4)
     }),
-    // multimodal columns (real JDK-codec decode for PNG/JPEG/BMP/GIF/WAV;
-    // this corpus carries opaque bytes → deterministic byte-level features)
-    "q_multimodal" -> ((s, dir) => Multimodal.featureQuery(s, dir)),
+    // multimodal columns: REAL JDK codec decode (ImageIO raster /
+    // AudioSystem PCM) over constructed uncompressed BMP/WAV payloads —
+    // fully DuckDB-oracled because uncompressed decode is byte algebra;
+    // the video leg pins the documented byte-level fallback. Compressed
+    // codecs (PNG/JPEG/GIF) keep differential specs in MediaDecodeSpec.
+    "q_multimodal" -> ((s, dir) => Multimodal.mediaDecodeQuery(s, dir)),
     // the oracle-able byte-feature leg of the multimodal stack: sizes,
     // magic sniff, header-derived dims, nibble histogram bins, md5 — all
     // columnar (hex/regexp builtins), fully pinned by DuckDB
@@ -337,9 +340,11 @@ object SparkEntry {
     // hash + voting + banding + Hamming end-to-end in DuckDB; the xxh64
     // deployment kernel shares every line but the hash call and keeps its
     // independent differential oracle (SimHashDifferentialSpec)
-    "q_simhash_pairs" -> Dedup.simhashPairsSql()
-    // q_multimodal: codec features (real decodes) have no SQL equivalent →
-    // rows-only check here plus MediaDecodeSpec's real JDK decodes; its
-    // deterministic byte-feature half is q_media_bytes, fully oracled.
+    "q_simhash_pairs" -> Dedup.simhashPairsSql(),
+    // q_multimodal: REAL codec decode under a total oracle — the
+    // constructed BMP/WAV payloads are uncompressed, so the decoded
+    // raster/PCM stats are exactly the source block's byte algebra (if
+    // the JDK decode misbehaved or fell back, dims+histogram mismatch)
+    "q_multimodal" -> Multimodal.mediaDecodeSql
   )
 }

@@ -483,4 +483,140 @@ ORDER BY media_id
         round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
       .orderBy("media_id")
   }
+
+  // --- Real-codec decode under a total DuckDB oracle -------------------
+
+  /** Source block every constructed payload embeds: the first
+    * [[SrcBlock]] UTF-8 bytes of the document text, zero-padded. 64 is a
+    * power of two, so every histogram ratio k/64 is an exact binary AND
+    * exact 6-decimal fraction — no float-vs-double rounding hazard
+    * anywhere in the oracle compare. */
+  val SrcBlock = 64
+
+  private[graft] def srcBytes(text: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](SrcBlock)
+    System.arraycopy(text, 0, out, 0, math.min(SrcBlock, text.length))
+    out
+  }
+
+  /** A real uncompressed 24-bit grayscale BMP (8×8) whose pixel values ARE
+    * `px` (row-major from the top). Uncompressed is the point: the JDK's
+    * raster decode must hand back exactly these bytes, so the decoded
+    * luminance histogram is plain byte algebra an independent engine can
+    * compute from the source column. Gray pixels make luminance exact:
+    * (v·299 + v·587 + v·114)/1000 = v with integer division. */
+  private[operators] def buildBmpGray8x8(px: Array[Byte]): Array[Byte] = {
+    val w = 8; val h = 8
+    val dataSize = w * h * 3 // 3 bytes/px, 24-byte rows need no padding
+    val fileSize = 54 + dataSize
+    val bb = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    bb.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x)
+        bb.put(v).put(v).put(v)
+        x += 1
+      }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** A real 8-bit mono PCM WAV whose sample bytes ARE `samples` — the
+    * audio analogue of [[buildBmpGray8x8]]: PCM is uncompressed, so the
+    * decoded amplitude histogram equals the high-nibble histogram of the
+    * source bytes. */
+  private[operators] def buildWavPcm8(samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1).putShort(8) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(n).put(samples)
+    bb.array()
+  }
+
+  /** The mixed REAL-media fixture derived deterministically from the
+    * documents corpus: image rows carry a real BMP, audio rows a real PCM
+    * WAV (both embedding the document's [[srcBytes]] block), video rows
+    * the bare source block (no JDK video codec exists — the documented
+    * fallback leg). Built in a typed map — payload construction is
+    * per-row JVM byte assembly, the same shape real media ingestion has. */
+  def mediaFixture(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    fromDocuments(spark, dir).mapPartitions(_.map { r =>
+      val src = srcBytes(if (r.content == null) Array.empty[Byte] else r.content)
+      r.kind match {
+        case "image" => MediaRecord(r.media_id, r.kind, buildBmpGray8x8(src))
+        case "audio" => MediaRecord(r.media_id, r.kind, buildWavPcm8(src))
+        case _ => MediaRecord(r.media_id, r.kind, src)
+      }
+    })
+  }
+
+  /** REAL JDK codec decode (`ImageIO` raster / `AudioSystem` PCM) under a
+    * TOTAL DuckDB oracle — the query that closes the multimodal oracle
+    * gap. Because the constructed formats are uncompressed, the oracle can
+    * predict the decoded output exactly from the source column: if the
+    * raster/PCM decode did not hand back precisely the embedded bytes (or
+    * the codec fell back to byte features), dims and histogram mismatch.
+    * Output: per-media dims/frames + the full 16-bin feature histogram
+    * (k/64 exact fractions). JPEG/PNG/GIF — compressed formats whose
+    * decode cannot be byte algebra — keep their differential real-decode
+    * specs in MediaDecodeSpec. */
+  def mediaDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val feats = decodeFeatures(mediaFixture(spark, dir))
+    val bins = (0 until 16).map(i =>
+      round(element_at(col("features"), i + 1).cast("double"), 6).as(s"b$i"))
+    feats.select(
+      (Seq(col("media_id"), col("kind"), col("n_bytes"), col("width"),
+        col("height"), col("n_frames")) ++ bins): _*)
+      .orderBy("media_id")
+  }
+
+  /** ANSI oracle for [[mediaDecodeQuery]]: the padded source block's
+    * high-nibble histogram and the per-kind header constants, all exact
+    * integer/64 algebra. `phx` = first 128 hex chars of the text bytes,
+    * zero-padded — exactly [[srcBytes]] in hex. */
+  def mediaDecodeSql: String = {
+    val nv = (k: String) => s"(strpos('0123456789ABCDEF', substr(phx, $k, 1)) - 1)"
+    def byteAt(i: Int) =
+      s"(16 * ${nv(s"${2 * i + 1}")} + ${nv(s"${2 * i + 2}")})"
+    val binCols = (0 until 16).map { b =>
+      val c = "%X".format(b)
+      s"round(CAST(length(nibs) - length(replace(nibs, '$c', '')) AS DOUBLE) / $SrcBlock, 6) AS b$b"
+    }.mkString(",\n  ")
+    s"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    substr(hex(encode(text)) || repeat('00', $SrcBlock), 1, ${2 * SrcBlock}) AS phx
+  FROM documents
+), n AS (
+  SELECT *, regexp_replace(phx, '(.).', '\\1', 'g') AS nibs FROM m
+)
+SELECT media_id, kind,
+  CAST(CASE kind WHEN 'image' THEN ${54 + 8 * 8 * 3}
+                 WHEN 'audio' THEN ${44 + SrcBlock}
+                 ELSE $SrcBlock END AS BIGINT) AS n_bytes,
+  CAST(CASE kind WHEN 'image' THEN 8 WHEN 'audio' THEN 8000
+                 ELSE 64 + ${byteAt(0)} % 64 END AS INTEGER) AS width,
+  CAST(CASE kind WHEN 'image' THEN 8 WHEN 'audio' THEN 1
+                 ELSE 64 + ${byteAt(1)} % 64 END AS INTEGER) AS height,
+  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN $SrcBlock
+                 ELSE 1 + ${byteAt(2)} % 30 END AS INTEGER) AS n_frames,
+  $binCols
+FROM n
+ORDER BY media_id
+""".trim
+  }
 }

@@ -55,6 +55,45 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(hist.slice(1, 15).forall(_ == 0f))
   }
 
+  test("constructed BMP/WAV fixture really exercises the JDK codecs") {
+    // mediaDecodeQuery's oracle is only meaningful if the codec path
+    // FIRED: a silent fallback would give byte-level dims (width 64..127
+    // from header bytes), not the decoder's 8×8 / 8000×1. Pin the decode
+    // provenance per kind, and pin that the decoded histogram equals the
+    // source block's high-nibble histogram computed independently here.
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.mediaDecodeQuery(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byKind = rows.groupBy(_.getString(1))
+    byKind("image").foreach { r =>
+      assert(r.getInt(3) == 8 && r.getInt(4) == 8 && r.getInt(5) == 1,
+        s"BMP leg fell back: $r")
+      assert(r.getLong(2) == 246)
+    }
+    byKind("audio").foreach { r =>
+      assert(r.getInt(3) == 8000 && r.getInt(4) == 1 && r.getInt(5) == 64,
+        s"WAV leg fell back: $r")
+      assert(r.getLong(2) == 108)
+    }
+    byKind("video").foreach { r =>
+      assert(r.getLong(2) == 64 && r.getInt(3) >= 64 && r.getInt(3) < 128,
+        s"video leg must be the byte-level fallback: $r")
+    }
+    // independent histogram check on one image + one audio row
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    for (kind <- Seq("image", "audio"); r <- byKind(kind).take(3)) {
+      val src = Multimodal.srcBytes(texts(r.getLong(0)).getBytes("UTF-8"))
+      val want = new Array[Int](16)
+      src.foreach(b => want((b & 0xFF) >> 4) += 1)
+      (0 until 16).foreach { b =>
+        assert(math.abs(r.getDouble(6 + b) - want(b) / 64.0) < 1e-9,
+          s"$kind media ${r.getLong(0)} bin $b: ${r.getDouble(6 + b)} vs ${want(b) / 64.0}")
+      }
+    }
+  }
+
   test("WAV decodes to real sample rate, channels and frame count") {
     import spark.implicits._
     val records = Seq(MediaRecord(3L, "audio", wavBytes(8000, 1000))).toDS()
