@@ -13,14 +13,25 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   *
   * Concurrent writers are DETECTED, not tolerated (same stance as
   * [[Layout.compact]]): the table's parquet file set is captured before
-  * the staged read and re-listed just before the catalog swap; if a
-  * writer committed files in between, compact aborts — stage table
-  * dropped, generation dir removed, original table and the interleaved
-  * append both intact — instead of silently deleting the unseen files
-  * with the old directory. A writer that commits AFTER the re-list but
-  * before the swap is the residual (tiny) race, identical to
-  * [[Layout.compact]]'s; true multi-writer safety needs a transactional
-  * table format.
+  * the staged read and re-listed TWICE — once just before the catalog
+  * swap (abort: stage dropped, generation dir removed, original table
+  * and the interleaved append both intact) and once again just AFTER
+  * the swap (rollback: the two renames are undone, the stage dropped,
+  * and the original entry — old location, appended files included — is
+  * live again). The second check closes the round-7 residual: a writer
+  * that committed after the pre-swap re-list but before the swap is now
+  * caught before the old directory is deleted, so its rows are never
+  * silently lost. What remains is the unavoidable tail for a
+  * non-transactional format: a writer that RESOLVED the table location
+  * before the swap and commits in the instants between the post-swap
+  * re-list and the directory delete. [[guardedAppend]] closes that tail
+  * from the writer's side — every append path validates after its
+  * commit that no swap interleaved (resolving survivorship through the
+  * one-file-per-bucket invariant of a fresh compact) and retries or
+  * fails LOUDLY, so a completed append call is always durable. True
+  * lock-free multi-writer safety still needs a transactional table
+  * format; the guard pair turns the race from silent loss into
+  * detection on both sides.
   *
   * Crash recovery: the swap is DROP-free on the data path — `t` is
   * renamed to `<t>_precompact`, the stage renamed to `t`, then the
@@ -86,11 +97,13 @@ object BucketedMaintenance {
   def compact(spark: SparkSession, tables: Seq[(String, String)], path: String): Unit =
     compact(spark, tables, path, _ => ())
 
-  /** Test seam: `beforeSwap(table)` runs after the staged write and
-    * before the concurrent-writer re-list, so a spec can interleave a
-    * real append inside exactly the window the guard protects. */
+  /** Test seams: `beforeSwap(table)` runs after the staged write and
+    * before the concurrent-writer re-list (the abort window);
+    * `afterRelist(table)` runs after that re-list and before the catalog
+    * swap (the round-7 residual window, now a rollback). */
   private[graft] def compact(spark: SparkSession, tables: Seq[(String, String)],
-                             path: String, beforeSwap: String => Unit): Unit =
+                             path: String, beforeSwap: String => Unit,
+                             afterRelist: String => Unit = _ => ()): Unit =
     tables.foreach { case (t, bucketCol) =>
       // REFRESH before reading: appends may have come from another session
       // (streaming foreachBatch runs in a cloned session) and this
@@ -151,6 +164,7 @@ object BucketedMaintenance {
             "Staged copy discarded; the table and the interleaved append are intact. " +
             "Quiesce writers and re-run.")
       }
+      afterRelist(t)
       // backup-rename swap: a live catalog entry for the data exists at
       // every instant except between the two renames, where it is
       // reachable under the backup name (recovery: rename it back)
@@ -158,9 +172,94 @@ object BucketedMaintenance {
       spark.sql(s"DROP TABLE IF EXISTS `$backup`")
       spark.sql(s"ALTER TABLE `$t` RENAME TO `$backup`")
       spark.sql(s"ALTER TABLE `$stage` RENAME TO `$t`")
+      // LATE-APPEND guard (the round-7 residual window): a writer that
+      // committed between the pre-swap re-list and the swap has rows only
+      // in the old directory — deleting it would silently lose them. One
+      // more listing AFTER the swap catches every commit that predates
+      // it; on a hit, undo both renames (renames preserve location and
+      // createTime, so readers and version caches see the ORIGINAL entry,
+      // appended files included) and abort exactly like the pre-swap
+      // guard. A commit landing after THIS listing is the remaining tail
+      // — the writer-side [[guardedAppend]] validation covers it.
+      val postSwap = parquetFileSet(fs, oldLocation)
+      if (postSwap != listed) {
+        spark.sql(s"ALTER TABLE `$t` RENAME TO `$stage`")
+        spark.sql(s"ALTER TABLE `$backup` RENAME TO `$t`")
+        spark.sql(s"DROP TABLE `$stage`")
+        fs.delete(new org.apache.hadoop.fs.Path(gen), true)
+        throw new IllegalStateException(
+          s"compact: `$t` received a late append after the pre-swap re-list " +
+            s"(+${(postSwap -- listed).size} files) — rolled back; the table and " +
+            "the appended rows are intact. Quiesce writers and re-run.")
+      }
       spark.sql(s"DROP TABLE `$backup`")
       fs.delete(oldLocation, true)
     }
+
+  /** Writer-side half of the race closure: wrap a bucketed append in
+    * post-commit validation. Each table's catalog LOCATION is captured
+    * before `insert` and re-read after. Unchanged locations ⟹ no compact
+    * swapped during the call ⟹ every committed file was either inside
+    * the compactor's baseline (survives the rewrite) or tripped one of
+    * its abort/rollback listings — the append is durable. A changed
+    * location means a compact completed mid-call; survivorship is
+    * resolved through the ONE-FILE-PER-BUCKET invariant of a fresh
+    * compact: extra parquet files in the new location can only be
+    * post-compact appends — under the single-concurrent-appender regime,
+    * ours. Present → success. Absent → the rows died with the old
+    * generation: single-table appends RETRY the insert (duplicate-free —
+    * the staged copy demonstrably lacks the rows), multi-table appends
+    * throw (per-table survivorship can diverge, so re-running the whole
+    * body could duplicate the tables where rows survived). Either way a
+    * COMPLETED call is durable and a lost append fails loudly — never
+    * silently.
+    *
+    * `rowsPresent` upgrades the file-count heuristic to an EXACT
+    * survivorship probe (e.g. a semi-join of the batch's keys against the
+    * post-swap table) — with it the guard is correct even when a whole
+    * compact lands between the commit and the validation; without it that
+    * pattern (or two back-to-back compacts in one append window) could
+    * misread survivorship and duplicate on retry. The single-table index
+    * paths all pass an exact probe; the documented supported regime for
+    * heuristic-only callers stays one compact — and no rebuild — per
+    * append window (the same single-maintainer stance as [[compact]]). */
+  def guardedAppend(spark: SparkSession, tables: Seq[String], retries: Int = 2,
+                    rowsPresent: Option[() => Boolean] = None)(
+      insert: => Unit): Unit = {
+    def locs() = tables.map(t => spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
+    var attempt = 0
+    var pending = true
+    while (pending) {
+      val before = locs()
+      insert
+      val after = locs()
+      if (after == before) pending = false
+      else {
+        val changed = tables.zip(before.zip(after))
+          .collect { case (t, (b, a)) if b != a => t }
+        changed.foreach(spark.catalog.refreshTable)
+        val survived = rowsPresent.map(_()).getOrElse(changed.forall { t =>
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t))
+          val loc = new org.apache.hadoop.fs.Path(meta.location)
+          val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          parquetFileSet(fs, loc).size > storedBuckets(spark, t)
+        })
+        if (survived) pending = false
+        else if (tables.length == 1 && attempt < retries) {
+          attempt += 1
+          tables.foreach(spark.catalog.refreshTable)
+        } else throw new IllegalStateException(
+          s"append raced a compact on ${changed.mkString(", ")}: the rows were " +
+            "committed into a generation the compact deleted" +
+            (if (tables.length == 1) " and retries are exhausted"
+            else "; a multi-table append cannot safely auto-retry — per-table " +
+              "survivorship may diverge") +
+            ". The append did NOT complete; re-run it.")
+      }
+    }
+  }
 
   /** Drop `table` and its backing files (wherever a prior [[compact]] left
     * them) so an Overwrite re-creation can re-pin the canonical path

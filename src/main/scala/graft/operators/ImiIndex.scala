@@ -73,12 +73,20 @@ object ImiIndex {
       BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
-    newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
-      .toDF("vec_id", "cell_id", "embedding", "nrm")
-      .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(bk, "cell_id").sortBy("cell_id")
-      .saveAsTable(assignTable(tag))
+    // post-commit swap validation + retry, as in [[IvfIndex.assignInto]],
+    // with the same exact batch-id survivorship probe
+    val batchIds = newVecs.select("vec_id").distinct()
+    val present = () => batchIds.join(
+      spark.table(assignTable(tag)), "vec_id").count() == batchIds.count()
+    BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
+      rowsPresent = Some(present)) {
+      newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
+        .toDF("vec_id", "cell_id", "embedding", "nrm")
+        .write.mode(SaveMode.Append).format("parquet")
+        .bucketBy(bk, "cell_id").sortBy("cell_id")
+        .saveAsTable(assignTable(tag))
+    }
   }
 
   /** Retrain when the corpus outgrows k1 — [[IvfIndex.rebuildIfNeeded]]'s

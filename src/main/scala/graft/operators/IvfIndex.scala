@@ -92,16 +92,27 @@ object IvfIndex {
     val cents = loadModel(spark, tag)
     // append through the catalog location (no path pin): after a
     // [[compact]] the table lives in a generation dir and a pinned
-    // original path analysis-errors on the mismatch
-    newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val q = Similarity.quantizeVec(v)
-        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
-          q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
-      .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
-      .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(bk, "cid").sortBy("cid")
-      .saveAsTable(assignTable(tag))
+    // original path analysis-errors on the mismatch. guardedAppend
+    // validates post-commit that no compact swapped the location
+    // mid-call (and retries if the rows died with the old generation).
+    // exact survivorship probe: every batch id present in the (possibly
+    // swapped) assignment relation — makes the guard's raced-append
+    // resolution exact rather than the file-count heuristic
+    val batchIds = newVecs.select("vec_id").distinct()
+    val present = () => batchIds.join(
+      spark.table(assignTable(tag)), "vec_id").count() == batchIds.count()
+    BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
+      rowsPresent = Some(present)) {
+      newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          val q = Similarity.quantizeVec(v)
+          (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
+            q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
+        .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
+        .write.mode(SaveMode.Append).format("parquet")
+        .bucketBy(bk, "cid").sortBy("cid")
+        .saveAsTable(assignTable(tag))
+    }
   }
 
   /** Rebuild when the corpus has outgrown the model: search cost is

@@ -200,21 +200,27 @@ object ShingleIndex {
     // Anti-join keeps the sat table distinct across appends; materialized
     // (checkpoint) BEFORE the write because the write appends to the very
     // table the anti-join scans.
-    val newSat = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      dfCensus.filter(!col("admitted")).select("key")
-        .join(spark.table(satTable(tag)), Seq("key"), "left_anti"))
-    writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
-    val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      newOcc.join(admittedKeys, "key")
-        .select(col("key"), col("doc_id").as("corpus_id")))
-    writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
-    writeBucketed(
-      admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
-      sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
-    val newFp = newDocs
-      .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
-      .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti")
-    writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
+    // guardedAppend: validate post-commit that no compact swapped any of
+    // the four tables mid-call (multi-table → no auto-retry; a raced
+    // append THROWS rather than losing rows silently)
+    BucketedMaintenance.guardedAppend(spark,
+      Seq(satTable(tag), occT, sizesTable(tag), fpTable(tag))) {
+      val newSat = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+        dfCensus.filter(!col("admitted")).select("key")
+          .join(spark.table(satTable(tag)), Seq("key"), "left_anti"))
+      writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
+      val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+        newOcc.join(admittedKeys, "key")
+          .select(col("key"), col("doc_id").as("corpus_id")))
+      writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
+      writeBucketed(
+        admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
+        sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
+      val newFp = newDocs
+        .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
+        .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti")
+      writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
+    }
   }
 
   /** Re-apply exact build semantics (un-does append's bounded cap

@@ -91,6 +91,124 @@ class MaintenanceGuardSpec extends AnyFunSuite {
     } finally dropIvf(tag)
   }
 
+  test("shingle compact ROLLS BACK on an append landing after the pre-swap re-list") {
+    // the round-7 residual window: the append commits after the abort
+    // guard's re-list but before the catalog swap. The post-swap listing
+    // must catch it and UNDO the swap — original entry (appended files
+    // included) live again, generation dir removed.
+    val dir = Files.createTempDirectory("graft-rb-shingle").toString
+    val tag = "rbs"
+    val corpus = docs.filter(col("doc_id") % 7 === 3)
+    val extra = docs.filter(col("doc_id") % 7 === 4 && col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 7 === 5 && col("doc_id") % 5 === 0)
+    try {
+      ShingleIndex.build(corpus, dir, tag)
+      val occBefore = spark.table(ShingleIndex.occTable(tag)).count()
+      val ex = intercept[IllegalStateException] {
+        BucketedMaintenance.compact(spark,
+          Seq((ShingleIndex.occTable(tag), "key"),
+            (ShingleIndex.sizesTable(tag), "corpus_id"),
+            (ShingleIndex.fpTable(tag), "fp"),
+            (ShingleIndex.satTable(tag), "key")), dir,
+          beforeSwap = _ => (),
+          afterRelist = t =>
+            if (t == ShingleIndex.occTable(tag))
+              ShingleIndex.append(spark, tag, dir, extra))
+      }
+      assert(ex.getMessage.contains("late append"), ex.getMessage)
+      spark.catalog.refreshTable(ShingleIndex.occTable(tag))
+      assert(spark.table(ShingleIndex.occTable(tag)).count() > occBefore)
+      // semantic no-loss proof: index ≡ recompute over the union corpus
+      val want = Dedup.incrementalDedupOn(corpus.union(extra), batch)
+      assert(canon(ShingleIndex.probe(spark, tag, batch)) == canon(want))
+      // the rolled-back generation dir was removed: a quiesced re-run
+      // compacts cleanly and preserves the same answers
+      ShingleIndex.compact(spark, tag, dir)
+      assert(canon(ShingleIndex.probe(spark, tag, batch)) == canon(want))
+    } finally dropShingle(tag)
+  }
+
+  test("IVF compact rolls back on an assignInto landing after the pre-swap re-list") {
+    val dir = Files.createTempDirectory("graft-rb-ivf").toString
+    val tag = "rbv"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 5 =!= 1)
+    val late = emb.filter(col("vec_id") % 5 === 1)
+    try {
+      IvfIndex.build(base, dir, tag, nCentroids = 8, seed = Similarity.ResidueSeed)
+      val ex = intercept[IllegalStateException] {
+        BucketedMaintenance.compact(spark,
+          Seq((IvfIndex.assignTable(tag), "cid")), dir,
+          beforeSwap = _ => (),
+          afterRelist = _ => IvfIndex.assignInto(spark, tag, late))
+      }
+      assert(ex.getMessage.contains("late append"), ex.getMessage)
+      spark.catalog.refreshTable(IvfIndex.assignTable(tag))
+      assert(spark.table(IvfIndex.assignTable(tag)).count() == base.count() + late.count())
+      IvfIndex.compact(spark, tag, dir)
+      assert(spark.table(IvfIndex.assignTable(tag)).count() == base.count() + late.count())
+    } finally dropIvf(tag)
+  }
+
+  test("guardedAppend: rows dying with a swapped generation → exactly one retry") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft-ga").toString
+    val t = "ga_tbl"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.range(100).select(col("id").as("k"), col("id").as("v"))
+        .write.format("parquet").bucketBy(4, "k").sortBy("k")
+        .option("path", s"$dir/$t").saveAsTable(t)
+      val batch = spark.range(100, 120).select(col("id").as("k"), col("id").as("v"))
+      def insertBatch(): Unit = batch.write.mode(SaveMode.Append).format("parquet")
+        .bucketBy(4, "k").sortBy("k").saveAsTable(t)
+      val present = () => spark.table(t).filter(col("k") >= 100).count() == 20L
+      var calls = 0
+      BucketedMaintenance.guardedAppend(spark, Seq(t), rowsPresent = Some(present)) {
+        calls += 1
+        // first attempt: a compact swaps the location mid-call and the
+        // batch's commit dies with the old generation (observably: no
+        // rows written, location changed)
+        if (calls == 1) BucketedMaintenance.compact(spark, Seq((t, "k")), dir)
+        else insertBatch()
+      }
+      assert(calls == 2, s"expected exactly one retry, got $calls calls")
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t).count() == 120)
+      assert(spark.table(t).filter(col("k") >= 100).count() == 20)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `ga_tbl`")
+  }
+
+  test("guardedAppend: rows absorbed by a mid-call compact → no retry, no duplicates") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft-ga2").toString
+    val t = "ga2_tbl"
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.range(100).select(col("id").as("k"), col("id").as("v"))
+        .write.format("parquet").bucketBy(4, "k").sortBy("k")
+        .option("path", s"$dir/$t").saveAsTable(t)
+      val batch = spark.range(100, 120).select(col("id").as("k"), col("id").as("v"))
+      val present = () => spark.table(t).filter(col("k") >= 100).count() == 20L
+      var calls = 0
+      BucketedMaintenance.guardedAppend(spark, Seq(t), rowsPresent = Some(present)) {
+        calls += 1
+        batch.write.mode(SaveMode.Append).format("parquet")
+          .bucketBy(4, "k").sortBy("k").saveAsTable(t)
+        // the compact's baseline includes the fresh rows: they survive
+        // into the new generation — the exact probe must see that and
+        // NOT retry (the file-count heuristic alone would misread this
+        // as a lost append and duplicate)
+        BucketedMaintenance.compact(spark, Seq((t, "k")), dir)
+      }
+      assert(calls == 1, s"retry would have duplicated: $calls calls")
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t).count() == 120)
+      assert(spark.table(t).filter(col("k") >= 100).count() == 20)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `ga2_tbl`")
+  }
+
   test("pre-sat-version shingle index: append and census migrate the sat table lazily") {
     val dir = Files.createTempDirectory("graft-satmig").toString
     val tag = "satmig"
