@@ -98,6 +98,65 @@ object DeepScaleProbe {
       Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
+    if (tiers.contains("plant")) {
+      import graft.operators.RecallEstimator
+      // The FOURTH decade: planted-panel recall estimation past the exact
+      // cap (see RecallEstimator). Validation contract: wherever n is
+      // still under the cap, exact truth is computed too and the two
+      // recalls must be IDENTICAL (the margin makes the planted set the
+      // true top-5).
+      val tp = System.nanoTime()
+      val panel = RecallEstimator.panel(nQueries = 50)
+      val pc = RecallEstimator.plantedCorpus(emb, panel)
+      // ceiling audit — whole-block stratum targeting ~200k vectors:
+      // within-block cosines are mask-invariant, so sampled blocks give
+      // exact per-block maxima and only the cross-block tail needs the
+      // sample-size argument (reported alongside the margin)
+      val mod = math.max(1L, n / 200000L)
+      val stratum = emb.filter(
+        expr(s"(vec_id div ${ScaleProbe.BlockStride}) % $mod = 0"))
+      val nStratum = stratum.count()
+      val ceiling = RecallEstimator.naturalCeiling(stratum, panel)
+      val margin = panel.minPlantedCos - ceiling.values.max
+      println(f"[plant] panel 50×5 built in ${(System.nanoTime() - tp) / 1e9}%.1f s; " +
+        f"min planted cos ${panel.minPlantedCos}%.4f, stratum ceiling " +
+        f"${ceiling.values.max}%.4f over $nStratum vectors (1/$mod of blocks) " +
+        f"→ margin $margin%.4f")
+      require(margin > 0, "ceiling audit failed: planted set is not the true top-5")
+      if (n + 250 <= Similarity.MaxExactCorpusRows) {
+        val ex = RecallEstimator.exactTopK(pc, panel, k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val agree = ex == panel.plantedSet
+        println(s"[plant] VALIDATION at n=$n: exact top-5 ≡ planted set: $agree")
+        require(agree, "estimator validation failed at sub-cap scale")
+      }
+      drop()
+      val tag = "deepplant"
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplant").toString
+      val tb = System.nanoTime()
+      graft.operators.IvfIndex.build(pc, idxDir, tag, buckets = 32)
+      println(f"[plant] IvfIndex.build on planted corpus " +
+        f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+      drop()
+      println("\n| corpus | n | cells | nprobe | cell frac | warm s | planted recall@5 | margin |")
+      println("|---|---|---|---|---|---|---|---|")
+      for (nprobe <- Seq(8, rule / 2, rule, 2 * rule).distinct) {
+        def once(): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val res = graft.operators.IvfIndex.search(spark, tag,
+            panel.queries(spark), nprobe = nprobe)
+          val rec = RecallEstimator.recallAgainst(panel, res)
+          ((System.nanoTime() - t0) / 1e9, rec)
+        }
+        once(); drop()
+        val (warm, rec) = once(); drop()
+        val label = if (nprobe == rule) s"$nprobe (rule)" else s"$nprobe"
+        println(f"| ${factor}x | $n | $cells | $label | " +
+          f"${nprobe.toDouble / cells}%.3f | $warm%.2f | $rec%.3f | $margin%.3f |")
+      }
+      Seq(graft.operators.IvfIndex.modelTable(tag), graft.operators.IvfIndex.assignTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     if (tiers.contains("imi")) {
       import graft.operators.{Imi, ImiIndex}
       val k1 = Imi.k1For(n)
