@@ -158,6 +158,12 @@ object SparkEntry {
     // unrolled Lloyd rounds, additive cell ranking)
     "q_imi_assign" -> ((s, dir) => Imi.assign(s, dir, k1 = 8)),
     "q_imi_search" -> ((s, dir) => Imi.search(s, dir, k1 = 8, nprobe = 4)),
+    // the seeded Hadamard-sign rotation ahead of the half-split (the
+    // public OPQ idea) — the adversarially-correlated-halves defense;
+    // fully oracled: the rotation is bit_count algebra in SQL and the
+    // kernel pins the oracle's summation order
+    "q_imi_assign_rot" -> ((s, dir) => Imi.assignRot(s, dir, k1 = 8)),
+    "q_imi_search_rot" -> ((s, dir) => Imi.searchRot(s, dir, k1 = 8, nprobe = 4)),
     // the streaming embedding gate's batch kernel under the DuckDB gate:
     // index on the full corpus, deterministically-derived arrivals
     // (exact copies + sign-flipped), receipts as the output relation
@@ -323,6 +329,8 @@ object SparkEntry {
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),
+    "q_imi_assign_rot" -> Imi.assignRotSql(k1 = 8),
+    "q_imi_search_rot" -> Imi.searchRotSql(k1 = 8, nprobe = 4),
     "q_vector_gate" -> graft.streaming.VectorIngestGate.gateQuerySql(),
     "q_semantic_dedup" -> Dedup.semanticDedupSql(nCentroids = 8, threshold = 0.45),
     // identical SQL by design: the indexed path must reproduce the

@@ -159,10 +159,23 @@ object Imi {
     * invariant the flat IVF carries). */
   def search(spark: SparkSession, dir: String, k1: Int = 0, nprobe: Int = 4,
              k: Int = 5, nQueries: Int = 50,
-             iters: Int = Similarity.LloydIters): DataFrame = {
+             iters: Int = Similarity.LloydIters): DataFrame =
+    searchOn(spark.read.parquet(s"$dir/embeddings.parquet"),
+      k1, nprobe, k, nQueries, iters)
+
+  /** [[search]] with the seeded rotation ahead of the half-split —
+    * geometry is preserved (orthogonal), only the cell structure moves. */
+  def searchRot(spark: SparkSession, dir: String, k1: Int = 0, nprobe: Int = 4,
+                k: Int = 5, nQueries: Int = 50, seed: Long = RotSeed,
+                iters: Int = Similarity.LloydIters): DataFrame =
+    searchOn(rotated(spark.read.parquet(s"$dir/embeddings.parquet"), seed),
+      k1, nprobe, k, nQueries, iters)
+
+  def searchOn(emb: DataFrame, k1: Int, nprobe: Int, k: Int,
+               nQueries: Int, iters: Int = Similarity.LloydIters): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val base = spark.read.parquet(s"$dir/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+    val base = emb.select(col("vec_id"), col("embedding"))
     val kk = if (k1 == 0) k1For(base.count()) else k1
     val (cl, cr) = models(base, kk, iters)
     val assigned = base.as[(Long, Array[Float])]
@@ -192,21 +205,131 @@ object Imi {
       .orderBy("query_id", "rk")
   }
 
+  // --- Half-decorrelating rotation (the OPQ idea, cheap form) ----------
+  //
+  // The IMI's zero-recall-tax result on the standard corpus family is
+  // product quantization's BEST case: the two halves are weakly
+  // correlated. Adversarially correlated halves (e.g. right = copy of
+  // left) collapse the populated product cells toward the diagonal —
+  // k1² cells behave like k1 — and the multi-probe budget buys far less
+  // (measured in graft.tools.ImiAdversarialProbe). The standard public
+  // fix (Ge et al., CVPR 2013 "Optimized Product Quantization"; the
+  // cheap seeded form is the randomized Hadamard transform of
+  // Ailon–Chazelle 2006) rotates the space ahead of the half-split so
+  // each half sees a global mix of dimensions.
+  //
+  // R = H·D/√dim with H the ±1 Walsh–Hadamard matrix
+  // (H[i][j] = (−1)^popcount(i∧j), 0-indexed) and D a seeded diagonal of
+  // ±1 — orthogonal, so L2/cosine geometry is preserved, and every entry
+  // is SQL-expressible (bit_count + a 64-literal sign list), which keeps
+  // the rotated oracles TOTAL. The kernel accumulates in ascending-j
+  // doubles, divides by √dim (exact: 8 for dim 64), rounds to float —
+  // bit-identical to the oracle's list_sum/CAST(REAL) discipline.
+
+  /** Seeded ±1 diagonal for the rotation. */
+  def rotSigns(seed: Long, dim: Int = Similarity.Dim): Array[Double] =
+    Array.tabulate(dim) { i =>
+      var z = seed * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if (z > 0) 1.0 else -1.0
+    }
+
+  /** Rotate one vector: w_i = Σ_j (−1)^popcount(i∧j) · s_j · v_j / √dim.
+    * Ascending-j double accumulation — the pinned oracle order. */
+  private[graft] def rotateP(v: Array[Float], signs: Array[Double]): Array[Float] = {
+    val d = v.length
+    val root = math.sqrt(d.toDouble)
+    require(root == math.rint(root), s"Hadamard rotation needs a square dim, got $d")
+    Array.tabulate(d) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        acc += h * signs(j) * v(j).toDouble
+        j += 1
+      }
+      (acc / root).toFloat
+    }
+  }
+
+  /** Rotated view of a (vec_id, embedding) relation. */
+  def rotated(base: DataFrame, seed: Long): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val signs = rotSigns(seed)
+    base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) => (id, rotateP(v, signs)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  /** SQL mirror of [[rotated]] as a CTE named `rot` over `embeddings`. */
+  def rotCteSql(seed: Long, dim: Int = Similarity.Dim): String = {
+    val signs = rotSigns(seed, dim)
+    val signList = signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val root = math.sqrt(dim.toDouble).toInt
+    s"""rot AS (
+  SELECT vec_id, list_transform(generate_series(1, $dim), i ->
+    CAST(list_sum(list_transform(generate_series(1, $dim), j ->
+      (CASE WHEN bit_count(CAST((i - 1) AS BIGINT) & CAST((j - 1) AS BIGINT)) % 2 = 0
+            THEN 1.0 ELSE -1.0 END)
+      * ($signList)[j] * CAST(embedding[j] AS DOUBLE))) / $root AS FLOAT)) AS embedding
+  FROM embeddings
+)"""
+  }
+
+  /** [[assign]] with the seeded rotation ahead of the half-split — the
+    * adversarial-corpus defense. Cell ids are NOT comparable to the
+    * unrotated assignment (different space); geometry (and therefore
+    * search results) is, because the rotation is orthogonal. */
+  def assignRot(spark: SparkSession, dir: String, k1: Int = 0, seed: Long = RotSeed,
+                iters: Int = Similarity.LloydIters): DataFrame = {
+    import spark.implicits._
+    val base = rotated(spark.read.parquet(s"$dir/embeddings.parquet"), seed)
+    val kk = if (k1 == 0) k1For(base.count()) else k1
+    val (cl, cr) = models(base, kk, iters)
+    base.as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
+        val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
+        (id, l, r, l.toLong * kk + r)
+      }
+      .toDF("vec_id", "cell_l", "cell_r", "cell_id")
+      .orderBy("vec_id")
+  }
+
+  /** Default rotation seed (any fixed value works; pinned for oracles). */
+  val RotSeed = 7L
+
+  def assignRotSql(k1: Int = 8, seed: Long = RotSeed,
+                   iters: Int = Similarity.LloydIters): String = s"""
+WITH ${rotCteSql(seed)},
+${halfCtes("l_", k1, 0, iters, "rot")}, ${halfCtes("r_", k1, HalfDim, iters, "rot")},
+${halfAssign("l_", 0, "rot")}, ${halfAssign("r_", HalfDim, "rot")}
+SELECT l.vec_id, CAST(l.cid AS INTEGER) AS cell_l, CAST(r.cid AS INTEGER) AS cell_r,
+  CAST(l.cid * $k1 + r.cid AS BIGINT) AS cell_id
+FROM l_fin l JOIN r_fin r USING (vec_id)
+ORDER BY vec_id
+""".trim
+
   /** Per-half centroid-training CTE chain — [[Similarity.centroidCtes]]
     * with a name prefix and the half's dimension offset (one shared
     * implementation of the Lloyd oracle discipline; drift between the
     * flat and half chains is impossible by construction). */
-  private def halfCtes(p: String, k1: Int, off: Int, iters: Int): String =
-    Similarity.centroidCtes(k1, HalfDim, iters, p, off)
+  private def halfCtes(p: String, k1: Int, off: Int, iters: Int,
+                       src: String = "embeddings"): String =
+    Similarity.centroidCtes(k1, HalfDim, iters, p, off, src)
 
   /** Final per-half assignment CTE (`<p>fin`): nearest trained half-cell
     * per vector, (dist2 ASC, cid ASC) tie-break. */
-  private def halfAssign(p: String, off: Int): String = s"""${p}dd AS (
+  private def halfAssign(p: String, off: Int,
+                         src: String = "embeddings"): String = s"""${p}dd AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(generate_series(1, $HalfDim),
       i -> (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]) *
            (CAST(e.embedding[i + $off] AS DOUBLE) - c.centroid[i]))) AS dist2
-  FROM embeddings e CROSS JOIN ${p}cent c
+  FROM $src e CROSS JOIN ${p}cent c
 ), ${p}fin AS (
   SELECT vec_id, cid, dist2 FROM (
     SELECT vec_id, cid, dist2,
@@ -239,10 +362,19 @@ ${halfAssign("l_", 0)}, ${halfAssign("r_", HalfDim)}, assign AS (
     * ([[Similarity.CosineSqlExpr]]). */
   private val CosSql: String = Similarity.CosineSqlExpr
 
+  /** [[searchRot]]'s oracle: the literal search chain over the `rot`
+    * CTE — rotation is the only difference, totality is untouched. */
+  def searchRotSql(k1: Int = 8, nprobe: Int = 4, k: Int = 5, nQueries: Int = 50,
+                   seed: Long = RotSeed,
+                   iters: Int = Similarity.LloydIters): String =
+    s"WITH ${rotCteSql(seed)}, " +
+      searchSql(k1, nprobe, k, nQueries, iters, "rot").stripPrefix("WITH ")
+
   def searchSql(k1: Int = 8, nprobe: Int = 4, k: Int = 5, nQueries: Int = 50,
-                iters: Int = Similarity.LloydIters): String = s"""
-WITH ${halfCtes("l_", k1, 0, iters)}, ${halfCtes("r_", k1, HalfDim, iters)},
-${halfAssign("l_", 0)}, ${halfAssign("r_", HalfDim)},
+                iters: Int = Similarity.LloydIters,
+                src: String = "embeddings"): String = s"""
+WITH ${halfCtes("l_", k1, 0, iters, src)}, ${halfCtes("r_", k1, HalfDim, iters, src)},
+${halfAssign("l_", 0, src)}, ${halfAssign("r_", HalfDim, src)},
 assign AS (
   SELECT l.vec_id, l.cid * $k1 + r.cid AS cell_id
   FROM l_fin l JOIN r_fin r USING (vec_id)
@@ -251,13 +383,13 @@ assign AS (
     list_sum(list_transform(generate_series(1, $HalfDim),
       i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
            (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
-  FROM embeddings e CROSS JOIN l_cent c WHERE e.vec_id < $nQueries
+  FROM $src e CROSS JOIN l_cent c WHERE e.vec_id < $nQueries
 ), qdr AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(generate_series(1, $HalfDim),
       i -> (CAST(e.embedding[i + $HalfDim] AS DOUBLE) - c.centroid[i]) *
            (CAST(e.embedding[i + $HalfDim] AS DOUBLE) - c.centroid[i]))) AS dist2
-  FROM embeddings e CROSS JOIN r_cent c WHERE e.vec_id < $nQueries
+  FROM $src e CROSS JOIN r_cent c WHERE e.vec_id < $nQueries
 ), cells AS (
   SELECT ql.vec_id, ql.cid * $k1 + qr.cid AS cell_id, ql.dist2 + qr.dist2 AS dsum
   FROM qdl ql JOIN qdr qr USING (vec_id)
@@ -272,8 +404,8 @@ assign AS (
 ), sims AS (
   SELECT c.query_id, c.neighbor_id, $CosSql AS cos
   FROM cand c
-  JOIN embeddings a ON a.vec_id = c.query_id
-  JOIN embeddings b ON b.vec_id = c.neighbor_id
+  JOIN $src a ON a.vec_id = c.query_id
+  JOIN $src b ON b.vec_id = c.neighbor_id
 ), ranked AS (
   SELECT query_id, neighbor_id, cos,
     row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk

@@ -816,11 +816,12 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * right half). With the defaults the emitted SQL is exactly the flat
     * chain the q_ivf_* oracles have always pinned. */
   private[graft] def centroidCtes(nCentroids: Int, dim: Int, iters: Int,
-                                  p: String = "", off: Int = 0): String = {
+                                  p: String = "", off: Int = 0,
+                                  src: String = "embeddings"): String = {
     def ix(v: String): String = if (off == 0) v else s"($v + $off)"
     val sb = new StringBuilder(s"""${p}ex AS (
   SELECT ((vec_id % $nCentroids) + $nCentroids) % $nCentroids AS cid, i, CAST(embedding[${ix("i")}] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, $dim) AS gs(i)
+  FROM $src, generate_series(1, $dim) AS gs(i)
 ), ${p}cm0 AS (
   SELECT cid, i, avg(x) AS c FROM ${p}ex GROUP BY cid, i
 ), ${p}cent0 AS (
@@ -832,7 +833,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     list_sum(list_transform(generate_series(1, $dim),
       i -> (CAST(e.embedding[${ix("i")}] AS DOUBLE) - c.centroid[i]) *
            (CAST(e.embedding[${ix("i")}] AS DOUBLE) - c.centroid[i]))) AS dist2
-  FROM embeddings e CROSS JOIN ${p}cent${t - 1} c
+  FROM $src e CROSS JOIN ${p}cent${t - 1} c
 ), ${p}asg$t AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
@@ -840,7 +841,7 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     FROM ${p}d$t) rr WHERE r = 1
 ), ${p}cm$t AS (
   SELECT a.cid, gs.i, avg(CAST(e.embedding[${ix("gs.i")}] AS DOUBLE)) AS c
-  FROM ${p}asg$t a JOIN embeddings e USING (vec_id), generate_series(1, $dim) AS gs(i)
+  FROM ${p}asg$t a JOIN $src e USING (vec_id), generate_series(1, $dim) AS gs(i)
   GROUP BY a.cid, gs.i
 ), ${p}cent$t AS (
   SELECT p.cid, COALESCE(n.centroid, p.centroid) AS centroid

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Imi, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Hadamard-sign rotation ahead of the IMI half-split: orthogonal
+  * (geometry preserved to float rounding), deterministic per seed, and
+  * it actually repairs the adversarially-correlated-halves collapse the
+  * round-7 verdict named — while leaving uncorrelated corpora as good as
+  * before (recall parity on the standard corpus). */
+class ImiRotationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  test("rotation is orthogonal: norms and dot products preserved to float rounding") {
+    val signs = Imi.rotSigns(Imi.RotSeed)
+    val vs = emb.limit(20).collect()
+      .map(_.getSeq[Float](1).toArray)
+    for (a <- vs.take(5); b <- vs.take(5)) {
+      val ra = Imi.rotateP(a, signs)
+      val rb = Imi.rotateP(b, signs)
+      val d0 = Similarity.dotP(a, b)
+      val d1 = Similarity.dotP(ra, rb)
+      assert(math.abs(d0 - d1) <= 1e-4 * math.max(1.0, math.abs(d0)),
+        s"dot drifted: $d0 vs $d1")
+    }
+  }
+
+  test("rotation is seed-deterministic and seed-sensitive") {
+    val v = emb.limit(1).collect()(0).getSeq[Float](1).toArray
+    val a = Imi.rotateP(v, Imi.rotSigns(7L))
+    val b = Imi.rotateP(v, Imi.rotSigns(7L))
+    val c = Imi.rotateP(v, Imi.rotSigns(8L))
+    assert(a.sameElements(b))
+    assert(!a.sameElements(c))
+  }
+
+  test("adversarial copy-halves corpus: rotation repairs the product-cell collapse") {
+    import spark.implicits._
+    val half = Imi.HalfDim
+    // right half := left half — perfectly correlated halves
+    val adv = emb.select(col("vec_id"),
+      concat(slice(col("embedding"), 1, half),
+        slice(col("embedding"), 1, half)).as("embedding"))
+    val k1 = 8
+    def stats(assigned: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val occ = assigned.groupBy("cell_id").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("pop"), max(col("c")).as("mx")).collect()(0)
+      (occ.getLong(0), occ.getLong(1).toDouble / 500)
+    }
+    // unrotated: both half-quantizers see the SAME data → identical
+    // training → cell_l == cell_r for every vector (pure diagonal:
+    // populated cells ≤ k1 of the k1² product)
+    val plain = Imi.models(adv, k1)
+    val rotBase = Imi.rotated(adv, Imi.RotSeed)
+    val (clP, crP) = plain
+    assert(clP.zip(crP).forall { case (l, r) => l.sameElements(r) },
+      "copy-halves must train identical half-models")
+    val assignedPlain = adv.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Imi.cellIdOf(v, clP, crP, k1)) }
+      .toDF("vec_id", "cell_id")
+    val (popPlain, mxPlain) = stats(assignedPlain)
+    assert(popPlain <= k1,
+      s"adversarial corpus must collapse to the diagonal: $popPlain cells")
+    // rotated: the mix spreads the joint distribution off the diagonal
+    val (clR, crR) = Imi.models(rotBase, k1)
+    val assignedRot = rotBase.as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Imi.cellIdOf(v, clR, crR, k1)) }
+      .toDF("vec_id", "cell_id")
+    val (popRot, mxRot) = stats(assignedRot)
+    assert(popRot > 2 * popPlain,
+      s"rotation must spread the product cells: $popPlain → $popRot")
+    assert(mxRot < mxPlain,
+      s"rotation must shrink the largest cell: $mxPlain → $mxRot")
+  }
+
+  test("uncorrelated corpus: rotated search recall matches unrotated") {
+    val exact = Similarity.topK(spark, dir, k = 5, nQueries = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.filter(col("query_id") < 20).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val plain = recallOf(Imi.search(spark, dir, k1 = 8, nprobe = 16, nQueries = 20))
+    val rot = recallOf(Imi.searchRot(spark, dir, k1 = 8, nprobe = 16, nQueries = 20))
+    // same probe budget, same corpus: the rotation must not cost recall
+    // beyond cell-boundary noise (parity band ±0.1)
+    assert(math.abs(plain - rot) <= 0.1, s"unrotated $plain vs rotated $rot")
+  }
+}
