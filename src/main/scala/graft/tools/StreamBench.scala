@@ -148,6 +148,30 @@ object StreamBench {
       val sec = (System.nanoTime() - t0) / 1e9
       gateIxTimes += ((b, batchSize, sec))
       println(f"[streambench] ingest-ix batch $b: $sec%.2f s wall (${batchSize / sec}%.0f docs/s)")
+      // maintenance cadence, LIVE (the r7 gap: the 5M-doc run showed a
+      // 17 s batch-3 spike from un-compacted append accumulation with the
+      // cadence dormant) — compact the four index tables between batches,
+      // census-gate the rebuild, and report the amortized cost alongside
+      // the batch wall
+      val tc = System.nanoTime()
+      graft.operators.ShingleIndex.compact(spark, "sbix", s"$root/index")
+      println(f"[streambench] ingest-ix compact $b: ${(System.nanoTime() - tc) / 1e9}%.2f s " +
+        f"(files=${graft.operators.ShingleIndex.fileCount(spark, "sbix")})")
+      val tr = System.nanoTime()
+      val census = graft.operators.ShingleIndex.overshootCensus(spark, "sbix")
+      println(f"[streambench] ingest-ix census $b: ${(System.nanoTime() - tr) / 1e9}%.2f s " +
+        s"(saturatedKeys=${census.saturatedKeys} overshootRows=${census.overshootRows} " +
+        s"needsRebuild=${census.needsRebuild()})")
+      if (census.needsRebuild()) {
+        val trb = System.nanoTime()
+        graft.operators.ShingleIndex.rebuild(
+          spark.read.parquet(s"$corpusDir/documents.parquet").select("doc_id", "text")
+            .unionByName(spark.read.parquet(s"$root/landing_ix")
+              .select("doc_id", "text")),
+          s"$root/index", "sbix")
+        println(f"[streambench] ingest-ix REBUILD after batch $b: " +
+          f"${(System.nanoTime() - trb) / 1e9}%.2f s")
+      }
     }
     val landedIx = spark.read.parquet(s"$root/landing_ix").count()
     println(s"[streambench] indexed landing=$landedIx " +
