@@ -70,6 +70,9 @@ object SparkEntry {
     // the full BPE merge LOOP (k rounds of count→merge-top-pair→recount
     // over the cached vocabulary — corpus scanned once)
     "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
+    // the trained tokenizer applied back: per-doc BPE token counts,
+    // distinct words segmented once (vocab-factored encode)
+    "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(s, dir)),
     // training-data pipeline: corpus curation (PII scrub, sampling, packing)
     "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -293,6 +296,7 @@ object SparkEntry {
     "q_bpe_pairs" -> TextAnalysis.bpePairCountsSql(),
     // k-unrolled merge rounds (the Lloyd-CTE discipline applied to BPE)
     "q_bpe_merges" -> TextAnalysis.bpeMergesSql(),
+    "q_bpe_encode" -> TextAnalysis.bpeEncodeCountsSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),

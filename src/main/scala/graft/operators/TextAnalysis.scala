@@ -655,11 +655,11 @@ ORDER BY cnt DESC, a, b LIMIT $topN
         element_at(col("toks"), col("i") + 1).as("b"), col("freq"))
       .groupBy("a", "b").agg(sum("freq").as("cnt"))
 
-  /** k-unrolled ANSI oracle for [[bpeMerges]] — the Lloyd-CTE discipline
-    * applied to merge rounds: ws{j} derives from ws{j-1} by replacing the
-    * round's top pair (m{j}, an ORDER BY/LIMIT 1 CTE), and the output is
-    * the union of the k top-pair rows. */
-  def bpeMergesSql(k: Int = 8): String = {
+  /** Shared k-round CTE body for the BPE oracles: `words` (vocabulary +
+    * freq), `ws0..wsK` (the wrapped-string evolution, keeping `w` so the
+    * encode oracle can map words to their final segmentation), and
+    * `m1..mK` (the per-round top pairs). */
+  private def bpeRoundsCteSql(k: Int): String = {
     val S = BpeSep
     val rounds = (1 to k).map { j =>
       s"""p$j AS (
@@ -670,22 +670,91 @@ ORDER BY cnt DESC, a, b LIMIT $topN
 ), m$j AS (
   SELECT $j AS it, a, b, cnt FROM p$j ORDER BY cnt DESC, a, b LIMIT 1
 ), ws$j AS (
-  SELECT replace(ws, '$S' || m.a || '$S$S' || m.b || '$S',
+  SELECT w, replace(ws, '$S' || m.a || '$S$S' || m.b || '$S',
                  '$S' || m.a || m.b || '$S') AS ws, freq
   FROM ws${j - 1} CROSS JOIN m$j m
 )"""
     }.mkString(", ")
-    s"""
-WITH words AS (
+    s"""words AS (
   SELECT tok AS w, count(*) AS freq FROM (
     SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents)
   WHERE length(tok) >= 2 AND NOT contains(tok, '$S') GROUP BY tok
 ), ws0 AS (
-  SELECT regexp_replace(w, '(?s)(.)', '$S\\1$S', 'g') AS ws, freq FROM words
-), $rounds
+  SELECT w, regexp_replace(w, '(?s)(.)', '$S\\1$S', 'g') AS ws, freq FROM words
+), $rounds"""
+  }
+
+  /** k-unrolled ANSI oracle for [[bpeMerges]] — the Lloyd-CTE discipline
+    * applied to merge rounds: ws{j} derives from ws{j-1} by replacing the
+    * round's top pair (m{j}, an ORDER BY/LIMIT 1 CTE), and the output is
+    * the union of the k top-pair rows. */
+  def bpeMergesSql(k: Int = 8): String = s"""
+WITH ${bpeRoundsCteSql(k)}
 SELECT CAST(it AS INTEGER) AS it, a, b, CAST(cnt AS BIGINT) AS cnt
 FROM (${(1 to k).map(j => s"SELECT * FROM m$j").mkString(" UNION ALL ")})
 ORDER BY it
+""".trim
+
+  /** BPE ENCODE — the trained tokenizer applied back to the corpus: per
+    * document, the token count under the k-merge BPE (plus the raw
+    * whitespace-token count for the compression-ratio signal). The
+    * deployment-relevant output of tokenizer training: predicted token
+    * budgets per document drive packing/costing at corpus scale.
+    *
+    * Factored through the vocabulary like [[bpeMerges]]: merges are
+    * learned once (vocab-sized loop), each DISTINCT word is segmented
+    * once (k literal replaces over the wrapped string — identical
+    * semantics to training, same separators), and the corpus-wide cost
+    * is one explode + join + aggregate. Whitespace tokens outside the
+    * trained vocabulary (codepoint length < 2, or containing the
+    * separator) count as ONE token each — pinned in both engines. */
+  def bpeEncodeCounts(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    bpeEncodeCountsOn(docs(spark, dir), k)
+
+  def bpeEncodeCountsOn(documents: DataFrame, k: Int = 8): DataFrame = {
+    val merges = bpeMergesOn(documents, k).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+    val vocab = words
+      .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
+      .select("w").distinct()
+    val encoded = merges.foldLeft(
+      vocab.withColumn("ws",
+        regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep))) {
+      case (df, (a, b)) => df.withColumn("ws",
+        replace(col("ws"), lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+          lit(BpeSep + a + b + BpeSep)))
+    }
+      // tokens = count of the '␟␟' separators + 1
+      .withColumn("n_tok", expr(
+        s"CAST((length(ws) - length(replace(ws, '$BpeSep$BpeSep', ''))) DIV 2 + 1 AS BIGINT)"))
+      .select("w", "n_tok")
+    words.join(encoded, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("n_tok"), lit(1L))).as("n_bpe_tokens"),
+        count(lit(1)).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[bpeEncodeCounts]]: the shared merge-round CTEs (the
+    * final wsK carries each vocabulary word's segmentation), separator
+    * counting, LEFT join back to the corpus's whitespace tokens. */
+  def bpeEncodeCountsSql(k: Int = 8): String = {
+    val S = BpeSep
+    s"""
+WITH ${bpeRoundsCteSql(k)}, counts AS (
+  SELECT w, (length(ws) - length(replace(ws, '$S$S', ''))) // 2 + 1 AS n_tok
+  FROM ws$k
+), toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents
+)
+SELECT doc_id,
+  CAST(sum(coalesce(n_tok, 1)) AS BIGINT) AS n_bpe_tokens,
+  CAST(count(*) AS BIGINT) AS n_ws_tokens
+FROM toks LEFT JOIN counts USING (w)
+GROUP BY doc_id ORDER BY doc_id
 """.trim
   }
 

@@ -136,6 +136,47 @@ class TextFeaturesSpec extends AnyFunSuite {
       s"no compound-symbol merge in $k rounds: $got")
   }
 
+  test("BPE encode ≡ loop reimplementation (merges applied in order)") {
+    val k = 8
+    val got = TextAnalysis.bpeEncodeCounts(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val wordFreq = new scala.collection.mutable.HashMap[String, Long]()
+    texts.foreach(_._2.split(" ", -1)
+      .filter(w => w.codePointCount(0, w.length) >= 2 && !w.contains(TextAnalysis.BpeSep))
+      .foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1))
+    val merges = bpeLoop(wordFreq, k).map { case (_, a, b, _) => (a, b) }
+    def encode(w: String): Long = {
+      var syms: Vector[String] = w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val want = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val nBpe = ws.map { w =>
+        if (w.codePointCount(0, w.length) >= 2 && !w.contains(TextAnalysis.BpeSep))
+          encode(w)
+        else 1L
+      }.sum
+      (id, nBpe, ws.length.toLong)
+    }.sortBy(_._1)
+    assert(got == want,
+      s"\n got=${got.take(3)}\nwant=${want.take(3)}")
+    // the tokenizer must actually compress: BPE tokens < raw codepoints
+    val totalBpe = got.map(_._2).sum
+    val totalChars = texts.map(_._2.count(_ != ' ') + 1).sum
+    assert(totalBpe < totalChars, s"no compression: $totalBpe vs $totalChars")
+  }
+
   test("BPE merge loop handles adjacent occurrences ([a,b,a,b] → [ab,ab])") {
     import spark.implicits._
     val docsDf = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
