@@ -241,6 +241,17 @@ object SparkEntry {
       ImiIndex.build(e, idxDir, "q_imiidx", k1 = 8)
       ImiIndex.search(s, "q_imiidx", e.filter(col("vec_id") < 50), nprobe = 4)
     }),
+    // the ROTATED persistent IMI: build stores the seed as a table
+    // property, search rotates the queries to match — the deployed form
+    // of the correlated-halves defense; oracle is searchRotSql through
+    // the stored bucket-pruned path
+    "q_imi_indexed_rot" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_imiindexrot").getAbsolutePath
+      ImiIndex.build(e, idxDir, "q_imiidxrot", k1 = 8, rotSeed = Imi.RotSeed)
+      ImiIndex.search(s, "q_imiidxrot", e.filter(col("vec_id") < 50), nprobe = 4)
+    }),
     // multimodal columns: REAL JDK codec decode (ImageIO raster /
     // AudioSystem PCM) over constructed uncompressed BMP/WAV payloads —
     // fully DuckDB-oracled because uncompressed decode is byte algebra;
@@ -331,6 +342,7 @@ object SparkEntry {
     "q_ivf_indexed_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_rerank" -> Similarity.ivfSearchRerankSql(widen = 2),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
+    "q_imi_indexed_rot" -> Imi.searchRotSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),
     "q_imi_search" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_assign_rot" -> Imi.assignRotSql(k1 = 8),

@@ -31,13 +31,37 @@ object ImiIndex {
   def modelTable(tag: String): String = s"${tag}_imimodel"
   def assignTable(tag: String): String = s"${tag}_imiassign"
 
+  /** Table property carrying the half-decorrelating rotation seed (see
+    * [[Imi.rotateP]] — the adversarially-correlated-halves defense).
+    * Stored on the MODEL table so every consumer that loads the models
+    * learns the space they were trained in; 0 / absent = unrotated
+    * (existing indexes read back unchanged — the schema is untouched, so
+    * [[IndexCanary]] needs no new shape). */
+  val RotSeedProp = "graft.imi.rot_seed"
+
+  def rotSeedOf(spark: SparkSession, tag: String): Long =
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(modelTable(tag)))
+      .properties.get(RotSeedProp).map(_.toLong).getOrElse(0L)
+
+  private def setRotSeed(spark: SparkSession, tag: String, seed: Long): Unit =
+    if (seed != 0)
+      spark.sql(s"ALTER TABLE `${modelTable(tag)}` " +
+        s"SET TBLPROPERTIES ('$RotSeedProp' = '$seed')")
+
   /** Train + persist. `k1 = 0` → [[Imi.k1For]] auto rule (k1² product
-    * cells track cellsFor's √n target). */
+    * cells track cellsFor's √n target). `rotSeed != 0` applies the seeded
+    * Hadamard-sign rotation ahead of the half-split and records the seed
+    * on the model table: the assignment stores ROTATED vectors (cosines
+    * are rotation-invariant, so search semantics are unchanged) and
+    * search/append rotate their inputs to match. */
   def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
-            k1: Int = 0, iters: Int = Similarity.LloydIters): Unit = {
+            k1: Int = 0, iters: Int = Similarity.LloydIters,
+            rotSeed: Long = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val base = corpus.select(col("vec_id"), col("embedding"))
+    val raw = corpus.select(col("vec_id"), col("embedding"))
+    val base = if (rotSeed != 0) Imi.rotated(raw, rotSeed) else raw
     val kk = if (k1 == 0) Imi.k1For(base.count()) else k1
     val (cl, cr) = Imi.models(base, kk, iters)
     BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
@@ -48,6 +72,7 @@ object ImiIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("path", s"$path/${modelTable(tag)}")
       .saveAsTable(modelTable(tag))
+    setRotSeed(spark, tag, rotSeed)
     // nrm precomputed at write time — same scoring-stage rationale as
     // [[IvfIndex.build]]
     val assigned = base.as[(Long, Array[Float])]
@@ -73,6 +98,11 @@ object ImiIndex {
       BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
     val (cl, cr) = loadModels(spark, tag)
     val kk = cl.length
+    // rotate into the index's stored space when the model carries a seed
+    val seed = rotSeedOf(spark, tag)
+    val inVecs = if (seed != 0)
+      Imi.rotated(newVecs.select(col("vec_id"), col("embedding")), seed)
+    else newVecs
     // post-commit swap validation + retry, as in [[IvfIndex.assignInto]],
     // with the same exact batch-id survivorship probe
     val batchIds = newVecs.select("vec_id").distinct()
@@ -80,7 +110,7 @@ object ImiIndex {
       spark.table(assignTable(tag)), "vec_id").count() == batchIds.count()
     BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
       rowsPresent = Some(present)) {
-      newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      inVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
         .toDF("vec_id", "cell_id", "embedding", "nrm")
         .write.mode(SaveMode.Append).format("parquet")
@@ -100,12 +130,18 @@ object ImiIndex {
     val n = spark.table(assignTable(tag)).count()
     val haveK1 = spark.table(modelTable(tag)).filter(col("side") === "l").count()
     if (n > 0 && Imi.k1For(n) >= growthFactor * haveK1) {
-      // preserve the stored physical layout across retrains
+      // preserve the stored physical layout across retrains — and the
+      // rotation: the stored vectors are ALREADY in rotated space, so the
+      // rebuild trains on them as-is (rotSeed = 0, no double rotation)
+      // and the seed property is restored afterwards so future searches
+      // keep rotating their queries to match
+      val seed = rotSeedOf(spark, tag)
       val bk = if (buckets == 0)
         BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
       val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
         spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
       build(corpus, path, tag, bk, k1 = 0, iters)
+      setRotSeed(spark, tag, seed)
       true
     } else false
   }
@@ -153,10 +189,16 @@ object ImiIndex {
     val kk = cl.length
     val np = if (nprobe == 0) Similarity.nprobeFor(kk * kk) else nprobe
     spark.catalog.refreshTable(assignTable(tag)) // cross-session appends
+    // rotate queries into the index's stored space when the model carries
+    // a seed (cosines are rotation-invariant — output semantics unchanged)
+    val seed = rotSeedOf(spark, tag)
+    val inQueries = if (seed != 0)
+      Imi.rotated(queries.select(col("vec_id"), col("embedding")), seed)
+    else queries
     // checkpointed for the same reason as [[IvfIndex.search]]'s probes:
     // the ranking kernel feeds both the probed-cells collect and the join
     val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      queries.select(col("vec_id"), col("embedding"))
+      inQueries.select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
         .flatMap { case (id, v) =>
           val dl = Array.tabulate(kk)(i => Similarity.dist2P(v.take(Imi.HalfDim), cl(i)))

@@ -615,27 +615,30 @@ ORDER BY cnt DESC, a, b LIMIT $topN
       .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
       .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
       .groupBy("w").agg(count(lit(1)).as("freq"))
+    // ONE action per round: the top-1 collect materializes the current
+    // round's cached ws as a side effect (its lineage reads the PREVIOUS
+    // round's still-cached ws), after which the previous cache can go —
+    // merge rounds never rescan the corpus and never pay a second job
     var ws = words.select(
       regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("ws"),
       col("freq")).cache()
-    ws.count() // materialize: merge rounds never rescan the corpus
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
     var exhausted = false
     while (round <= k && !exhausted) {
       val top = bpePairCountsOf(ws)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (prev != null) prev.unpersist()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, a, b, c))
-        val prev = ws
+        prev = ws
         ws = ws.select(
           replace(col("ws"), lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
             lit(BpeSep + a + b + BpeSep)).as("ws"),
           col("freq")).cache()
-        ws.count()
-        prev.unpersist()
         round += 1
       }
     }

@@ -78,6 +78,47 @@ class ImiRotationSpec extends AnyFunSuite {
       s"rotation must shrink the largest cell: $mxPlain → $mxRot")
   }
 
+  test("stored rotated index: search ≡ in-memory searchRot; append + rebuild keep the seed") {
+    import graft.operators.ImiIndex
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-imirot").toString
+    val tag = "imirot"
+    try {
+      val base = emb.filter(col("vec_id") % 7 =!= 0)
+      ImiIndex.build(base, tmp, tag, k1 = 8, rotSeed = Imi.RotSeed)
+      assert(ImiIndex.rotSeedOf(spark, tag) == Imi.RotSeed)
+      // stored path ≡ the in-memory rotated search on the same corpus
+      val queries = emb.filter(col("vec_id") < 20)
+      val got = ImiIndex.search(spark, tag, queries, nprobe = 4)
+        .collect().map(_.toString).toSeq
+      val want = Imi.searchOn(Imi.rotated(base, Imi.RotSeed), k1 = 8,
+          nprobe = 4, k = 5, nQueries = 20)
+        .collect().map(_.toString).toSeq
+      // searchOn takes queries from the corpus (vec_id < 20 ∈ base after
+      // the %7 filter drops some) — compare on the shared query ids
+      val wantIds = want.map(_.split(",")(0)).toSet
+      assert(got.filter(r => wantIds.contains(r.split(",")(0))) == want)
+      // append rotates into the stored space: an exact copy of a stored
+      // vector must answer at cos 1 when searched
+      val copy = base.limit(1).select(
+        (col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      ImiIndex.assignInto(spark, tag, copy)
+      val probe = ImiIndex.search(spark, tag,
+        copy.select((col("vec_id") + 1L).as("vec_id"), col("embedding")),
+        nprobe = 4, k = 2)
+      val top = probe.collect()(0)
+      assert(top.getDouble(3) >= 0.999999, s"appended copy not found: $top")
+      // rebuild (forced via growthFactor 0) keeps the rotation seed
+      assert(ImiIndex.rebuildIfNeeded(spark, tag, tmp, growthFactor = 0.0))
+      assert(ImiIndex.rotSeedOf(spark, tag) == Imi.RotSeed,
+        "rebuild must restore the rotation seed")
+      val again = ImiIndex.search(spark, tag, queries, nprobe = 4)
+        .collect().map(_.toString).toSeq
+      assert(again.nonEmpty)
+    } finally Seq(ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("uncorrelated corpus: rotated search recall matches unrotated") {
     val exact = Similarity.topK(spark, dir, k = 5, nQueries = 20)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
