@@ -114,6 +114,38 @@ object ImiAdversarialProbe {
       val (warm, recall) = once(); drop()
       println(f"| ${factor}x-adv | $label | $pop | $mxFrac%.4f | $recall%.3f | $warm%.2f |")
     }
+    // SemDeDup-IMI under the collapse: the verdict's within-cell pair
+    // work is Σ c_i² — diagonal concentration turns the linear n·κ
+    // budget into a near-quadratic bill. Report the pair totals and the
+    // measured verdict wall, unrotated vs rotated, at the SemDeDup cell
+    // rule (n/256 target via the IMI's product cells).
+    println("\n| corpus | variant | Σ cell² (pair work) | verdict s |")
+    println("|---|---|---|---|")
+    for (rot <- Seq(false, true)) {
+      val label = if (rot) "rotated" else "unrotated"
+      val base = if (rot) Imi.rotated(emb, Imi.RotSeed)
+        else emb.select(col("vec_id"), col("embedding"))
+      val assigned = {
+        import spark.implicits._
+        val (cl, cr) = Imi.models(base, k1)
+        base.as[(Long, Array[Float])]
+          .map { case (id, v) =>
+            (id, Imi.cellIdOf(v, cl, cr, k1), v, Similarity.normP(v)) }
+          .toDF("vec_id", "cid", "embedding", "nrm")
+      }
+      val pairWork = assigned.groupBy("cid").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c"))).collect()(0).getLong(0)
+      drop()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.semanticVerdict(assigned, 0.9, ordered = false)
+          .filter(col("is_dup")).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); drop()
+      val warm = once(); drop()
+      println(f"| ${factor}x-adv | $label | $pairWork%,d | $warm%.2f |")
+    }
     spark.stop()
   }
 }
