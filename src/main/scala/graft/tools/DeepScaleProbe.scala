@@ -23,7 +23,8 @@ object DeepScaleProbe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 1000
     val gen = if (args.length > 2) args(2) else s"/tmp/graft_scale${factor}x_vec"
-    val tiers = if (args.length > 3) args(3) else "flat"
+    val tiers = (if (args.length > 3) args(3) else "flat")
+      .split(',').map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,7 +88,7 @@ object DeepScaleProbe {
       println(f"| ${factor}x | $n | $cellCount | $variant | $label | " +
         f"${nprobe.toDouble / cellCount}%.3f | $warm%.2f | $recall%.3f |")
     }
-    if (tiers.contains("flat")) {
+    if (tiers("flat")) {
       val tag = "deepivf"
       val idxDir = java.nio.file.Files.createTempDirectory("graft-deepivf").toString
       val tb = System.nanoTime()
@@ -104,7 +105,7 @@ object DeepScaleProbe {
       Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
-    if (tiers.contains("plant")) {
+    if (tiers("plant") || tiers("plantimi")) {
       import graft.operators.RecallEstimator
       // The FOURTH decade: planted-panel recall estimation past the exact
       // cap (see RecallEstimator). Validation contract: wherever n is
@@ -137,33 +138,56 @@ object DeepScaleProbe {
         require(agree, "estimator validation failed at sub-cap scale")
       }
       drop()
-      val tag = "deepplant"
-      val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplant").toString
-      val tb = System.nanoTime()
-      graft.operators.IvfIndex.build(pc, idxDir, tag, buckets = 32)
-      println(f"[plant] IvfIndex.build on planted corpus " +
-        f"${(System.nanoTime() - tb) / 1e9}%.1f s")
-      drop()
-      println("\n| corpus | n | cells | nprobe | cell frac | warm s | planted recall@5 | margin |")
-      println("|---|---|---|---|---|---|---|---|")
-      for (nprobe <- Seq(8, rule / 2, rule, 2 * rule).distinct) {
-        def once(): (Double, Double) = {
-          val t0 = System.nanoTime()
-          val res = graft.operators.IvfIndex.search(spark, tag,
-            panel.queries(spark), nprobe = nprobe)
-          val rec = RecallEstimator.recallAgainst(panel, res)
-          ((System.nanoTime() - t0) / 1e9, rec)
+      def sweepPlanted(variant: String, cellCount: Int, nprobes: Seq[Int])(
+          run: Int => org.apache.spark.sql.DataFrame): Unit = {
+        println(s"\n| corpus | n | cells ($variant) | nprobe | cell frac | warm s | planted recall@5 | margin |")
+        println("|---|---|---|---|---|---|---|---|")
+        for (nprobe <- nprobes.distinct) {
+          def once(): (Double, Double) = {
+            val t0 = System.nanoTime()
+            val rec = RecallEstimator.recallAgainst(panel, run(nprobe))
+            ((System.nanoTime() - t0) / 1e9, rec)
+          }
+          once(); drop()
+          val (warm, rec) = once(); drop()
+          val label = if (nprobe == rule) s"$nprobe (rule)" else s"$nprobe"
+          println(f"| ${factor}x | $n | $cellCount | $label | " +
+            f"${nprobe.toDouble / cellCount}%.3f | $warm%.2f | $rec%.3f | $margin%.3f |")
         }
-        once(); drop()
-        val (warm, rec) = once(); drop()
-        val label = if (nprobe == rule) s"$nprobe (rule)" else s"$nprobe"
-        println(f"| ${factor}x | $n | $cells | $label | " +
-          f"${nprobe.toDouble / cells}%.3f | $warm%.2f | $rec%.3f | $margin%.3f |")
       }
-      Seq(graft.operators.IvfIndex.modelTable(tag), graft.operators.IvfIndex.assignTable(tag))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      if (tiers("plant")) {
+        val tag = "deepplant"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplant").toString
+        val tb = System.nanoTime()
+        graft.operators.IvfIndex.build(pc, idxDir, tag, buckets = 32)
+        println(f"[plant] IvfIndex.build on planted corpus " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        sweepPlanted("flat", cells, Seq(8, rule / 2, rule, 2 * rule)) { np =>
+          graft.operators.IvfIndex.search(spark, tag, panel.queries(spark), nprobe = np)
+        }
+        Seq(graft.operators.IvfIndex.modelTable(tag), graft.operators.IvfIndex.assignTable(tag))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+      if (tiers("plantimi")) {
+        // the past-the-cap index under the estimator: does the IMI hold
+        // the floor in the fourth decade too?
+        val k1 = graft.operators.Imi.k1For(n)
+        val tag = "deepplantimi"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplantimi").toString
+        val tb = System.nanoTime()
+        graft.operators.ImiIndex.build(pc, idxDir, tag, buckets = 32, k1 = k1)
+        println(f"[plant] ImiIndex.build (k1=$k1 → ${k1 * k1} product cells) " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        sweepPlanted("imi", k1 * k1, Seq(rule, 2 * rule)) { np =>
+          graft.operators.ImiIndex.search(spark, tag, panel.queries(spark), nprobe = np)
+        }
+        Seq(graft.operators.ImiIndex.modelTable(tag), graft.operators.ImiIndex.assignTable(tag))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
     }
-    if (tiers.contains("imi")) {
+    if (tiers("imi")) {
       import graft.operators.{Imi, ImiIndex}
       val k1 = Imi.k1For(n)
       val productCells = k1 * k1
