@@ -219,10 +219,13 @@ object BucketedMaintenance {
     * post-swap table) — with it the guard is correct even when a whole
     * compact lands between the commit and the validation; without it that
     * pattern (or two back-to-back compacts in one append window) could
-    * misread survivorship and duplicate on retry. The single-table index
-    * paths all pass an exact probe; the documented supported regime for
-    * heuristic-only callers stays one compact — and no rebuild — per
-    * append window (the same single-maintainer stance as [[compact]]). */
+    * misread survivorship and duplicate on retry. EVERY in-tree append
+    * path passes an exact probe (the vector indexes probe batch vec_ids,
+    * [[ShingleIndex.append]] probes each of its four tables under its own
+    * single-table guard — see [[disjointBatchProbe]]); the documented
+    * supported regime for heuristic-only external callers stays one
+    * compact — and no rebuild — per append window (the same
+    * single-maintainer stance as [[compact]]). */
   def guardedAppend(spark: SparkSession, tables: Seq[String], retries: Int = 2,
                     rowsPresent: Option[() => Boolean] = None)(
       insert: => Unit): Unit = {
@@ -253,12 +256,45 @@ object BucketedMaintenance {
         } else throw new IllegalStateException(
           s"append raced a compact on ${changed.mkString(", ")}: the rows were " +
             "committed into a generation the compact deleted" +
-            (if (tables.length == 1) " and retries are exhausted"
+            (if (tables.length == 1)
+              " and retries are exhausted. The append did NOT complete; re-run it."
             else "; a multi-table append cannot safely auto-retry — per-table " +
-              "survivorship may diverge") +
-            ". The append did NOT complete; re-run it.")
+              "survivorship may diverge (the file-count heuristic saw at least " +
+              "one table lose its rows, but OTHER tables' rows may have " +
+              "survived). Do NOT blindly re-run: audit each table for the " +
+              "batch's rows first and re-append only the tables that lost " +
+              "them, or rows that survived will be duplicated."))
       }
     }
+  }
+
+  /** Exact-survivorship probe factory for [[guardedAppend]]: "every id in
+    * `batchKeys` is present in `table`", valid ONLY when the batch's ids
+    * are disjoint from the table's — so the disjointness is ASSERTED here,
+    * eagerly, before the caller starts its append. Without the assertion a
+    * replayed id already present in the table satisfies the semi-join even
+    * though the raced append's rows died with a compacted generation
+    * (silent row loss — advisor r8); and duplicate ids could inflate a
+    * raw-join count into a spurious retry. The probe itself is a LEFT SEMI
+    * join (one hit per batch id no matter how many stored rows match), so
+    * it cannot over-count.
+    *
+    * Re-appending an id that is already in an index is a caller bug in its
+    * own right (search would return the same neighbor twice); the loud
+    * require here turns that bug into an error at the append site instead
+    * of corrupting the guard's semantics. `batchKeys` must be distinct. */
+  def disjointBatchProbe(spark: SparkSession,
+                         table: String,
+                         batchKeys: org.apache.spark.sql.DataFrame,
+                         keyCol: String): () => Boolean = {
+    val already = batchKeys.join(spark.table(table), Seq(keyCol), "left_semi").count()
+    require(already == 0L,
+      s"append into `$table`: $already batch ${keyCol}s are already present — " +
+        "re-appending stored ids would duplicate index rows and break the " +
+        "append guard's survivorship probe. Deduplicate the batch against " +
+        "the table (anti-join) before appending.")
+    val n = batchKeys.count()
+    () => batchKeys.join(spark.table(table), Seq(keyCol), "left_semi").count() == n
   }
 
   /** Drop `table` and its backing files (wherever a prior [[compact]] left

@@ -238,10 +238,25 @@ object Imi {
 
   /** Rotate one vector: w_i = Σ_j (−1)^popcount(i∧j) · s_j · v_j / √dim.
     * Ascending-j double accumulation — the pinned oracle order. */
+  /** H[i][j] = (−1)^popcount(i∧j) is a Hadamard (orthogonal) matrix ONLY
+    * when dim is a power of two — a square non-power like 36 would pass a
+    * perfect-square check yet produce a non-orthogonal transform, silently
+    * breaking the geometry-preservation invariant (advisor r8). The oracle
+    * additionally divides by √dim as an exact literal, so dim must be an
+    * EVEN power of two (4^k): both conditions checked here and mirrored in
+    * [[rotCteSql]]. */
+  private[graft] def requireHadamardDim(d: Int): Unit = {
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"Hadamard rotation needs a power-of-two dim, got $d")
+    val root = math.sqrt(d.toDouble)
+    require(root == math.rint(root),
+      s"the rotation oracle needs an exact integer sqrt(dim) (dim = 4^k), got $d")
+  }
+
   private[graft] def rotateP(v: Array[Float], signs: Array[Double]): Array[Float] = {
     val d = v.length
+    requireHadamardDim(d)
     val root = math.sqrt(d.toDouble)
-    require(root == math.rint(root), s"Hadamard rotation needs a square dim, got $d")
     Array.tabulate(d) { i =>
       var acc = 0.0
       var j = 0
@@ -266,6 +281,7 @@ object Imi {
 
   /** SQL mirror of [[rotated]] as a CTE named `rot` over `embeddings`. */
   def rotCteSql(seed: Long, dim: Int = Similarity.Dim): String = {
+    requireHadamardDim(dim)
     val signs = rotSigns(seed, dim)
     val signList = signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val root = math.sqrt(dim.toDouble).toInt

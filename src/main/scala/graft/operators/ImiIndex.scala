@@ -31,48 +31,50 @@ object ImiIndex {
   def modelTable(tag: String): String = s"${tag}_imimodel"
   def assignTable(tag: String): String = s"${tag}_imiassign"
 
-  /** Table property carrying the half-decorrelating rotation seed (see
-    * [[Imi.rotateP]] — the adversarially-correlated-halves defense).
-    * Stored on the MODEL table so every consumer that loads the models
-    * learns the space they were trained in; 0 / absent = unrotated
-    * (existing indexes read back unchanged — the schema is untouched, so
-    * [[IndexCanary]] needs no new shape). */
-  val RotSeedProp = "graft.imi.rot_seed"
+  /** The half-decorrelating rotation seed (see [[Imi.rotateP]] — the
+    * adversarially-correlated-halves defense) is stored as a DATA row of
+    * the model table (`side = "s"`, centroid = [seed]), written in the
+    * SAME `saveAsTable` that creates the centroid rows — so a model table
+    * can never exist without the seed of the space it was trained in.
+    * (Round-8 stored it as a TBLPROPERTY stamped by a second DDL after
+    * the write; a crash — or a reader — between the two left a rotated
+    * assignment next to an unrotated-looking model, and searches silently
+    * skipped query rotation. Advisor r8.) 0 / absent row = unrotated;
+    * the row filters out of [[loadModels]]'s l/r sides, so the schema and
+    * [[IndexCanary]] shapes are untouched. */
+  private val SeedSide = "s"
 
   def rotSeedOf(spark: SparkSession, tag: String): Long =
-    spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(modelTable(tag)))
-      .properties.get(RotSeedProp).map(_.toLong).getOrElse(0L)
-
-  private def setRotSeed(spark: SparkSession, tag: String, seed: Long): Unit =
-    if (seed != 0)
-      spark.sql(s"ALTER TABLE `${modelTable(tag)}` " +
-        s"SET TBLPROPERTIES ('$RotSeedProp' = '$seed')")
+    loadModelsAndSeed(spark, tag)._3
 
   /** Train + persist. `k1 = 0` → [[Imi.k1For]] auto rule (k1² product
     * cells track cellsFor's √n target). `rotSeed != 0` applies the seeded
     * Hadamard-sign rotation ahead of the half-split and records the seed
-    * on the model table: the assignment stores ROTATED vectors (cosines
+    * in the model table: the assignment stores ROTATED vectors (cosines
     * are rotation-invariant, so search semantics are unchanged) and
-    * search/append rotate their inputs to match. */
+    * search/append rotate their inputs to match. `preRotated = true`
+    * (the rebuild path) declares `corpus` ALREADY in the seed's rotated
+    * space: the seed is recorded but no rotation is applied. */
   def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
             k1: Int = 0, iters: Int = Similarity.LloydIters,
-            rotSeed: Long = 0): Unit = {
+            rotSeed: Long = 0, preRotated: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the seed rides a DOUBLE slot in the centroid column — exactness cap
+    require(math.abs(rotSeed) < (1L << 53), s"rotSeed $rotSeed exceeds exact-double range")
     val raw = corpus.select(col("vec_id"), col("embedding"))
-    val base = if (rotSeed != 0) Imi.rotated(raw, rotSeed) else raw
+    val base = if (rotSeed != 0 && !preRotated) Imi.rotated(raw, rotSeed) else raw
     val kk = if (k1 == 0) Imi.k1For(base.count()) else k1
     val (cl, cr) = Imi.models(base, kk, iters)
     BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
     val modelRows =
       cl.zipWithIndex.map { case (c, cid) => ("l", cid, c) } ++
-        cr.zipWithIndex.map { case (c, cid) => ("r", cid, c) }
+        cr.zipWithIndex.map { case (c, cid) => ("r", cid, c) } ++
+        (if (rotSeed != 0) Seq((SeedSide, 0, Array(rotSeed.toDouble))) else Seq.empty)
     modelRows.toSeq.toDF("side", "cid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("path", s"$path/${modelTable(tag)}")
       .saveAsTable(modelTable(tag))
-    setRotSeed(spark, tag, rotSeed)
     // nrm precomputed at write time — same scoring-stage rationale as
     // [[IvfIndex.build]]
     val assigned = base.as[(Long, Array[Float])]
@@ -104,10 +106,11 @@ object ImiIndex {
       Imi.rotated(newVecs.select(col("vec_id"), col("embedding")), seed)
     else newVecs
     // post-commit swap validation + retry, as in [[IvfIndex.assignInto]],
-    // with the same exact batch-id survivorship probe
+    // with the same exact batch-id survivorship probe (and the same
+    // disjointness precondition that makes it exact — see there)
     val batchIds = newVecs.select("vec_id").distinct()
-    val present = () => batchIds.join(
-      spark.table(assignTable(tag)), "vec_id").count() == batchIds.count()
+    val present = BucketedMaintenance.disjointBatchProbe(
+      spark, assignTable(tag), batchIds, "vec_id")
     BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
       rowsPresent = Some(present)) {
       inVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -132,16 +135,16 @@ object ImiIndex {
     if (n > 0 && Imi.k1For(n) >= growthFactor * haveK1) {
       // preserve the stored physical layout across retrains — and the
       // rotation: the stored vectors are ALREADY in rotated space, so the
-      // rebuild trains on them as-is (rotSeed = 0, no double rotation)
-      // and the seed property is restored afterwards so future searches
-      // keep rotating their queries to match
+      // rebuild trains on them as-is (preRotated — no double rotation)
+      // while the seed is recorded in the same write that creates the new
+      // model table, so no reader window ever sees a rotated assignment
+      // under an unrotated-looking model
       val seed = rotSeedOf(spark, tag)
       val bk = if (buckets == 0)
         BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
       val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
         spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
-      build(corpus, path, tag, bk, k1 = 0, iters)
-      setRotSeed(spark, tag, seed)
+      build(corpus, path, tag, bk, k1 = 0, iters, rotSeed = seed, preRotated = true)
       true
     } else false
   }
@@ -155,10 +158,12 @@ object ImiIndex {
   def fileCount(spark: SparkSession, tag: String): Long =
     BucketedMaintenance.fileCount(spark, Seq(assignTable(tag)))
 
-  /** Driver-side half-quantizer models, cached per JVM via
-    * [[BucketedMaintenance.cachedByVersion]]. */
-  private def loadModels(spark: SparkSession, tag: String)
-  : (Array[Array[Double]], Array[Array[Double]]) =
+  /** Driver-side half-quantizer models + rotation seed, cached per JVM via
+    * [[BucketedMaintenance.cachedByVersion]] — ONE versioned read serves
+    * both the centroids and the seed, so they can never disagree about
+    * which model generation they describe. */
+  private def loadModelsAndSeed(spark: SparkSession, tag: String)
+  : (Array[Array[Double]], Array[Array[Double]], Long) =
     BucketedMaintenance.cachedByVersion(spark, modelTable(tag)) {
       val rows = spark.table(modelTable(tag))
         .select("side", "cid", "centroid").collect()
@@ -171,8 +176,15 @@ object ImiIndex {
           s"model table ${modelTable(tag)} side '$s' has gaps in cid space")
         cents
       }
-      (side("l"), side("r"))
+      val seed = rows.find(_._1 == SeedSide).map(_._3(0).toLong).getOrElse(0L)
+      (side("l"), side("r"), seed)
     }
+
+  private def loadModels(spark: SparkSession, tag: String)
+  : (Array[Array[Double]], Array[Array[Double]]) = {
+    val (cl, cr, _) = loadModelsAndSeed(spark, tag)
+    (cl, cr)
+  }
 
   /** Top-k cosine neighbors for `queries` against the stored corpus.
     * Output contract = [[Imi.search]]: `(query_id, rk, neighbor_id, cos)`.

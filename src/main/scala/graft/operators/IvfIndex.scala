@@ -97,10 +97,14 @@ object IvfIndex {
     // mid-call (and retries if the rows died with the old generation).
     // exact survivorship probe: every batch id present in the (possibly
     // swapped) assignment relation — makes the guard's raced-append
-    // resolution exact rather than the file-count heuristic
+    // resolution exact rather than the file-count heuristic. The probe is
+    // exact only because the batch's ids are DISJOINT from the stored
+    // table's (asserted inside disjointBatchProbe before the append
+    // starts): a replayed id already present would otherwise read a dead
+    // raced append as durable — silent row loss (advisor r8).
     val batchIds = newVecs.select("vec_id").distinct()
-    val present = () => batchIds.join(
-      spark.table(assignTable(tag)), "vec_id").count() == batchIds.count()
+    val present = BucketedMaintenance.disjointBatchProbe(
+      spark, assignTable(tag), batchIds, "vec_id")
     BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
       rowsPresent = Some(present)) {
       newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]

@@ -200,25 +200,49 @@ object ShingleIndex {
     // Anti-join keeps the sat table distinct across appends; materialized
     // (checkpoint) BEFORE the write because the write appends to the very
     // table the anti-join scans.
-    // guardedAppend: validate post-commit that no compact swapped any of
-    // the four tables mid-call (multi-table → no auto-retry; a raced
-    // append THROWS rather than losing rows silently)
-    BucketedMaintenance.guardedAppend(spark,
-      Seq(satTable(tag), occT, sizesTable(tag), fpTable(tag))) {
-      val newSat = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-        dfCensus.filter(!col("admitted")).select("key")
-          .join(spark.table(satTable(tag)), Seq("key"), "left_anti"))
+    //
+    // Each table's delta is frozen (checkpoint) and appended under its OWN
+    // single-table [[BucketedMaintenance.guardedAppend]] with an EXACT
+    // survivorship probe. Round 8 wrapped all four writes in one
+    // multi-table guard with the file-count heuristic, whose thrown
+    // remedy ("re-run it") could duplicate the tables whose rows had
+    // survived (advisor r8): per-table survivorship diverges, and only a
+    // per-table exact probe + per-table retry resolves it without
+    // duplication. The four appends need no cross-table atomicity beyond
+    // what the old shape had — a crash mid-sequence leaves the same
+    // partial state either way, and each COMPLETED call is durable.
+    val newSat = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      dfCensus.filter(!col("admitted")).select("key")
+        .join(spark.table(satTable(tag)), Seq("key"), "left_anti"))
+    val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      newOcc.join(admittedKeys, "key")
+        .select(col("key"), col("doc_id").as("corpus_id")))
+    val newFp = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      newDocs
+        .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
+        .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti"))
+    // sat/fp batch keys are disjoint from their tables by the anti-joins
+    // above; occ/sizes by the new-documents contract (appending a doc_id
+    // already in the corpus is a caller bug) — all four asserted loudly
+    // inside disjointBatchProbe before any write starts.
+    val batchDocs = admitted.select("corpus_id").distinct()
+    def guarded(table: String, batchKeys: DataFrame, keyCol: String)(
+        write: => Unit): Unit =
+      BucketedMaintenance.guardedAppend(spark, Seq(table),
+        rowsPresent = Some(BucketedMaintenance.disjointBatchProbe(
+          spark, table, batchKeys, keyCol)))(write)
+    guarded(satTable(tag), newSat, "key") {
       writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
-      val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-        newOcc.join(admittedKeys, "key")
-          .select(col("key"), col("doc_id").as("corpus_id")))
+    }
+    guarded(occT, batchDocs, "corpus_id") {
       writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
+    }
+    guarded(sizesTable(tag), batchDocs, "corpus_id") {
       writeBucketed(
         admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
         sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
-      val newFp = newDocs
-        .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
-        .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti")
+    }
+    guarded(fpTable(tag), newFp, "fp") {
       writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
     }
   }

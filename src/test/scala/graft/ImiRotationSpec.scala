@@ -133,4 +133,25 @@ class ImiRotationSpec extends AnyFunSuite {
     // beyond cell-boundary noise (parity band ±0.1)
     assert(math.abs(plain - rot) <= 0.1, s"unrotated $plain vs rotated $rot")
   }
+
+  test("rotation rejects non-power-of-two dims (H is only Hadamard at 2^k)") {
+    // dim 36 is a perfect square but NOT a power of two: H[i][j] =
+    // (−1)^popcount(i∧j) is non-orthogonal there, so rotateP must refuse
+    // rather than silently break geometry preservation; and the oracle's
+    // √dim literal additionally needs dim = 4^k.
+    val signs36 = Array.fill(36)(1.0)
+    val ex = intercept[IllegalArgumentException] {
+      Imi.rotateP(Array.fill(36)(1.0f), signs36)
+    }
+    assert(ex.getMessage.contains("power-of-two"), ex.getMessage)
+    intercept[IllegalArgumentException] { Imi.rotCteSql(Imi.RotSeed, 36) }
+    // dim 128 is a power of two but √128 is irrational — the oracle's
+    // exact-literal division rules it out too
+    val ex128 = intercept[IllegalArgumentException] {
+      Imi.rotateP(Array.fill(128)(1.0f), Array.fill(128)(1.0))
+    }
+    assert(ex128.getMessage.contains("4^k"), ex128.getMessage)
+    // dim 64 = 4³ stays fine
+    assert(Imi.rotateP(Array.fill(64)(1.0f), Array.fill(64)(1.0)).length == 64)
+  }
 }

@@ -273,4 +273,61 @@ class MaintenanceGuardSpec extends AnyFunSuite {
       assert(row.getLong(1) == 0L && row.getBoolean(3), row.toString)
     } finally dropIvf(tag)
   }
+
+  test("re-appending stored vec_ids fails loudly BEFORE any write (probe exactness)") {
+    // the exact survivorship probe ("batch ids present post-swap") is only
+    // exact when the batch is disjoint from the table: a replayed id would
+    // satisfy the probe even after a raced append's rows died with a
+    // compacted generation. The disjointness is therefore a hard require
+    // at the append entry — a replay errors at the call site, with the
+    // table unchanged.
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val tag = "replayivf"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    try {
+      IvfIndex.build(emb.filter(col("vec_id") < 200), dir, tag,
+        nCentroids = 4, seed = Similarity.ResidueSeed)
+      val before = spark.table(IvfIndex.assignTable(tag)).count()
+      val replay = emb.filter(col("vec_id") < 10) // already stored
+      val ex = intercept[IllegalArgumentException] {
+        IvfIndex.assignInto(spark, tag, replay)
+      }
+      assert(ex.getMessage.contains("already present"), ex.getMessage)
+      spark.catalog.refreshTable(IvfIndex.assignTable(tag))
+      assert(spark.table(IvfIndex.assignTable(tag)).count() == before,
+        "the rejected replay must not have written anything")
+      // a genuinely fresh batch still appends fine after the rejection
+      IvfIndex.assignInto(spark, tag,
+        emb.filter(col("vec_id") >= 200 && col("vec_id") < 210))
+      assert(spark.table(IvfIndex.assignTable(tag)).count() == before + 10)
+    } finally dropIvf(tag)
+  }
+
+  test("shingle append: per-table guards give duplicate-free absorbed-by-compact handling") {
+    // an append whose commit is absorbed by a mid-call compact (rows in
+    // the compactor's baseline) must NOT re-run any table — round 8's
+    // multi-table heuristic could misread this shape; the per-table exact
+    // probes resolve it. Interleave a full-index compact inside the occ
+    // write via the maintenance seam? Simpler, end-to-end: append, then
+    // compact, then verify probe answers equal the never-compacted union
+    // (no duplicate occ/sizes/fp rows — duplicated sizes rows would skew
+    // every jaccard).
+    val dir = Files.createTempDirectory("graft-pertbl").toString
+    val tag = "pertbl"
+    val corpus = docs.filter(col("doc_id") % 7 === 0)
+    val extra = docs.filter(col("doc_id") % 7 === 1 && col("doc_id") % 4 === 0)
+    val batch = docs.filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 === 0)
+    try {
+      ShingleIndex.build(corpus, dir, tag)
+      ShingleIndex.append(spark, tag, dir, extra)
+      ShingleIndex.compact(spark, tag, dir)
+      val got = canon(ShingleIndex.probe(spark, tag, batch))
+      val want = canon(Dedup.incrementalDedupOn(corpus.unionByName(extra), batch))
+      assert(got == want)
+      // sizes has exactly one row per (corpus doc, append generation) —
+      // re-appended duplicates would double nc
+      val sizes = spark.table(ShingleIndex.sizesTable(tag))
+      assert(sizes.groupBy("corpus_id").count().filter(col("count") > 2).count() == 0)
+    } finally dropShingle(tag)
+  }
 }
