@@ -27,6 +27,31 @@ object Bench {
     } else head
   } catch { case _: Throwable => "unknown" }
 
+  /** Fixed-work calibration anchor: a CPU-bound constant query (no I/O, no
+    * shuffle files, nothing data-scale) timed at three fixed points — before
+    * the cold pass, between the passes, after the warm pass. Its wall time
+    * depends ONLY on machine conditions, so two runs of the same commit
+    * whose anchors differ are measuring different machines, not different
+    * code. Motivation (r8 demerit): the builder's 13:05Z run and the
+    * driver's 13:26Z run of the SAME commit disagreed by ~18% across the
+    * board — including untouched scan-bound queries — and nothing in the
+    * artifact could attribute it. Now every BENCH json carries the anchor
+    * triple + /proc/loadavg at start/end; PERF.md's protocol normalizes
+    * cross-run comparisons by the anchor ratio and flags runs whose anchor
+    * drifts > 15% from the repo's reference value as noisy. */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // ~600M modular ops through whole-stage codegen: long enough (~1 s) to
+    // swamp job-launch jitter, short enough to run three times per bench
+    spark.range(600000000L).selectExpr("sum(id % 1000007)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def loadavg(): String = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).trim.split(" ").take(3).mkString(" ")
+  } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -110,8 +135,13 @@ object Bench {
           // harness state, not query cost
         } finally dropCheckpointBlocks()
       }
+    val loadStart = loadavg()
+    val calibPre = calibrate(spark)
     val cold = pass()
+    val calibMid = calibrate(spark)
     val warm = pass()
+    val calibPost = calibrate(spark)
+    val loadEnd = loadavg()
     // q_dedup_indexed's scoreboard number times build+probe together (the
     // oracle query must be self-contained), which overstates the operator's
     // deployment cost — its whole point is build ONCE, probe per batch.
@@ -177,7 +207,8 @@ object Bench {
     // indistinguishable from hand-edited ones)
     val commit = headCommit()
     val ranAt = java.time.Instant.now().toString
-    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
+    val calib = s"""{"pre":$calibPre,"mid":$calibMid,"post":$calibPost}"""
+    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec","queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"calib":$calib,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
     println(line)
     // Also land the JSON in a file: the driver reconstructed r2+r3 results
     // from a truncated stdout tail ("parsed": null in both BENCH files).

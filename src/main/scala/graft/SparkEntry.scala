@@ -62,6 +62,10 @@ object SparkEntry {
     "q_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
     "q_winnow_overlap" -> ((s, dir) => TextAnalysis.winnowOverlap(s, dir)),
     "q_passages" -> ((s, dir) => TextAnalysis.passages(s, dir)),
+    // substring-level exact dedup (Lee et al. 2022 ExactSubstr): repeated
+    // >=L-codepoint spans across documents, and the keep-one-copy cut
+    "q_substring_dup" -> ((s, dir) => ExactSubstr.spans(s, dir)),
+    "q_substring_cut" -> ((s, dir) => ExactSubstr.cut(s, dir)),
     "q_binary_meta" -> ((s, dir) => TextAnalysis.binaryMeta(s, dir)),
     // the hashing trick: stateless text → fixed-width sparse features
     "q_hashed_features" -> ((s, dir) => TextAnalysis.hashedFeatures(s, dir)),
@@ -70,6 +74,10 @@ object SparkEntry {
     // the full BPE merge LOOP (k rounds of count→merge-top-pair→recount
     // over the cached vocabulary — corpus scanned once)
     "q_bpe_merges" -> ((s, dir) => TextAnalysis.bpeMerges(s, dir)),
+    // the BATCHED merge loop (R provably-independent merges per round
+    // pair-of-jobs — the real-vocab-size path) against the SAME
+    // sequential k-unrolled oracle: batched ≡ one-at-a-time, engine-checked
+    "q_bpe_merges_batched" -> ((s, dir) => TextAnalysis.bpeMergesBatched(s, dir)),
     // the trained tokenizer applied back: per-doc BPE token counts,
     // distinct words segmented once (vocab-factored encode)
     "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(s, dir)),
@@ -302,11 +310,14 @@ object SparkEntry {
     "q_winnow" -> TextAnalysis.winnowSql,
     "q_winnow_overlap" -> TextAnalysis.winnowOverlapSql(),
     "q_passages" -> TextAnalysis.passagesSql(),
+    "q_substring_dup" -> ExactSubstr.spansSql(),
+    "q_substring_cut" -> ExactSubstr.cutSql(),
     "q_binary_meta" -> TextAnalysis.binaryMetaSql,
     "q_hashed_features" -> TextAnalysis.hashedFeaturesSql(),
     "q_bpe_pairs" -> TextAnalysis.bpePairCountsSql(),
     // k-unrolled merge rounds (the Lloyd-CTE discipline applied to BPE)
     "q_bpe_merges" -> TextAnalysis.bpeMergesSql(),
+    "q_bpe_merges_batched" -> TextAnalysis.bpeMergesSql(),
     "q_bpe_encode" -> TextAnalysis.bpeEncodeCountsSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),

@@ -616,12 +616,18 @@ ORDER BY cnt DESC, a, b LIMIT $topN
       .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
       .groupBy("w").agg(count(lit(1)).as("freq"))
     // ONE action per round: the top-1 collect materializes the current
-    // round's cached ws as a side effect (its lineage reads the PREVIOUS
-    // round's still-cached ws), after which the previous cache can go —
-    // merge rounds never rescan the corpus and never pay a second job
-    var ws = words.select(
+    // round's LAZY-checkpointed ws as a side effect, after which the
+    // previous round's blocks can go — merge rounds never rescan the
+    // corpus and never pay a second job. Rounds chain through
+    // lazyLocalCheckpoint, NOT cache(): a cached chain keeps the full
+    // logical lineage and the optimized plan DOUBLES per round (measured
+    // in BpeProbe: OOM by round ~20), while the checkpoint keeps plan and
+    // RDD DAG O(1) per round — the property that makes 30k-merge
+    // tokenizer training a flat sequence of vocabulary-sized jobs.
+    val shim = org.apache.spark.sql.graft.CheckpointShim
+    var ws = shim.lazyLocalCheckpoint(words.select(
       regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("ws"),
-      col("freq")).cache()
+      col("freq")))
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var round = 1
@@ -629,21 +635,153 @@ ORDER BY cnt DESC, a, b LIMIT $topN
     while (round <= k && !exhausted) {
       val top = bpePairCountsOf(ws)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
-      if (prev != null) prev.unpersist()
+      if (prev != null) { shim.freeCheckpoint(prev); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, a, b, c))
         prev = ws
-        ws = ws.select(
+        ws = shim.lazyLocalCheckpoint(ws.select(
           replace(col("ws"), lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
             lit(BpeSep + a + b + BpeSep)).as("ws"),
-          col("freq")).cache()
+          col("freq")))
         round += 1
       }
     }
-    ws.unpersist()
+    shim.freeCheckpoint(ws)
+    if (prev != null) shim.freeCheckpoint(prev)
     merges.toSeq.toDF("it", "a", "b", "cnt").orderBy("it")
+  }
+
+  /** BATCHED BPE training — [[bpeMerges]] semantics at real vocab sizes.
+    *
+    * The sequential loop pays one driver-synchronized job per merge round
+    * (~0.25 s floor ⇒ hours at a real tokenizer's 30k merges). This
+    * variant accepts R ≥ 1 merges per round pair-of-jobs, PROVABLY equal
+    * to one-at-a-time semantics; where the proof fails it falls back to
+    * accepting fewer (worst case 1 — the sequential loop's behavior).
+    *
+    * Per batch round, over the cached vocabulary relation:
+    *  - job A: exact pair counts → top-`lookahead` candidates (cnt, a, b);
+    *  - job B: for each candidate (a,b), the max frequency-weighted count
+    *    of adjacent triples (p,a,b) / (a,b,q) — an UPPER bound on the
+    *    count of any pair a merge of (a,b) can CREATE ((p,ab) occurrences
+    *    are a subset of (p,a,b) triples; overlap consumption only lowers
+    *    them).
+    * The driver then accepts the longest candidate prefix c₁..cₘ where
+    * each cᵢ (i > 1):
+    *  1. shares NO symbol with c₁..cᵢ₋₁ — merging a symbol-disjoint pair
+    *     touches disjoint token positions, so cᵢ's count (and every
+    *     lower-ranked pair's relative order) is EXACTLY what job A
+    *     measured; and
+    *  2. has cnt STRICTLY above every accepted candidate's created-pair
+    *     bound — so no pair created by c₁..cᵢ₋₁ can outrank cᵢ in the
+    *     sequential order (ties break conservatively: stop).
+    * Accepted merges apply as ONE chained-replace job (textually identical
+    * to sequential application). Equality with [[bpeMerges]] is pinned by
+    * BpeBatchedSpec's differentials (incl. adversarial created-pair and
+    * shared-symbol corpora) and by `q_bpe_merges_batched`, which runs
+    * against the SAME k-unrolled sequential DuckDB oracle.
+    *
+    * Scale shape: rounds/s improves by the mean accepted-prefix length
+    * (measured in SCALING.md's BPE section); the corpus is still scanned
+    * once, and all per-round work stays vocabulary-sized. */
+  def bpeMergesBatched(spark: SparkSession, dir: String, k: Int = 8,
+                       lookahead: Int = 16): DataFrame =
+    bpeMergesBatchedOn(docs(spark, dir), k, lookahead)
+
+  def bpeMergesBatchedOn(documents: DataFrame, k: Int = 8,
+                         lookahead: Int = 16): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    require(lookahead >= 1, s"lookahead must be >= 1, got $lookahead")
+    val words = documents
+      .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // lazy-checkpoint round chaining — see [[bpeMergesOn]]'s plan-growth note
+    val shim = org.apache.spark.sql.graft.CheckpointShim
+    var ws = shim.lazyLocalCheckpoint(words.select(
+      regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("ws"),
+      col("freq")))
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      // job A: the collect doubles as the new checkpoint's materialization
+      val top = bpePairCountsOf(ws)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(math.min(lookahead, k - round + 1)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (prev != null) { shim.freeCheckpoint(prev); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        // job B (skipped when only one candidate can be taken anyway)
+        val bounds: Map[(String, String), Long] =
+          if (top.length > 1) createdPairBounds(ws, top.map(t => (t._1, t._2)).toSeq)
+          else Map.empty
+        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var stop = false
+        for (c <- top if !stop) {
+          val (a, b, cnt) = c
+          val ok = accepted.isEmpty || (
+            accepted.forall { case (xa, xb, _) =>
+              a != xa && a != xb && b != xa && b != xb } &&
+              accepted.forall { case (xa, xb, _) =>
+                cnt > bounds.getOrElse((xa, xb), 0L) })
+          if (ok) accepted += c else stop = true
+        }
+        accepted.foreach { case (a, b, cnt) =>
+          merges += ((round, a, b, cnt)); round += 1
+        }
+        prev = ws
+        ws = shim.lazyLocalCheckpoint(accepted.foldLeft(ws) { case (df, (a, b, _)) =>
+          df.select(
+            replace(col("ws"), lit(BpeSep + a + BpeSep + BpeSep + b + BpeSep),
+              lit(BpeSep + a + b + BpeSep)).as("ws"),
+            col("freq"))
+        })
+      }
+    }
+    shim.freeCheckpoint(ws)
+    if (prev != null) shim.freeCheckpoint(prev)
+    merges.toSeq.toDF("it", "a", "b", "cnt").orderBy("it")
+  }
+
+  /** Max frequency-weighted adjacent-triple count per candidate pair —
+    * the created-pair upper bound of [[bpeMergesBatchedOn]]'s acceptance
+    * rule. The triple relation is vocabulary-sized and filtered to the
+    * ≤ `lookahead` candidates before anything is collected. */
+  private def createdPairBounds(ws: DataFrame,
+                                cands: Seq[(String, String)]): Map[(String, String), Long] = {
+    // (a, b) keyed as a␟b — symbols cannot contain the separator
+    val keys = cands.map { case (a, b) => a + BpeSep + b }
+    val triples = ws
+      .select(split(expr("substring(ws, 2, length(ws) - 2)"),
+        BpeSep + BpeSep).as("toks"), col("freq"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("toks"), col("freq"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("i"))
+      .select(element_at(col("toks"), col("i")).as("t1"),
+        element_at(col("toks"), col("i") + 1).as("t2"),
+        element_at(col("toks"), col("i") + 2).as("t3"), col("freq"))
+      .withColumn("k12", concat(col("t1"), lit(BpeSep), col("t2")))
+      .withColumn("k23", concat(col("t2"), lit(BpeSep), col("t3")))
+      .filter(col("k12").isin(keys: _*) || col("k23").isin(keys: _*))
+      .groupBy("t1", "t2", "t3").agg(sum("freq").as("cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val best = scala.collection.mutable.Map.empty[(String, String), Long]
+    triples.foreach { case (t1, t2, t3, cnt) =>
+      // (p, a, b): a merge of (a=t2, b=t3) creates (p, ab) ≤ this count
+      val l = (t2, t3)
+      if (cands.contains(l)) best(l) = math.max(best.getOrElse(l, 0L), cnt)
+      // (a, b, q): creates (ab, q)
+      val r = (t1, t2)
+      if (cands.contains(r)) best(r) = math.max(best.getOrElse(r, 0L), cnt)
+    }
+    best.toMap
   }
 
   /** Frequency-weighted adjacent symbol-pair counts over a wrapped-string

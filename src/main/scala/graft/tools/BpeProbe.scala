@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic for the BPE merge-loop driver scaling (round-9 verdict item):
+  * `seq`/`batched` time the real operators; `plansize` replicates the
+  * round-over-cached-round loop shape and prints per-round plan sizes to
+  * attribute the super-linear growth. */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(24)
+    val mode = if (args.length > 1) args(1) else "seq"
+    val la = if (args.length > 2) args(2).toInt else 16
+    val dir = if (args.length > 3) args(3) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "8") + "]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+    if (mode == "plansize") {
+      var ws = df.select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("w").as("ws"), col("freq"))
+        .cache()
+      var prev: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to k) {
+        val t0 = System.nanoTime()
+        ws.limit(1).collect()
+        val el = (System.nanoTime() - t0) / 1e9
+        val an = ws.queryExecution.analyzed.toString.length
+        val op = ws.queryExecution.optimizedPlan.toString.length
+        val ex = ws.queryExecution.executedPlan.toString.length
+        println(f"[plansize] round $r analyzed=$an optimized=$op executed=$ex collect=$el%.2f s")
+        if (prev != null) prev.unpersist()
+        prev = ws
+        ws = ws.select(replace(col("ws"), lit("zq"), lit("qz")).as("ws"), col("freq")).cache()
+      }
+    } else {
+      val t0 = System.nanoTime()
+      val out = if (mode == "seq") graft.operators.TextAnalysis.bpeMergesOn(df, k)
+        else graft.operators.TextAnalysis.bpeMergesBatchedOn(df, k, la)
+      val n = out.collect().length
+      println(f"[bpeprobe] mode=$mode k=$k la=$la merges=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    spark.stop()
+  }
+}

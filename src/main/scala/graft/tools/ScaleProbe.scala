@@ -41,7 +41,8 @@ object ScaleProbe {
 
   val Family: Seq[String] = Seq(
     "q_jaccard_pairs", "q_dup_clusters", "q_winnow_overlap", "q_passages",
-    "q_contamination", "q_dedup_incremental", "q_minhash_dedup", "q_ann_lsh")
+    "q_contamination", "q_dedup_incremental", "q_minhash_dedup", "q_ann_lsh",
+    "q_substring_dup", "q_substring_cut")
 
   private def sign(b: Int, i: Int): Float = {
     var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
