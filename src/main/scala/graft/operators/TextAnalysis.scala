@@ -668,20 +668,33 @@ ORDER BY cnt DESC, a, b LIMIT $topN
     *    count of any pair a merge of (a,b) can CREATE ((p,ab) occurrences
     *    are a subset of (p,a,b) triples; overlap consumption only lowers
     *    them).
-    * The driver then accepts the longest candidate prefix c₁..cₘ where
-    * each cᵢ (i > 1):
-    *  1. shares NO symbol with c₁..cᵢ₋₁ — merging a symbol-disjoint pair
-    *     touches disjoint token positions, so cᵢ's count (and every
-    *     lower-ranked pair's relative order) is EXACTLY what job A
-    *     measured; and
+    * The driver then accepts the longest candidate prefix c₁..cₘ under
+    * [[acceptBatchPrefix]]'s rule: each cᵢ (i > 1)
+    *  1. shares NO symbol with c₁..cᵢ₋₁ AND no symbol (nor its own
+    *     concatenation) equals an earlier accepted merge's concatenation
+    *     xa+xb — a candidate touching an about-to-be-created token
+    *     carries a stale job-A count, and two decompositions of the same
+    *     token string would pool counts (advisor r9); and
     *  2. has cnt STRICTLY above every accepted candidate's created-pair
     *     bound — so no pair created by c₁..cᵢ₋₁ can outrank cᵢ in the
-    *     sequential order (ties break conservatively: stop).
+    *     sequential order (ties break conservatively: stop);
+    * and the batch STOPS after any accepted merge whose result string
+    * xa+xb was EVER a corpus symbol — pre-existing (p, xa+xb) pairs would
+    * pool with created ones and invalidate the created-pair bound. The
+    * symbol ledger is driver-side (initial distinct symbols — one tiny
+    * job — plus every accepted concatenation), a conservative SUPERSET of
+    * live symbols: a stale entry can only shorten a batch, never admit an
+    * unsound one. (A 200k-corpus brute-force search over adversarial
+    * {a,b,c} vocabularies found NO reachable collision state under these
+    * greedy replace-all semantics, so the ledger stop is defensive — but
+    * soundness here is unconditional, not an empirical claim.)
+    *
     * Accepted merges apply as ONE chained-replace job (textually identical
     * to sequential application). Equality with [[bpeMerges]] is pinned by
-    * BpeBatchedSpec's differentials (incl. adversarial created-pair and
-    * shared-symbol corpora) and by `q_bpe_merges_batched`, which runs
-    * against the SAME k-unrolled sequential DuckDB oracle.
+    * BpeBatchedSpec's differentials (incl. adversarial created-pair,
+    * shared-symbol and collision-ledger corpora) and by
+    * `q_bpe_merges_batched`, which runs against the SAME k-unrolled
+    * sequential DuckDB oracle.
     *
     * Scale shape: rounds/s improves by the mean accepted-prefix length
     * (measured in SCALING.md's BPE section); the corpus is still scanned
@@ -691,7 +704,45 @@ ORDER BY cnt DESC, a, b LIMIT $topN
     bpeMergesBatchedOn(docs(spark, dir), k, lookahead)
 
   def bpeMergesBatchedOn(documents: DataFrame, k: Int = 8,
-                         lookahead: Int = 16): DataFrame = {
+                         lookahead: Int = 16): DataFrame =
+    bpeMergesBatchedWithStats(documents, k, lookahead)._1
+
+  /** The driver-side acceptance decision of [[bpeMergesBatchedOn]] —
+    * pure, unit-testable (BpeBatchedSpec drives it directly with ledger
+    * states the replace loop cannot reach). `top` is job A's candidate
+    * prefix in sequential tie-break order; `bounds` job B's created-pair
+    * upper bounds; `everSym` the symbol ledger. Returns the accepted
+    * prefix. */
+  private[graft] def acceptBatchPrefix(
+      top: Seq[(String, String, Long)],
+      bounds: Map[(String, String), Long],
+      everSym: String => Boolean): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var stop = false
+    for (c <- top if !stop) {
+      val (a, b, cnt) = c
+      val ok = accepted.isEmpty || (
+        accepted.forall { case (xa, xb, _) =>
+          val m = xa + xb
+          a != xa && a != xb && b != xa && b != xb &&
+            a != m && b != m && (a + b) != m
+        } &&
+          accepted.forall { case (xa, xb, _) =>
+            cnt > bounds.getOrElse((xa, xb), 0L) })
+      if (ok) {
+        accepted += c
+        // pooled-count hazard: the result string was (ever) a symbol —
+        // later candidates' bounds are invalid, stop the batch here
+        if (everSym(a + b)) stop = true
+      } else stop = true
+    }
+    accepted.toSeq
+  }
+
+  /** [[bpeMergesBatchedOn]] plus the accepted-prefix length of every batch
+    * round — the SCALING.md BPE measurement's instrument. */
+  def bpeMergesBatchedWithStats(documents: DataFrame, k: Int = 8,
+                                lookahead: Int = 16): (DataFrame, Seq[Int]) = {
     val spark = documents.sparkSession
     import spark.implicits._
     require(lookahead >= 1, s"lookahead must be >= 1, got $lookahead")
@@ -704,8 +755,17 @@ ORDER BY cnt DESC, a, b LIMIT $topN
     var ws = shim.lazyLocalCheckpoint(words.select(
       regexp_replace(col("w"), "(?s)(.)", BpeSep + "$1" + BpeSep).as("ws"),
       col("freq")))
+    // seed the symbol ledger: every distinct INITIAL symbol (one tiny
+    // codepoint-vocabulary job — this collect also materializes the first
+    // checkpoint); accepted concatenations join it batch by batch
+    val everSyms = scala.collection.mutable.Set[String]()
+    everSyms ++= ws
+      .select(explode(split(expr("substring(ws, 2, length(ws) - 2)"),
+        BpeSep + BpeSep)).as("t"))
+      .distinct().as[String].collect()
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    val batchLens = scala.collection.mutable.ArrayBuffer[Int]()
     var round = 1
     var exhausted = false
     while (round <= k && !exhausted) {
@@ -721,19 +781,11 @@ ORDER BY cnt DESC, a, b LIMIT $topN
         val bounds: Map[(String, String), Long] =
           if (top.length > 1) createdPairBounds(ws, top.map(t => (t._1, t._2)).toSeq)
           else Map.empty
-        val accepted = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
-        var stop = false
-        for (c <- top if !stop) {
-          val (a, b, cnt) = c
-          val ok = accepted.isEmpty || (
-            accepted.forall { case (xa, xb, _) =>
-              a != xa && a != xb && b != xa && b != xb } &&
-              accepted.forall { case (xa, xb, _) =>
-                cnt > bounds.getOrElse((xa, xb), 0L) })
-          if (ok) accepted += c else stop = true
-        }
+        val accepted = acceptBatchPrefix(top.toSeq, bounds, everSyms.contains)
+        batchLens += accepted.length
         accepted.foreach { case (a, b, cnt) =>
           merges += ((round, a, b, cnt)); round += 1
+          everSyms += a + b
         }
         prev = ws
         ws = shim.lazyLocalCheckpoint(accepted.foldLeft(ws) { case (df, (a, b, _)) =>
@@ -746,7 +798,7 @@ ORDER BY cnt DESC, a, b LIMIT $topN
     }
     shim.freeCheckpoint(ws)
     if (prev != null) shim.freeCheckpoint(prev)
-    merges.toSeq.toDF("it", "a", "b", "cnt").orderBy("it")
+    (merges.toSeq.toDF("it", "a", "b", "cnt").orderBy("it"), batchLens.toSeq)
   }
 
   /** Max frequency-weighted adjacent-triple count per candidate pair —

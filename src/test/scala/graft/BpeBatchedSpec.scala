@@ -76,4 +76,52 @@ class BpeBatchedSpec extends AnyFunSuite {
       Seq.fill(9)("bc").mkString(" "))
     assertEqualMerges(df, 4)
   }
+
+  // ── token-string collision guards (advisor r9) ─────────────────────
+  // A 200k-corpus brute-force search over adversarial {a,b,c} and
+  // periodic vocabularies found NO reachable state where a merge's
+  // result string is already a live symbol under these greedy
+  // replace-all semantics — so the collision hazards cannot be driven
+  // through the replace loop from a character-split corpus. The guards
+  // are unconditional anyway; these tests drive the factored acceptance
+  // rule directly with the ledger states the loop cannot reach.
+
+  test("collision ledger: accepted concat already a symbol stops the batch (pooled counts)") {
+    // 'ab' is (ever) a symbol: accepting (a,b) must end the batch even
+    // though (c,d) is symbol-disjoint and strictly dominates the bounds —
+    // pre-existing (p,ab) pairs pool with created ones, so the created-
+    // pair bound no longer caps the post-merge count of any (·,ab) pair.
+    val top = Seq(("a", "b", 100L), ("c", "d", 40L))
+    val acc = TextAnalysis.acceptBatchPrefix(top, Map(("a", "b") -> 10L), Set("ab"))
+    assert(acc == Seq(("a", "b", 100L)))
+  }
+
+  test("collision guard: candidate carrying an about-to-be-created token is rejected") {
+    // accepting (a,b) creates token 'ab'; candidate ('ab','c') measured
+    // its count BEFORE that creation — stale, must stop the batch.
+    val top = Seq(("a", "b", 100L), ("ab", "c", 40L), ("e", "f", 30L))
+    val acc = TextAnalysis.acceptBatchPrefix(top, Map(("a", "b") -> 10L), Set.empty)
+    assert(acc == Seq(("a", "b", 100L)))
+  }
+
+  test("collision guard: two decompositions of the same token string cannot co-apply") {
+    // ('ab','c') and ('a','bc') both create 'abc': their created pairs
+    // pool, so the second decomposition must stop the batch.
+    val top = Seq(("ab", "c", 100L), ("a", "bc", 40L))
+    val acc = TextAnalysis.acceptBatchPrefix(top, Map(("ab", "c") -> 10L), Set.empty)
+    assert(acc == Seq(("ab", "c", 100L)))
+  }
+
+  test("acceptance rule: disjoint dominating candidates still co-apply") {
+    val top = Seq(("a", "b", 100L), ("c", "d", 40L), ("e", "f", 30L))
+    val acc = TextAnalysis.acceptBatchPrefix(top,
+      Map(("a", "b") -> 20L, ("c", "d") -> 20L), Set.empty)
+    assert(acc == top)
+  }
+
+  test("batch stats report accepted-prefix lengths summing to the merge count") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (out, lens) = TextAnalysis.bpeMergesBatchedWithStats(df, 24, 16)
+    assert(out.count() == 24 && lens.sum == 24 && lens.forall(_ >= 1))
+  }
 }
