@@ -44,6 +44,15 @@ object ImiIndex {
     * [[IndexCanary]] shapes are untouched. */
   private val SeedSide = "s"
 
+  /** Pre-round-9 seed storage: a model-table TBLPROPERTY stamped by a
+    * second DDL after the write. [[loadModelsAndSeed]] falls back to it
+    * when no seed ROW exists, so a rotated index persisted by the old
+    * code keeps rotating its queries instead of silently reading seed 0
+    * (advisor r9 — the exact silent-wrong-search failure the seed-row
+    * rework targeted). New builds never write the property; the first
+    * [[rebuildIfNeeded]] retrain migrates the seed into a data row. */
+  val LegacyRotSeedProp = "graft.imi.rot_seed"
+
   def rotSeedOf(spark: SparkSession, tag: String): Long =
     loadModelsAndSeed(spark, tag)._3
 
@@ -176,7 +185,13 @@ object ImiIndex {
           s"model table ${modelTable(tag)} side '$s' has gaps in cid space")
         cents
       }
-      val seed = rows.find(_._1 == SeedSide).map(_._3(0).toLong).getOrElse(0L)
+      // seed row first; else the legacy TBLPROPERTY (pre-seed-row tables,
+      // where the property WAS the contract and a completed stamp is
+      // authoritative); else unrotated
+      val seed = rows.find(_._1 == SeedSide).map(_._3(0).toLong).getOrElse(
+        spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(modelTable(tag)))
+          .properties.get(LegacyRotSeedProp).map(_.toLong).getOrElse(0L))
       (side("l"), side("r"), seed)
     }
 
