@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 /** Shared compaction for append-accreted BUCKETED catalog tables — the
   * staged-swap rewrite used by [[ShingleIndex.compact]] and
@@ -287,13 +288,24 @@ object BucketedMaintenance {
                          table: String,
                          batchKeys: org.apache.spark.sql.DataFrame,
                          keyCol: String): () => Boolean = {
-    val already = batchKeys.join(spark.table(table), Seq(keyCol), "left_semi").count()
+    // ONE eager job for both counts (the r9 append-guard regression was
+    // ~8 small pre-write jobs per 4-table append — this halves them): the
+    // union's second branch is the semi-join hit set, and identical
+    // batch-side subplans share their exchange, so the batch relation is
+    // not computed twice
+    val row = batchKeys.select(lit(false).as("hit"))
+      .unionAll(batchKeys.join(spark.table(table), Seq(keyCol), "left_semi")
+        .select(lit(true).as("hit")))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("hit"), lit(1))).as("already"))
+      .collect()(0)
+    val already = row.getLong(1)
+    val n = row.getLong(0) - already
     require(already == 0L,
       s"append into `$table`: $already batch ${keyCol}s are already present — " +
         "re-appending stored ids would duplicate index rows and break the " +
         "append guard's survivorship probe. Deduplicate the batch against " +
         "the table (anti-join) before appending.")
-    val n = batchKeys.count()
     () => batchKeys.join(spark.table(table), Seq(keyCol), "left_semi").count() == n
   }
 

@@ -223,26 +223,33 @@ object ShingleIndex {
         .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti"))
     // sat/fp batch keys are disjoint from their tables by the anti-joins
     // above; occ/sizes by the new-documents contract (appending a doc_id
-    // already in the corpus is a caller bug) — all four asserted loudly
-    // inside disjointBatchProbe before any write starts.
+    // already in the corpus is a caller bug). ALL FOUR probes run their
+    // eager disjointness asserts HERE, before the first guarded write —
+    // a rejected batch (e.g. a replay) leaves every table untouched, with
+    // no partial sat-then-abort state (advisor r9).
     val batchDocs = admitted.select("corpus_id").distinct()
-    def guarded(table: String, batchKeys: DataFrame, keyCol: String)(
-        write: => Unit): Unit =
+    val probeOf = Seq(
+      (satTable(tag), newSat, "key"),
+      (occT, batchDocs, "corpus_id"),
+      (sizesTable(tag), batchDocs, "corpus_id"),
+      (fpTable(tag), newFp, "fp")).map { case (t, keys, kc) =>
+      t -> BucketedMaintenance.disjointBatchProbe(spark, t, keys, kc)
+    }.toMap
+    def guarded(table: String)(write: => Unit): Unit =
       BucketedMaintenance.guardedAppend(spark, Seq(table),
-        rowsPresent = Some(BucketedMaintenance.disjointBatchProbe(
-          spark, table, batchKeys, keyCol)))(write)
-    guarded(satTable(tag), newSat, "key") {
+        rowsPresent = Some(probeOf(table)))(write)
+    guarded(satTable(tag)) {
       writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
     }
-    guarded(occT, batchDocs, "corpus_id") {
+    guarded(occT) {
       writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
     }
-    guarded(sizesTable(tag), batchDocs, "corpus_id") {
+    guarded(sizesTable(tag)) {
       writeBucketed(
         admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
         sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
     }
-    guarded(fpTable(tag), newFp, "fp") {
+    guarded(fpTable(tag)) {
       writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
     }
   }
