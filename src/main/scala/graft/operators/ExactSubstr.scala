@@ -94,17 +94,61 @@ object ExactSubstr {
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** [[dupHits]] materialization tiers for the gram-position relation —
+    * one row per corpus CODEPOINT (~32 B each), the operator's only
+    * data-sized intermediate:
+    *
+    *  - `"checkpoint"`: localCheckpoint the relation. Single evaluation,
+    *    but the blocks pin executor storage for the query's lifetime —
+    *    measured spilling past the 8 GB storage fraction at 100× local
+    *    scale (SCALING.md r9); at 100 TB of text this is PB-scale
+    *    executor storage. The small-corpus tier.
+    *  - `"recompute"`: no persistence — the relation is re-wrapped with
+    *    honest (unknown) stats only ([[CheckpointShim.honestStats]], so
+    *    the post-UDF-explode garbage estimate cannot invite a static
+    *    corpus-sized broadcast) and re-derived by each consumer. The
+    *    price is one extra corpus scan + rolling-hash pass (cheap,
+    *    GB/s-per-core linear work); NOT an extra data-sized shuffle —
+    *    the candidate-key aggregate combines map-side, so its
+    *    re-derivation ships only near-distinct-gram partials, while the
+    *    probe side's full-relation shuffle happens in either tier. Zero
+    *    executor-storage pinning (asserted via getPersistentRDDs in
+    *    ExactSubstrSpec). The 100 TB tier.
+    *  - `"auto"` (default): one cheap `sum(length(text))` aggregate picks
+    *    the tier by corpus codepoint count vs [[CheckpointMaxChars]].
+    */
+  val MaterializeTiers: Set[String] = Set("auto", "checkpoint", "recompute")
+
+  /** `"auto"` tier threshold: corpora up to this many codepoints
+    * checkpoint the gram-position relation (128M codepoints ≈ 4 GiB of
+    * gram rows — comfortably inside one local[32] storage fraction, and
+    * per-executor trivial on a cluster); larger corpora recompute. */
+  val CheckpointMaxChars: Long = 128L << 20
+
   /** Confirmed duplicated positions `(doc_id, pos, g)` — steps 1–3 of the
     * scaladoc plan, shared by [[spans]] and [[cut]]. */
-  private def dupHits(documents: DataFrame, L: Int): DataFrame = {
+  private def dupHits(documents: DataFrame, L: Int,
+                      materialize: String): DataFrame = {
+    require(MaterializeTiers.contains(materialize),
+      s"materialize must be one of $MaterializeTiers, got '$materialize'")
     val hashUdf = udf((t: String) => gramHashes(t, L)).asNondeterministic()
-    // checkpointed: the kernel feeds both the candidate-key aggregate and
-    // the semi-join probe side (single-evaluation discipline), and its
-    // post-explode stats would otherwise invite a corpus-sized broadcast
-    val pos = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      documents.select(col("doc_id"), explode(hashUdf(col("text"))).as("p"))
-        .select(col("doc_id"), col("p._1").as("pos"),
-          col("p._2").as("h1"), col("p._3").as("h2")))
+    val raw = documents.select(col("doc_id"), explode(hashUdf(col("text"))).as("p"))
+      .select(col("doc_id"), col("p._1").as("pos"),
+        col("p._2").as("h1"), col("p._3").as("h2"))
+    val shim = org.apache.spark.sql.graft.CheckpointShim
+    val tier = materialize match {
+      case "auto" =>
+        val chars = documents
+          .agg(sum(length(coalesce(col("text"), lit("")))).as("n"))
+          .collect()(0)
+        if (!chars.isNullAt(0) && chars.getLong(0) > CheckpointMaxChars)
+          "recompute"
+        else "checkpoint"
+      case t => t
+    }
+    val pos =
+      if (tier == "checkpoint") shim.statsHonestLocalCheckpoint(raw)
+      else shim.honestStats(raw)
     val candKeys = pos.groupBy("h1", "h2")
       .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
       .filter(col("dmin") =!= col("dmax"))
@@ -141,15 +185,21 @@ object ExactSubstr {
   }
 
   /** The "investigate" output: per document, the maximal spans whose every
-    * L-gram occurs verbatim in at least one OTHER document. */
+    * L-gram occurs verbatim in at least one OTHER document.
+    * `ordered = false` drops the final total-order sort — the oracle
+    * determinism aid, not part of the operator's semantics, and a
+    * needless O(output) global sort in a pipeline (the SemDeDup verdict-
+    * ordering precedent); plan-asserted sort-free in ExactSubstrSpec. */
   def spans(spark: SparkSession, dir: String, L: Int = DefaultL): DataFrame =
     spansOn(docsOf(spark, dir), L)
 
-  def spansOn(documents: DataFrame, L: Int = DefaultL): DataFrame = {
-    val grams = dupHits(documents, L)
+  def spansOn(documents: DataFrame, L: Int = DefaultL,
+              materialize: String = "auto", ordered: Boolean = true): DataFrame = {
+    val grams = dupHits(documents, L, materialize)
     val hits = grams.join(dupGramFilter(grams).select("g"), Seq("g"), "left_semi")
       .select("doc_id", "pos")
-    mergeSpans(hits, L).orderBy("doc_id", "start_pos")
+    val out = mergeSpans(hits, L)
+    if (ordered) out.orderBy("doc_id", "start_pos") else out
   }
 
   /** Relational oracle for [[spansOn]] — the hash pre-filter is a lossless
@@ -189,8 +239,9 @@ ORDER BY doc_id, start_pos
   def cut(spark: SparkSession, dir: String, L: Int = DefaultL): DataFrame =
     cutOn(docsOf(spark, dir), L)
 
-  def cutOn(documents: DataFrame, L: Int = DefaultL): DataFrame = {
-    val grams = dupHits(documents, L)
+  def cutOn(documents: DataFrame, L: Int = DefaultL,
+            materialize: String = "auto", ordered: Boolean = true): DataFrame = {
+    val grams = dupHits(documents, L, materialize)
     // owner = smallest doc_id containing the gram: it keeps its copies
     val owners = dupGramFilter(grams).select(col("g"), col("dmin").as("own"))
     val cutHits = grams.join(owners, "g")
@@ -221,7 +272,7 @@ ORDER BY doc_id, start_pos
         .as("joined"))
     val cstat = cuts.groupBy("doc_id")
       .agg(count(lit(1)).as("n_cut_spans"), sum(col("e") - col("s") + 1).as("n_cut_chars"))
-    base
+    val out = base
       .join(cstat, Seq("doc_id"), "left")
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -230,7 +281,7 @@ ORDER BY doc_id, start_pos
         // a fully-cut document has cut stats but no kept segments → ''
         when(col("n_cut_spans").isNull, col("t"))
           .otherwise(coalesce(col("joined"), lit(""))).as("text_cut"))
-      .orderBy("doc_id")
+    if (ordered) out.orderBy("doc_id") else out
   }
 
   /** Relational oracle for [[cutOn]] — same owner rule, same island merge,

@@ -113,4 +113,37 @@ class ExactSubstrSpec extends AnyFunSuite {
     // at least one real document was actually cut at sf0.001
     assert(c.values.exists(_._1 > 0))
   }
+
+  test("materialization tiers are row-equal: recompute ≡ checkpoint on real data") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(d: DataFrame): Seq[String] =
+      d.collect().map(_.toString).toSeq.sorted
+    assert(canon(ExactSubstr.spansOn(df, 50, materialize = "recompute"))
+      == canon(ExactSubstr.spansOn(df, 50, materialize = "checkpoint")))
+    assert(canon(ExactSubstr.cutOn(df, 50, materialize = "recompute"))
+      == canon(ExactSubstr.cutOn(df, 50, materialize = "checkpoint")))
+    // bogus tier rejected loudly
+    intercept[IllegalArgumentException](ExactSubstr.spansOn(df, 50, materialize = "disk"))
+  }
+
+  test("recompute tier pins no storage blocks; checkpoint tier does; ordered=false is sort-free") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sp = ExactSubstr.spansOn(df, 50, materialize = "recompute", ordered = false)
+    assert(sp.count() > 0)
+    val afterRecompute = spark.sparkContext.getPersistentRDDs.keySet
+    // the tier's whole point: the gram-position relation (one row per
+    // corpus codepoint — PB-scale at 100 TB) must NOT be pinned
+    assert((afterRecompute -- before).isEmpty,
+      "recompute tier must not pin executor-storage blocks")
+    // the checkpoint tier pins (that is its single-evaluation mechanism —
+    // and why it is size-capped); differential proof the probe above
+    // measures the right thing
+    assert(ExactSubstr.spansOn(df, 50, materialize = "checkpoint", ordered = false).count() > 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- afterRecompute).nonEmpty)
+    // the total-order sort is the oracle's, not the operator's
+    val topSort = sp.queryExecution.optimizedPlan.toString.linesIterator
+      .takeWhile(l => !l.contains("Window")).exists(_.trim.startsWith("Sort"))
+    assert(!topSort, "ordered=false must not globally sort the output")
+  }
 }
