@@ -111,10 +111,22 @@ object Bench {
       if (!noGc) System.gc()
       if (settleMs > 0) Thread.sleep(settleMs)
     }
+    // Materialize EVERY output column, not just the row count. Under
+    // `.count()` the optimizer prunes what the action doesn't need —
+    // unused aggregate expressions, final projections (a normalize/regex
+    // query degenerates to counting input rows), and whole left joins
+    // whose right side is unique-keyed (q_substring_cut's reassembly
+    // never ran: its r9 "cost" was only the eager checkpoint firing at
+    // construction). toRdd requires the full schema, so nothing the
+    // query PRODUCES can be optimized away; this is also what a real
+    // consumer (a parquet write, a downstream stage) pays. Round-10
+    // action change — per-query deltas attributed in docs/PERF.md.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.count()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        try fn(spark, warmDir).count()
+        try materialize(fn(spark, warmDir))
         catch { case e: Throwable => System.err.println(s"[bench] prewarm $name: ${e.getMessage}") }
         finally dropCheckpointBlocks() // also on failure: a half-built query leaks blocks too
       }
@@ -124,7 +136,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          materialize(fn(spark, sfDir))
           name -> (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
@@ -159,11 +171,11 @@ object Bench {
         d.filter(col("doc_id") % 13 =!= 0), idxDir, "bench_shindex"))
       dropCheckpointBlocks()
       val batch = d.filter(col("doc_id") % 13 === 0)
-      val probeColdSec = timed(
-        graft.operators.ShingleIndex.probe(spark, "bench_shindex", batch).count())
+      val probeColdSec = timed(materialize(
+        graft.operators.ShingleIndex.probe(spark, "bench_shindex", batch)))
       dropCheckpointBlocks()
-      val probeSec = timed(
-        graft.operators.ShingleIndex.probe(spark, "bench_shindex", batch).count())
+      val probeSec = timed(materialize(
+        graft.operators.ShingleIndex.probe(spark, "bench_shindex", batch)))
       dropCheckpointBlocks()
       // same split for the persistent IVF index (q_ivf_indexed's scoreboard
       // entry also rebuilds in-query for oracle self-containment)
@@ -175,11 +187,11 @@ object Bench {
         seed = graft.operators.Similarity.ResidueSeed))
       dropCheckpointBlocks()
       val queries50 = e.filter(col("vec_id") < 50)
-      val ivfSearchColdSec = timed(
-        graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50).count())
+      val ivfSearchColdSec = timed(materialize(
+        graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50)))
       dropCheckpointBlocks()
-      val ivfSearchSec = timed(
-        graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50).count())
+      val ivfSearchSec = timed(materialize(
+        graft.operators.IvfIndex.search(spark, "bench_ivfidx", queries50)))
       dropCheckpointBlocks()
       // append alone (the q_dedup_index_append scoreboard entry rebuilds
       // build+append+probe in-query for oracle self-containment; the

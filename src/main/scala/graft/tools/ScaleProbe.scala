@@ -44,7 +44,7 @@ object ScaleProbe {
     "q_contamination", "q_dedup_incremental", "q_minhash_dedup", "q_ann_lsh",
     "q_substring_dup", "q_substring_cut")
 
-  private def sign(b: Int, i: Int): Float = {
+  private[graft] def sign(b: Int, i: Int): Float = {
     var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -149,7 +149,10 @@ object ScaleProbe {
     val ms = for (dir <- Seq(src, gen); name <- family) yield {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val n = try runQuery(name, dir).count()
+        // toRdd.count(): materialize every output column (same honesty
+        // fix as Bench.materialize — a bare count() lets the optimizer
+        // hollow out final projections and unique-key left joins)
+        val n = try runQuery(name, dir).queryExecution.toRdd.count()
         finally drop()
         ((System.nanoTime() - t0) / 1e9, n)
       }
