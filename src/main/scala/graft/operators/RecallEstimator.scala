@@ -154,6 +154,71 @@ object RecallEstimator {
       .collect().toMap
   }
 
+  /** EXACT full-corpus top-k for CORPUS queries over a sign-mask
+    * block-replicated corpus — the natural-band truth factory past the
+    * exact cap (round-9 verdict item 1). The replicated corpus
+    * ([[graft.tools.ScaleProbe.generateEmbeddings]]) stores block b's
+    * copy of base vector w as s_b∘w, and sign masks commute through the
+    * dot product EXACTLY (float sign flips are exact, the accumulation
+    * order is unchanged): cos(q, s_b∘w) = cos(s_b∘q, w). So the true
+    * top-k of a base query q over ALL B·n₀ vectors is the merged
+    * per-block top-k of the MASKED query against the n₀-row base —
+    * (nQ·B)·n₀ work instead of the nQ·(B·n₀) quadratic that stops at
+    * [[Similarity.MaxExactCorpusRows]]. Unlike the planted panel this
+    * needs NO ceiling assumption and no margin: the truth is exact at
+    * any factor, in the corpus's own natural cosine band.
+    *
+    * Distributed shape: the (qid, block) probe relation partitions
+    * across executors; the n₀-row BASE broadcasts (1×-sized — the whole
+    * point). Returns per query the global top-k `(neighbor_id, cos)`
+    * with the search's (cos DESC, id ASC) tie-break; global neighbor id
+    * = base id + b·stride (block 0 keeps base ids), self excluded like
+    * `excludeSelf = true` search. */
+  def blockStratumTopK(base: DataFrame, queryIds: Seq[Long], blocks: Int,
+                       blockStride: Long, k: Int,
+                       maskOf: (Int, Int) => Float): Map[Long, Seq[(Long, Double)]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val baseRows = base.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    val qSet = queryIds.toSet
+    val qVecs = baseRows.filter(r => qSet.contains(r._1)).toMap
+    require(qVecs.size == queryIds.size, "every query id must be a base vector")
+    val bcBase = spark.sparkContext.broadcast(baseRows)
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val probes = for (q <- queryIds; b <- 0 until blocks) yield (q, b)
+    val perBlock = probes.toDF("qid", "b")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val corpus = bcBase.value
+        it.flatMap { case (qid, b) =>
+          val q0 = bcQ.value(qid)
+          val qm = if (b == 0) q0
+            else Array.tabulate(q0.length)(i => q0(i) * maskOf(b, i))
+          val nq = Similarity.normP(qm)
+          val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          corpus.foreach { case (id, v) =>
+            val gid = if (b == 0) id else id + b * blockStride
+            if (!(b == 0 && id == qid)) {
+              val c = Similarity.dotP(qm, v) / (nq * Similarity.normP(v))
+              top += ((gid, c))
+              if (top.length > 4 * k) {
+                val cut = top.sortBy { case (nid, cc) => (-cc, nid) }.take(k)
+                top.clear(); top ++= cut
+              }
+            }
+          }
+          top.sortBy { case (nid, cc) => (-cc, nid) }.take(k)
+            .map { case (nid, cc) => (qid, nid, cc) }
+        }
+      }.collect()
+    perBlock.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(r => (r._2, r._3))
+        .sortBy { case (nid, cc) => (-cc, nid) }.take(k).toSeq
+    }
+  }
+
   /** Exact brute-force top-k per panel query over an explicit corpus —
     * the validation-side truth (guarded: only run where the quadratic is
     * payable). Same (cos DESC, id ASC) tie-break as the index search. */

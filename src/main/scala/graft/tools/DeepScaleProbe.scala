@@ -187,6 +187,85 @@ object DeepScaleProbe {
           .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       }
     }
+    if (tiers("natural") || tiers("naturalimi")) {
+      import graft.operators.RecallEstimator
+      // NATURAL-BAND recall (r8 verdict item 3, carried through r9): the
+      // planted panel measures the cos 0.86–0.98 gate band; the semantic-
+      // search consumer lives at the corpus's own top-5 cosines
+      // (≈ 0.4–0.5), where constant-nprobe collapsed to 0.236 at 2M and
+      // nothing was measured past it. The block-stratum factorization
+      // (RecallEstimator.blockStratumTopK) gives EXACT corpus-query truth
+      // at ANY factor — no ceiling assumption, no margin, no bound: the
+      // sign-mask commutes through the dot product, so the quadratic
+      // decomposes into (50·factor) masked probes against the 1× base.
+      val k = 5
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val qids = (0L until 50L).toSeq
+      val tt = System.nanoTime()
+      val truth = RecallEstimator.blockStratumTopK(base, qids, factor,
+        ScaleProbe.BlockStride, k, ScaleProbe.sign)
+      val truthSet = truth.toSeq.flatMap { case (q, ns) => ns.map(n => (q, n._1)) }.toSet
+      val kth = truth.values.map(_.last._2).toSeq.sorted
+      println(f"[natural] block-stratum truth (${qids.length}×$factor probes) in " +
+        f"${(System.nanoTime() - tt) / 1e9}%.1f s; k-th-neighbor cos band " +
+        f"min/med/max ${kth.head}%.3f/${kth(kth.length / 2)}%.3f/${kth.last}%.3f")
+      // validation under the exact cap: the factorized truth must equal
+      // the plain quadratic truth EXACTLY (set equality, same tie-break)
+      if (n <= Similarity.MaxExactCorpusRows) {
+        val ex = Similarity.topK(spark, gen, k = k, nQueries = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        val agree = ex == truthSet
+        println(s"[natural] VALIDATION at n=$n: quadratic top-5 ≡ block-stratum top-5: $agree")
+        require(agree, "block-stratum truth disagrees with the quadratic under the cap")
+      }
+      drop()
+      def sweepNatural(variant: String, cellCount: Int, nprobes: Seq[Int])(
+          run: Int => org.apache.spark.sql.DataFrame): Unit = {
+        println(s"\n| corpus | n | cells ($variant) | nprobe | cell frac | warm s | natural recall@5 |")
+        println("|---|---|---|---|---|---|---|")
+        for (nprobe <- nprobes.distinct) {
+          def once(): (Double, Double) = {
+            val t0 = System.nanoTime()
+            val got = run(nprobe).collect()
+              .map(r => (r.getLong(0), r.getLong(2))).toSet
+            ((System.nanoTime() - t0) / 1e9, (got & truthSet).size.toDouble / truthSet.size)
+          }
+          once(); drop()
+          val (warm, rec) = once(); drop()
+          val label = if (nprobe == rule) s"$nprobe (rule)" else s"$nprobe"
+          println(f"| ${factor}x | $n | $cellCount | $label | " +
+            f"${nprobe.toDouble / cellCount}%.3f | $warm%.2f | $rec%.3f |")
+        }
+      }
+      if (tiers("natural")) {
+        val tag = "deepnat"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepnat").toString
+        val tb = System.nanoTime()
+        IvfIndex.build(emb, idxDir, tag, buckets = 32)
+        println(f"[natural] IvfIndex.build ${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        sweepNatural("flat", cells, Seq(8, rule / 2, rule, 2 * rule, 4 * rule)) { np =>
+          IvfIndex.search(spark, tag, queries, nprobe = np)
+        }
+        Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+      if (tiers("naturalimi")) {
+        val k1 = graft.operators.Imi.k1For(n)
+        val tag = "deepnatimi"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepnatimi").toString
+        val tb = System.nanoTime()
+        graft.operators.ImiIndex.build(emb, idxDir, tag, buckets = 32, k1 = k1)
+        println(f"[natural] ImiIndex.build (k1=$k1 → ${k1 * k1} cells) " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        sweepNatural("imi", k1 * k1, Seq(rule, 2 * rule, 4 * rule)) { np =>
+          graft.operators.ImiIndex.search(spark, tag, queries, nprobe = np)
+        }
+        Seq(graft.operators.ImiIndex.modelTable(tag), graft.operators.ImiIndex.assignTable(tag))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
+    }
     if (tiers("imi")) {
       import graft.operators.{Imi, ImiIndex}
       val k1 = Imi.k1For(n)

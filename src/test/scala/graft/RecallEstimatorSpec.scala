@@ -81,4 +81,40 @@ class RecallEstimatorSpec extends AnyFunSuite {
     assert(deep.values.max < p.minPlantedCos - 0.1,
       s"margin collapsed on 3×: ceiling ${deep.values.max} vs planted ${p.minPlantedCos}")
   }
+
+  test("block-stratum truth ≡ quadratic truth over a materialized replicated corpus") {
+    import spark.implicits._
+    // materialize a 4-block sign-mask replica EXACTLY as
+    // ScaleProbe.generateEmbeddings writes it, then compare the factorized
+    // truth against plain brute force over the whole thing
+    val blocks = 4
+    val stride = graft.tools.ScaleProbe.BlockStride
+    val base = emb.as[(Long, Array[Float])].collect()
+    val replicated = (0 until blocks).flatMap { b =>
+      base.map { case (id, v) =>
+        if (b == 0) (id, v)
+        else (id + b * stride,
+          Array.tabulate(v.length)(i => v(i) * graft.tools.ScaleProbe.sign(b, i)))
+      }
+    }
+    val qids = (0L until 10L).toSeq
+    val got = RecallEstimator.blockStratumTopK(emb, qids, blocks, stride, 5,
+      graft.tools.ScaleProbe.sign)
+    // quadratic reference with the same (cos DESC, id ASC) tie-break
+    val qv = base.filter(r => qids.contains(r._1)).toMap
+    val want = qids.map { q =>
+      val (vq, nq) = (qv(q), Similarity.normP(qv(q)))
+      q -> replicated.filter(_._1 != q)
+        .map { case (id, v) => (id, Similarity.dotP(vq, v) / (nq * Similarity.normP(v))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).toSeq
+    }.toMap
+    assert(got.view.mapValues(_.map(_._1)).toMap
+      == want.view.mapValues(_.map(_._1)).toMap)
+    // cosines match bit-for-bit (sign masks are float-exact)
+    qids.foreach { q =>
+      got(q).zip(want(q)).foreach { case ((gi, gc), (wi, wc)) =>
+        assert(gi == wi && gc == wc, s"q$q: ($gi,$gc) vs ($wi,$wc)")
+      }
+    }
+  }
 }
