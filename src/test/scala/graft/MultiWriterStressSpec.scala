@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{BucketedMaintenance, IvfIndex, ShingleIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stress-pin the documented maintenance regime: ONE appender racing ONE
+  * compactor, freely interleaved, on both persistent indexes. The
+  * write-write guards are DETECTION, not tolerance ([[BucketedMaintenance]]
+  * scaladoc) — so the contract under this race is NOT "everything
+  * succeeds"; it is:
+  *
+  *  1. zero silent loss — every append call that RETURNED has all its
+  *     rows in the final table;
+  *  2. zero duplicates — no key is ever stored twice, no matter how the
+  *     retries/rollbacks interleave;
+  *  3. all failures loud — an append or compact that could not preserve
+  *     (1)+(2) throws; a thrown append's batch is all-or-nothing per
+  *     table (never a partial batch inside one table).
+  *
+  * True lock-free MULTI-appender needs a transactional table format —
+  * the stated boundary (COVERAGE.md); this spec is the evidence that the
+  * single-appender + maintenance regime actually holds under fire, not
+  * just in the interleaving the unit seams construct. */
+class MultiWriterStressSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val srcDocs = "/root/testdata/sf0.001/documents.parquet"
+
+  /** Run `appends` batches from one thread while another compacts in a
+    * tight loop until the appender finishes. Returns (completedBatchIds,
+    * failedBatchIds, compactsOk, compactsAborted). */
+  private def race(nBatches: Int, append: Int => Unit, compact: () => Unit)
+  : (Set[Int], Set[Int], Int, Int) = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val failed = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    var compactsOk = 0
+    var compactsAborted = 0
+    val appender = new Thread(() => {
+      try (1 to nBatches).foreach { i =>
+        try { append(i); completed.add(i) }
+        catch { case _: Throwable => failed.add(i) }
+      } finally done.set(true)
+    })
+    val compactor = new Thread(() => {
+      while (!done.get()) {
+        try { compact(); compactsOk += 1 }
+        catch { case _: IllegalStateException => compactsAborted += 1 }
+        Thread.sleep(5)
+      }
+    })
+    appender.start(); compactor.start()
+    appender.join(600000); compactor.join(600000)
+    import scala.jdk.CollectionConverters._
+    (completed.asScala.toSet, failed.asScala.toSet, compactsOk, compactsAborted)
+  }
+
+  test("shingle index: appender vs compactor — zero loss, zero duplicates, loud failures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mwstress").toString
+    val tag = "mws"
+    val docs = spark.read.parquet(srcDocs).select("doc_id", "text")
+    try {
+      ShingleIndex.build(docs.filter(col("doc_id") < 100), dir, tag)
+      // content-disjoint batches (per-batch token suffix) so every batch's
+      // index footprint is independent and per-table presence is checkable
+      def batch(i: Int): DataFrame = docs
+        .filter(col("doc_id") >= 100 + (i - 1) * 10 && col("doc_id") < 100 + i * 10)
+        .select((col("doc_id") + i * 1000000L).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_mw$i").as("text"))
+      val nB = 8
+      val (completed, failedB, okC, abortC) = race(nB,
+        i => ShingleIndex.append(spark, tag, dir, batch(i)),
+        () => ShingleIndex.compact(spark, tag, dir))
+      assert(completed.size + failedB.size == nB, "every append accounted for")
+      Seq(ShingleIndex.occTable(tag), ShingleIndex.sizesTable(tag),
+        ShingleIndex.fpTable(tag), ShingleIndex.satTable(tag))
+        .foreach(spark.catalog.refreshTable)
+      val occ = spark.table(ShingleIndex.occTable(tag))
+      val sizes = spark.table(ShingleIndex.sizesTable(tag))
+      // zero duplicates, ever
+      assert(occ.groupBy("key", "corpus_id").count().filter(col("count") > 1).count() == 0,
+        "duplicate occ rows")
+      assert(sizes.groupBy("corpus_id").count().filter(col("count") > 1).count() == 0,
+        "duplicate sizes rows")
+      val fp = spark.table(ShingleIndex.fpTable(tag))
+      assert(fp.groupBy("fp").count().filter(col("count") > 1).count() == 0,
+        "duplicate fingerprints")
+      // zero loss for COMPLETED appends; all-or-nothing per table for failed
+      val sizeIds = sizes.select("corpus_id").collect().map(_.getLong(0)).toSet
+      val occIds = occ.select("corpus_id").distinct().collect().map(_.getLong(0)).toSet
+      (1 to nB).foreach { i =>
+        val want = batch(i).select("doc_id").collect().map(_.getLong(0)).toSet
+        val inSizes = want & sizeIds
+        val inOcc = want & occIds
+        if (completed.contains(i)) {
+          assert(inSizes == want, s"batch $i completed but sizes rows missing")
+          assert(inOcc == want, s"batch $i completed but occ rows missing")
+        } else {
+          assert(inSizes.isEmpty || inSizes == want, s"batch $i: partial sizes rows")
+          assert(inOcc.isEmpty || inOcc == want, s"batch $i: partial occ rows")
+        }
+      }
+      // the race actually raced: the compactor ran, and the regime stays
+      // usable (most appends complete; aborted compacts are the loud path)
+      assert(okC + abortC > 0, "compactor never ran")
+      assert(completed.nonEmpty, "no append survived the race at all")
+      // and the surviving index still answers probes
+      assert(ShingleIndex.probe(spark, tag,
+        docs.filter(col("doc_id") < 5)).count() > 0)
+    } finally Seq(ShingleIndex.occTable(tag), ShingleIndex.sizesTable(tag),
+      ShingleIndex.fpTable(tag), ShingleIndex.satTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("IVF index: appender vs compactor — zero loss, zero duplicates, loud failures") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mwivf").toString
+    val tag = "mwivf"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      IvfIndex.build(emb.filter(col("vec_id") < 200), dir, tag,
+        nCentroids = 8, seed = Similarity.ResidueSeed)
+      def batch(i: Int): DataFrame = emb
+        .filter(col("vec_id") >= 200 + (i - 1) * 20 && col("vec_id") < 200 + i * 20)
+        .select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding"))
+      val nB = 8
+      val (completed, failedB, okC, abortC) = race(nB,
+        i => IvfIndex.assignInto(spark, tag, batch(i)),
+        () => IvfIndex.compact(spark, tag, dir))
+      assert(completed.size + failedB.size == nB)
+      spark.catalog.refreshTable(IvfIndex.assignTable(tag))
+      val assign = spark.table(IvfIndex.assignTable(tag))
+      assert(assign.groupBy("vec_id").count().filter(col("count") > 1).count() == 0,
+        "duplicate stored vectors")
+      val stored = assign.select("vec_id").collect().map(_.getLong(0)).toSet
+      (1 to nB).foreach { i =>
+        val want = batch(i).select("vec_id").collect().map(_.getLong(0)).toSet
+        val in = want & stored
+        if (completed.contains(i)) assert(in == want, s"batch $i completed but rows missing")
+        else assert(in.isEmpty || in == want, s"batch $i: partial batch stored")
+      }
+      assert(okC + abortC > 0 && completed.nonEmpty)
+      // search still answers over the merged state
+      assert(IvfIndex.search(spark, tag,
+        emb.filter(col("vec_id") < 5)).count() > 0)
+    } finally Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+}
