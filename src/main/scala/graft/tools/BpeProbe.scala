@@ -39,10 +39,17 @@ object BpeProbe {
       }
     } else {
       val t0 = System.nanoTime()
-      val out = if (mode == "seq") graft.operators.TextAnalysis.bpeMergesOn(df, k)
-        else graft.operators.TextAnalysis.bpeMergesBatchedOn(df, k, la)
+      val (out, lens) =
+        if (mode == "seq") (graft.operators.TextAnalysis.bpeMergesOn(df, k), Seq.empty[Int])
+        else graft.operators.TextAnalysis.bpeMergesBatchedWithStats(df, k, la)
       val n = out.collect().length
-      println(f"[bpeprobe] mode=$mode k=$k la=$la merges=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val batchStats = if (lens.nonEmpty)
+        f" batches=${lens.length} meanPrefix=${lens.sum.toDouble / lens.length}%.2f" +
+          s" lens=${lens.take(64).mkString("[", ",", if (lens.length > 64) ",…]" else "]")}"
+      else ""
+      println(f"[bpeprobe] mode=$mode k=$k la=$la merges=$n wall=$wall%.1f s " +
+        f"roundsPerSec=${n / wall}%.2f$batchStats")
     }
     spark.stop()
   }
