@@ -173,7 +173,15 @@ object RecallEstimator {
     * point). Returns per query the global top-k `(neighbor_id, cos)`
     * with the search's (cos DESC, id ASC) tie-break; global neighbor id
     * = base id + b·stride (block 0 keeps base ids), self excluded like
-    * `excludeSelf = true` search. */
+    * `excludeSelf = true` search.
+    *
+    * `maskOf(block, dim)` is called with a 1-BASED dim index — the
+    * convention of the generator's `element_at` masking
+    * ([[graft.tools.ScaleProbe.generateEmbeddings]] multiplies dim i ∈
+    * 1..D by sign(b, i)); a 0-based caller would probe a DIFFERENT
+    * corpus than the one on disk, which is exactly what the under-cap
+    * quadratic validation leg in DeepScaleProbe exists to catch (and
+    * did, round 10). */
   def blockStratumTopK(base: DataFrame, queryIds: Seq[Long], blocks: Int,
                        blockStride: Long, k: Int,
                        maskOf: (Int, Int) => Float): Map[Long, Seq[(Long, Double)]] = {
@@ -195,7 +203,7 @@ object RecallEstimator {
         it.flatMap { case (qid, b) =>
           val q0 = bcQ.value(qid)
           val qm = if (b == 0) q0
-            else Array.tabulate(q0.length)(i => q0(i) * maskOf(b, i))
+            else Array.tabulate(q0.length)(i => q0(i) * maskOf(b, i + 1))
           val nq = Similarity.normP(qm)
           val top = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
           corpus.foreach { case (id, v) =>

@@ -82,21 +82,19 @@ class RecallEstimatorSpec extends AnyFunSuite {
       s"margin collapsed on 3×: ceiling ${deep.values.max} vs planted ${p.minPlantedCos}")
   }
 
-  test("block-stratum truth ≡ quadratic truth over a materialized replicated corpus") {
+  test("block-stratum truth ≡ quadratic truth over the REAL generator's replica") {
     import spark.implicits._
-    // materialize a 4-block sign-mask replica EXACTLY as
-    // ScaleProbe.generateEmbeddings writes it, then compare the factorized
-    // truth against plain brute force over the whole thing
+    // write a 4-block replica with the actual generator (hand-building
+    // the replica here once hid a 0-vs-1-based mask-index mismatch that
+    // only the on-disk corpus could expose), then compare the factorized
+    // truth against plain brute force over what is actually stored
     val blocks = 4
     val stride = graft.tools.ScaleProbe.BlockStride
     val base = emb.as[(Long, Array[Float])].collect()
-    val replicated = (0 until blocks).flatMap { b =>
-      base.map { case (id, v) =>
-        if (b == 0) (id, v)
-        else (id + b * stride,
-          Array.tabulate(v.length)(i => v(i) * graft.tools.ScaleProbe.sign(b, i)))
-      }
-    }
+    val out = Files.createTempDirectory("graft-bstrat").toString
+    graft.tools.ScaleProbe.generateEmbeddings(spark, dir, blocks, out)
+    val replicated = spark.read.parquet(s"$out/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
     val qids = (0L until 10L).toSeq
     val got = RecallEstimator.blockStratumTopK(emb, qids, blocks, stride, 5,
       graft.tools.ScaleProbe.sign)
