@@ -103,7 +103,7 @@ object DeepScaleProbe {
         }
       }
       Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
     }
     if (tiers("plant") || tiers("plantimi")) {
       import graft.operators.RecallEstimator
@@ -167,7 +167,7 @@ object DeepScaleProbe {
           graft.operators.IvfIndex.search(spark, tag, panel.queries(spark), nprobe = np)
         }
         Seq(graft.operators.IvfIndex.modelTable(tag), graft.operators.IvfIndex.assignTable(tag))
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }
       if (tiers("plantimi")) {
         // the past-the-cap index under the estimator: does the IMI hold
@@ -184,7 +184,7 @@ object DeepScaleProbe {
           graft.operators.ImiIndex.search(spark, tag, panel.queries(spark), nprobe = np)
         }
         Seq(graft.operators.ImiIndex.modelTable(tag), graft.operators.ImiIndex.assignTable(tag))
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }
     }
     if (tiers("natural") || tiers("naturalimi")) {
@@ -248,7 +248,7 @@ object DeepScaleProbe {
           IvfIndex.search(spark, tag, queries, nprobe = np)
         }
         Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }
       if (tiers("naturalimi")) {
         val k1 = graft.operators.Imi.k1For(n)
@@ -263,7 +263,7 @@ object DeepScaleProbe {
           graft.operators.ImiIndex.search(spark, tag, queries, nprobe = np)
         }
         Seq(graft.operators.ImiIndex.modelTable(tag), graft.operators.ImiIndex.assignTable(tag))
-          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }
     }
     if (tiers("imi")) {
@@ -283,7 +283,7 @@ object DeepScaleProbe {
         }
       }
       Seq(ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
     }
     spark.stop()
   }

@@ -101,7 +101,7 @@ object DupGateNearCopyProbe {
       }
     }
     Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
     spark.stop()
   }
 }

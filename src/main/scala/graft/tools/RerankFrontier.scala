@@ -74,7 +74,7 @@ object RerankFrontier {
       run("rerank w4", 2 * rule)(
         IvfIndex.searchRerank(spark, "rrf", queries, nprobe = 2 * rule, widen = 4))
       Seq(IvfIndex.modelTable("rrf"), IvfIndex.assignTable("rrf"))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
     }
     spark.stop()
   }

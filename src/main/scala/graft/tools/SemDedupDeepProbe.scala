@@ -65,7 +65,7 @@ object SemDedupDeepProbe {
     }
     Seq(IvfIndex.modelTable("sddpf"), IvfIndex.assignTable("sddpf"),
       ImiIndex.modelTable("sddpi"), ImiIndex.assignTable("sddpi"))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
     spark.stop()
   }
 }

@@ -88,7 +88,7 @@ object SemDedupProbe {
       println(s"|   indexed | $n | build ${f"$buildS%.2f"} s; re-verdict " +
         reverdicts.mkString(", ") + " |")
       Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       drop()
     }
     spark.stop()
