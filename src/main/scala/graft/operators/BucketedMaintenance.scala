@@ -203,8 +203,13 @@ object BucketedMaintenance {
     * swapped during the call ⟹ every committed file was either inside
     * the compactor's baseline (survives the rewrite) or tripped one of
     * its abort/rollback listings — the append is durable. A changed
-    * location means a compact completed mid-call; survivorship is
-    * resolved through the ONE-FILE-PER-BUCKET invariant of a fresh
+    * location means a compact passed its swap renames mid-call; the guard
+    * first WAITS for that compact to reach a terminal state (commit or
+    * late-append rollback — while the `_precompact` backup exists the old
+    * generation can still be resurrected WITH this call's rows, and
+    * judging early re-inserts a surviving batch: the full-batch duplicate
+    * MultiWriterStressSpec caught live), then resolves survivorship
+    * through the ONE-FILE-PER-BUCKET invariant of a fresh
     * compact: extra parquet files in the new location can only be
     * post-compact appends — under the single-concurrent-appender regime,
     * ours. Present → success. Absent → the rows died with the old
@@ -242,14 +247,43 @@ object BucketedMaintenance {
       else {
         val changed = tables.zip(before.zip(after))
           .collect { case (t, (b, a)) if b != a => t }
-        changed.foreach(spark.catalog.refreshTable)
-        val survived = rowsPresent.map(_()).getOrElse(changed.forall { t =>
+        // WAIT for the racing compact to reach a TERMINAL state before
+        // judging survivorship. A location change only proves the compact
+        // passed its swap renames — it may still take the late-append
+        // ROLLBACK, which resurrects the old generation WITH this call's
+        // committed rows. Probing in that window reads the staged copy
+        // (baseline predates the commit → rows absent), concludes the rows
+        // died, and the retry then re-inserts into the rolled-back table —
+        // a full-batch duplicate (caught live by MultiWriterStressSpec).
+        // Terminal state is observable: `<t>_precompact` exists from the
+        // first swap rename until the terminal DROP (commit) or the
+        // backup→t rename (rollback), so absence ⟹ the generation the
+        // probe reads is the one that decides.
+        // ... and the judgment must itself be STABLE: a further compact
+        // swapping mid-probe reopens the same window, so the verdict only
+        // counts when the locations are unchanged (and no backup exists)
+        // across the whole probe evaluation.
+        def judge(): Boolean = rowsPresent.map(_()).getOrElse(changed.forall { t =>
           val meta = spark.sessionState.catalog.getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(t))
           val loc = new org.apache.hadoop.fs.Path(meta.location)
           val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           parquetFileSet(fs, loc).size > storedBuckets(spark, t)
         })
+        def changedLocs() = changed.map(t =>
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
+        var verdict: Option[Boolean] = None
+        while (verdict.isEmpty) {
+          changed.foreach(waitCompactTerminal(spark, _))
+          changed.foreach(spark.catalog.refreshTable)
+          val pinned = changedLocs()
+          val v = judge()
+          val stable = changedLocs() == pinned &&
+            changed.forall(t => !spark.catalog.tableExists(s"${t}_precompact"))
+          if (stable) verdict = Some(v)
+        }
+        val survived = verdict.get
         if (survived) pending = false
         else if (tables.length == 1 && attempt < retries) {
           attempt += 1
@@ -266,6 +300,28 @@ object BucketedMaintenance {
               "batch's rows first and re-append only the tables that lost " +
               "them, or rows that survived will be duplicated."))
       }
+    }
+  }
+
+  /** Poll until no `<table>_precompact` backup entry exists — i.e. no
+    * [[compact]] of `table` is between its swap renames and its terminal
+    * commit/rollback. [[guardedAppend]] must not judge survivorship inside
+    * that window (see the call site). A backup that never clears within
+    * the deadline means a compactor crashed mid-swap and left its backup
+    * behind — recovery is manual (rename it back), so fail loudly rather
+    * than guess. */
+  private def waitCompactTerminal(spark: SparkSession, table: String,
+                                  deadlineMs: Long = 120000L): Unit = {
+    val backup = s"${table}_precompact"
+    val t0 = System.nanoTime()
+    while (spark.catalog.tableExists(backup)) {
+      if ((System.nanoTime() - t0) / 1000000L > deadlineMs)
+        throw new IllegalStateException(
+          s"append raced a compact on `$table` and `$backup` still exists " +
+            s"after ${deadlineMs / 1000}s — the compactor likely crashed " +
+            "between its swap renames. Recover by renaming the backup " +
+            "back, then re-run the append.")
+      Thread.sleep(20)
     }
   }
 

@@ -427,12 +427,12 @@ ORDER BY train_id, eval_id
     * [[incrementalDedupOn]]. Scale: one fused cap+bucket aggregation,
     * batch/corpus sides split from the same stats-honest checkpoint, the
     * probe is an equi-join on the 8-byte shingle hash, and the
-    * best-match step is [[graft.plans.ArgMaxStruct]] — hash aggregation,
+    * best-match step is [[graft.plans.ArgMaxBest]] — HashAggregate arg-max,
     * no per-batch-doc window sort. */
   def incrementalDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
                        maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     graft.plans.CappedCollectLong.ensureRegistered(spark)
-    graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    graft.plans.ArgMaxBest.ensureRegistered(spark)
     val agged = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
       shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
         .groupBy("key")
@@ -454,10 +454,10 @@ ORDER BY train_id, eval_id
         / (col("nb") + col("nc") - col("shared")).cast("double"))
     val best = scored
       .groupBy("batch_id")
-      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
-        "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
-      .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
-        col("best.j").as("j"))
+      .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
+        "j, corpus_id, shared)").as("best"))
+      .select(col("batch_id"), col("best.id").as("dup_of"),
+        col("best.score").as("j"))
     val fp = canonicalFp(col("text"))
     val batchFp = docs(spark, dir).filter(isBatch).select(col("doc_id"), fp.as("fp"))
     val corpusFp = docs(spark, dir).filter(!isBatch).select(fp.as("fp"))
@@ -518,7 +518,7 @@ ORDER BY f.doc_id
                          maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val spark = corpus.sparkSession
     graft.plans.CappedCollectLong.ensureRegistered(spark)
-    graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    graft.plans.ArgMaxBest.ensureRegistered(spark)
     val corpusKept = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
       shingleRows(corpus).withColumnRenamed("shingle", "key")
         .groupBy("key")
@@ -537,10 +537,10 @@ ORDER BY f.doc_id
       .withColumn("j", col("shared").cast("double")
         / (col("nb") + col("nc") - col("shared")).cast("double"))
       .groupBy("batch_id")
-      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
-        "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
-      .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
-        col("best.j").as("j"), col("best.shared").as("shared"))
+      .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
+        "j, corpus_id, shared)").as("best"))
+      .select(col("batch_id"), col("best.id").as("dup_of"),
+        col("best.score").as("j"), col("best.payload").as("shared"))
     val fp = canonicalFp(coalesce(col("text"), lit("")))
     val corpusFp = corpus.select(fp.as("fp")).distinct().withColumn("seen", lit(true))
     // no presentation sort: this is the deployment/composition form (the

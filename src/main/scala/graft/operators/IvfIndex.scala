@@ -348,22 +348,27 @@ object IvfIndex {
 
   /** Top-k per query over `(query_id, neighbor_id, cos)` with the pinned
     * (cos DESC, neighbor_id ASC) tie-break. k = 1 — the streaming gate's
-    * shape — goes through [[graft.plans.ArgMaxStruct]] (hash arg-max,
-    * map-side combine: each map split keeps ONE row per query) instead of
-    * the window, which would shuffle and locally sort every candidate row
-    * just to keep the first — measured as the residual slice of the
-    * vector gate's batch wall once scoring went native. Lexicographic max
-    * of struct(cos, -neighbor_id) ≡ the window's ordering, so the two
+    * shape — goes through [[graft.plans.ArgMaxBest]] (HashAggregateExec
+    * arg-max over a fixed-width primitive buffer, map-side combine: each
+    * map split keeps ONE row per query) instead of the window, which
+    * would shuffle and locally sort every candidate row just to keep the
+    * first — measured as the residual slice of the vector gate's batch
+    * wall once scoring went native. The earlier object-buffer arg-max
+    * ([[graft.plans.ArgMaxStruct]]) hit ObjectHashAggregateExec's
+    * 128-key sort fallback on any real batch — at 20M vectors that
+    * sorted the full 1.2B-row candidate-pair relation and filled the
+    * probe host's disk; the primitive buffer never sorts input at any
+    * key count. (score DESC, id ASC) ≡ the window's ordering, so the two
     * paths are interchangeable (spec-pinned). */
   private[operators] def topKScored(scored: DataFrame, k: Int): DataFrame =
     if (k == 1) {
-      graft.plans.ArgMaxStruct.ensureRegistered(scored.sparkSession)
+      graft.plans.ArgMaxBest.ensureRegistered(scored.sparkSession)
       scored.groupBy("query_id")
-        .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
-          "struct(cos, -neighbor_id AS neg_id, neighbor_id))").as("best"))
+        .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
+          "cos, neighbor_id, 0L)").as("best"))
         .select(col("query_id"), lit(1).as("rk"),
-          col("best.neighbor_id").as("neighbor_id"),
-          round(col("best.cos"), 6).as("cos"))
+          col("best.id").as("neighbor_id"),
+          round(col("best.score"), 6).as("cos"))
         .orderBy("query_id")
     } else {
       val wTop = Window.partitionBy("query_id")

@@ -133,7 +133,7 @@ object ShingleIndex {
     * no-static-guess policy. */
   def probe(spark: SparkSession, tag: String, batch: DataFrame,
             threshold: Double = 0.5): DataFrame = {
-    graft.plans.ArgMaxStruct.ensureRegistered(spark)
+    graft.plans.ArgMaxBest.ensureRegistered(spark)
     // cross-session appends (streaming foreachBatch clones) are invisible
     // to this session's cached file listings without a refresh
     Seq(occTable(tag), sizesTable(tag), fpTable(tag))
@@ -152,10 +152,10 @@ object ShingleIndex {
       .withColumn("j", col("shared").cast("double")
         / (col("nb") + col("nc") - col("shared")).cast("double"))
       .groupBy("batch_id")
-      .agg(expr(s"${graft.plans.ArgMaxStruct.FuncName}(" +
-        "struct(j, -corpus_id AS neg_cid, corpus_id, shared))").as("best"))
-      .select(col("batch_id"), col("best.corpus_id").as("dup_of"),
-        col("best.j").as("j"), col("best.shared").as("shared"))
+      .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
+        "j, corpus_id, shared)").as("best"))
+      .select(col("batch_id"), col("best.id").as("dup_of"),
+        col("best.score").as("j"), col("best.payload").as("shared"))
     val fp = Dedup.canonicalFp(coalesce(col("text"), lit("")))
     val corpusFp = spark.table(fpTable(tag)).withColumn("seen", lit(true))
     batch.select(col("doc_id"), fp.as("fp"))

@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ArgMaxStruct.FuncName),
       new ExpressionInfo(classOf[ArgMaxStruct].getName, ArgMaxStruct.FuncName),
       ArgMaxStruct.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(ArgMaxBest.FuncName),
+      new ExpressionInfo(classOf[ArgMaxBest].getName, ArgMaxBest.FuncName),
+      ArgMaxBest.builder _))
     ext.injectOptimizerRule(_ => SimplifyFiscalValidation)
   }
 }

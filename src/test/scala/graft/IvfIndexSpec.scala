@@ -219,10 +219,14 @@ class IvfIndexSpec extends AnyFunSuite {
           excludeSelf = false)
         .filter(col("rk") === 1).collect().toSeq
       assert(top1 == viaWindow && top1.nonEmpty)
-      // and the plan really is a hash aggregate, not a window sort
+      // and the plan really is a FIXED-WIDTH hash aggregate, not a window
+      // sort and not ObjectHashAggregate (whose 128-key fallback sorts
+      // the candidate-pair input — the 20M-probe disk-fill; ArgMaxBestSpec
+      // pins the aggregate itself)
       val plan = IvfIndex.search(spark, "ivx1", q, nprobe = 3, k = 1,
         excludeSelf = false).queryExecution.executedPlan.toString
-      assert(plan.contains("ObjectHashAggregate"), s"k=1 demoted from hash agg:\n$plan")
+      assert(plan.contains("HashAggregate"), s"k=1 demoted from hash agg:\n$plan")
+      assert(!plan.contains("ObjectHashAggregate"), s"k=1 on the object-buffer path:\n$plan")
       assert(!plan.contains("Window"), s"k=1 still windows:\n$plan")
     } finally drop("ivx1")
   }
