@@ -172,8 +172,16 @@ FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
     * `max(struct(...))`: a struct-typed Max buffer is immutable for
     * UnsafeRow, which demotes the plan to SortAggregate (each map split
     * locally sorted by key before the partial aggregate). The typed
-    * buffer keeps it in hash-based ObjectHashAggregate — no sort anywhere
-    * but the presentation ORDER BY. Deterministic because (ts, event_id)
+    * buffer keeps it in hash-based ObjectHashAggregate. Honest boundary:
+    * ObjectHashAggregateExec itself falls back to sort-based aggregation
+    * past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (128) distinct keys per task, so at real entity cardinalities the
+    * map side DOES sort its post-threshold input unless the deployment
+    * raises the threshold to its per-task entity budget (each key holds
+    * one buffered row; see the [[graft.plans.ArgMaxStruct]] scaladoc).
+    * The generic payload (strings) is what forces the object buffer —
+    * the all-primitive arg-max shapes use [[graft.plans.ArgMaxBest]],
+    * which has no such fallback. Deterministic because (ts, event_id)
     * is unique — the payload fields after the version prefix are never
     * consulted by the comparison. */
   def latestOn(log: DataFrame, keyCols: Seq[String], versionCols: Seq[String],
