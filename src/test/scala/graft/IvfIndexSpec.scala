@@ -206,6 +206,26 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally drop("ivxr2")
   }
 
+  test("k>1 window top-k plans a partial WindowGroupLimit below the shuffle") {
+    // the k>1 path's scale story: Spark's InferWindowGroupLimit must turn
+    // `filter(rk <= k)` into a PARTIAL WindowGroupLimit under the
+    // exchange, so each map task forwards at most k candidate rows per
+    // query instead of shuffling (and reducer-sorting) the whole
+    // candidate-pair relation — at 20M vectors that relation is ~1.2B
+    // rows per 2,000-query batch. The map side still sorts its own slice
+    // (spillable, bounded); what must NOT happen is the full relation
+    // crossing the exchange.
+    val dir = Files.createTempDirectory("graft-ivfidx-wgl").toString
+    try {
+      IvfIndex.build(emb, dir, "ivxwgl", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val plan = IvfIndex.search(spark, "ivxwgl", emb.limit(10), nprobe = 3, k = 5)
+        .queryExecution.executedPlan.toString
+      val partials = plan.linesIterator.count(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial"))
+      assert(partials >= 1, s"k=5 shuffles the full candidate relation:\n$plan")
+    } finally drop("ivxwgl")
+  }
+
   test("k=1 hash arg-max ≡ window top-1 (ties included, self-matches kept)") {
     val dir = Files.createTempDirectory("graft-ivfidx-top1").toString
     try {
