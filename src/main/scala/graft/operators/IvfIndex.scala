@@ -46,9 +46,27 @@ object IvfIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col("vec_id"), col("embedding"))
-    val cells = if (nCentroids == 0) Similarity.cellsFor(base.count()) else nCentroids
-    val cents = Similarity.trainedCentroidArrays(base, cells, iters,
-      Similarity.resolveSeed(seed, nCentroids == 0, cells))
+    val n = base.count()
+    val cells = if (nCentroids == 0) Similarity.cellsFor(n) else nCentroids
+    // AUTO path trains Lloyd on a bounded deterministic sample
+    // ([[Similarity.lloydTrainSample]] — ~128 rows/cell): each round's
+    // nearest-cell pass is n·cells·dim work, O(n^1.5) under the √n cell
+    // rule, and was the bulk of the 685 s build at 20M vectors. The
+    // sample is materialized once (statsHonestLocalCheckpoint) so the
+    // seed aggregate + each round reads ~cells·128 rows, not the corpus;
+    // the final assignment below is the one remaining full pass.
+    // Explicit-cells callers (every oracle) keep full-corpus training.
+    val sampled = nCentroids == 0 &&
+      n > Similarity.TrainSamplePerCell.toLong * cells
+    val trainBase =
+      if (sampled) org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(Similarity.lloydTrainSample(base, n, cells))
+      else base
+    val cents =
+      try Similarity.trainedCentroidArrays(trainBase, cells, iters,
+        Similarity.resolveSeed(seed, nCentroids == 0, cells))
+      finally if (sampled)
+        org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(trainBase)
     // canonical-path re-pin on rebuild: drop a possibly-compacted table
     // (and its generation-dir files) before the Overwrite create
     BucketedMaintenance.dropWithFiles(spark, modelTable(tag))

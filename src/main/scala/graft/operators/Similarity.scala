@@ -561,6 +561,40 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     * traversal stops being cheap (O(sample × cells × dim)). */
   val MaxFarthestCells = 4096
 
+  /** Training rows per cell for the AUTO-path Lloyd sample
+    * ([[lloydTrainSample]]) — the standard IVF practice (sample-trained
+    * k-means; the quantizer needs the DENSITY SHAPE of the corpus, not
+    * every point, and per-cell statistical error decays as 1/√(rows per
+    * cell)). 128/cell keeps centroid estimates tight while decoupling
+    * training compute from corpus size. */
+  val TrainSamplePerCell = 128
+
+  /** Deterministic hash-stride training sample for the auto (deployment)
+    * path: at most ~[[TrainSamplePerCell]]·cells rows, selected by
+    * `xxhash64(vec_id) % step == 0` — the same structured-id-proof stride
+    * [[FarthestPointSeed]] uses, so the sample is reproducible across
+    * runs and sessions. Returns `base` unchanged when the corpus is
+    * already within the cap (small corpora train exactly as before).
+    *
+    * WHY: each Lloyd round is a full nearest-cell pass — n·cells·dim
+    * multiply-adds. With [[cellsFor]]'s √n rule that is O(n^1.5) per
+    * round: 11 TFLOP/round at 20M vectors (measured as the bulk of the
+    * 685 s stored-index build), and at 100 TB it is the difference
+    * between "train the quantizer" and "re-score the corpus per round".
+    * Sampling bounds training at cells² ·[[TrainSamplePerCell]]·dim —
+    * corpus-size-independent; the one remaining full pass is the final
+    * assignment, which every vector genuinely needs. Explicit-cells
+    * callers (every `q_ivf_*`/gate oracle) never sample — their
+    * full-corpus Lloyd stays bit-identical to the unrolled SQL chains. */
+  def lloydTrainSample(base: DataFrame, n: Long, cells: Int): DataFrame = {
+    val cap = TrainSamplePerCell.toLong * cells
+    if (n <= cap) base
+    else {
+      val step = math.max(1L, (n + cap - 1L) / cap)
+      base.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0)
+    }
+  }
+
   private[graft] def resolveSeed(seed: IvfSeed, auto: Boolean,
                                  cells: Int = 1): IvfSeed = seed match {
     case DefaultSeed =>
