@@ -197,10 +197,47 @@ FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
         col("n_versions"): _*)
   }
 
-  /** Latest event per (user, event_type) entity over the events table. */
+  /** [[latestOn]] for the ALL-PRIMITIVE CDC shape — version =
+    * (timestamp, BIGINT id), ONE numeric (BIGINT/DOUBLE) payload. Rides
+    * [[graft.plans.ArgMaxBest]]'s fixed-width HashAggregate buffer, so
+    * unlike the generic object-buffer path there is NO
+    * ObjectHashAggregate 128-key sort-based fallback: the map side
+    * combines at ANY entity cardinality — the shape the 100 TB
+    * latest-crawl-per-URL compaction actually needs. Row-identical to
+    * [[latestOn]] over the same columns (differential-pinned): event
+    * micros fit a double EXACTLY below 2^53 (≈ year 2255, loudly
+    * required), and latestOn's (ts DESC, id DESC) struct order is
+    * ArgMaxBest's (score DESC, id ASC) under id negation. Version
+    * columns must be non-null (the generic path sorts null versions
+    * first; this one would SKIP null-version rows — the events reader
+    * contract guarantees both non-null). */
+  def latestNumericOn(log: DataFrame, keyCols: Seq[String], tsCol: String,
+                      idCol: String, valueCol: String): DataFrame = {
+    graft.plans.ArgMaxBest.ensureRegistered(log.sparkSession)
+    val micros = s"unix_micros(`$tsCol`)"
+    log.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
+          // assert_true yields NULL on pass (throws otherwise), so the
+          // coalesce'd + 0.0 leaves the exact micros untouched
+          s"cast($micros AS DOUBLE) + coalesce(cast(assert_true(" +
+          s"abs($micros) < 9007199254740992L, " +
+          s"'latestNumericOn: |unix_micros($tsCol)| >= 2^53 — micros no " +
+          "longer exact in a double; use latestOn') AS DOUBLE), 0.0), " +
+          s"-cast(`$idCol` AS BIGINT), `$valueCol`)").as("latest"),
+        count(lit(1)).cast("long").as("n_versions"))
+      .select(keyCols.map(col) ++ Seq(
+        timestamp_micros(col("latest.score").cast("long")).as(tsCol),
+        (-col("latest.id")).as(idCol),
+        col("latest.payload").as(valueCol),
+        col("n_versions")): _*)
+  }
+
+  /** Latest event per (user, event_type) entity over the events table —
+    * the all-primitive shape, so it rides [[latestNumericOn]]'s
+    * HashAggregate path (latestOn differential pinned in the spec). */
   def latestByKey(spark: SparkSession, dir: String): DataFrame =
-    latestOn(events(spark, dir), keyCols = Seq("user_id", "event_type"),
-      versionCols = Seq("ts", "event_id"), payloadCols = Seq("value"))
+    latestNumericOn(events(spark, dir), keyCols = Seq("user_id", "event_type"),
+      tsCol = "ts", idCol = "event_id", valueCol = "value")
       .orderBy("user_id", "event_type")
 
   /** Oracle uses the window formulation — same semantics, fine at

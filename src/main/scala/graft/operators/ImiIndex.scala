@@ -73,8 +73,26 @@ object ImiIndex {
     require(math.abs(rotSeed) < (1L << 53), s"rotSeed $rotSeed exceeds exact-double range")
     val raw = corpus.select(col("vec_id"), col("embedding"))
     val base = if (rotSeed != 0 && !preRotated) Imi.rotated(raw, rotSeed) else raw
-    val kk = if (k1 == 0) Imi.k1For(base.count()) else k1
-    val (cl, cr) = Imi.models(base, kk, iters)
+    val n = base.count()
+    val kk = if (k1 == 0) Imi.k1For(n) else k1
+    // AUTO path trains the half-quantizers on the same bounded
+    // deterministic sample as [[IvfIndex.build]] (~128 rows per k1
+    // cluster — [[Similarity.lloydTrainSample]]): half-training is
+    // n·k1·halfDim per round, O(n^1.25) under the k1 = n^¼ rule, and
+    // sampling bounds it corpus-size-independently. Explicit-k1 callers
+    // (every `q_imi_*` oracle) keep full-corpus training bit-identical
+    // to the unrolled SQL chains. The sample is taken AFTER rotation
+    // (vec_id is rotation-invariant, so the sampled id set matches the
+    // flat path's on the same corpus).
+    val sampled = k1 == 0 && n > Similarity.TrainSamplePerCell.toLong * kk
+    val trainBase =
+      if (sampled) org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(Similarity.lloydTrainSample(base, n, kk))
+      else base
+    val (cl, cr) =
+      try Imi.models(trainBase, kk, iters)
+      finally if (sampled)
+        org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(trainBase)
     BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
     val modelRows =
       cl.zipWithIndex.map { case (c, cid) => ("l", cid, c) } ++

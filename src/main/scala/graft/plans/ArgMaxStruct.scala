@@ -133,9 +133,9 @@ object ArgMaxStruct {
 
 /** `argmax` over the all-primitive shape the engine's hot paths share:
   * keep the row with the greatest `score` (ties broken by the SMALLEST
-  * `id`), carrying one extra `payload` long. Returns
-  * `struct(score DOUBLE, id BIGINT, payload BIGINT)`, or NULL when no
-  * input row had a non-null (score, id).
+  * `id`), carrying one extra `payload` (long or double). Returns
+  * `struct(score DOUBLE, id BIGINT, payload <input type>)`, or NULL
+  * when no input row had a non-null (score, id).
   *
   * This is a [[DeclarativeAggregate]] with a fixed-width primitive
   * buffer (score, id, payload, seen), so it planner-selects into
@@ -169,14 +169,15 @@ case class ArgMaxBest(
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (score.dataType == DoubleType && id.dataType == LongType &&
-        payload.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+        (payload.dataType == LongType || payload.dataType == DoubleType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (DOUBLE, BIGINT, BIGINT), got " +
+      s"$prettyName requires (DOUBLE, BIGINT, BIGINT|DOUBLE), got " +
         s"(${score.dataType.sql}, ${id.dataType.sql}, ${payload.dataType.sql})")
 
   private lazy val bScore = AttributeReference("bScore", DoubleType, nullable = false)()
   private lazy val bId = AttributeReference("bId", LongType, nullable = false)()
-  private lazy val bPay = AttributeReference("bPay", LongType, nullable = true)()
+  private lazy val bPay = AttributeReference("bPay", payload.dataType, nullable = true)()
   private lazy val bSeen = AttributeReference("bSeen", BooleanType, nullable = false)()
 
   override lazy val aggBufferAttributes: Seq[AttributeReference] =
@@ -184,7 +185,7 @@ case class ArgMaxBest(
 
   override lazy val initialValues: Seq[Expression] = Seq(
     Literal(Double.NegativeInfinity), Literal(Long.MaxValue),
-    Literal.create(null, LongType), Literal(false))
+    Literal.create(null, payload.dataType), Literal(false))
 
   // a row is a candidate only with non-null (score, id); `better` is the
   // same (score DESC, id ASC) preference the struct ordering encoded as
@@ -224,7 +225,7 @@ case class ArgMaxBest(
   override def dataType: DataType = StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false),
-    StructField("payload", LongType, nullable = true)))
+    StructField("payload", payload.dataType, nullable = true)))
   override def prettyName: String = ArgMaxBest.FuncName
 
   override protected def withNewChildrenInternal(

@@ -53,11 +53,23 @@ class EventOpsRangeSpec extends AnyFunSuite {
     // partial + final aggregate pair: the map-side combine the 100 TB
     // claim rests on (shuffle carries one row per entity per map task)
     assert("(?i)partial".r.findFirstIn(plan).isDefined, plan)
-    // the typed ArgMaxStruct buffer must keep the aggregation hash-based;
-    // declarative max(struct) would demote to SortAggregate and locally
-    // sort every map split by the entity key
-    assert(plan.contains("ObjectHashAggregate"), plan)
+    // the all-primitive CDC shape rides ArgMaxBest's fixed-width buffer:
+    // a plain HashAggregate — not ObjectHashAggregate (whose 128-key
+    // sort-based fallback sorts each task's post-threshold input by the
+    // entity key), and never SortAggregate (what declarative max(struct)
+    // would demote to)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("SortAggregate"), plan)
+
+    // and the primitive path is row-identical to the generic
+    // object-buffer latestOn over the same columns
+    val viaGeneric = EventOps.latestOn(EventOps.events(spark, dir),
+        keyCols = Seq("user_id", "event_type"),
+        versionCols = Seq("ts", "event_id"), payloadCols = Seq("value"))
+      .orderBy("user_id", "event_type").collect()
+    assert(compacted.collect().toSeq == viaGeneric.toSeq,
+      "latestNumericOn diverged from latestOn")
 
     import org.apache.spark.sql.expressions.{Window => W}
     val byVer = W.partitionBy("user_id", "event_type")

@@ -75,6 +75,34 @@ class LloydSampleSpec extends AnyFunSuite {
     } finally Seq("lls_auto1", "lls_auto2", "lls_expl").foreach(drop)
   }
 
+  test("IMI auto build samples reproducibly; explicit-k1 build keeps full-corpus halves") {
+    import graft.operators.{Imi, ImiIndex}
+    val dir = java.nio.file.Files.createTempDirectory("graft-lloydimi").toString
+    def model(tag: String): Seq[(String, Int, Seq[Double])] =
+      spark.table(ImiIndex.modelTable(tag))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq.sortBy(t => (t._1, t._2))
+    def drop(tag: String): Unit =
+      Seq(ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
+        .foreach(t => BucketedMaintenance.dropWithFiles(spark, t))
+    try {
+      // auto k1 at 20k rows: k1For(20000) ≈ 12 → cap 128·12 ≪ n → sampled
+      ImiIndex.build(corpus, dir, "lls_imi1", buckets = 2)
+      ImiIndex.build(corpus, dir, "lls_imi2", buckets = 2)
+      assert(model("lls_imi1") == model("lls_imi2"),
+        "IMI auto-path sample-trained halves must be reproducible")
+      // explicit k1: stored halves ≡ full-corpus Imi.models
+      ImiIndex.build(corpus, dir, "lls_imie", buckets = 2, k1 = 4)
+      val (cl, cr) = Imi.models(corpus, 4)
+      val stored = model("lls_imie")
+      assert(stored.size == 8)
+      stored.foreach { case (side, cid, c) =>
+        val want = (if (side == "l") cl else cr)(cid).toSeq
+        assert(c == want, s"explicit-k1 half $side/$cid diverged — sampling leaked")
+      }
+    } finally Seq("lls_imi1", "lls_imi2", "lls_imie").foreach(drop)
+  }
+
   test("sample-trained auto index keeps rule-budget recall vs full-corpus training") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lloydrecall").toString
