@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ArgMaxBest.FuncName),
       new ExpressionInfo(classOf[ArgMaxBest].getName, ArgMaxBest.FuncName),
       ArgMaxBest.builder _))
+    ext.injectFunction((
+      FunctionIdentifier(NormalizeTextExpr.FuncName),
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, NormalizeTextExpr.FuncName),
+      NormalizeTextExpr.builder _))
     ext.injectOptimizerRule(_ => SimplifyFiscalValidation)
   }
 }

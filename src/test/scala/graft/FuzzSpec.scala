@@ -36,15 +36,23 @@ class FuzzSpec extends AnyFunSuite {
       fiscalText.apply(params, org.scalacheck.rng.Seed(i.toLong)))
   }
 
-  test("pure-Scala and Column normalizers agree on 400 random fiscal-ish strings") {
+  test("fused kernel, regex reference, and both Column normalizers agree on 400 random fiscal-ish strings") {
     val inputs = samples(400)
-    val fromCol = inputs.toDF("text")
+    val df = inputs.toDF("text")
+    val fromExpr = df
       .select(Normalizer.normalizeTextCol(col("text")).as("n"))
       .collect().map(_.getString(0))
-    inputs.zip(fromCol).foreach { case (in, got) =>
-      val want = Normalizer.normalizeText(in)
-      assert(got == want,
-        s"normalizer divergence for ${in.take(60).map(c => f"\\u${c.toInt}%04x").mkString}")
+    val fromAlgebra = df
+      .select(Normalizer.normalizeTextColAlgebra(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    inputs.indices.foreach { i =>
+      val in = inputs(i)
+      // the regex chain is the specification; everything must match IT
+      val want = Normalizer.normalizeTextReference(in)
+      val hex = in.take(60).map(c => f"\\u${c.toInt}%04x").mkString
+      assert(Normalizer.normalizeText(in) == want, s"fused kernel diverged for $hex")
+      assert(fromExpr(i) == want, s"NormalizeTextExpr diverged for $hex")
+      assert(fromAlgebra(i) == want, s"column algebra diverged for $hex")
     }
   }
 

@@ -68,13 +68,21 @@ class NormalizerSpec extends AnyFunSuite {
       "linha\n\n\n\nlinha2",
       "CNPJ: 04.252.011/0001-10"
     )
-    val rows = fixtures.toDF("text")
+    val df = fixtures.toDF("text")
+    val rows = df
       .select(Normalizer.normalizeTextCol(col("text")).as("norm"))
+      .collect()
+      .map(_.getString(0))
+    val algebra = df
+      .select(Normalizer.normalizeTextColAlgebra(col("text")).as("norm"))
       .collect()
       .map(_.getString(0))
     val expected = fixtures.map(Normalizer.normalizeText)
     rows.zip(expected).zip(fixtures).foreach { case ((got, want), in) =>
       assert(got == want, s"mismatch for input ${in.take(40)}: got=[$got] want=[$want]")
+    }
+    algebra.zip(expected).zip(fixtures).foreach { case ((got, want), in) =>
+      assert(got == want, s"algebra mismatch for ${in.take(40)}: got=[$got] want=[$want]")
     }
   }
 
