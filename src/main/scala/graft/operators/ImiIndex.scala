@@ -66,7 +66,8 @@ object ImiIndex {
     * space: the seed is recorded but no rotation is applied. */
   def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
             k1: Int = 0, iters: Int = Similarity.LloydIters,
-            rotSeed: Long = 0, preRotated: Boolean = false): Unit = {
+            rotSeed: Long = 0, preRotated: Boolean = false): Unit =
+      LeaseLock.withTableLock(corpus.sparkSession, tag) {
     val spark = corpus.sparkSession
     import spark.implicits._
     // the seed rides a DOUBLE slot in the centroid column — exactness cap
@@ -120,7 +121,8 @@ object ImiIndex {
   /** `buckets = 0` (the default) follows the STORED table's bucket spec
     * — see [[IvfIndex.assignInto]]. */
   def assignInto(spark: SparkSession, tag: String,
-                 newVecs: DataFrame, buckets: Int = 0): Unit = {
+                 newVecs: DataFrame, buckets: Int = 0): Unit =
+      LeaseLock.withTableLock(spark, tag) {
     import spark.implicits._
     IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val bk = if (buckets == 0)
@@ -179,7 +181,9 @@ object ImiIndex {
   /** Compact the append-accreted assignment relation — shared staged-swap
     * mechanics with the concurrent-writer guard ([[BucketedMaintenance]]). */
   def compact(spark: SparkSession, tag: String, path: String): Unit =
-    BucketedMaintenance.compact(spark, Seq((assignTable(tag), "cell_id")), path)
+    LeaseLock.withTableLock(spark, tag) {
+      BucketedMaintenance.compact(spark, Seq((assignTable(tag), "cell_id")), path)
+    }
 
   /** Parquet file count of the assignment relation — what [[compact]] bounds. */
   def fileCount(spark: SparkSession, tag: String): Long =

@@ -42,7 +42,8 @@ object IvfIndex {
     * seed — the same mode resolution as the in-memory path. */
   def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
             nCentroids: Int = 0, iters: Int = Similarity.LloydIters,
-            seed: Similarity.IvfSeed = Similarity.DefaultSeed): Unit = {
+            seed: Similarity.IvfSeed = Similarity.DefaultSeed): Unit =
+      LeaseLock.withTableLock(corpus.sparkSession, tag) {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col("vec_id"), col("embedding"))
@@ -102,7 +103,8 @@ object IvfIndex {
     * follows the STORED table's bucket spec — an explicit count that
     * disagrees with it would fail Spark's spec-mismatch check. */
   def assignInto(spark: SparkSession, tag: String,
-                 newVecs: DataFrame, buckets: Int = 0): Unit = {
+                 newVecs: DataFrame, buckets: Int = 0): Unit =
+      LeaseLock.withTableLock(spark, tag) {
     import spark.implicits._
     IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val bk = if (buckets == 0)
@@ -177,7 +179,9 @@ object IvfIndex {
     * mechanics, see [[BucketedMaintenance]]. The model table is tiny and
     * overwrite-only; only the assignment needs it. */
   def compact(spark: SparkSession, tag: String, path: String): Unit =
-    BucketedMaintenance.compact(spark, Seq((assignTable(tag), "cid")), path)
+    LeaseLock.withTableLock(spark, tag) {
+      BucketedMaintenance.compact(spark, Seq((assignTable(tag), "cid")), path)
+    }
 
   /** Parquet file count of the assignment relation — what [[compact]] bounds. */
   def fileCount(spark: SparkSession, tag: String): Long =

@@ -99,7 +99,8 @@ object ShingleIndex {
     * Bucket-count sizing at 100 TB follows the Bucketing scaladoc rule
     * (index size / target partition size); 8 is the toy-scale default. */
   def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
-            maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
+            maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit =
+      LeaseLock.withTableLock(corpus.sparkSession, tag) {
     val spark = corpus.sparkSession
     graft.plans.CappedCollectLong.ensureRegistered(spark)
     val occ = Dedup.shingleRows(corpus).withColumnRenamed("shingle", "key")
@@ -179,7 +180,8 @@ object ShingleIndex {
     * join). */
   def append(spark: SparkSession, tag: String, path: String, newDocs: DataFrame,
              buckets: Int = 8,
-             maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit = {
+             maxShingleDf: Int = Dedup.DefaultMaxShingleDf): Unit =
+      LeaseLock.withTableLock(spark, tag) {
     val occT = occTable(tag)
     ensureSatTable(spark, tag) // pre-sat-version index migration
     IndexCanary.check(spark, occT, sizesTable(tag), fpTable(tag), satTable(tag))
@@ -327,7 +329,8 @@ object ShingleIndex {
     * safe to run far more often). A concurrent [[append]] is DETECTED and
     * the compact aborts with both the table and the append intact — see
     * [[BucketedMaintenance]]'s write-write guard. */
-  def compact(spark: SparkSession, tag: String, path: String): Unit = {
+  def compact(spark: SparkSession, tag: String, path: String): Unit =
+      LeaseLock.withTableLock(spark, tag) {
     ensureSatTable(spark, tag) // pre-sat-version index migration
     BucketedMaintenance.compact(spark,
       Seq((occTable(tag), "key"), (sizesTable(tag), "corpus_id"),
