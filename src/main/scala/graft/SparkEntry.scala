@@ -78,6 +78,7 @@ object SparkEntry {
     // pair-of-jobs — the real-vocab-size path) against the SAME
     // sequential k-unrolled oracle: batched ≡ one-at-a-time, engine-checked
     "q_bpe_merges_batched" -> ((s, dir) => TextAnalysis.bpeMergesBatched(s, dir)),
+    "q_bpe_merges_local" -> ((s, dir) => TextAnalysis.bpeMergesLocal(s, dir)),
     // the trained tokenizer applied back: per-doc BPE token counts,
     // distinct words segmented once (vocab-factored encode)
     "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(s, dir)),
@@ -318,6 +319,7 @@ object SparkEntry {
     // k-unrolled merge rounds (the Lloyd-CTE discipline applied to BPE)
     "q_bpe_merges" -> TextAnalysis.bpeMergesSql(),
     "q_bpe_merges_batched" -> TextAnalysis.bpeMergesSql(),
+    "q_bpe_merges_local" -> TextAnalysis.bpeMergesSql(),
     "q_bpe_encode" -> TextAnalysis.bpeEncodeCountsSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),

@@ -801,6 +801,164 @@ ORDER BY cnt DESC, a, b LIMIT $topN
     (merges.toSeq.toDF("it", "a", "b", "cnt").orderBy("it"), batchLens.toSeq)
   }
 
+  /** OFF-ENGINE BPE training — the 100 TB merge loop.
+    *
+    * The r10 measurement (SCALING.md) closed the engine-paced options:
+    * sequential training pays one ~0.2 s driver-synchronized job per merge
+    * (~1.7 h for a 30k-merge tokenizer) and provably-safe batching is a
+    * null result (mean accepted prefix 1.62 at 1.23 jobs/merge). The
+    * scalable shape is this one: the corpus pays exactly ONE distributed
+    * job — the word-frequency aggregate every trainer variant starts
+    * from — and the merge loop runs on the COLLECTED vocabulary in driver
+    * memory with an indexed pair cache and a lazy-invalidation heap:
+    * O(affected words) per merge instead of one cluster job. At any
+    * corpus size the vocabulary is the bounded object (distinct
+    * whitespace words; `maxVocab` guards the collect loudly — ~50 MB of
+    * driver heap per million words).
+    *
+    * PROVABLY the sequential merge list ([[bpeMergesOn]]): same
+    * frequency-weighted adjacency counts (overlapping positions
+    * included), same left-to-right non-overlapping merge, same
+    * (cnt DESC, a, b) tie-break compared in UTF-8 BINARY order — what
+    * both Spark's UTF8String and DuckDB compare; Java String order
+    * differs on astral codepoints, so the comparator works on bytes.
+    * Differential-pinned in BpeLocalSpec (real corpus + engineered ties,
+    * overlaps, merge chains, astral symbols); `q_bpe_merges_local` runs
+    * against the SAME k-unrolled sequential DuckDB oracle. */
+  def bpeMergesLocal(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    bpeMergesLocalOn(docs(spark, dir), k)
+
+  def bpeMergesLocalOn(documents: DataFrame, k: Int = 8,
+                       maxVocab: Long = 20L * 1000 * 1000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = documents
+      .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val n = words.count()
+    require(n <= maxVocab,
+      s"bpeMergesLocal: vocabulary has $n distinct words, above maxVocab " +
+        s"$maxVocab — raise the bound deliberately or pre-filter the corpus")
+    val vocab = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    bpeTrainLocal(vocab, k).toDF("it", "a", "b", "cnt").orderBy("it")
+  }
+
+  /** The driver-side merge kernel behind [[bpeMergesLocalOn]] (exposed for
+    * the probe's direct-timing runs). `vocab` is (word, frequency). */
+  private[graft] def bpeTrainLocal(vocab: Array[(String, Long)],
+                                   k: Int): Seq[(Int, String, String, Long)] = {
+    // one symbol per CODEPOINT, like the engine's (?s)(.) wrap (Java regex
+    // '.' consumes a full surrogate pair)
+    val syms: Array[Array[String]] = vocab.map { case (w, _) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    }
+    val freqs: Array[Long] = vocab.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val locs =
+      scala.collection.mutable.HashMap.empty[(String, String),
+        scala.collection.mutable.Set[Int]]
+    def bytesCmp(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) {
+        val d = (a(i) & 0xFF) - (b(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    final case class Entry(cnt: Long, a: String, b: String)
+    // (cnt DESC, a ASC, b ASC) in UTF-8 byte order — poll() = the engine's
+    // ORDER BY cnt DESC, a, b LIMIT 1. Entries are lazily invalidated:
+    // each count change pushes a fresh entry; a popped entry counts only
+    // if it still states the pair's CURRENT count.
+    val heap = new java.util.PriorityQueue[Entry](1024,
+      new java.util.Comparator[Entry] {
+        def compare(x: Entry, y: Entry): Int =
+          if (x.cnt != y.cnt) java.lang.Long.compare(y.cnt, x.cnt)
+          else {
+            val d = bytesCmp(x.a, y.a)
+            if (d != 0) d else bytesCmp(x.b, y.b)
+          }
+      })
+    var i = 0
+    while (i < syms.length) {
+      val s = syms(i); val f = freqs(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + f)
+        locs.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        j += 1
+      }
+      i += 1
+    }
+    counts.foreach { case (p, c) => heap.add(Entry(c, p._1, p._2)) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var round = 1
+    var exhausted = false
+    while (round <= k && !exhausted) {
+      var top: Entry = null
+      while (top == null && !heap.isEmpty) {
+        val e = heap.poll()
+        if (e.cnt > 0 && counts.getOrElse((e.a, e.b), 0L) == e.cnt) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val (a, b) = (top.a, top.b)
+        out += ((round, a, b, top.cnt))
+        val merged = a + b
+        // locs is a SUPERSET of current holders (never pruned on decrement);
+        // words without a live (a,b) adjacency are skipped by the scan below
+        val affected = locs.getOrElse((a, b),
+          scala.collection.mutable.Set.empty[Int]).toArray
+        val touched = scala.collection.mutable.Set.empty[(String, String)]
+        affected.foreach { wi =>
+          val s = syms(wi); val f = freqs(wi)
+          var has = false
+          var j = 0
+          while (!has && j + 1 < s.length) { has = s(j) == a && s(j + 1) == b; j += 1 }
+          if (has) {
+            j = 0
+            while (j + 1 < s.length) { // retract the word's old adjacencies
+              val p = (s(j), s(j + 1))
+              counts.update(p, counts(p) - f)
+              touched += p
+              j += 1
+            }
+            val nb = scala.collection.mutable.ArrayBuffer[String]()
+            j = 0
+            while (j < s.length) { // left-to-right non-overlapping merge
+              if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+                nb += merged; j += 2
+              } else { nb += s(j); j += 1 }
+            }
+            val ns = nb.toArray
+            syms(wi) = ns
+            j = 0
+            while (j + 1 < ns.length) { // account the new adjacencies
+              val p = (ns(j), ns(j + 1))
+              counts.update(p, counts.getOrElse(p, 0L) + f)
+              locs.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+              touched += p
+              j += 1
+            }
+          }
+        }
+        touched.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c <= 0L) { counts.remove(p); locs.remove(p) }
+          else heap.add(Entry(c, p._1, p._2))
+        }
+        round += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** Max frequency-weighted adjacent-triple count per candidate pair —
     * the created-pair upper bound of [[bpeMergesBatchedOn]]'s acceptance
     * rule. The triple relation is vocabulary-sized and filtered to the

@@ -37,6 +37,35 @@ object BpeProbe {
         prev = ws
         ws = ws.select(replace(col("ws"), lit("zq"), lit("qz")).as("ws"), col("freq")).cache()
       }
+    } else if (mode == "local" || mode == "localsynth") {
+      // OFF-ENGINE loop timing. `local`: the real corpus vocabulary
+      // (exhausts early on sf corpora — measures the per-merge floor).
+      // `localsynth`: a synthetic Zipf-ish vocabulary deep enough to
+      // sustain k merges — `la` is reused as thousands-of-distinct-words.
+      val vocab: Array[(String, Long)] =
+        if (mode == "local") {
+          val t0 = System.nanoTime()
+          val v = df.select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+            .filter(length(col("w")) >= 2 && !col("w").contains(graft.operators.TextAnalysis.BpeSep))
+            .groupBy("w").agg(count(lit(1)).as("freq"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+          println(f"[bpeprobe] vocab scan+collect ${(System.nanoTime() - t0) / 1e9}%.1f s (${v.length} words)")
+          v
+        } else {
+          val rnd = new scala.util.Random(42)
+          val nWords = la * 1000
+          val alpha = "abcdefghijklmnopqrstuvwxyz"
+          (0 until nWords).map { i =>
+            val len = 3 + rnd.nextInt(12)
+            val w = (0 until len).map(_ => alpha(rnd.nextInt(26))).mkString
+            (w, (1000000.0 / (i + 1)).toLong.max(1L)) // Zipf-ish frequencies
+          }.distinct.toArray
+        }
+      val t1 = System.nanoTime()
+      val merges = graft.operators.TextAnalysis.bpeTrainLocal(vocab, k)
+      val wall = (System.nanoTime() - t1) / 1e9
+      println(f"[bpeprobe] mode=$mode k=$k vocab=${vocab.length} merges=${merges.length} " +
+        f"loopWall=$wall%.2f s mergesPerSec=${merges.length / math.max(wall, 1e-9)}%.0f")
     } else {
       val t0 = System.nanoTime()
       val (out, lens) =
