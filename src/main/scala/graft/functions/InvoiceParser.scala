@@ -33,10 +33,12 @@ object InvoiceParser {
     * JDK doesn't expose ccc, so we strip non-spacing marks (\p{Mn}) — all
     * accents NFKD produces — while keeping spacing marks (Mc, ccc=0) that
     * Python also keeps (Indic matras etc.). */
+  private val NonSpacingMark = Pattern.compile("\\p{Mn}")
+
   def removeAccents(s: String): String =
-    java.text.Normalizer
-      .normalize(s, java.text.Normalizer.Form.NFKD)
-      .replaceAll("\\p{Mn}", "")
+    NonSpacingMark.matcher(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD))
+      .replaceAll("")
 
   /** Generic-label stopword blacklist (ref: robot/core/parser.py:22-30). */
   val InvalidNameTokens: Set[String] = Set(
@@ -47,13 +49,16 @@ object InvoiceParser {
     "NOME", "RAZAO", "SOCIAL", "ENDERECO", "MUNICIPIO", "UF",
     "EMPRESARIAL", "NIF", "INSCRICAO", "ESTADUAL")
 
+  private val UniSpaceRun = Pattern.compile("(?U)\\s+")
+  private val TrailingPunct = Pattern.compile("[\\.\\-\\,]+$")
+
   /** Party-name normalization + semantic rejection of label-only lines
     * (ref: robot/core/parser.py:32-70). */
   def cleanPartyName(name: String): Option[String] = {
     if (name == null || name.isEmpty) return None
-    var n = name.replaceAll("(?U)\\s+", " ") // (?U): Python \s is Unicode (NBSP etc.)
+    var n = UniSpaceRun.matcher(name).replaceAll(" ") // Python \s is Unicode (NBSP etc.)
     n = n.toUpperCase(Locale.ROOT).trim
-    n = n.replaceAll("[\\.\\-\\,]+$", "")
+    n = TrailingPunct.matcher(n).replaceAll("")
     n = n.trim
     if (n.isEmpty) return None
     val normalized = removeAccents(n)
