@@ -17,9 +17,14 @@ object QueryRunner {
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // default 4 = graft.Bench's default (SPARK_GRAFT_CPUS unset), so
+      // isolated numbers compare against the official scoreboard on the
+      // same core basis — the r10 fused-kernel table mixed 4-core bench
+      // baselines with 32-core QueryRunner numbers (docs/PERF.md r10
+      // correction); export SPARK_GRAFT_CPUS to probe scaling
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
