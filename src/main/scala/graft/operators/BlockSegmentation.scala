@@ -118,7 +118,11 @@ object BlockSegmentation {
     * [[lineCounts]] kernel (no shuffle beyond the corpus builder's
     * repartition + the final presentation sort). */
   def query(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    InvoicePipeline.syntheticCorpus(spark, dir)
+    // presentation sort BEFORE the nondeterministic kernel UDF — a final
+    // orderBy makes the range sampling job re-run the whole chain (the
+    // InvoicePipeline.query rationale; measured there with PipelineSlices)
+    InvoicePipeline.syntheticCorpus(spark, dir, spread = false)
+      .orderBy("doc_id")
       .withColumn("__graft_c", normalizeAndCountLines(col("text")))
       .select(col("doc_id"),
         col("__graft_c.header_lines").as("header_lines"),
@@ -126,7 +130,6 @@ object BlockSegmentation {
         col("__graft_c.recipient_lines").as("recipient_lines"),
         col("__graft_c.items_lines").as("items_lines"),
         col("__graft_c.financials_lines").as("financials_lines"))
-      .orderBy("doc_id")
   }
 
   /** The SURVEY §2.4 option-(b) demonstration of the same counts: explode

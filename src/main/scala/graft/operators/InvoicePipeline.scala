@@ -85,8 +85,13 @@ object InvoicePipeline {
   private val InvalidCnpj = "12.345.678/0001-00" // fails checksum
 
   /** Spark-side construction of one invoice document per order row.
-    * Every arithmetic choice here is mirrored in [[oracleSql]]. */
-  def syntheticCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    * Every arithmetic choice here is mirrored in [[oracleSql]].
+    * `spread = false` skips the trailing repartition for callers that
+    * immediately range-shuffle the corpus themselves (e.g. [[query]]'s
+    * pre-parse sort) — two back-to-back shuffles of the same rows
+    * otherwise both execute. */
+  def syntheticCorpus(spark: SparkSession, sfDir: String,
+                      spread: Boolean = true): DataFrame = {
     val orders = graft.sources.Tables.read(spark, sfDir, "orders")
     val customer = graft.sources.Tables.read(spark, sfDir, "customer")
     val k = col("o_orderkey")
@@ -137,19 +142,29 @@ object InvoicePipeline {
       lit("OBSERVACOES: contrato interno")
     )
 
-    orders
+    val built = orders
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .select(k.as("doc_id"), col("c_mktsegment").as("tenant_id"), text.as("text"))
-      // orders is a single small parquet file → one input partition; spread
-      // the CPU-bound document work across the cluster (the shuffle moves
-      // 150k tiny rows — negligible next to single-core construction)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // orders is a single small parquet file → one input partition; spread
+    // the CPU-bound document work across the cluster (the shuffle moves
+    // 150k tiny rows — negligible next to single-core construction)
+    if (spread) built.repartition(spark.sparkContext.defaultParallelism) else built
   }
 
   /** The oracled differential query: construct → normalize → parse →
-    * validate → project scalar expectations. */
+    * validate → project scalar expectations.
+    *
+    * The doc_id presentation sort runs BEFORE the parse stage: a final
+    * `orderBy` over the parsed relation made the range partitioner's
+    * sampling job re-execute the whole nondeterministic-UDF chain (the
+    * single-evaluation marker that stops projection duplication also
+    * stops the sample pass from pruning the parse — measured +5 s of the
+    * query's 12.5 s at sf0.1, PipelineSlices). Sorting the corpus costs
+    * one shuffle of the cheap construction instead, and every downstream
+    * stage ([[process]] + the projection) is a narrow per-row map, so
+    * the output order is identical. */
   def query(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = syntheticCorpus(spark, sfDir)
+    val corpus = syntheticCorpus(spark, sfDir, spread = false).orderBy("doc_id")
     val out = process(corpus)
     out.select(
       col("doc_id"),
@@ -166,7 +181,7 @@ object InvoicePipeline {
       col("trust_score"), // double, rounded to 2 places like the reference
       col("status"),
       size(col("validation_issues")).as("issues_count")
-    ).orderBy("doc_id")
+    ) // doc_id order carried from the pre-parse sort (narrow stages only)
   }
 
   /** DuckDB oracle: expected outputs computed directly from the
