@@ -35,10 +35,18 @@ object InvoiceParser {
     * Python also keeps (Indic matras etc.). */
   private val NonSpacingMark = Pattern.compile("\\p{Mn}")
 
-  def removeAccents(s: String): String =
+  def removeAccents(s: String): String = {
+    // ASCII fast path: every ASCII char is NFKD-invariant and none is a
+    // non-spacing mark, so the transform is the identity (party names are
+    // usually ASCII after uppercasing; NFKD per line was a measurable cost)
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i) < 0x80) i += 1
+    if (i == n) return s
     NonSpacingMark.matcher(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD))
       .replaceAll("")
+  }
 
   /** Generic-label stopword blacklist (ref: robot/core/parser.py:22-30). */
   val InvalidNameTokens: Set[String] = Set(
@@ -82,16 +90,21 @@ object InvoiceParser {
   }
 
   /** First checksum-valid 44-digit run, scanned globally — the key may sit in
-    * header or footer (ref: robot/core/parser.py:78-85). */
+    * header or footer (ref: robot/core/parser.py:78-85). Digit-run-anchored
+    * scan ([[ParserScan.digitAnchoredFindAll]]); `\b\d{44}\b` starts at a
+    * digit not preceded by a digit. */
   def findKeyValidAccess(text: String): Option[NfeKeyValidation] =
-    findAll(KeyPattern, text).iterator
+    ParserScan.digitAnchoredFindAll(KeyPattern, text, boundaryStart = true)
+      .iterator
       .map(Validators.nfeKeyValidator)
       .find(_.valido)
 
   /** All checksum-valid CNPJ-shaped tokens in order
-    * (ref: robot/core/parser.py:87-94). */
+    * (ref: robot/core/parser.py:87-94). Digit-run-anchored like the key
+    * scan (the pattern opens `\b\d`). */
   def findCnpjs(text: String): List[CnpjValidation] =
-    findAll(CnpjPattern, text).map(Validators.cnpjValidator).filter(_.valido)
+    ParserScan.digitAnchoredFindAll(CnpjPattern, text, boundaryStart = true)
+      .map(Validators.cnpjValidator).filter(_.valido)
 
   private val EmissionPatterns = List(
     Pattern.compile("(?iu)EMISS[AÃ]O.*?(\\d{2}/\\d{2}/\\d{4}(?:\\s*\\d{2}:\\d{2}:\\d{2})?)"),
@@ -135,14 +148,31 @@ object InvoiceParser {
   /** Multi-pattern span scan: find all marker hits, sort by position (stable),
     * slice `[hit_i, hit_{i+1})`; text before the first hit = HEADER; multiple
     * blocks of one type concatenate with `\n`; no hits ⇒ whole text is HEADER
-    * (ref: robot/core/parser.py:134-208). */
-  def extractBlocks(text: String): Map[String, String] = {
+    * (ref: robot/core/parser.py:134-208).
+    *
+    * Marker hits come from [[ParserScan.findMarkerHits]] — one folded-char
+    * prefilter scan instead of 12 whole-document NFA passes (ParseProfile:
+    * this was 52.6 of the parse's 109 µs/doc); the hit sequence is already
+    * in the reference's (position, marker-table) order. The original
+    * 12-matcher loop survives as [[extractBlocksReference]], and
+    * ParserScanSpec differential-tests the two on adversarial casings and
+    * the real corpus. */
+  def extractBlocks(text: String): Map[String, String] =
+    assembleBlocks(text, ParserScan.findMarkerHits(text))
+
+  /** Executable specification for [[extractBlocks]]: the direct 12-pattern
+    * find() loop the prefilter scan replaces. */
+  def extractBlocksReference(text: String): Map[String, String] = {
     val found = ArrayBuffer.empty[(Int, String)]
     for ((blockType, patterns) <- BlockMarkers; p <- patterns) {
       val m = p.matcher(text)
       while (m.find()) found += ((m.start(), blockType))
     }
-    val sorted = found.sortBy(_._1) // stable: preserves marker-table order on ties
+    assembleBlocks(text, found.sortBy(_._1)) // stable: marker-table order on ties
+  }
+
+  private def assembleBlocks(text: String,
+                             sorted: collection.Seq[(Int, String)]): Map[String, String] = {
     val blocks = scala.collection.mutable.Map(
       "ISSUER" -> "", "RECIPIENT" -> "", "ITEMS" -> "", "FINANCIALS" -> "", "HEADER" -> "")
     if (sorted.isEmpty) {
@@ -192,7 +222,11 @@ object InvoiceParser {
       if (linha.nonEmpty && linha.length >= 10) {
         val upperLn = linha.toUpperCase(Locale.ROOT)
         if (!ItemMetadataTokens.exists(upperLn.contains)) {
-          val valores = findAll(ValuePattern, linha)
+          // every ValuePattern capture starts at a digit and the R?\$?\s*
+          // prefix is fully optional, so the digit-anchored scan captures
+          // exactly what find() would (ParserScanSpec differential)
+          val valores =
+            ParserScan.digitAnchoredFindAll(ValuePattern, linha, boundaryStart = false)
           val validos = valores.filter(v =>
             Validators.monetaryValueValidator(v, fiscalContext = true).valido)
           if (validos.nonEmpty) {

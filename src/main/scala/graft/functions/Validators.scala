@@ -56,7 +56,9 @@ object Validators {
       .getOrElse("BRL")
   }
 
-  private def digitsOnly(s: String): String = s.replaceAll("\\D", "")
+  // hand loop ≡ replaceAll("\\D", "") — this ran once per candidate line in
+  // party extraction, recompiling the pattern each call (ParserScanSpec)
+  private def digitsOnly(s: String): String = ParserScan.digitsOnly(s)
 
   /** Mod-11 check digit over a digit string (ref: validators.py:88-91). */
   private def mod11Digit(base: String, pesos: Seq[Int]): Int = {

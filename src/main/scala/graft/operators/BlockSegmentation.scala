@@ -84,15 +84,27 @@ object BlockSegmentation {
     * BlockSegmentationSpec) computed document-locally in one pass: no
     * explode, no shuffle, no window. This is the plan that survives 100 TB:
     * a narrow map over documents with fixed-size per-row state. */
-  def lineCounts(normText: String): BlockLineCounts = {
+  def lineCounts(normText: String): BlockLineCounts =
+    lineCountsTagged(normText, graft.functions.ParserScan.firstHitType)
+
+  /** Executable specification for [[lineCounts]]'s tagger: the merged
+    * 4-alternation find() per line that [[graft.functions.ParserScan.firstHitType]]'s
+    * prefilter scan replaces (differential-tested in ParserScanSpec). */
+  def lineCountsReference(normText: String): BlockLineCounts =
+    lineCountsTagged(normText, line =>
+      MergedMarkerPatterns.iterator
+        .filter { case (_, p) => p.matcher(line).find() }
+        .map(_._1).nextOption().orNull)
+
+  private def lineCountsTagged(normText: String,
+                               tag: String => String): BlockLineCounts = {
     var header = 0L; var issuer = 0L; var recipient = 0L
     var items = 0L; var financials = 0L
     var current = "HEADER"
     // split with -1 keeps trailing empty lines, like Spark's split()
     for (line <- (if (normText == null) "" else normText).split("\n", -1)) {
-      val it = MergedMarkerPatterns.iterator
-        .filter { case (_, p) => p.matcher(line).find() }
-      if (it.hasNext) current = it.next()._1
+      val t = tag(line)
+      if (t != null) current = t
       current match {
         case "HEADER"     => header += 1
         case "ISSUER"     => issuer += 1

@@ -66,7 +66,12 @@ object LeaseLock {
                        leaseMs: Long = DefaultLeaseMs,
                        waitMs: Long = DefaultWaitMs)(body: => T): T = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    withLock(spark, s"$warehouse/_graft_locks/$tag.lock", leaseMs, waitMs)(body)
+    // session-tunable: a loaded cluster (or a saturated test JVM) can hold
+    // a writer's jobs queued past the default wait — the right bound is
+    // workload-specific, so expose it as ordinary Spark conf
+    val lm = spark.conf.getOption("spark.graft.lease.leaseMs").map(_.toLong).getOrElse(leaseMs)
+    val wm = spark.conf.getOption("spark.graft.lease.waitMs").map(_.toLong).getOrElse(waitMs)
+    withLock(spark, s"$warehouse/_graft_locks/$tag.lock", lm, wm)(body)
   }
 
   def withLock[T](spark: SparkSession, lockPath: String,

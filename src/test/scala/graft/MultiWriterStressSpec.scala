@@ -153,6 +153,11 @@ class MultiWriterStressSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-mwmulti").toString
     val tag = "mwmulti"
     val docs = spark.read.parquet(srcDocs).select("doc_id", "text")
+    // under full-suite parallel load the shared local[4] session queues each
+    // append's jobs behind other suites' — a competing appender can wait far
+    // past the product default; the contract under test is serialization,
+    // not latency, so bound the wait by the test's own join timeout instead
+    spark.conf.set("spark.graft.lease.waitMs", "600000")
     try {
       ShingleIndex.build(docs.filter(col("doc_id") < 100), dir, tag)
       def batch(i: Int): DataFrame = docs
@@ -208,8 +213,11 @@ class MultiWriterStressSpec extends AnyFunSuite {
       }
       assert(ShingleIndex.probe(spark, tag,
         docs.filter(col("doc_id") < 5)).count() > 0)
-    } finally Seq(ShingleIndex.occTable(tag), ShingleIndex.sizesTable(tag),
-      ShingleIndex.fpTable(tag), ShingleIndex.satTable(tag))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    } finally {
+      spark.conf.unset("spark.graft.lease.waitMs")
+      Seq(ShingleIndex.occTable(tag), ShingleIndex.sizesTable(tag),
+        ShingleIndex.fpTable(tag), ShingleIndex.satTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
   }
 }
