@@ -55,6 +55,7 @@ object SparkEntry {
     // training-data pipeline: text analysis
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    "q_quality_classifier" -> ((s, dir) => QualityClassifier.query(s, dir)),
     // CCNet-style bigram-LM perplexity, self-trained on the corpus
     // (Wenzek et al. 2020): train = relational counts, score = equi-joins
     "q_lm_perplexity" -> ((s, dir) => LanguageModel.perplexity(s, dir)),
@@ -307,6 +308,7 @@ object SparkEntry {
     "q_latest_by_key" -> EventOps.latestByKeySql,
     "q_langid" -> TextAnalysis.langIdSql,
     "q_text_quality" -> TextAnalysis.qualitySql,
+    "q_quality_classifier" -> QualityClassifier.querySql(),
     "q_lm_perplexity" -> LanguageModel.perplexitySql,
     "q_token_count" -> TextAnalysis.tokenCountSql,
     "q_repetition" -> TextAnalysis.repetitionSql,

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Trained quality classifier — the GPT-3-style learned gate beside the
+  * heuristic scorers ([[TextAnalysis]] quality metrics) and the CCNet LM
+  * filter ([[LanguageModel]]): a linear classifier scores every document
+  * by how much its token distribution resembles a curated positive corpus
+  * versus the rest (Brown et al. 2020, arXiv:2005.14165 appendix A trains
+  * exactly this shape — a bag-of-features linear model over a
+  * WebText-vs-CommonCrawl split — then gates on the score).
+  *
+  * The model here is multinomial Naive Bayes with add-one smoothing over
+  * HASHED unigram features (the hashing trick, Weinberger et al. 2009 —
+  * the same md5-52-bit token hash as [[TextAnalysis.hashedFeatures]], so
+  * both engines compute bit-identical feature ids). NB is the
+  * closed-form member of the linear-classifier family: training is ONE
+  * map-side-combinable aggregation (per-feature class counts), so the
+  * whole fit is a single shuffle of at most `dim` rows per partial — no
+  * gradient iterations, no vocabulary state, bit-reproducible.
+  *
+  * Scale shape (100 TB): train = one groupBy("feat") over tokens with
+  * partial aggregation (dim-bounded partials), plus two one-row totals;
+  * the fitted model is `dim` rows — broadcast it; score = per-document
+  * feature counts (map-side combinable) joined to the broadcast model,
+  * one aggregation per doc. Nothing grows with corpus size except the
+  * token scan itself.
+  *
+  * The log-likelihood ratio per feature:
+  *   llr(f) = ln((cPos(f)+1)/(nPos+dim)) − ln((cNeg(f)+1)/(nNeg+dim))
+  * and a document's score = Σ_f c_doc(f)·llr(f) + ln(dPos/dNeg).
+  * All `dim` buckets materialize in the model (zero-count buckets carry
+  * the Laplace floor), so scoring a corpus disjoint from the training
+  * corpus needs no special case — the same degradation discipline as
+  * [[LanguageModel.scoreOn]]. */
+object QualityClassifier {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** 52-bit md5 token hash — identical to [[TextAnalysis.hashedFeatures]]
+    * and its DuckDB mirror. */
+  private def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** (doc_id, label, feat) rows: whitespace tokens hashed into [0, dim).
+    * Split keeps empty tokens (`-1` limit) exactly like the hashed-features
+    * oracle: an empty text contributes one "" token. */
+  private def featRows(d: DataFrame, dim: Int): DataFrame =
+    d.select(col("doc_id"), col("label"),
+        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("tok"))
+      .select(col("doc_id"), col("label"), (h52(col("tok")) % dim).cast("int").as("feat"))
+
+  /** Fit on `labeled` (doc_id, label: boolean, text). Returns the model as
+    * TWO relations: (feat, llr) with all `dim` buckets present, and a
+    * one-row totals relation (n_pos_tok, n_neg_tok, d_pos, d_neg,
+    * log_prior) — model-as-relations like [[LanguageModel.trainOn]]. */
+  def train(spark: SparkSession, labeled: DataFrame, dim: Int): (DataFrame, DataFrame) = {
+    val feats = featRows(labeled, dim)
+    val counts = feats.groupBy("feat").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("c_neg"))
+    val totals = labeled.agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("d_pos"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("d_neg"))
+      .crossJoin(feats.agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos_tok"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("n_neg_tok")))
+      .withColumn("log_prior",
+        log(col("d_pos").cast("double") / col("d_neg").cast("double")))
+    // every bucket materializes: zero-count features carry the Laplace
+    // floor, so out-of-corpus tokens at score time degrade gracefully
+    val allFeats = spark.range(dim).select(col("id").cast("int").as("feat"))
+    val model = allFeats
+      .join(counts, Seq("feat"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("feat"),
+        (log((coalesce(col("c_pos"), lit(0L)) + 1).cast("double")
+            / (col("n_pos_tok") + dim).cast("double"))
+          - log((coalesce(col("c_neg"), lit(0L)) + 1).cast("double")
+            / (col("n_neg_tok") + dim).cast("double"))).as("llr"))
+    (model, totals)
+  }
+
+  /** Score `toScore` (doc_id, label, text) against a fitted model:
+    * per-doc hashed-feature counts × broadcast llr, plus the prior odds.
+    * `round(·, 6)` pins the cross-engine double (ln in both engines; the
+    * LanguageModel precedent). */
+  def score(toScore: DataFrame, model: DataFrame, totals: DataFrame,
+            dim: Int): DataFrame = {
+    val docFeat = featRows(toScore, dim)
+      .groupBy("doc_id", "label", "feat").agg(count(lit(1)).as("c"))
+    docFeat
+      .join(broadcast(model), "feat")
+      .groupBy("doc_id", "label")
+      .agg(sum(col("c").cast("double") * col("llr")).as("s"))
+      .crossJoin(broadcast(totals.select("log_prior")))
+      .select(col("doc_id"), col("label"),
+        round(col("s") + col("log_prior"), 6).as("score"))
+      .withColumn("predicted", col("score") > 0)
+  }
+
+  /** Curated-positive label for the oracle query: three of the twenty
+    * synthetic sources play "reference corpus" (the wiki-vs-crawl split
+    * of the GPT-3 recipe, stated on the data we have). */
+  val PositiveSources: Seq[String] = Seq("src0", "src1", "src2")
+  val DefaultDim: Int = 256
+
+  /** Oracled end-to-end: fit on the corpus with source-derived labels,
+    * score the same corpus (in-sample by construction; train/score frames
+    * are separate arguments for deployment). */
+  def query(spark: SparkSession, dir: String, dim: Int = DefaultDim): DataFrame = {
+    val labeled = docs(spark, dir).select(col("doc_id"),
+      col("source").isin(PositiveSources: _*).as("label"), col("text"))
+    val (model, totals) = train(spark, labeled, dim)
+    score(labeled, model, totals, dim).orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: same tokenization, same 52-bit md5 hash (the
+    * hashed-features CTE), same add-one NB algebra. */
+  def querySql(dim: Int = DefaultDim): String = {
+    val pos = PositiveSources.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH d AS (
+  SELECT doc_id, (source IN ($pos)) AS label, coalesce(text, '') AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM d
+), hashed AS (
+  SELECT doc_id, label,
+    CAST(CAST(list_sum(list_transform(generate_series(1, 13),
+      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - i))))) AS BIGINT) % $dim AS INTEGER) AS feat
+  FROM toks
+), tok_tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos_tok,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS n_neg_tok
+  FROM hashed
+), doc_tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS d_pos,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS d_neg
+  FROM d
+), counts AS (
+  SELECT feat, sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+               sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_neg
+  FROM hashed GROUP BY feat
+), model AS (
+  SELECT f.feat,
+    ln((coalesce(c.c_pos, 0) + 1)::DOUBLE / (t.n_pos_tok + $dim))
+      - ln((coalesce(c.c_neg, 0) + 1)::DOUBLE / (t.n_neg_tok + $dim)) AS llr
+  FROM (SELECT unnest(generate_series(0, $dim - 1)) AS feat) f
+  LEFT JOIN counts c USING (feat), tok_tot t
+), doc_feat AS (
+  SELECT doc_id, label, feat, count(*) AS c FROM hashed GROUP BY 1, 2, 3
+), scored AS (
+  SELECT doc_id, label,
+    round(sum(c::DOUBLE * llr) + ln(d_pos::DOUBLE / d_neg), 6) AS score
+  FROM doc_feat JOIN model USING (feat), doc_tot
+  GROUP BY doc_id, label, d_pos, d_neg
+)
+SELECT doc_id, label, score, score > 0 AS predicted
+FROM scored ORDER BY doc_id
+""".trim
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.QualityClassifier
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form checks of the NB quality classifier: hand-computed add-one
+  * estimates on a corpus small enough to verify with a calculator, the
+  * Laplace-floor degradation on disjoint score corpora, and the plan
+  * shape that carries the 100 TB claim (model joined via broadcast — no
+  * sort-merge on the feat join). */
+class QualityClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // dim chosen tiny so every token maps to a KNOWN bucket: with dim=1 all
+  // tokens share bucket 0 and the algebra collapses to pure counts
+  test("dim=1 collapses to token-count algebra (hand-computed)") {
+    val labeled = Seq(
+      (1L, true, "a b c"),   // 3 pos tokens
+      (2L, false, "d e"),    // 2 neg tokens
+      (3L, false, "f")       // 1 neg token
+    ).toDF("doc_id", "label", "text")
+    val (model, totals) = QualityClassifier.train(spark, labeled, dim = 1)
+    val llr = model.collect()(0).getDouble(1)
+    // cPos=3, nPos=3, cNeg=3, nNeg=3, dim=1 → llr = ln(4/4) − ln(4/4) = 0
+    assert(math.abs(llr) < 1e-12)
+    val t = totals.collect()(0)
+    assert(t.getAs[Long]("d_pos") == 1 && t.getAs[Long]("d_neg") == 2)
+    val scored = QualityClassifier.score(labeled, model, totals, dim = 1)
+      .orderBy("doc_id").collect()
+    // score = 0 + ln(1/2) for every doc; predicted = false
+    val want = BigDecimal(math.log(0.5)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    scored.foreach { r =>
+      assert(math.abs(r.getAs[Double]("score") - want) < 1e-9)
+      assert(!r.getAs[Boolean]("predicted"))
+    }
+  }
+
+  test("add-one estimates match hand computation at dim=4") {
+    // token → feat is md5-based; recover the mapping first, then verify
+    // the llr of each OCCUPIED bucket against the closed form
+    val labeled = Seq(
+      (1L, true, "x x y"),
+      (2L, false, "x z z")
+    ).toDF("doc_id", "label", "text")
+    val dim = 4
+    val (model, totals) = QualityClassifier.train(spark, labeled, dim)
+    def featOf(tok: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(h.substring(0, 13), 16) % dim).toInt
+    }
+    val (fx, fy, fz) = (featOf("x"), featOf("y"), featOf("z"))
+    val llrs = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (0 until dim).foreach { f =>
+      // collisions possible between x/y/z buckets — accumulate true counts
+      val cp = Seq(fx -> 2, fy -> 1).collect { case (ff, c) if ff == f => c }.sum
+      val cn = Seq(fx -> 1, fz -> 2).collect { case (ff, c) if ff == f => c }.sum
+      val want = math.log((cp + 1.0) / (3 + dim)) - math.log((cn + 1.0) / (3 + dim))
+      assert(math.abs(llrs(f) - want) < 1e-12, s"feat $f: ${llrs(f)} vs $want")
+    }
+    // score doc 1 by hand: sum of per-token llr + ln(1/1)
+    val scored = QualityClassifier.score(labeled, model, totals, dim)
+      .orderBy("doc_id").collect()
+    val wantScore1 = 2 * llrs(fx) + llrs(fy) + math.log(1.0)
+    assert(math.abs(scored(0).getAs[Double]("score") -
+      BigDecimal(wantScore1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(scored(0).getAs[Boolean]("predicted") == (scored(0).getAs[Double]("score") > 0))
+  }
+
+  test("disjoint score corpus degrades to the Laplace floor, never fails") {
+    val train = Seq((1L, true, "good text here"), (2L, false, "bad stuff there"))
+      .toDF("doc_id", "label", "text")
+    val unseen = Seq((9L, false, "entirely novel vocabulary tokens"))
+      .toDF("doc_id", "label", "text")
+    val (model, totals) = QualityClassifier.train(spark, train, dim = 16)
+    val out = QualityClassifier.score(unseen, model, totals, dim = 16).collect()
+    assert(out.length == 1) // every bucket materialized → inner join hits
+  }
+
+  test("null and empty text behave like the hashed-features oracle (one empty token)") {
+    val labeled = Seq((1L, true, null.asInstanceOf[String]), (2L, false, ""))
+      .toDF("doc_id", "label", "text")
+    val (model, totals) = QualityClassifier.train(spark, labeled, dim = 8)
+    val out = QualityClassifier.score(labeled, model, totals, dim = 8)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    // both docs hold exactly the "" token → identical |score − prior| contribution
+    assert(out(0).getAs[Double]("score") - out(1).getAs[Double]("score") != 0.0 ||
+      totals.collect()(0).getAs[Double]("log_prior") == 0.0)
+  }
+
+  test("plan: model and totals join as broadcasts — no sort-merge on feat") {
+    val labeled = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
+        col("text"))
+    val (model, totals) = QualityClassifier.train(spark, labeled, 256)
+    val plan = QualityClassifier.score(labeled, model, totals, 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    // the feat join specifically must not sort-merge: a dim-row model that
+    // shuffles the corpus-sized doc-feature relation would be the 100 TB bug
+    assert(!plan.contains("SortMergeJoin"),
+      s"feat join sort-merged:\n$plan")
+  }
+}
