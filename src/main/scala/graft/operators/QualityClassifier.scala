@@ -44,13 +44,14 @@ object QualityClassifier {
   private def h52(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 
-  /** (doc_id, label, feat) rows: whitespace tokens hashed into [0, dim).
-    * Split keeps empty tokens (`-1` limit) exactly like the hashed-features
+  /** (carry…, feat) rows: whitespace tokens hashed into [0, dim). Split
+    * keeps empty tokens (`-1` limit) exactly like the hashed-features
     * oracle: an empty text contributes one "" token. */
-  private def featRows(d: DataFrame, dim: Int): DataFrame =
-    d.select(col("doc_id"), col("label"),
-        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("tok"))
-      .select(col("doc_id"), col("label"), (h52(col("tok")) % dim).cast("int").as("feat"))
+  private def featRows(d: DataFrame, dim: Int,
+                       carry: Seq[String] = Seq("doc_id", "label")): DataFrame =
+    d.select(carry.map(col) :+
+        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("tok"): _*)
+      .select(carry.map(col) :+ (h52(col("tok")) % dim).cast("int").as("feat"): _*)
 
   /** Fit on `labeled` (doc_id, label: boolean, text). Returns the model as
     * TWO relations: (feat, llr) with all `dim` buckets present, and a
@@ -88,16 +89,27 @@ object QualityClassifier {
     * `round(·, 6)` pins the cross-engine double (ln in both engines; the
     * LanguageModel precedent). */
   def score(toScore: DataFrame, model: DataFrame, totals: DataFrame,
-            dim: Int): DataFrame = {
-    val docFeat = featRows(toScore, dim)
-      .groupBy("doc_id", "label", "feat").agg(count(lit(1)).as("c"))
+            dim: Int): DataFrame =
+    scoreCarrying(toScore, model, totals, dim, Seq("doc_id", "label"))
+
+  /** [[score]] for unlabeled documents (doc_id, text) — the deployment /
+    * streaming-gate shape. */
+  def scoreDocs(toScore: DataFrame, model: DataFrame, totals: DataFrame,
+                dim: Int): DataFrame =
+    scoreCarrying(toScore, model, totals, dim, Seq("doc_id"))
+
+  private def scoreCarrying(toScore: DataFrame, model: DataFrame,
+                            totals: DataFrame, dim: Int,
+                            carry: Seq[String]): DataFrame = {
+    val docFeat = featRows(toScore, dim, carry)
+      .groupBy(carry :+ "feat" map col: _*).agg(count(lit(1)).as("c"))
     docFeat
       .join(broadcast(model), "feat")
-      .groupBy("doc_id", "label")
+      .groupBy(carry.map(col): _*)
       .agg(sum(col("c").cast("double") * col("llr")).as("s"))
       .crossJoin(broadcast(totals.select("log_prior")))
-      .select(col("doc_id"), col("label"),
-        round(col("s") + col("log_prior"), 6).as("score"))
+      .select(carry.map(col) :+
+        round(col("s") + col("log_prior"), 6).as("score"): _*)
       .withColumn("predicted", col("score") > 0)
   }
 

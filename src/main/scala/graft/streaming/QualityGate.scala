@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.operators.QualityClassifier
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming quality gate — the trained classifier
+  * ([[graft.operators.QualityClassifier]]) applied at ingestion time:
+  * every arriving micro-batch of documents is scored against a
+  * PRE-FITTED model (fit offline, the normal deployment split), docs
+  * above the score threshold land in an append-only parquet zone, and
+  * every arrival gets a receipt (doc_id, score, admitted, batch_id).
+  *
+  * The model is two tiny static relations (dim llr rows + a one-row
+  * totals) broadcast into each micro-batch's score aggregation — the
+  * stream-side work per batch is one token scan and one per-doc
+  * aggregate, the same scan-bound shape as the batch operator
+  * (SCALING.md round-10 classifier section). Unlike [[IngestGate]] the
+  * gate consults NO accumulated state: scoring is per-document, so
+  * replayed batches simply overwrite-append identical receipts
+  * (at-least-once receipts, content-converged landing — same honest
+  * delivery semantics, simpler ledger). */
+object QualityGate {
+
+  /** Score one batch: returns (receipts, admitted-with-text). */
+  def gateBatch(batch: DataFrame, model: DataFrame, totals: DataFrame,
+                dim: Int, threshold: Double): (DataFrame, DataFrame) = {
+    val scored = QualityClassifier.scoreDocs(
+      batch.select("doc_id", "text"), model, totals, dim)
+      .withColumn("admitted", col("score") > threshold)
+    val admitted = scored.filter(col("admitted"))
+      .select("doc_id", "score")
+      .join(batch.select("doc_id", "text"), "doc_id")
+    (scored.select("doc_id", "score", "admitted"), admitted)
+  }
+
+  /** Start the gate. `stream` must carry (doc_id: long, text: string);
+    * `model`/`totals` come from [[QualityClassifier.train]]. Admitted
+    * docs append to `landingDir`; receipts append to `receiptsDir`. */
+  def start(stream: DataFrame, model: DataFrame, totals: DataFrame,
+            landingDir: String, receiptsDir: String, checkpointDir: String,
+            dim: Int = QualityClassifier.DefaultDim,
+            threshold: Double = 0.0): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (receipts, admitted) = gateBatch(batch, model, totals, dim, threshold)
+          receipts.persist()
+          try {
+            receipts.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(receiptsDir)
+            admitted.write.mode("append").parquet(landingDir)
+          } finally receipts.unpersist()
+        }
+      }
+      .start()
+}
