@@ -91,6 +91,37 @@ object ExactSubstr {
     out.toSeq
   }
 
+  /** [[gramHashes]] as three PRIMITIVE arrays (pos, h1, h2) — the UDF
+    * return shape [[dupHits]] uses: a tuple-array return allocates four
+    * boxed objects per gram (one row per corpus codepoint — tens of
+    * millions of allocations at sf0.1), while primitive arrays convert via
+    * `UnsafeArrayData.fromPrimitiveArray` and the zip/explode happens in
+    * codegen. ExactSubstrSpec pins element-equality with [[gramHashes]]. */
+  private[graft] def gramHashArrays(text: String, L: Int)
+  : (Array[Long], Array[Long], Array[Long]) = {
+    val cps = (if (text == null) "" else text).codePoints().toArray
+    val n = cps.length
+    if (n < L) return (Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray)
+    def powMod(b: Long, e: Int, p: Long): Long =
+      (0 until e).foldLeft(1L)((acc, _) => acc * b % p)
+    val bl1 = powMod(B1, L - 1, P1)
+    val bl2 = powMod(B2, L - 1, P2)
+    val m = n - L + 1
+    val pos = new Array[Long](m); val a1 = new Array[Long](m); val a2 = new Array[Long](m)
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < L) { h1 = (h1 * B1 + cps(j)) % P1; h2 = (h2 * B2 + cps(j)) % P2; j += 1 }
+    pos(0) = 1L; a1(0) = h1; a2(0) = h2
+    var i = 1
+    while (i <= n - L) {
+      h1 = ((h1 + P1 - cps(i - 1) % P1 * bl1 % P1) % P1 * B1 + cps(i + L - 1)) % P1
+      h2 = ((h2 + P2 - cps(i - 1) % P2 * bl2 % P2) % P2 * B2 + cps(i + L - 1)) % P2
+      pos(i) = i + 1L; a1(i) = h1; a2(i) = h2
+      i += 1
+    }
+    (pos, a1, a2)
+  }
+
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
@@ -131,10 +162,17 @@ object ExactSubstr {
                       materialize: String): DataFrame = {
     require(MaterializeTiers.contains(materialize),
       s"materialize must be one of $MaterializeTiers, got '$materialize'")
-    val hashUdf = udf((t: String) => gramHashes(t, L)).asNondeterministic()
-    val raw = documents.select(col("doc_id"), explode(hashUdf(col("text"))).as("p"))
-      .select(col("doc_id"), col("p._1").as("pos"),
-        col("p._2").as("h1"), col("p._3").as("h2"))
+    val hashUdf = udf((t: String) => gramHashArrays(t, L)).asNondeterministic()
+    // two-stage select: `g` materializes as an attribute (nondeterministic,
+    // so CollapseProject cannot inline the kernel into the three field
+    // reads); the zip+explode runs in codegen over primitive arrays
+    val raw = documents.select(col("doc_id"), hashUdf(col("text")).as("g"))
+      .select(col("doc_id"), col("g._1").as("zp"),
+        col("g._2").as("zh1"), col("g._3").as("zh2"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("zp"), col("zh1"), col("zh2"))).as("p"))
+      .select(col("doc_id"), col("p.zp").as("pos"),
+        col("p.zh1").as("h1"), col("p.zh2").as("h2"))
     val shim = org.apache.spark.sql.graft.CheckpointShim
     val tier = materialize match {
       case "auto" =>

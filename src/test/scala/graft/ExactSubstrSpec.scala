@@ -93,6 +93,20 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
   }
 
+  test("primitive-array kernel ≡ tuple kernel element-for-element") {
+    val texts = Seq("", "short", "a" * 49, "a" * 50, "ab𝒳cde𝒳fghij" * 9,
+      "x" * 200 + "y" * 200, null)
+    texts.foreach { t =>
+      val tuples = ExactSubstr.gramHashes(t, 50)
+      val (p, h1, h2) = ExactSubstr.gramHashArrays(t, 50)
+      assert(p.length == tuples.length && h1.length == tuples.length
+        && h2.length == tuples.length, s"length for ${Option(t).map(_.take(20))}")
+      tuples.zipWithIndex.foreach { case ((tp, t1, t2), i) =>
+        assert((p(i), h1(i), h2(i)) == ((tp, t1, t2)), s"index $i")
+      }
+    }
+  }
+
   test("cut reassembly is lossless on the kept side: spans ∪ kept == original") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val orig = df.collect().map(r => r.getLong(0) ->
