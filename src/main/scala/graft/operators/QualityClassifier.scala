@@ -113,6 +113,48 @@ object QualityClassifier {
       .withColumn("predicted", col("score") > 0)
   }
 
+  def modelTable(tag: String): String = s"${tag}_qcmodel"
+
+  /** Persist a fitted model: llr rows, the prior, and the feature
+    * dimension all land as DATA rows of ONE `saveAsTable` (kind ∈
+    * {llr, prior, dim}) — the model can never exist without its prior or
+    * its dimension (the [[ImiIndex]] seed-row lesson: a second DDL after
+    * the write leaves a torn model for a crash to expose). Writers
+    * serialize on the index lease. */
+  def persist(spark: SparkSession, tag: String, model: DataFrame,
+              totals: DataFrame, dim: Int): Unit =
+    LeaseLock.withTableLock(spark, tag) {
+      import spark.implicits._
+      val rows = model.select(lit("llr").as("kind"), col("feat"),
+          col("llr").as("value"))
+        .unionAll(totals.select(lit("prior").as("kind"), lit(-1).as("feat"),
+          col("log_prior").as("value")))
+        .unionAll(Seq(("dim", -1, dim.toDouble)).toDF("kind", "feat", "value"))
+      rows.write.mode("overwrite").saveAsTable(modelTable(tag))
+    }
+
+  /** Load a persisted model: returns (model, totals-shaped prior, dim).
+    * Loud on torn state — a missing prior/dim row or an llr row count
+    * that disagrees with the stored dim means the table was not written
+    * by [[persist]] and scoring it would be silently wrong. */
+  def load(spark: SparkSession, tag: String): (DataFrame, DataFrame, Int) = {
+    val t = spark.table(modelTable(tag))
+    val dims = t.filter(col("kind") === "dim").select("value").collect()
+    require(dims.length == 1,
+      s"${modelTable(tag)}: expected exactly one dim row, found ${dims.length}")
+    val dim = dims(0).getDouble(0).toInt
+    val priors = t.filter(col("kind") === "prior")
+      .select(col("value").as("log_prior"))
+    require(priors.count() == 1,
+      s"${modelTable(tag)}: expected exactly one prior row")
+    val model = t.filter(col("kind") === "llr")
+      .select(col("feat"), col("value").as("llr"))
+    val nLlr = model.count()
+    require(nLlr == dim,
+      s"${modelTable(tag)}: $nLlr llr rows for dim $dim — torn model table")
+    (model, priors, dim)
+  }
+
   /** Curated-positive label for the oracle query: three of the twenty
     * synthetic sources play "reference corpus" (the wiki-vs-crawl split
     * of the GPT-3 recipe, stated on the data we have). */

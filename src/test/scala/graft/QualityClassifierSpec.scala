@@ -91,6 +91,37 @@ class QualityClassifierSpec extends AnyFunSuite {
       totals.collect()(0).getAs[Double]("log_prior") == 0.0)
   }
 
+  test("persist → load round-trips: scores bit-equal, torn tables loud") {
+    val labeled = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
+        col("text"))
+    val dim = 64
+    val tag = "qcspec"
+    try {
+      val (model, totals) = QualityClassifier.train(spark, labeled, dim)
+      QualityClassifier.persist(spark, tag, model, totals, dim)
+      val (m2, t2, d2) = QualityClassifier.load(spark, tag)
+      assert(d2 == dim)
+      val direct = QualityClassifier.score(labeled, model, totals, dim)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val loaded = QualityClassifier.score(labeled, m2, t2, d2)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(direct == loaded, "loaded-model scores drifted")
+      // torn table: drop the prior row → load must refuse
+      spark.table(QualityClassifier.modelTable(tag))
+        .filter(col("kind") =!= "prior")
+        .write.mode("overwrite").saveAsTable(QualityClassifier.modelTable(tag) + "_torn")
+      spark.sql(s"DROP TABLE ${QualityClassifier.modelTable(tag)}")
+      spark.sql(s"ALTER TABLE ${QualityClassifier.modelTable(tag)}_torn " +
+        s"RENAME TO ${QualityClassifier.modelTable(tag)}")
+      val e = intercept[IllegalArgumentException] {
+        QualityClassifier.load(spark, tag)
+      }
+      assert(e.getMessage.contains("prior"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${QualityClassifier.modelTable(tag)}")
+  }
+
   test("plan: model and totals join as broadcasts — no sort-merge on feat") {
     val labeled = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
