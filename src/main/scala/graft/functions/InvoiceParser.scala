@@ -200,7 +200,9 @@ object InvoiceParser {
     if (lines.isEmpty) return None
     val cnpj = findCnpjs(blockText).headOption.flatMap(_.cnpj_formatado)
     val candidateName = lines.iterator
-      .filterNot(l => Validators.cnpjValidator(l).valido)
+      // boolean-only validity: the full validator allocates its result
+      // struct + error strings per line (ValidatorsSpec pins ≡ .valido)
+      .filterNot(graft.plans.CnpjChecksum.isValid)
       .flatMap(cleanPartyName)
       .nextOption()
     Some(Party(name = candidateName, cnpj_cpf = cnpj))

@@ -51,6 +51,11 @@ object CnpjChecksum {
     d(13) - '0' == dv2
   }
 
+  /** String form — also the parser's per-line filter
+    * (`extractPartyFromBlock` reads ONLY `.valido`, so the full
+    * `Validators.cnpjValidator` — digit projection, error-message
+    * interpolation, result case class — was allocation per candidate
+    * line for one boolean; PlansSpec pins ≡ `.valido`). */
   def isValid(cnpj: String): Boolean =
     cnpj != null && isValidU8(UTF8String.fromString(cnpj))
 }
