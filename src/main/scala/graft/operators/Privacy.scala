@@ -64,14 +64,16 @@ object Privacy {
             CpfRe, "[CPF]"),
           PhoneRe, "[PHONE]"),
         EmailRe, "[EMAIL]")
-    contactCorpus(spark, dir).select(
+    // input-sorted, projection after: a sort above the 8 regex passes makes
+    // the range sampler run them all twice (PERF.md r10 sampler note)
+    contactCorpus(spark, dir).orderBy("cust_id").select(
       col("cust_id"),
       n(EmailRe).as("n_emails"),
       n(CnpjRe).as("n_cnpjs"),
       n(CpfRe).as("n_cpfs"),
       n(PhoneRe).as("n_phones"),
       redacted.as("redacted")
-    ).orderBy("cust_id")
+    )
   }
 
   private val CorpusSql = """corpus AS (

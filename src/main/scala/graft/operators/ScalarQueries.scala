@@ -38,7 +38,9 @@ object ScalarQueries {
   def cnpjValidate(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
     val v = Udfs.cnpjValidate(cnpjCandidate(k))
-    graft.sources.Tables.read(spark, dir, "customer").select(
+    // input-sorted, projection after (the moneyValidate sampler rationale)
+    graft.sources.Tables.read(spark, dir, "customer")
+      .orderBy("c_custkey").select(
       k.as("id"),
       cnpjCandidate(k).as("input"),
       v.getField("valido").as("valido"),
@@ -46,7 +48,7 @@ object ScalarQueries {
       v.getField("cnpj_formatado").as("formatado"),
       v.getField("tipo").as("tipo"),
       v.getField("confianca").as("confianca")
-    ).orderBy("id")
+    )
   }
 
   /** Full mod-11 checksum recomputed in SQL as explicit digit sums. */
@@ -116,7 +118,9 @@ SELECT k AS id, input, valido, erro, formatado, tipo, confianca FROM (
   def nfeKeyValidate(spark: SparkSession, dir: String): DataFrame = {
     val k = col("o_orderkey")
     val v = Udfs.nfeKeyValidate(keyCandidate(k))
-    graft.sources.Tables.read(spark, dir, "orders").select(
+    // input-sorted, projection after (the moneyValidate sampler rationale)
+    graft.sources.Tables.read(spark, dir, "orders")
+      .orderBy("o_orderkey").select(
       k.as("id"),
       keyCandidate(k).as("input"),
       v.getField("valido").as("valido"),
@@ -127,7 +131,7 @@ SELECT k AS id, input, valido, erro, formatado, tipo, confianca FROM (
       v.getField("cnpj_emitente").as("cnpj_emitente"),
       v.getField("modelo").as("modelo"),
       v.getField("confianca").as("confianca")
-    ).orderBy("id")
+    )
   }
 
   /** Oracle from the known literal key classes: expected outputs are
@@ -201,7 +205,12 @@ FROM cand ORDER BY id
     val k = col("o_orderkey")
     val cand = moneyCandidate(k)
     val v = Udfs.moneyValidate(cand)
-    graft.sources.Tables.read(spark, dir, "orders").select(
+    // sort the INPUT, project after: the range partitioner's sampling pass
+    // computes full child rows, so a sort ABOVE the UDF projection runs
+    // the whole chain twice — deterministic UDFs included (the
+    // InvoicePipeline sampler fix, generalized; PERF.md round 10)
+    graft.sources.Tables.read(spark, dir, "orders")
+      .orderBy("o_orderkey").select(
       k.as("id"),
       cand.as("input"),
       Udfs.currencyDetect(cand).as("moeda_detectada"),
@@ -210,7 +219,7 @@ FROM cand ORDER BY id
       v.getField("valor_formatado").as("formatado"),
       v.getField("fiscal_brasil").as("fiscal_brasil"),
       v.getField("confianca").as("confianca")
-    ).orderBy("id")
+    )
   }
 
   val moneyValidateSql: String = """
@@ -270,12 +279,14 @@ FROM parts ORDER BY id
   def cleanNames(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey")
     val input = element_at(litArray(NameInputs), (k % 8).cast("int") + 1)
-    graft.sources.Tables.read(spark, dir, "customer").select(
+    // input-sorted, projection after (the moneyValidate sampler rationale)
+    graft.sources.Tables.read(spark, dir, "customer")
+      .orderBy("c_custkey").select(
       k.as("id"),
       input.as("input"),
       Udfs.cleanPartyName(input).as("cleaned"),
       Udfs.removeAccents(input).as("sem_acentos")
-    ).orderBy("id")
+    )
   }
 
   val cleanNamesSql: String = {
@@ -308,10 +319,12 @@ FROM customer ORDER BY id
       lit("DATA: "), dateBr, lit(" 10:30:00\n"),
       lit("AB\nSP\nX1\n"),
       lit("DOC "), k.cast("string"), lit("TESTE"))
-    graft.sources.Tables.read(spark, dir, "orders").select(
+    // input-sorted, projection after (the moneyValidate sampler rationale)
+    graft.sources.Tables.read(spark, dir, "orders")
+      .orderBy("o_orderkey").select(
       k.as("id"),
       Normalizer.normalizeTextCol(messy).as("norm_text")
-    ).orderBy("id")
+    )
   }
 
   /** Expected output constructed directly: nbsp→space+zwsp-deleted makes

@@ -48,11 +48,13 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val scores = langScores(col("text"))
     val best = predictedLang(col("text"))
-    docs(spark, dir).select(
+    // input-sorted, projection after: a sort above the marker scans makes
+    // the range sampler run them all twice (PERF.md r10 sampler note)
+    docs(spark, dir).orderBy("doc_id").select(
       (col("doc_id") +: col("lang").as("labeled_lang") +:
         best._1.as("predicted_lang") +: best._2.as("best_score") +:
         scores.map { case (l, s) => s.as(s"score_$l") }): _*
-    ).orderBy("doc_id")
+    )
   }
 
   /** SQL mirrors of [[langScores]]: `score_<lang>` select-list columns. */
@@ -99,7 +101,8 @@ FROM scored ORDER BY doc_id
     * boilerplate do not). */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     val words = split(col("text"), " ")
-    docs(spark, dir).select(
+    // input-sorted, projection after (the sampler note above)
+    docs(spark, dir).orderBy("doc_id").select(
       col("doc_id"),
       length(col("text")).as("n_chars"),
       size(words).as("n_words"),
@@ -108,7 +111,7 @@ FROM scored ORDER BY doc_id
       array_max(transform(words, w => length(w))).as("max_word_len"),
       size(array_distinct(words)).as("n_distinct_words"),
       size(filter(words, w => lower(w).isin(StopwordSet: _*))).as("n_stopwords")
-    ).orderBy("doc_id")
+    )
   }
 
   val qualitySql: String = {
@@ -131,12 +134,13 @@ FROM documents ORDER BY doc_id
   /** Token counting: whitespace tokens plus a BPE-ish regex tokenization
     * (runs of letters | runs of digits | single non-space symbol). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
+    // input-sorted, projection after (the sampler note above)
+    docs(spark, dir).orderBy("doc_id").select(
       col("doc_id"),
       size(split(col("text"), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
         .as("regex_tokens")
-    ).orderBy("doc_id")
+    )
 
   val tokenCountSql: String = """
 SELECT doc_id,
