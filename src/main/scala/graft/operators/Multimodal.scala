@@ -389,7 +389,10 @@ object Multimodal {
     * hash (both engines print lowercase hex). All arithmetic is integer
     * counts + double division, exact in both engines. */
   def byteFeatureQuery(spark: SparkSession, dir: String): DataFrame = {
+    // input-sorted, feature algebra after: a sort above the hex/regex
+    // passes makes the range sampler run them twice (PERF.md r10 note)
     val m = spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy("doc_id")
       .select(col("doc_id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3).cast("int") + 1).as("kind"),
@@ -425,7 +428,6 @@ object Multimodal {
       .withColumn("content_md5", md5(col("content")))
       .select("media_id", "kind", "magic", "n_bytes", "width", "height",
         "n_frames", "f0", "f7", "content_md5")
-      .orderBy("media_id")
   }
 
   /** DuckDB oracle for [[byteFeatureQuery]] — same hex/nibble algebra
@@ -476,12 +478,13 @@ ORDER BY media_id
     * so usable as a rows-only correctness query and a bench workload. */
   def featureQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    decodeFeatures(fromDocuments(spark, dir))
+    // sort the records BEFORE the decode kernel (the sampler note in
+    // byteFeatureQuery): the typed mapPartitions preserves order
+    decodeFeatures(fromDocuments(spark, dir).orderBy("media_id"))
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("n_frames"),
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
-      .orderBy("media_id")
   }
 
   // --- Real-codec decode under a total DuckDB oracle -------------------
@@ -574,13 +577,14 @@ ORDER BY media_id
     * decode cannot be byte algebra — keep their differential real-decode
     * specs in MediaDecodeSpec. */
   def mediaDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFeatures(mediaFixture(spark, dir))
+    // sort before the REAL JDK codec decode (the sampler note in
+    // byteFeatureQuery): ImageIO/AudioSystem per row is the expensive pass
+    val feats = decodeFeatures(mediaFixture(spark, dir).orderBy("media_id"))
     val bins = (0 until 16).map(i =>
       round(element_at(col("features"), i + 1).cast("double"), 6).as(s"b$i"))
     feats.select(
       (Seq(col("media_id"), col("kind"), col("n_bytes"), col("width"),
         col("height"), col("n_frames")) ++ bins): _*)
-      .orderBy("media_id")
   }
 
   /** ANSI oracle for [[mediaDecodeQuery]]: the padded source block's
