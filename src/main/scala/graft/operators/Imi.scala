@@ -72,14 +72,15 @@ object Imi {
       .select(col("vec_id"), col("embedding"))
     val kk = if (k1 == 0) k1For(base.count()) else k1
     val (cl, cr) = models(base, kk, iters)
-    base.as[(Long, Array[Float])]
+    // sort below the half-argmin kernel; training reads the unsorted base
+    // (PERF.md r10 sampler note)
+    base.orderBy("vec_id").as[(Long, Array[Float])]
       .map { case (id, v) =>
         val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
         val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
         (id, l, r, l.toLong * kk + r)
       }
       .toDF("vec_id", "cell_l", "cell_r", "cell_id")
-      .orderBy("vec_id")
   }
 
   /** Reference cell ranking: materialize all k1² (dsum, cell_id) pairs and
@@ -305,14 +306,16 @@ object Imi {
     val base = rotated(spark.read.parquet(s"$dir/embeddings.parquet"), seed)
     val kk = if (k1 == 0) k1For(base.count()) else k1
     val (cl, cr) = models(base, kk, iters)
-    base.as[(Long, Array[Float])]
+    // sort above the rotation but below the argmin: the sampler re-runs
+    // only the cheap rotation projection; training still reads the same
+    // rotated relation it assigns
+    base.orderBy("vec_id").as[(Long, Array[Float])]
       .map { case (id, v) =>
         val l = Similarity.nearestCell(v.take(HalfDim), cl)._1
         val r = Similarity.nearestCell(v.drop(HalfDim), cr)._1
         (id, l, r, l.toLong * kk + r)
       }
       .toDF("vec_id", "cell_l", "cell_r", "cell_id")
-      .orderBy("vec_id")
   }
 
   /** Default rotation seed (any fixed value works; pinned for oracles). */

@@ -500,12 +500,15 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     val base = emb(spark, dir)
     val cells = if (nCentroids == 0) cellsFor(base.count()) else nCentroids
     val cents = trainedCentroidArrays(base, cells, iters, resolveSeed(seed, nCentroids == 0, cells))
-    base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // sort BELOW the argmin kernel (training above reads the unsorted
+    // base, so it never pays this exchange): a sort above the kernel
+    // makes the range sampler run it twice (PERF.md r10 sampler note)
+    base.select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .as[(Long, Array[Float])]
       .map { case (id, v) => val (cid, d2) = nearestCell(v, cents); (id, cid.toLong, d2) }
       .toDF("vec_id", "centroid_id", "dist2")
       .select(col("vec_id"), col("centroid_id"),
         round(sqrt(col("dist2")), 6).as("residual_dist"))
-      .orderBy("vec_id")
   }
 
   /** Squared L2 distance, left-to-right accumulation — the arithmetic-order
@@ -946,7 +949,8 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
     def x(i: Int) = element_at(col("embedding"), i).cast("double")
     val absMax = (1 to Dim).map(i => abs(x(i))).reduce(greatest(_, _))
     def qi(i: Int) = round(x(i) / col("scale"), 0)
-    emb(spark, dir)
+    // input-sorted, quantization algebra after (the sampler note)
+    emb(spark, dir).orderBy("vec_id")
       .withColumn("scale", absMax / lit(127.0))
       .withColumn("sse", (1 to Dim).map { i =>
         val e = when(col("scale") === 0d, x(i)).otherwise(x(i) - qi(i) * col("scale"))
@@ -957,7 +961,6 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
         when(col("scale") === 0d, lit(0d)).otherwise(qi(1)).cast("int").as("q1"),
         when(col("scale") === 0d, lit(0d)).otherwise(qi(Dim / 2)).cast("int").as("q_mid"),
         round(sqrt(col("sse") / Dim), 6).as("rmse"))
-      .orderBy("vec_id")
   }
 
   /** Oracle: identical scale/round/reconstruction arithmetic over the
