@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   * single-machine shape. The distributed re-expression here needs NO
   * suffix array and NO pairwise join:
   *
-  *  1. every L-gram position ships as a NARROW row `(doc_id, pos, h1, h2)`
-  *     — two independent small-modulus rolling hashes (~32 bytes/row, vs
-  *     50–200 bytes for the literal gram), computed in one O(n) pass per
-  *     document;
+  *  1. every L-gram position ships as a NARROW row `(doc_id, pos, h)` —
+  *     two independent small-modulus rolling hashes packed into one long
+  *     (~24 bytes/row, vs 50–200 bytes for the literal gram), computed in
+  *     one O(n) pass per document;
   *  2. hash keys occurring in ≥2 distinct documents (an `Aggregate` with
   *     map-side combine: `min(doc_id) ≠ max(doc_id)` — no count-distinct,
   *     no shuffle of anything wider than four longs) select CANDIDATE
@@ -91,42 +91,46 @@ object ExactSubstr {
     out.toSeq
   }
 
-  /** [[gramHashes]] as three PRIMITIVE arrays (pos, h1, h2) — the UDF
+  /** [[gramHashes]] as two PRIMITIVE arrays (pos, packed hash) — the UDF
     * return shape [[dupHits]] uses: a tuple-array return allocates four
     * boxed objects per gram (one row per corpus codepoint — tens of
     * millions of allocations at sf0.1), while primitive arrays convert via
     * `UnsafeArrayData.fromPrimitiveArray` and the zip/explode happens in
-    * codegen. ExactSubstrSpec pins element-equality with [[gramHashes]]. */
+    * codegen. Both hashes pack bijectively into one long (`h1 << 20 | h2`
+    * — P1, P2 < 2²⁰), so the gram-position relation is (doc_id, pos, h) =
+    * 24 B/codepoint instead of 32, the candidate aggregate groups one key
+    * instead of two, and the checkpoint tier pins 25% less storage.
+    * ExactSubstrSpec pins element-equality with [[gramHashes]]. */
   private[graft] def gramHashArrays(text: String, L: Int)
-  : (Array[Long], Array[Long], Array[Long]) = {
+  : (Array[Long], Array[Long]) = {
     val cps = (if (text == null) "" else text).codePoints().toArray
     val n = cps.length
-    if (n < L) return (Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray)
+    if (n < L) return (Array.emptyLongArray, Array.emptyLongArray)
     def powMod(b: Long, e: Int, p: Long): Long =
       (0 until e).foldLeft(1L)((acc, _) => acc * b % p)
     val bl1 = powMod(B1, L - 1, P1)
     val bl2 = powMod(B2, L - 1, P2)
     val m = n - L + 1
-    val pos = new Array[Long](m); val a1 = new Array[Long](m); val a2 = new Array[Long](m)
+    val pos = new Array[Long](m); val hs = new Array[Long](m)
     var h1 = 0L; var h2 = 0L
     var j = 0
     while (j < L) { h1 = (h1 * B1 + cps(j)) % P1; h2 = (h2 * B2 + cps(j)) % P2; j += 1 }
-    pos(0) = 1L; a1(0) = h1; a2(0) = h2
+    pos(0) = 1L; hs(0) = (h1 << 20) | h2
     var i = 1
     while (i <= n - L) {
       h1 = ((h1 + P1 - cps(i - 1) % P1 * bl1 % P1) % P1 * B1 + cps(i + L - 1)) % P1
       h2 = ((h2 + P2 - cps(i - 1) % P2 * bl2 % P2) % P2 * B2 + cps(i + L - 1)) % P2
-      pos(i) = i + 1L; a1(i) = h1; a2(i) = h2
+      pos(i) = i + 1L; hs(i) = (h1 << 20) | h2
       i += 1
     }
-    (pos, a1, a2)
+    (pos, hs)
   }
 
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
   /** [[dupHits]] materialization tiers for the gram-position relation —
-    * one row per corpus CODEPOINT (~32 B each), the operator's only
+    * one row per corpus CODEPOINT (~24 B each), the operator's only
     * data-sized intermediate:
     *
     *  - `"checkpoint"`: localCheckpoint the relation. Single evaluation,
@@ -164,15 +168,13 @@ object ExactSubstr {
       s"materialize must be one of $MaterializeTiers, got '$materialize'")
     val hashUdf = udf((t: String) => gramHashArrays(t, L)).asNondeterministic()
     // two-stage select: `g` materializes as an attribute (nondeterministic,
-    // so CollapseProject cannot inline the kernel into the three field
+    // so CollapseProject cannot inline the kernel into the two field
     // reads); the zip+explode runs in codegen over primitive arrays
     val raw = documents.select(col("doc_id"), hashUdf(col("text")).as("g"))
-      .select(col("doc_id"), col("g._1").as("zp"),
-        col("g._2").as("zh1"), col("g._3").as("zh2"))
+      .select(col("doc_id"), col("g._1").as("zp"), col("g._2").as("zh"))
       .select(col("doc_id"),
-        explode(arrays_zip(col("zp"), col("zh1"), col("zh2"))).as("p"))
-      .select(col("doc_id"), col("p.zp").as("pos"),
-        col("p.zh1").as("h1"), col("p.zh2").as("h2"))
+        explode(arrays_zip(col("zp"), col("zh"))).as("p"))
+      .select(col("doc_id"), col("p.zp").as("pos"), col("p.zh").as("h"))
     val shim = org.apache.spark.sql.graft.CheckpointShim
     val tier = materialize match {
       case "auto" =>
@@ -187,11 +189,11 @@ object ExactSubstr {
     val pos =
       if (tier == "checkpoint") shim.statsHonestLocalCheckpoint(raw)
       else shim.honestStats(raw)
-    val candKeys = pos.groupBy("h1", "h2")
+    val candKeys = pos.groupBy("h")
       .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
       .filter(col("dmin") =!= col("dmax"))
-      .select("h1", "h2")
-    val cand = pos.join(candKeys, Seq("h1", "h2"), "left_semi")
+      .select("h")
+    val cand = pos.join(candKeys, Seq("h"), "left_semi")
     // literal grams for candidates only; the text column lives inside this
     // stage — only (doc_id, pos, 50-codepoint gram) crosses the next shuffle
     cand.join(documents.select(col("doc_id"),

@@ -93,16 +93,17 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
   }
 
-  test("primitive-array kernel ≡ tuple kernel element-for-element") {
+  test("primitive-array kernel ≡ tuple kernel element-for-element (packed)") {
     val texts = Seq("", "short", "a" * 49, "a" * 50, "ab𝒳cde𝒳fghij" * 9,
       "x" * 200 + "y" * 200, null)
     texts.foreach { t =>
       val tuples = ExactSubstr.gramHashes(t, 50)
-      val (p, h1, h2) = ExactSubstr.gramHashArrays(t, 50)
-      assert(p.length == tuples.length && h1.length == tuples.length
-        && h2.length == tuples.length, s"length for ${Option(t).map(_.take(20))}")
+      val (p, hs) = ExactSubstr.gramHashArrays(t, 50)
+      assert(p.length == tuples.length && hs.length == tuples.length,
+        s"length for ${Option(t).map(_.take(20))}")
       tuples.zipWithIndex.foreach { case ((tp, t1, t2), i) =>
-        assert((p(i), h1(i), h2(i)) == ((tp, t1, t2)), s"index $i")
+        // the packed key is bijective in (h1, h2): both moduli < 2^20
+        assert((p(i), hs(i)) == ((tp, (t1 << 20) | t2)), s"index $i")
       }
     }
   }
