@@ -79,13 +79,23 @@ object Udfs {
     udf((raw: String) => Normalizer.normalizeText(if (raw == null) "" else raw))
       .asNondeterministic()
 
-  /** Single-evaluation variants for pipeline hot paths (same semantics;
-    * non-determinism marker only pins evaluation count — see
-    * [[normalizeAndParse]]). */
-  val cnpjValidateOnce: UserDefinedFunction = cnpjValidate.asNondeterministic()
-  val moneyValidateFiscalOnce: UserDefinedFunction = moneyValidateFiscal.asNondeterministic()
-  val nfeKeyValidateOnce: UserDefinedFunction = nfeKeyValidate.asNondeterministic()
+  /** Single-evaluation variant for the pre-normalized pipeline hot path
+    * (same semantics; non-determinism marker only pins evaluation count —
+    * see [[normalizeAndParse]]). */
   val parseInvoiceOnce: UserDefinedFunction = parseInvoice.asNondeterministic()
+
+  /** The VALIDATE stage's three re-runs fused into ONE call: each separate
+    * struct-returning UDF invocation pays its own eval/conversion frame
+    * per row, and the three always run together ([[graft.operators
+    * .TrustScoring.checksCol]]). Field names match the per-validator
+    * struct column names (cnpj/total/key), so the fused schema is
+    * byte-identical to the three-call struct it replaces. */
+  val validateChecks: UserDefinedFunction =
+    udf((cnpj: String, total: String, chave: String) => graft.model.TrustChecks(
+      Validators.cnpjValidator(if (cnpj == null) "" else cnpj),
+      Validators.validatorValorFiscalBrasileiro(if (total == null) "" else total),
+      Validators.nfeKeyValidator(if (chave == null) "" else chave)))
+      .asNondeterministic()
 
   /** Register everything for SQL use. */
   def registerAll(spark: SparkSession): Unit = {

@@ -83,6 +83,15 @@ case class NfeKeyValidation(
     confianca: Int = 100
 )
 
+/** The VALIDATE stage's three re-validations, fused into one struct so a
+  * single UDF call produces them (field names are the column names
+  * TrustScoring reads). */
+case class TrustChecks(
+    cnpj: CnpjValidation,
+    total: MoneyValidation,
+    key: NfeKeyValidation
+)
+
 /** Monetary-value validation outcome (ref: robot/core/validators.py:239-357).
   * `valor_decimal` quantized to 2 decimal places on the valid path. */
 case class MoneyValidation(

@@ -38,10 +38,11 @@ object TrustScoring {
     * materialize this as its own attribute (single-evaluation UDFs) so the
     * many field reads in [[issuesFrom]]/[[scoreFrom]] don't re-invoke the
     * validators through projection collapse. */
-  def checksCol(inv: Column): Column = struct(
-    Udfs.cnpjValidateOnce(inv.getField("issuer").getField("cnpj_cpf")).as("cnpj"),
-    Udfs.moneyValidateFiscalOnce(inv.getField("financials").getField("total")).as("total"),
-    Udfs.nfeKeyValidateOnce(inv.getField("chave_acesso")).as("key"))
+  def checksCol(inv: Column): Column =
+    Udfs.validateChecks(
+      inv.getField("issuer").getField("cnpj_cpf"),
+      inv.getField("financials").getField("total"),
+      inv.getField("chave_acesso"))
 
   /** Ordered issue list (ref: robot/orchestrator.py:49-113). `inv` is the
     * payload struct column produced by the parse stage. Convenience form —
