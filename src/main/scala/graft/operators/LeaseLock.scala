@@ -66,12 +66,17 @@ object LeaseLock {
                        leaseMs: Long = DefaultLeaseMs,
                        waitMs: Long = DefaultWaitMs)(body: => T): T = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    // session-tunable: a loaded cluster (or a saturated test JVM) can hold
-    // a writer's jobs queued past the default wait — the right bound is
-    // workload-specific, so expose it as ordinary Spark conf
-    val lm = spark.conf.getOption("spark.graft.lease.leaseMs").map(_.toLong).getOrElse(leaseMs)
-    val wm = spark.conf.getOption("spark.graft.lease.waitMs").map(_.toLong).getOrElse(waitMs)
-    withLock(spark, s"$warehouse/_graft_locks/$tag.lock", lm, wm)(body)
+    // session-tunable DEFAULTS: a loaded cluster (or a saturated test JVM)
+    // can hold a writer's jobs queued past the default wait — the right
+    // bound is workload-specific, so the conf retunes it. An explicitly
+    // passed argument always wins over the conf (the conf replaces only
+    // the built-in default, never a caller's stated bound).
+    def tuned(passed: Long, default: Long, key: String): Long =
+      if (passed != default) passed
+      else spark.conf.getOption(key).map(_.toLong).getOrElse(default)
+    withLock(spark, s"$warehouse/_graft_locks/$tag.lock",
+      tuned(leaseMs, DefaultLeaseMs, "spark.graft.lease.leaseMs"),
+      tuned(waitMs, DefaultWaitMs, "spark.graft.lease.waitMs"))(body)
   }
 
   def withLock[T](spark: SparkSession, lockPath: String,

@@ -58,29 +58,39 @@ object QualityClassifier {
     * one-row totals relation (n_pos_tok, n_neg_tok, d_pos, d_neg,
     * log_prior) — model-as-relations like [[LanguageModel.trainOn]]. */
   def train(spark: SparkSession, labeled: DataFrame, dim: Int): (DataFrame, DataFrame) = {
-    val feats = featRows(labeled, dim)
-    val counts = feats.groupBy("feat").agg(
+    import spark.implicits._
+    // ONE token scan: the dim-bounded per-feature class counts. Token
+    // totals derive from these ≤dim rows on the driver (re-aggregating
+    // them from the exploded tokens would pay the corpus scan twice),
+    // and the fitted model becomes a literal dim-row relation — the same
+    // driver-side-model discipline as the IVF/IMI centroid training.
+    val countRows = featRows(labeled, dim).groupBy("feat").agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
-      sum(when(!col("label"), 1L).otherwise(0L)).as("c_neg"))
-    val totals = labeled.agg(
+      sum(when(!col("label"), 1L).otherwise(0L)).as("c_neg")).collect()
+    val byFeat = countRows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nPos = countRows.map(_.getLong(1)).sum
+    val nNeg = countRows.map(_.getLong(2)).sum
+    // doc-count priors: a cheap document-level scan (no token explode)
+    val d = labeled.agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("d_pos"),
-      sum(when(!col("label"), 1L).otherwise(0L)).as("d_neg"))
-      .crossJoin(feats.agg(
-        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos_tok"),
-        sum(when(!col("label"), 1L).otherwise(0L)).as("n_neg_tok")))
-      .withColumn("log_prior",
-        log(col("d_pos").cast("double") / col("d_neg").cast("double")))
+      sum(when(!col("label"), 1L).otherwise(0L)).as("d_neg")).collect()(0)
+    val dPos = if (d.isNullAt(0)) 0L else d.getLong(0)
+    val dNeg = if (d.isNullAt(1)) 0L else d.getLong(1)
+    // loud on a single-class corpus: log(0)/x/0 would otherwise score the
+    // whole corpus silently NULL or Infinity (the load() loudness rule)
+    require(dPos > 0 && dNeg > 0,
+      s"QualityClassifier.train: both classes must be present (d_pos=$dPos, d_neg=$dNeg)" +
+        " — check the positive-label predicate")
     // every bucket materializes: zero-count features carry the Laplace
     // floor, so out-of-corpus tokens at score time degrade gracefully
-    val allFeats = spark.range(dim).select(col("id").cast("int").as("feat"))
-    val model = allFeats
-      .join(counts, Seq("feat"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("feat"),
-        (log((coalesce(col("c_pos"), lit(0L)) + 1).cast("double")
-            / (col("n_pos_tok") + dim).cast("double"))
-          - log((coalesce(col("c_neg"), lit(0L)) + 1).cast("double")
-            / (col("n_neg_tok") + dim).cast("double"))).as("llr"))
+    val model = (0 until dim).map { f =>
+      val (cp, cn) = byFeat.getOrElse(f, (0L, 0L))
+      (f, math.log((cp + 1).toDouble / (nPos + dim)) -
+        math.log((cn + 1).toDouble / (nNeg + dim)))
+    }.toDF("feat", "llr")
+    val totals = Seq((dPos, dNeg, nPos, nNeg,
+      math.log(dPos.toDouble / dNeg.toDouble)))
+      .toDF("d_pos", "d_neg", "n_pos_tok", "n_neg_tok", "log_prior")
     (model, totals)
   }
 

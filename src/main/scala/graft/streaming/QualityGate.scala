@@ -23,16 +23,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * delivery semantics, simpler ledger). */
 object QualityGate {
 
-  /** Score one batch: returns (receipts, admitted-with-text). */
+  /** Score one batch: returns (receipts, admitted-with-text). Duplicate
+    * doc_ids WITHIN one micro-batch collapse to one representative row
+    * first (the IngestGate within-batch discipline): scoring groups token
+    * counts by doc_id, so two same-id arrivals in one batch would
+    * otherwise blend into a single doubled score and one receipt. The
+    * admitted leg derives from the receipts frame, so a caller persisting
+    * receipts serves both writes from one scoring pass. */
   def gateBatch(batch: DataFrame, model: DataFrame, totals: DataFrame,
                 dim: Int, threshold: Double): (DataFrame, DataFrame) = {
-    val scored = QualityClassifier.scoreDocs(
-      batch.select("doc_id", "text"), model, totals, dim)
+    val uniq = batch.select("doc_id", "text").dropDuplicates("doc_id")
+    val receipts = QualityClassifier.scoreDocs(uniq, model, totals, dim)
       .withColumn("admitted", col("score") > threshold)
-    val admitted = scored.filter(col("admitted"))
+      .select("doc_id", "score", "admitted")
+    val admitted = receipts.filter(col("admitted"))
       .select("doc_id", "score")
-      .join(batch.select("doc_id", "text"), "doc_id")
-    (scored.select("doc_id", "score", "admitted"), admitted)
+      .join(uniq, "doc_id")
+    (receipts, admitted)
   }
 
   /** Start the gate. `stream` must carry (doc_id: long, text: string);

@@ -35,7 +35,7 @@ object PipelineSlices {
 
     timed("construction only")(corpus)
     timed("construction, no repartition")(
-      InvoicePipeline.syntheticCorpus(spark, sfDir)) // same; kept for format
+      InvoicePipeline.syntheticCorpus(spark, sfDir, spread = false))
     timed("+ parse UDF (invoice struct)")(
       corpus.withColumn("invoice", Udfs.normalizeAndParse(col("text"), lit(null).cast("string"))))
     timed("+ parse, project scalars only")(

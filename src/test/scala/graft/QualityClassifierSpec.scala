@@ -69,6 +69,16 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(scored(0).getAs[Boolean]("predicted") == (scored(0).getAs[Double]("score") > 0))
   }
 
+  test("single-class training corpus is refused loudly") {
+    val allPos = Seq((1L, true, "a b"), (2L, true, "c d")).toDF("doc_id", "label", "text")
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.train(spark, allPos, dim = 8)
+    }
+    assert(e.getMessage.contains("both classes"))
+    val allNeg = Seq((1L, false, "a b")).toDF("doc_id", "label", "text")
+    intercept[IllegalArgumentException](QualityClassifier.train(spark, allNeg, dim = 8))
+  }
+
   test("disjoint score corpus degrades to the Laplace floor, never fails") {
     val train = Seq((1L, true, "good text here"), (2L, false, "bad stuff there"))
       .toDF("doc_id", "label", "text")

@@ -33,7 +33,10 @@ class QualityGateSpec extends AnyFunSuite {
       (103L, ""))
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF.toDF("doc_id", "text")
-    mem.addData(arrivals: _*)
+    // doc 102 is redelivered WITHIN the batch: the gate must collapse it
+    // to one representative (one receipt, single-copy score) instead of
+    // blending both copies' token counts into a doubled score
+    mem.addData(arrivals :+ (102L, "another arriving document with different tokens"): _*)
 
     // threshold at the batch-computed median so BOTH outcomes occur
     val batchScores = QualityClassifier.scoreDocs(
@@ -45,8 +48,10 @@ class QualityGateSpec extends AnyFunSuite {
       s"$root/landing", s"$root/receipts", s"$root/ckpt",
       dim = dim, threshold = threshold).awaitTermination()
 
-    val receipts = spark.read.parquet(s"$root/receipts")
-      .collect().map(r => r.getAs[Long]("doc_id") ->
+    val receiptRows = spark.read.parquet(s"$root/receipts").collect()
+    assert(receiptRows.length == arrivals.length,
+      "exactly one receipt per distinct doc_id in the batch")
+    val receipts = receiptRows.map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Double]("score"), r.getAs[Boolean]("admitted"))).toMap
     assert(receipts.keySet == arrivals.map(_._1).toSet, "a receipt per arrival")
     // streaming scores ≡ batch scores, bit-for-bit (same plan, same model)
