@@ -273,8 +273,21 @@ object BucketedMaintenance {
         def changedLocs() = changed.map(t =>
           spark.sessionState.catalog.getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
+        // the verdict loop is bounded as a WHOLE (advisor r10): each
+        // waitCompactTerminal call is individually bounded, but a
+        // compactor looping faster than the survivorship probe completes
+        // could starve the verdict indefinitely — fail loudly with the
+        // same recovery guidance instead
+        val verdictDeadline = System.nanoTime() + 300L * 1000000000L
         var verdict: Option[Boolean] = None
         while (verdict.isEmpty) {
+          if (System.nanoTime() > verdictDeadline)
+            throw new IllegalStateException(
+              s"append raced compacts on ${changed.mkString(", ")} and could " +
+                "not reach a stable survivorship verdict within 300s — a " +
+                "compactor is cycling faster than the probe completes. " +
+                "Quiesce the compactor, audit the tables for the batch's " +
+                "rows, and re-append only if they are absent.")
           changed.foreach(waitCompactTerminal(spark, _))
           changed.foreach(spark.catalog.refreshTable)
           val pinned = changedLocs()

@@ -217,12 +217,21 @@ FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
     val micros = s"unix_micros(`$tsCol`)"
     log.groupBy(keyCols.map(col): _*)
       .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
-          // assert_true yields NULL on pass (throws otherwise), so the
-          // coalesce'd + 0.0 leaves the exact micros untouched
+          // assert_true yields NULL on pass (throws otherwise — including
+          // on a NULL condition, which is how a NULL ts fails), so the
+          // coalesce'd + 0.0 leaves the exact micros untouched. The
+          // second assert makes the non-null events CONTRACT loud
+          // (advisor r10): a NULL version column would otherwise be
+          // silently skipped by the arg-max while still counted in
+          // n_versions — divergent from latestOn's nulls-first order.
           s"cast($micros AS DOUBLE) + coalesce(cast(assert_true(" +
           s"abs($micros) < 9007199254740992L, " +
           s"'latestNumericOn: |unix_micros($tsCol)| >= 2^53 — micros no " +
-          "longer exact in a double; use latestOn') AS DOUBLE), 0.0), " +
+          "longer exact in a double; use latestOn') AS DOUBLE), 0.0) " +
+          s"+ coalesce(cast(assert_true(" +
+          s"`$tsCol` IS NOT NULL AND `$idCol` IS NOT NULL, " +
+          s"'latestNumericOn: NULL `$tsCol`/`$idCol` violates the non-null " +
+          "version contract; use latestOn (nulls-first order)') AS DOUBLE), 0.0), " +
           s"-cast(`$idCol` AS BIGINT), `$valueCol`)").as("latest"),
         count(lit(1)).cast("long").as("n_versions"))
       .select(keyCols.map(col) ++ Seq(

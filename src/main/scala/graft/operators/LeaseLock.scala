@@ -23,11 +23,15 @@ import org.apache.spark.sql.SparkSession
   *     create-exclusive on HDFS and local filesystems. The file body holds
   *     a random holder token.
   *   - EXPIRY: a lock older than `leaseMs` (mtime) is presumed abandoned
-  *     (crashed holder). Takeover is RENAME-based: exactly one contender
-  *     wins the rename of the stale file to a tombstone; the winner then
-  *     re-checks what it actually took — if a FRESH lock had replaced the
-  *     stale one in the window (TOCTOU), it is renamed straight back and
-  *     the contender backs off.
+  *     (crashed holder). Takeover is RENAME-based and SERIALIZED on a
+  *     short-lease takeover mutex (see [[takeoverStale]]): one contender
+  *     at a time renames the stale file to a tombstone after re-verifying
+  *     staleness and token identity under the mutex; a fresh lock found
+  *     in the tombstone (frozen-holder renew corner) is renamed straight
+  *     back. Without the mutex, two contenders racing the same stale lock
+  *     could overlap live holders with no frozen process anywhere
+  *     (advisor r10); with it, overlap requires a frozen process — the
+  *     same honest contract as the main lease.
   *   - RENEW bumps mtime via `setTimes` (no rewrite window) after
   *     verifying the token — a long-running holder extends its lease.
   *   - RELEASE deletes the file only if the token still matches (after an
@@ -61,19 +65,24 @@ object LeaseLock {
     * under the session's warehouse directory — the coordination domain
     * every writer of a catalog table already shares — so entry points
     * without a maintenance `path` argument (assignInto) lock the same
-    * lease as those with one. */
+    * lease as those with one.
+    *
+    * Bounds resolve as: explicit argument (Some) > session conf
+    * (`spark.graft.lease.leaseMs` / `.waitMs`) > built-in default. The
+    * Option makes "caller stated a bound" distinguishable from "caller
+    * took the default" — a caller deliberately passing the default VALUE
+    * was previously indistinguishable and silently conf-overridden
+    * (advisor r10). */
   def withTableLock[T](spark: SparkSession, tag: String,
-                       leaseMs: Long = DefaultLeaseMs,
-                       waitMs: Long = DefaultWaitMs)(body: => T): T = {
+                       leaseMs: Option[Long] = None,
+                       waitMs: Option[Long] = None)(body: => T): T = {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     // session-tunable DEFAULTS: a loaded cluster (or a saturated test JVM)
     // can hold a writer's jobs queued past the default wait — the right
-    // bound is workload-specific, so the conf retunes it. An explicitly
-    // passed argument always wins over the conf (the conf replaces only
-    // the built-in default, never a caller's stated bound).
-    def tuned(passed: Long, default: Long, key: String): Long =
-      if (passed != default) passed
-      else spark.conf.getOption(key).map(_.toLong).getOrElse(default)
+    // bound is workload-specific, so the conf retunes it.
+    def tuned(passed: Option[Long], default: Long, key: String): Long =
+      passed.getOrElse(
+        spark.conf.getOption(key).map(_.toLong).getOrElse(default))
     withLock(spark, s"$warehouse/_graft_locks/$tag.lock",
       tuned(leaseMs, DefaultLeaseMs, "spark.graft.lease.leaseMs"),
       tuned(waitMs, DefaultWaitMs, "spark.graft.lease.waitMs"))(body)
@@ -104,21 +113,7 @@ object LeaseLock {
       val stale =
         try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > leaseMs
         catch { case _: java.io.FileNotFoundException => false } // freed: retry create
-      if (stale) {
-        // rename-based takeover: exactly one contender owns the tombstone
-        val tomb = new Path(parent, s"${p.getName}.expired.$token")
-        val won = try fs.rename(p, tomb) catch { case _: java.io.IOException => false }
-        if (won) {
-          val tookFresh =
-            try System.currentTimeMillis() - fs.getFileStatus(tomb).getModificationTime <= leaseMs
-            catch { case _: java.io.IOException => false }
-          if (tookFresh) {
-            // TOCTOU: a fresh lock replaced the stale one before our rename —
-            // give it straight back (we own the tombstone, so this is safe)
-            try fs.rename(tomb, p) catch { case _: java.io.IOException => () }
-          } else fs.delete(tomb, false)
-        }
-      }
+      if (stale) takeoverStale(fs, p, parent, token, leaseMs)
       if (System.nanoTime() > deadline)
         throw new IllegalStateException(
           s"LeaseLock: could not acquire $p within ${waitMs} ms — held by a live " +
@@ -129,6 +124,78 @@ object LeaseLock {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Lease on the takeover MUTEX — generous for a 3-metadata-op dance
+    * with no user code: an expired takeover mutex means its holder died
+    * (or froze for a minute inside three filesystem calls). */
+  val TakeoverLeaseMs: Long = 60 * 1000L
+
+  /** Tombstone-based takeover of a stale lock, serialized on a short-lease
+    * takeover mutex (advisor r10 medium). The unserialized dance had a
+    * NO-FREEZE live-holder overlap: contender B, racing contender A over
+    * the same stale lock, could rename away the FRESH lock A had just
+    * created after A's own completed takeover; while the lock path was
+    * absent a third contender's create-exclusive succeeded, and B's
+    * rename-back then failed — A and C both inside the critical section
+    * with every process live. With the mutex, only one contender runs the
+    * dance at a time, so a fresh lock can only be renamed away if some
+    * process FROZE mid-dance past [[TakeoverLeaseMs]] (or a frozen main
+    * holder renewed mid-dance) — i.e. live-holder overlap now requires a
+    * frozen process, which is exactly the honest mtime-lease contract the
+    * scaladoc already states. Defense-in-depth inside the mutex: the
+    * stale token is read BEFORE the rename and the tombstone is only
+    * reaped if it still carries that token — a fresh replacement is
+    * recognized by identity, not just mtime, and given straight back. */
+  private def takeoverStale(fs: FileSystem, p: Path, parent: Path,
+                            token: String, leaseMs: Long): Unit = {
+    val mutex = new Path(parent, s"${p.getName}.takeover")
+    if (tryCreate(fs, mutex, token)) {
+      try {
+        // re-check under the mutex: the lock may have been freed or
+        // replaced while we raced for the dance
+        val staleToken = readToken(fs, p)
+        val stillStale =
+          try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > leaseMs
+          catch { case _: java.io.IOException => false }
+        if (stillStale && staleToken.nonEmpty) {
+          val tomb = new Path(parent, s"${p.getName}.expired.$token")
+          val won = try fs.rename(p, tomb) catch { case _: java.io.IOException => false }
+          if (won) {
+            if (readToken(fs, tomb).contains(staleToken.get)) fs.delete(tomb, false)
+            else {
+              // identity changed between read and rename (frozen-holder
+              // renew corner): give the fresh lock straight back
+              try fs.rename(tomb, p) catch { case _: java.io.IOException => () }
+            }
+          }
+        }
+      } finally {
+        // release only our own mutex (it may have been reaped + replaced)
+        try if (readToken(fs, mutex).contains(token)) fs.delete(mutex, false)
+        catch { case _: java.io.IOException => () }
+      }
+    } else {
+      // another contender is mid-dance; reap its mutex only if abandoned —
+      // rename-to-unique first so exactly one reaper wins and a concurrent
+      // fresh mutex is never plain-deleted by two racing reapers
+      val mStale =
+        try System.currentTimeMillis() - fs.getFileStatus(mutex).getModificationTime > TakeoverLeaseMs
+        catch { case _: java.io.IOException => false }
+      if (mStale) {
+        val reap = new Path(parent, s"${p.getName}.takeover.expired.$token")
+        try { if (fs.rename(mutex, reap)) fs.delete(reap, false) }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  private def readToken(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      val buf = new Array[Byte](256)
+      val n = try in.read(buf) finally in.close()
+      if (n > 0) Some(new String(buf, 0, n, "UTF-8")) else None
+    } catch { case _: java.io.IOException => None }
 
   /** Extend a held lease (mtime bump; no rewrite window). Throws if the
     * lock is no longer ours — the holder must stop writing immediately. */
@@ -142,12 +209,7 @@ object LeaseLock {
     catch { case _: java.io.IOException => () } // crashed FS: lease expiry recovers
 
   private def ownsLock(h: Handle): Boolean =
-    try {
-      val in = h.fs.open(h.path)
-      val buf = new Array[Byte](256)
-      val n = try in.read(buf) finally in.close()
-      n > 0 && new String(buf, 0, n, "UTF-8") == h.token
-    } catch { case _: java.io.IOException => false }
+    readToken(h.fs, h.path).contains(h.token)
 
   /** Atomic create-exclusive. `FileSystem.create(p, overwrite = false)` is
     * atomic on HDFS (namenode-arbitrated) but CHECK-THEN-CREATE on the

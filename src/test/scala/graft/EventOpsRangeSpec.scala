@@ -108,4 +108,22 @@ class EventOpsRangeSpec extends AnyFunSuite {
       ("k", 10L, 200L, 2L, 2.0, 3L),
       ("other", 1L, 1L, 4L, 4.0, 1L)), out.toSeq.toString)
   }
+
+  test("latestNumericOn: NULL version column fails loudly, not silently") {
+    // the non-null events contract made loud (advisor r10): a NULL id was
+    // previously skipped by the arg-max while counted in n_versions —
+    // silently divergent from latestOn's nulls-first order
+    import spark.implicits._
+    val log = Seq(
+      (Some(1L), "k", Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), 1.0),
+      (None, "k", Some(java.sql.Timestamp.valueOf("2024-01-02 00:00:00")), 2.0)
+    ).toDF("event_id", "event_type", "ts", "value")
+    val e = intercept[Exception] {
+      EventOps.latestNumericOn(log, keyCols = Seq("event_type"),
+        tsCol = "ts", idCol = "event_id", valueCol = "value").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-null version contract")), e.toString)
+  }
 }

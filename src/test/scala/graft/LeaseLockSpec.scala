@@ -71,6 +71,35 @@ class LeaseLockSpec extends AnyFunSuite {
     assert(ran, "fresh lease must not be stolen")
   }
 
+  test("takeover is serialized on the mutex: abandoned mutex reaped, live mutex respected") {
+    // 1) stale lock + ABANDONED takeover mutex (a contender crashed
+    //    mid-dance): the reap path must clear the mutex and the lock must
+    //    still be taken over
+    val lock = tmpLock("tkmx")
+    val p = new Path(lock)
+    val out = fs.create(p, false); out.writeUTF("dead-holder"); out.close()
+    fs.setTimes(p, System.currentTimeMillis() - 10000, -1)
+    val mutex = new Path(p.getParent, s"${p.getName}.takeover")
+    val mo = fs.create(mutex, false); mo.writeUTF("dead-contender"); mo.close()
+    fs.setTimes(mutex, System.currentTimeMillis() - LeaseLock.TakeoverLeaseMs - 5000, -1)
+    var ran = false
+    LeaseLock.withLock(spark, lock, leaseMs = 200, waitMs = 10000) { ran = true }
+    assert(ran, "stale lock behind an abandoned takeover mutex must be reclaimed")
+    assert(!fs.exists(mutex), "abandoned takeover mutex reaped")
+    // 2) stale lock + LIVE takeover mutex (another contender mid-dance):
+    //    our contender must NOT run the dance concurrently — with a short
+    //    wait it times out loudly instead of overlapping the takeover
+    val out2 = fs.create(p, false); out2.writeUTF("dead-holder-2"); out2.close()
+    fs.setTimes(p, System.currentTimeMillis() - 10000, -1)
+    val mo2 = fs.create(mutex, false); mo2.writeUTF("live-contender"); mo2.close()
+    val denied = intercept[IllegalStateException] {
+      LeaseLock.withLock(spark, lock, leaseMs = 200, waitMs = 400) { ran = false }
+    }
+    assert(denied.getMessage.contains("could not acquire"))
+    assert(fs.exists(p), "stale lock untouched while another contender holds the dance")
+    fs.delete(mutex, false); fs.delete(p, false)
+  }
+
   test("release deletes only its own lock; renew extends a held lease") {
     val lock = tmpLock("own")
     val p = new Path(lock)
