@@ -244,6 +244,29 @@ object SparkEntry {
       IvfIndex.searchRerank(s, "q_ivfrr", e.filter(col("vec_id") < 50),
         nprobe = 2, widen = 2)
     }),
+    // the PQ/ADC tier of the stored index: 8-byte codes over the rotated
+    // space (4 subspaces × 8 centroids at this scale), candidates scored
+    // as ADC table lookups — the scan reads (vec_id, cid, pqcode, nrm)
+    // only; oracle unrolls the per-subspace Lloyd codebooks + rotation
+    "q_ivf_pq" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfpq").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfpq", nCentroids = 8, seed = Similarity.ResidueSeed,
+        pq = Pq.PqSpec(m = 4, k = 8))
+      IvfIndex.searchPq(s, "q_ivfpq", e.filter(col("vec_id") < 50), nprobe = 2)
+    }),
+    // ADC-wide → exact-float re-rank composition; widen=2 makes the PQ
+    // cut BITE so the oracle pins the two-stage semantics end-to-end
+    "q_ivf_pq_rerank" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfpqrr").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfpqrr", nCentroids = 8, seed = Similarity.ResidueSeed,
+        pq = Pq.PqSpec(m = 4, k = 8))
+      IvfIndex.searchPqRerank(s, "q_ivfpqrr", e.filter(col("vec_id") < 50),
+        nprobe = 2, widen = 2)
+    }),
     // the PERSISTENT product-cell index (the ImiIndex deployment shape
     // past the flat broadcast cap); oracle is Imi.searchSql's literal SQL
     // through the stored bucket-pruned path
@@ -360,6 +383,8 @@ object SparkEntry {
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
     "q_ivf_indexed_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_rerank" -> Similarity.ivfSearchRerankSql(widen = 2),
+    "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),
+    "q_ivf_pq_rerank" -> Pq.ivfSearchPqRerankSql(widen = 2, m = 4, kSub = 8),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_indexed_rot" -> Imi.searchRotSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),

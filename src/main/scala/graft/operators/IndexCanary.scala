@@ -39,7 +39,11 @@ object IndexCanary {
     * the canary pins the column and requires a positive count rather than
     * a magic 8 — an append with a mismatched count is already rejected by
     * Spark against the catalog's spec. */
-  final case class Shape(cols: Seq[(String, String)], bucketCol: Option[String])
+  /** `optional` columns are TIER columns (e.g. the PQ code leg): absent on
+    * an index built without the tier, but if present they must match the
+    * pinned type — a drifted optional column is still drift. */
+  final case class Shape(cols: Seq[(String, String)], bucketCol: Option[String],
+                         optional: Seq[(String, String)] = Nil)
 
   /** Keyed by table-name SUFFIX — the naming contract of
     * [[ShingleIndex]]/[[IvfIndex]]/[[ImiIndex]] (`<tag>_occ`, …). */
@@ -49,9 +53,13 @@ object IndexCanary {
     "_fp" -> Shape(Seq("fp" -> "string"), Some("fp")),
     "_sat" -> Shape(Seq("key" -> "bigint"), Some("key")),
     "_ivfmodel" -> Shape(Seq("cid" -> "int", "centroid" -> "array<double>"), None),
+    "_pqmodel" -> Shape(
+      Seq("m" -> "int", "cid" -> "int", "centroid" -> "array<double>",
+        "msub" -> "int", "ksub" -> "int", "rot_seed" -> "bigint"), None),
     "_ivfassign" -> Shape(
       Seq("vec_id" -> "bigint", "cid" -> "int", "embedding" -> "array<float>",
-        "nrm" -> "double", "qvec" -> "binary", "qnrm" -> "double"), Some("cid")),
+        "nrm" -> "double", "qvec" -> "binary", "qnrm" -> "double"), Some("cid"),
+      optional = Seq("pqcode" -> "binary")),
     "_imimodel" -> Shape(
       Seq("side" -> "string", "cid" -> "int", "centroid" -> "array<double>"), None),
     "_imiassign" -> Shape(
@@ -86,12 +94,19 @@ object IndexCanary {
               case _ =>
             }
           }
+          // optional tier columns: absence is fine, a type drift is not
+          shape.optional.foreach { case (name, tpe) =>
+            found.get(name).filter(_ != tpe).foreach { ft =>
+              violations += s"column `$name`: expected $tpe, found $ft"
+            }
+          }
           // extra columns are drift too: an index table is engine-written,
           // so an unexpected column means a format change this version
           // does not understand (unlike testdata, where extras are additive)
-          (found.keySet -- shape.cols.map(_._1)).toSeq.sorted.foreach { extra =>
-            violations += s"column `$extra`: UNEXPECTED (found ${found(extra)})"
-          }
+          (found.keySet -- shape.cols.map(_._1) -- shape.optional.map(_._1))
+            .toSeq.sorted.foreach { extra =>
+              violations += s"column `$extra`: UNEXPECTED (found ${found(extra)})"
+            }
           shape.bucketCol match {
             case Some(bc) => meta.bucketSpec match {
               case None => violations += s"bucket spec: MISSING (expected bucketed by `$bc`)"

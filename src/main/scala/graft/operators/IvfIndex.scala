@@ -36,19 +36,22 @@ object IvfIndex {
 
   def modelTable(tag: String): String = s"${tag}_ivfmodel"
   def assignTable(tag: String): String = s"${tag}_ivfassign"
+  def pqModelTable(tag: String): String = s"${tag}_pqmodel"
 
   /** Train + persist. `nCentroids = 0` → [[Similarity.cellsFor]] auto rule
     * (farthest-point seed); explicit cells keep the oracle-parity residue
     * seed — the same mode resolution as the in-memory path. */
   def build(corpus: DataFrame, path: String, tag: String, buckets: Int = 8,
             nCentroids: Int = 0, iters: Int = Similarity.LloydIters,
-            seed: Similarity.IvfSeed = Similarity.DefaultSeed): Unit =
+            seed: Similarity.IvfSeed = Similarity.DefaultSeed,
+            pq: Pq.PqMode = Pq.PqAuto): Unit =
       LeaseLock.withTableLock(corpus.sparkSession, tag) {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col("vec_id"), col("embedding"))
     val n = base.count()
     val cells = if (nCentroids == 0) Similarity.cellsFor(n) else nCentroids
+    val pqSpec = Pq.resolve(pq, n)
     // AUTO path trains Lloyd on a bounded deterministic sample
     // ([[Similarity.lloydTrainSample]] — ~128 rows/cell): each round's
     // nearest-cell pass is n·cells·dim work, O(n^1.5) under the √n cell
@@ -57,16 +60,21 @@ object IvfIndex {
     // seed aggregate + each round reads ~cells·128 rows, not the corpus;
     // the final assignment below is the one remaining full pass.
     // Explicit-cells callers (every oracle) keep full-corpus training.
+    // The PQ codebooks train on the SAME frame under the same rule —
+    // corpus-size-independent on the auto path, full-corpus for oracles.
     val sampled = nCentroids == 0 &&
       n > Similarity.TrainSamplePerCell.toLong * cells
     val trainBase =
       if (sampled) org.apache.spark.sql.graft.CheckpointShim
         .statsHonestLocalCheckpoint(Similarity.lloydTrainSample(base, n, cells))
       else base
-    val cents =
-      try Similarity.trainedCentroidArrays(trainBase, cells, iters,
-        Similarity.resolveSeed(seed, nCentroids == 0, cells))
-      finally if (sampled)
+    val (cents, books) =
+      try {
+        val c = Similarity.trainedCentroidArrays(trainBase, cells, iters,
+          Similarity.resolveSeed(seed, nCentroids == 0, cells))
+        val b = pqSpec.map(s => Pq.train(trainBase, s, iters))
+        (c, b)
+      } finally if (sampled)
         org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(trainBase)
     // canonical-path re-pin on rebuild: drop a possibly-compacted table
     // (and its generation-dir files) before the Overwrite create
@@ -76,24 +84,63 @@ object IvfIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .option("path", s"$path/${modelTable(tag)}")
       .saveAsTable(modelTable(tag))
+    // the PQ model table is dropped unconditionally: a rebuild WITHOUT
+    // the tier must not leave a stale codebook that disagrees with the
+    // (code-free) assignment relation
+    BucketedMaintenance.dropWithFiles(spark, pqModelTable(tag))
+    (pqSpec, books) match {
+      case (Some(sp), Some(bk)) =>
+        val rows = for (mi <- 0 until sp.m; j <- 0 until sp.k)
+          yield (mi, j, bk(mi)(j), sp.m, sp.k, sp.rotSeed)
+        rows.toDF("m", "cid", "centroid", "msub", "ksub", "rot_seed")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("path", s"$path/${pqModelTable(tag)}")
+          .saveAsTable(pqModelTable(tag))
+      case _ =>
+    }
     // nrm is precomputed at WRITE time: the scoring stage evaluates one
     // cosine per (query, neighbor) candidate pair, and recomputing the
     // stored side's norm per PAIR (instead of once per stored vector)
     // was a measured slice of the streaming gate's batch wall. qvec/qnrm
     // are the int8 storage leg — 64-byte codes + their integer-dot norm —
     // so [[searchInt8]] can column-prune the scan down to a quarter of
-    // the float vectors' bytes.
-    val assigned = base.as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val q = Similarity.quantizeVec(v)
-        (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
-          q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
-      .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
+    // the float vectors' bytes. pqcode (when the PQ tier is on) is the
+    // 8-byte ADC leg — [[searchPq]] prunes down to it, another 8× less.
+    val assigned = assignedFrame(base, cents,
+      books.map((_, pqSpec.get.rotSeed.map(Imi.rotSigns(_)))))
     BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
     assigned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .option("path", s"$path/${assignTable(tag)}")
       .saveAsTable(assignTable(tag))
+  }
+
+  /** The assignment relation for a (vec_id, embedding) frame — cell id,
+    * float vector + norm, int8 code + norm, and (when the PQ tier is on)
+    * the `m`-byte PQ code. One kernel pass; shared by [[build]] and
+    * [[assignInto]] so the two writers cannot drift schemas. */
+  private def assignedFrame(base: DataFrame, cents: Array[Array[Double]],
+                            pqOpt: Option[(Array[Array[Array[Double]]], Option[Array[Double]])])
+  : DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    pqOpt match {
+      case Some((books, signs)) =>
+        base.as[(Long, Array[Float])]
+          .map { case (id, v) =>
+            val q = Similarity.quantizeVec(v)
+            (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
+              q, math.sqrt(Similarity.dotI(q, q).toDouble),
+              Pq.encodeVec(v, books, signs)) }
+          .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm", "pqcode")
+      case None =>
+        base.as[(Long, Array[Float])]
+          .map { case (id, v) =>
+            val q = Similarity.quantizeVec(v)
+            (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
+              q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
+          .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
+    }
   }
 
   /** Assign new vectors into the EXISTING model (no retrain) and append
@@ -125,14 +172,15 @@ object IvfIndex {
     val batchIds = newVecs.select("vec_id").distinct()
     val present = BucketedMaintenance.disjointBatchProbe(
       spark, assignTable(tag), batchIds, "vec_id")
+    // appended vectors get PQ codes iff the index carries the tier — the
+    // stored codebook decides, so appends can never drift the schema
+    val pqOpt = if (spark.catalog.tableExists(pqModelTable(tag))) {
+      val (books, signs, _) = loadPqModel(spark, tag)
+      Some((books, signs))
+    } else None
     BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
       rowsPresent = Some(present)) {
-      newVecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .map { case (id, v) =>
-          val q = Similarity.quantizeVec(v)
-          (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
-            q, math.sqrt(Similarity.dotI(q, q).toDouble)) }
-        .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm")
+      assignedFrame(newVecs.select(col("vec_id"), col("embedding")), cents, pqOpt)
         .write.mode(SaveMode.Append).format("parquet")
         .bucketBy(bk, "cid").sortBy("cid")
         .saveAsTable(assignTable(tag))
@@ -168,7 +216,18 @@ object IvfIndex {
         BucketedMaintenance.storedBuckets(spark, assignTable(tag)) else buckets
       val corpus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
         spark.table(assignTable(tag)).select(col("vec_id"), col("embedding")))
-      build(corpus, path, tag, bk, nCentroids = 0, iters, seed)
+      // a rebuild preserves the stored PQ spec (an index that carried the
+      // tier keeps it with the same m/k/rotation; one without it stays on
+      // the auto rule)
+      val pqMode: Pq.PqMode = if (spark.catalog.tableExists(pqModelTable(tag))) {
+        val (books, _, kSub) = loadPqModel(spark, tag)
+        val rot = spark.table(pqModelTable(tag)).select("rot_seed").head() match {
+          case r if r.isNullAt(0) => None
+          case r => Some(r.getLong(0))
+        }
+        Pq.PqSpec(books.length, kSub, rot)
+      } else Pq.PqAuto
+      build(corpus, path, tag, bk, nCentroids = 0, iters, seed, pqMode)
       true
     } else false
   }
@@ -207,6 +266,25 @@ object IvfIndex {
       rows.foreach { case (cid, c) => cents(cid) = c }
       require(cents.forall(_ != null), s"model table ${modelTable(tag)} has gaps in cid space")
       cents
+    }
+
+  /** Driver-side PQ codebooks + rotation signs + per-subspace codebook
+    * size, cached like the coarse model (the table is immutable outside
+    * build/rebuild). `m·k·dsub` doubles — 16 KB at the 8×256 default. */
+  private def loadPqModel(spark: SparkSession, tag: String)
+  : (Array[Array[Array[Double]]], Option[Array[Double]], Int) =
+    BucketedMaintenance.cachedByVersion(spark, pqModelTable(tag)) {
+      val rows = spark.table(pqModelTable(tag))
+        .select("m", "cid", "centroid", "msub", "ksub", "rot_seed").collect()
+      require(rows.nonEmpty, s"PQ model table ${pqModelTable(tag)} is empty")
+      val m = rows.head.getInt(3)
+      val k = rows.head.getInt(4)
+      val rot = if (rows.head.isNullAt(5)) None else Some(rows.head.getLong(5))
+      val books = Array.ofDim[Array[Double]](m, k)
+      rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      require(books.forall(_.forall(_ != null)),
+        s"PQ model table ${pqModelTable(tag)} has gaps in (m, cid) space")
+      (books, rot.map(Imi.rotSigns(_)), k)
     }
 
   /** Top-k cosine neighbors for `queries` (`vec_id`, `embedding`) against
@@ -362,6 +440,108 @@ object IvfIndex {
     val scoredF = wide.drop("cid")
       .join(floats.drop("cid"), "neighbor_id")
       .join(probes.select("query_id", "vq", "nq").dropDuplicates("query_id"), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
+          / (col("nq") * col("nrm"))).as("cos"))
+    topKScored(scoredF, k)
+  }
+
+  /** [[search]] scored by PQ/ADC lookup — the 8-byte candidate tier
+    * ([[Pq]]). Same float-space cell ranking as [[search]]; candidates
+    * are scored as `m` lookups into the query's precomputed ADC table
+    * over the stored `pqcode` column — the scan reads
+    * (vec_id, cid, pqcode, nrm) ONLY: 16 B/candidate vs the int8 tier's
+    * 72 B and the float tier's 264 B. Scores are ASYMMETRIC cosine
+    * (exact query against the candidate's PQ reconstruction) — ranking
+    * differs from [[search]] by PQ quantization error; at 100 TB probe
+    * WIDE here and re-rank survivors via [[searchPqRerank]]. Requires an
+    * index built with the PQ tier (fails loudly otherwise). */
+  def searchPq(spark: SparkSession, tag: String, queries: DataFrame,
+               nprobe: Int = 0, k: Int = 5,
+               excludeSelf: Boolean = true): DataFrame = {
+    val (_, scored) = pqStage(spark, tag, queries, nprobe, excludeSelf)
+    topKScored(scored.drop("cid"), k)
+  }
+
+  /** The stage [[searchPq]] and [[searchPqRerank]] share. Probes stay
+    * NARROW (query_id, cid) — the per-query ADC table (m·k doubles; 16 KB
+    * at the 8×256 default) rides a SEPARATE one-row-per-query relation
+    * joined to candidates on query_id (AQE broadcasts it), so the probe
+    * shuffle never multiplies the table by nprobe. Returns
+    * (qtabs(query_id, tab, nq, vq), scored(query_id, neighbor_id, cid, cos)). */
+  private def pqStage(spark: SparkSession, tag: String, queries: DataFrame,
+                      nprobe: Int, excludeSelf: Boolean): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag), pqModelTable(tag))
+    require(spark.catalog.tableExists(pqModelTable(tag)),
+      s"index `$tag` has no PQ tier (${pqModelTable(tag)} absent) — rebuild with " +
+        "pq = Pq.PqSpec(...) or let Pq.PqAuto engage at scale")
+    val cents = loadModel(spark, tag)
+    val (books, signs, kSub) = loadPqModel(spark, tag)
+    val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
+    spark.catalog.refreshTable(assignTable(tag))
+    val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+            .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+            .iterator.take(math.max(1, np))
+            .map { case (_, cid) => (id, cid) }
+        }
+        .toDF("query_id", "cid"))
+    val qtabs = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) =>
+          (id, Pq.adcTable(v, books, signs), Similarity.normP(v), v)
+        }
+        .toDF("query_id", "tab", "nq", "vq"))
+    val probedCells = probes.select("cid").distinct().as[Int].collect().toSeq
+    graft.plans.AdcLookup.ensureRegistered(spark)
+    // explicit narrow select BEFORE the join: the ADC tier's point is that
+    // the candidate scan reads neither the float vectors nor the int8 codes
+    val joined = spark.table(assignTable(tag))
+      .select("vec_id", "cid", "pqcode", "nrm")
+      .filter(col("cid").isin(probedCells: _*))
+      .join(probes, "cid")
+      .join(qtabs.select("query_id", "tab", "nq"), "query_id")
+    val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    val scored = cand
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
+        when(col("nq") === 0 || col("nrm") === 0, lit(0.0))
+          .otherwise(expr(s"${graft.plans.AdcLookup.FuncName}(tab, pqcode, $kSub)")
+            / (col("nq") * col("nrm"))).as("cos"))
+    (qtabs, scored)
+  }
+
+  /** ADC-wide probe → float re-rank: [[searchRerank]] with the 8-byte PQ
+    * tier as the cheap first pass — the candidate scan reads 16 B/row,
+    * then ONLY the k·widen ADC survivors are re-scored in exact float
+    * cosine (a second bucket-pruned scan joined to the tiny survivor
+    * set). With `widen` large enough to keep every candidate the result
+    * is EXACTLY [[search]] (spec-pinned); at small widen the ADC cut can
+    * drop candidates whose quantized rank fell below k·widen — the
+    * standard PQ re-rank trade, oracled end-to-end by `q_ivf_pq_rerank`. */
+  def searchPqRerank(spark: SparkSession, tag: String, queries: DataFrame,
+                     nprobe: Int = 0, k: Int = 5, widen: Int = 4,
+                     excludeSelf: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val (qtabs, scored) = pqStage(spark, tag, queries, nprobe, excludeSelf)
+    graft.plans.DotFloat.ensureRegistered(spark)
+    val wWide = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val wide = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      scored.withColumn("rw", row_number().over(wWide))
+        .filter(col("rw") <= k * widen)
+        .select("query_id", "neighbor_id", "cid"))
+    val wideCells = wide.select("cid").distinct().as[Int].collect().toSeq
+    val floats = spark.table(assignTable(tag))
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("embedding"), col("nrm"))
+      .filter(col("cid").isin(wideCells: _*))
+    val scoredF = wide.drop("cid")
+      .join(floats.drop("cid"), "neighbor_id")
+      .join(qtabs.select("query_id", "vq", "nq"), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
           / (col("nq") * col("nrm"))).as("cos"))

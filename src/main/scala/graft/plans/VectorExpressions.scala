@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -33,6 +33,18 @@ object VectorKernels {
     var s = 0L
     var i = 0
     while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
+  /** Asymmetric-distance lookup over a PQ code — replicates
+    * [[graft.operators.Pq.adcDot]]: `Σ_m tab[m·k + code[m]]` in ascending
+    * subspace order (the pinned oracle summation), code bytes read as
+    * UNSIGNED cids. No multiply touches the candidate — the whole point
+    * of the ADC tier. */
+  def adc(tab: ArrayData, code: Array[Byte], k: Int): Double = {
+    var s = 0.0
+    var m = 0
+    while (m < code.length) { s += tab.getDouble(m * k + (code(m) & 0xFF)); m += 1 }
     s
   }
 }
@@ -101,6 +113,57 @@ case class DotInt8(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotInt8 =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native codegen ADC (asymmetric distance computation) lookup — the
+  * scoring kernel of the stored PQ search tier
+  * ([[graft.operators.IvfIndex.searchPq]]): the query's precomputed
+  * `array<double>` lookup table (`m·k` flat, see
+  * [[graft.operators.Pq.adcTable]]), the candidate's `m`-byte `binary`
+  * PQ code, and the per-subspace codebook size `k`. 8-byte codes instead
+  * of 64-byte int8 vectors per candidate — another 8× off the candidate
+  * scan's bytes; scoring is `m` array reads per candidate, zero
+  * multiplies. Null semantics: any NULL argument → NULL (the table and
+  * code are dense by contract). */
+case class AdcLookup(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), BinaryType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"${AdcLookup.FuncName} requires (array<double>, binary, int), got " +
+          s"${a.catalogString}, ${b.catalogString}, ${c.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = AdcLookup.FuncName
+
+  override def nullSafeEval(tab: Any, code: Any, k: Any): Any =
+    VectorKernels.adc(tab.asInstanceOf[ArrayData],
+      code.asInstanceOf[Array[Byte]], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c, k) => s"graft.plans.VectorKernels.adc($t, $c, $k)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): AdcLookup =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object AdcLookup {
+  val FuncName = "graft_adc"
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(FuncName)
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(id))
+      registry.registerFunction(id,
+        new ExpressionInfo(classOf[AdcLookup].getName, FuncName),
+        (children: Seq[Expression]) => {
+          require(children.length == 3, s"$FuncName takes exactly 3 arguments")
+          AdcLookup(children.head, children(1), children(2))
+        })
+  }
 }
 
 object DotInt8 {

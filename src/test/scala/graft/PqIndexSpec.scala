@@ -1,0 +1,157 @@
+package graft
+
+import graft.operators.{IvfIndex, Pq, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The PQ/ADC candidate tier: codegen kernel ≡ driver kernel, stored
+  * search scores ≡ driver-recomputed ADC cosine, non-biting re-rank ≡
+  * exact float search, the scan reads ONLY the 8-byte codes, the auto
+  * rule gates the tier by scale, and appends encode with the STORED
+  * codebooks. */
+class PqIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def drop(tag: String): Unit =
+    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag), IvfIndex.pqModelTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private val spec = Pq.PqSpec(m = 4, k = 8)
+
+  test("graft_adc expression ≡ Pq.adcDot kernel (incl. unsigned code bytes)") {
+    import spark.implicits._
+    graft.plans.AdcLookup.ensureRegistered(spark)
+    val k = 256
+    // codes include values > 127 — the unsigned-byte read is the trap
+    val rows = (0 until 20).map { r =>
+      val tab = Array.tabulate(4 * k)(i => math.sin(r * 1000 + i).toDouble)
+      val code = Array.tabulate(4)(m => ((r * 37 + m * 101) % 256).toByte)
+      (r, tab, code)
+    }
+    val got = rows.toDF("r", "tab", "code")
+      .select(col("r"), expr(s"${graft.plans.AdcLookup.FuncName}(tab, code, $k)").as("adc"))
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    rows.foreach { case (r, tab, code) =>
+      assert(got(r) == Pq.adcDot(tab, code, k), s"row $r diverged")
+    }
+  }
+
+  test("stored searchPq scores ≡ driver-recomputed ADC cosine") {
+    val dir = Files.createTempDirectory("graft-pq-score").toString
+    import spark.implicits._
+    try {
+      IvfIndex.build(emb, dir, "pqs", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = spec)
+      val got = IvfIndex.searchPq(spark, "pqs", emb.filter(col("vec_id") < 10),
+        nprobe = 2).collect()
+      assert(got.nonEmpty)
+      // rebuild the books + signs exactly as search loads them
+      val rows = spark.table(IvfIndex.pqModelTable("pqs"))
+        .select("m", "cid", "centroid", "rot_seed").collect()
+      val books = Array.ofDim[Array[Double]](spec.m, spec.k)
+      rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val signs = Some(graft.operators.Imi.rotSigns(rows.head.getLong(3)))
+      val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().toMap
+      got.foreach { r =>
+        val (q, nb, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        val vq = vecs(q); val vn = vecs(nb)
+        val expect = Pq.adcDot(Pq.adcTable(vq, books, signs),
+          Pq.encodeVec(vn, books, signs), spec.k) /
+          (Similarity.normP(vq) * Similarity.normP(vn))
+        assert(cos == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"query $q neighbor $nb: $cos vs $expect")
+      }
+    } finally drop("pqs")
+  }
+
+  test("PQ re-rank with a non-biting widen ≡ float search; biting widen still top-ks") {
+    val dir = Files.createTempDirectory("graft-pq-rr").toString
+    try {
+      IvfIndex.build(emb, dir, "pqrr", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = spec)
+      val q = emb.filter(col("vec_id") < 20)
+      val all = IvfIndex.searchPqRerank(spark, "pqrr", q, nprobe = 2,
+        widen = 100000).collect().toSeq
+      val float = IvfIndex.search(spark, "pqrr", q, nprobe = 2).collect().toSeq
+      assert(all == float && all.nonEmpty,
+        "non-biting ADC cut must reproduce the exact float search")
+      val bitten = IvfIndex.searchPqRerank(spark, "pqrr", q, nprobe = 2,
+        widen = 1).collect()
+      assert(bitten.nonEmpty && bitten.forall(_.getInt(1) <= 5))
+    } finally drop("pqrr")
+  }
+
+  test("searchPq scan reads the PQ codes only — never floats or int8 — and bucket-prunes") {
+    val dir = Files.createTempDirectory("graft-pq-scan").toString
+    try {
+      IvfIndex.build(emb, dir, "pqsc", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = spec)
+      val res = IvfIndex.searchPq(spark, "pqsc", emb.filter(col("vec_id") < 3),
+        nprobe = 2)
+      res.collect()
+      val plan = res.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator.filter(_.contains("pqsc_ivfassign"))
+        .mkString("\n")
+      assert(scanLine.contains("pqcode"), s"PQ codes not in scan:\n$scanLine")
+      assert(!scanLine.contains("embedding"),
+        s"ADC search still reads float vectors:\n$scanLine")
+      assert(!scanLine.contains("qvec"),
+        s"ADC search still reads int8 codes:\n$scanLine")
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+        s"no bucket pruning:\n$plan")
+    } finally drop("pqsc")
+  }
+
+  test("PqAuto gates by scale; a tierless index fails searchPq loudly") {
+    val dir = Files.createTempDirectory("graft-pq-auto").toString
+    try {
+      // 500 rows < AutoMinRows → auto resolves to no tier
+      IvfIndex.build(emb, dir, "pqa", nCentroids = 8, seed = Similarity.ResidueSeed)
+      assert(!spark.catalog.tableExists(IvfIndex.pqModelTable("pqa")),
+        "PqAuto trained a tier below the scale floor")
+      val e = intercept[IllegalArgumentException] {
+        IvfIndex.searchPq(spark, "pqa", emb.filter(col("vec_id") < 3))
+      }
+      assert(e.getMessage.contains("no PQ tier"), e.getMessage)
+    } finally drop("pqa")
+  }
+
+  test("assignInto encodes appended vectors with the STORED codebooks") {
+    val dir = Files.createTempDirectory("graft-pq-app").toString
+    import spark.implicits._
+    try {
+      IvfIndex.build(emb.filter(col("vec_id") >= 50), dir, "pqap",
+        nCentroids = 8, seed = Similarity.ResidueSeed, pq = spec)
+      val arrivals = emb.filter(col("vec_id") < 50)
+      IvfIndex.assignInto(spark, "pqap", arrivals)
+      val rows = spark.table(IvfIndex.pqModelTable("pqap"))
+        .select("m", "cid", "centroid", "rot_seed").collect()
+      val books = Array.ofDim[Array[Double]](spec.m, spec.k)
+      rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val signs = Some(graft.operators.Imi.rotSigns(rows.head.getLong(3)))
+      val appended = spark.table(IvfIndex.assignTable("pqap"))
+        .join(arrivals.select("vec_id"), "vec_id")
+        .select(col("vec_id"), col("pqcode"), col("embedding"))
+        .as[(Long, Array[Byte], Array[Float])].collect()
+      assert(appended.length == arrivals.count())
+      appended.foreach { case (id, code, v) =>
+        assert(code.toSeq == Pq.encodeVec(v, books, signs).toSeq,
+          s"vec $id encoded differently from the stored books")
+      }
+      // a duplicate of an appended vector surfaces as its ADC top hit
+      val probe = arrivals.limit(1).select(col("vec_id"), col("embedding"))
+      val dupId = probe.collect()(0).getLong(0)
+      val hits = IvfIndex.searchPq(spark, "pqap",
+          probe.select((col("vec_id") + 999999L).as("vec_id"), col("embedding")))
+        .filter(col("rk") === 1).collect()
+      assert(hits.length == 1 && hits(0).getLong(2) == dupId,
+        s"self-duplicate not ADC top hit: ${hits.toSeq}")
+    } finally drop("pqap")
+  }
+}
