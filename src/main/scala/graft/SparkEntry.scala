@@ -244,6 +244,18 @@ object SparkEntry {
       IvfIndex.searchRerank(s, "q_ivfrr", e.filter(col("vec_id") < 50),
         nprobe = 2, widen = 2)
     }),
+    // the adaptive per-query probe budget: rank-ordered cell chunks with
+    // top-k-stability termination (easy queries stop at one chunk, hard
+    // ones buy up to the cap); oracle unrolls the rounds + the stability
+    // rule relationally
+    "q_ivf_adaptive" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfadaptive").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfad", nCentroids = 8, seed = Similarity.ResidueSeed)
+      IvfIndex.searchAdaptive(s, "q_ivfad", e.filter(col("vec_id") < 50),
+        chunk = 2, maxChunks = 3)
+    }),
     // the PQ/ADC tier of the stored index: 8-byte codes over the rotated
     // space (4 subspaces × 8 centroids at this scale), candidates scored
     // as ADC table lookups — the scan reads (vec_id, cid, pqcode, nrm)
@@ -383,6 +395,7 @@ object SparkEntry {
     "q_ivf_indexed" -> Similarity.ivfSearchSql(),
     "q_ivf_indexed_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_rerank" -> Similarity.ivfSearchRerankSql(widen = 2),
+    "q_ivf_adaptive" -> Similarity.ivfSearchAdaptiveSql(chunk = 2, maxChunks = 3),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),
     "q_ivf_pq_rerank" -> Pq.ivfSearchPqRerankSql(widen = 2, m = 4, kSub = 8),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),

@@ -446,6 +446,124 @@ object IvfIndex {
     topKScored(scoredF, k)
   }
 
+  /** ADAPTIVE per-query probe budget (the fixed-nprobe remedy — cf. Li
+    * et al., SIGMOD 2020 "Improving Approximate Nearest Neighbor Search
+    * through Learned Adaptive Early Termination" for the problem shape;
+    * this is the unlearned stability form). Fixed budgets overpay easy
+    * queries and underpay hard ones: the r10 decade table shows the rule
+    * budget flooring at 0.61–0.77 recall while a ≥0.95 consumer must pay
+    * a FIXED 4·rule everywhere. Here each query probes its ranked cells
+    * in CHUNKS of `chunk` (default: the [[Similarity.nprobeFor]] rule);
+    * after each chunk the query's running top-k (ids in rank order) is
+    * compared to the previous round's — an UNCHANGED top-k terminates the
+    * query, a changed one buys the next chunk, up to `maxChunks` chunks
+    * (default 4 → the 4·rule ceiling). Geometric cell bounds
+    * (Cauchy–Schwarz over centroid distance + cell radius) do not bite in
+    * high dimension, so stability IS the termination signal.
+    *
+    * Batch shape: one bucket-pruned scan per ROUND over only the
+    * still-active queries' next chunk (rank-ordered chunks are disjoint,
+    * and top-k(A ∪ B) = top-k(top-k(A) ∪ B), so the running top-k is
+    * exact over every cell probed so far). Driver state is
+    * metadata-sized: the active id set and per-round cell lists. With
+    * termination never firing the result is EXACTLY
+    * `search(nprobe = chunk·maxChunks)` (spec-pinned); stability can only
+    * stop a query EARLIER than the cap, so probed work only shrinks.
+    * Stability compares NEIGHBOR IDS (rank order), not raw scores — ulp
+    * differences must not flip a termination verdict between engines
+    * (the q_ivf_adaptive oracle unrolls the same rounds + rule). */
+  def searchAdaptive(spark: SparkSession, tag: String, queries: DataFrame,
+                     k: Int = 5, chunk: Int = 0, maxChunks: Int = 4,
+                     excludeSelf: Boolean = true,
+                     onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    import spark.implicits._
+    IndexCanary.check(spark, modelTable(tag), assignTable(tag))
+    val cents = loadModel(spark, tag)
+    val step = if (chunk == 0) Similarity.nprobeFor(cents.length) else chunk
+    val rounds = math.max(1, maxChunks)
+    spark.catalog.refreshTable(assignTable(tag))
+    graft.plans.DotFloat.ensureRegistered(spark)
+    val ck = org.apache.spark.sql.graft.CheckpointShim
+    // ranked cells for ALL rounds in one kernel pass (cells·dim per
+    // query), tagged with their 1-based round index
+    val rankedCells = ck.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .flatMap { case (id, v) =>
+          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+            .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+            .iterator.take(math.min(cents.length, step * rounds))
+            .zipWithIndex
+            .map { case ((_, cid), r0) => (id, cid, r0 / step + 1) }
+        }
+        .toDF("query_id", "cid", "round"))
+    val qvecs = ck.statsHonestLocalCheckpoint(
+      queries.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, v) => (id, v, Similarity.normP(v)) }
+        .toDF("query_id", "vq", "nq"))
+    def scoreChunk(r: Int, activeIds: Option[Seq[Long]]): DataFrame = {
+      val base = rankedCells.filter(col("round") === r)
+      val probes = activeIds match {
+        case Some(ids) => base.filter(col("query_id").isin(ids: _*))
+        case None => base
+      }
+      val cells = probes.select("cid").distinct().as[Int].collect().toSeq
+      if (cells.isEmpty)
+        return Seq.empty[(Long, Long, Double)]
+          .toDF("query_id", "neighbor_id", "cos")
+      val joined = spark.table(assignTable(tag))
+        .select("vec_id", "cid", "embedding", "nrm")
+        .filter(col("cid").isin(cells: _*))
+        .join(probes.select("query_id", "cid"), "cid")
+        .join(qvecs, "query_id")
+      val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id"))
+        else joined
+      cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
+          / (col("nq") * col("nrm"))).as("cos"))
+    }
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    def topK(scored: DataFrame): DataFrame =
+      scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
+        .select("query_id", "rk", "neighbor_id", "cos")
+    // round 1: every query
+    var prev = ck.statsHonestLocalCheckpoint(topK(scoreChunk(1, None)))
+    onRound(1, queries.count())
+    var active: Seq[Long] = null // null = all queries still active
+    val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 2
+    var continue = rounds >= 2
+    while (continue) {
+      val ids = Option(active)
+      onRound(r, ids.map(_.size.toLong).getOrElse(queries.count()))
+      val next = ck.statsHonestLocalCheckpoint(topK(
+        prev.select("query_id", "neighbor_id", "cos")
+          .unionAll(scoreChunk(r, ids))))
+      // stability verdict: neighbor-id sequence per query, null-safe full
+      // join on (query_id, rk) — a length change is a change too
+      val changed = next.select(col("query_id"), col("rk"), col("neighbor_id"))
+        .join(prev.select(col("query_id"), col("rk"),
+          col("neighbor_id").as("p_nid")), Seq("query_id", "rk"), "full")
+        .filter(!(col("neighbor_id") <=> col("p_nid")))
+        .select("query_id").distinct().as[Long].collect().toSeq
+      val changedSet = changed.toSet
+      // stable queries keep their (unchanged ≡ prev) rows and stop buying
+      finished += next.filter(!col("query_id").isin(changed: _*))
+      active = changed
+      prev = ck.statsHonestLocalCheckpoint(
+        next.filter(col("query_id").isin(changed: _*)))
+      r += 1
+      continue = r <= rounds && changedSet.nonEmpty
+    }
+    finished += prev
+    finished.reduce(_ unionAll _)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("query_id", "rk")
+  }
+
   /** [[search]] scored by PQ/ADC lookup — the 8-byte candidate tier
     * ([[Pq]]). Same float-space cell ranking as [[search]]; candidates
     * are scored as `m` lookups into the query's precomputed ADC table

@@ -1137,4 +1137,86 @@ WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
 SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
 FROM ranked WHERE rk <= $k ORDER BY query_id, rk
 """.trim
+
+  /** Full relational oracle for [[IvfIndex.searchAdaptive]] — the
+    * stability-terminated adaptive probe budget, UNROLLED round by round:
+    * `top<r>` is the top-k over cells ranked ≤ r·chunk (rank-ordered
+    * chunks make the running top-k ≡ the prefix top-k), `chg<r>` the
+    * queries whose NEIGHBOR-ID sequence changed from round r−1 (null-safe
+    * full join on (query_id, rk) — a length change is a change), and each
+    * query's terminal round is the first stable one (else the cap). The
+    * stability rule compares ids, never raw scores — ulp-stable across
+    * engines by the same argument as every pinned top-k tie-break. */
+  def ivfSearchAdaptiveSql(nCentroids: Int = 8, chunk: Int = 2,
+                           maxChunks: Int = 3, k: Int = 5, nQueries: Int = 50,
+                           dim: Int = Dim, iters: Int = LloydIters): String = {
+    val rounds = math.max(1, maxChunks)
+    val perRound = (1 to rounds).map { r =>
+      s"""cand$r AS (
+  SELECT p.query_id, a2.vec_id AS neighbor_id
+  FROM (SELECT vec_id AS query_id, cid FROM rkc
+        WHERE r <= ${r * chunk} AND vec_id < $nQueries) p
+  JOIN assign a2 ON a2.cid = p.cid AND a2.vec_id <> p.query_id
+), sims$r AS (
+  SELECT c.query_id, c.neighbor_id, $CosineSqlExpr AS cos
+  FROM cand$r c
+  JOIN embeddings a ON a.vec_id = c.query_id
+  JOIN embeddings b ON b.vec_id = c.neighbor_id
+), top$r AS (
+  SELECT query_id, neighbor_id, cos, rk FROM (
+    SELECT query_id, neighbor_id, cos,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+    FROM sims$r) t WHERE rk <= $k
+)"""
+    }.mkString(", ")
+    val chgs = (2 to rounds).map { r =>
+      s"""chg$r AS (
+  SELECT query_id FROM (
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+      CASE WHEN a.neighbor_id IS DISTINCT FROM b.neighbor_id THEN 1 ELSE 0 END AS m
+    FROM top$r a FULL JOIN top${r - 1} b
+      ON a.query_id = b.query_id AND a.rk = b.rk
+  ) GROUP BY query_id HAVING max(m) = 1
+)"""
+    }.mkString(", ")
+    // terminal round per query: first r ≥ 2 whose top-k matched r−1 (the
+    // query was still active — i.e. it changed in EVERY earlier round);
+    // never stable → the cap
+    val termCase = (2 until rounds).foldRight(s"$rounds") { (r, rest) =>
+      val stillActive = (2 until r)
+        .map(e => s"query_id IN (SELECT query_id FROM chg$e)")
+      val cond = (stillActive :+ s"query_id NOT IN (SELECT query_id FROM chg$r)")
+        .mkString(" AND ")
+      s"CASE WHEN $cond THEN $r ELSE $rest END"
+    }
+    val term =
+      if (rounds < 2) "term AS (SELECT DISTINCT query_id, 1 AS tr FROM top1)"
+      else s"""term AS (
+  SELECT query_id, $termCase AS tr
+  FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < $nQueries)
+)"""
+    val finals = (1 to rounds).map { r =>
+      s"""  SELECT t.query_id, t.rk, t.neighbor_id, t.cos
+  FROM top$r t JOIN term ON term.query_id = t.query_id AND term.tr = $r"""
+    }.mkString("\n  UNION ALL\n")
+    s"""
+WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
+           (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS dist2
+  FROM embeddings e CROSS JOIN cent c
+), rkc AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS r
+  FROM dist
+), assign AS (
+  SELECT vec_id, cid FROM rkc WHERE r = 1
+), $perRound${if (rounds >= 2) s", $chgs" else ""}, $term, final AS (
+$finals
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM final ORDER BY query_id, rk
+""".trim
+  }
 }

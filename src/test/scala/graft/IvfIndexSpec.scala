@@ -206,6 +206,37 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally drop("ivxr2")
   }
 
+  test("adaptive probe: one-chunk cap ≡ fixed search; stability stops paid rounds") {
+    val dir = Files.createTempDirectory("graft-ivfidx-adp").toString
+    try {
+      IvfIndex.build(emb, dir, "ivxad", nCentroids = 8, seed = Similarity.ResidueSeed)
+      val q = emb.filter(col("vec_id") < 20)
+      // termination-disabled pin: cap = one chunk ≡ the fixed budget
+      val oneChunk = IvfIndex.searchAdaptive(spark, "ivxad", q,
+        chunk = 2, maxChunks = 1).collect().toSeq
+      val fixed2 = IvfIndex.search(spark, "ivxad", q, nprobe = 2).collect().toSeq
+      assert(oneChunk == fixed2 && oneChunk.nonEmpty)
+      // full-coverage chunk: round 1 probes every cell, round 2 adds
+      // nothing → every query goes stable → no round 3/4 is ever bought,
+      // and the answer is the exact full-probe search
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val full = IvfIndex.searchAdaptive(spark, "ivxad", q,
+        chunk = 8, maxChunks = 4, onRound = (r, n) => rounds += ((r, n)))
+        .collect().toSeq
+      val fixed8 = IvfIndex.search(spark, "ivxad", q, nprobe = 8).collect().toSeq
+      assert(full == fixed8)
+      assert(rounds.map(_._1).toSeq == Seq(1, 2),
+        s"stability did not stop the paid rounds: $rounds")
+      // the oracle config end-to-end (chunk=2, cap 3): per-query budgets
+      // may differ, but every emitted row is a real stored neighbor and
+      // every query from round 1 answers
+      val ad = IvfIndex.searchAdaptive(spark, "ivxad", q, chunk = 2, maxChunks = 3)
+        .collect()
+      assert(ad.map(_.getLong(0)).distinct.length == 20)
+      assert(ad.forall(_.getInt(1) <= 5))
+    } finally drop("ivxad")
+  }
+
   test("k>1 window top-k plans a partial WindowGroupLimit below the shuffle") {
     // the k>1 path's scale story: Spark's InferWindowGroupLimit must turn
     // `filter(rk <= k)` into a PARTIAL WindowGroupLimit under the
