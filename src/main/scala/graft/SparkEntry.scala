@@ -56,6 +56,9 @@ object SparkEntry {
     "q_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "q_quality_classifier" -> ((s, dir) => QualityClassifier.query(s, dir)),
+    // OUT-OF-SAMPLE evidence: fit on the md5-fold-0 half, score ONLY the
+    // disjoint fold-1 remainder (the r10 in-sample caveat, closed)
+    "q_quality_holdout" -> ((s, dir) => QualityClassifier.holdoutQuery(s, dir)),
     // CCNet-style bigram-LM perplexity, self-trained on the corpus
     // (Wenzek et al. 2020): train = relational counts, score = equi-joins
     "q_lm_perplexity" -> ((s, dir) => LanguageModel.perplexity(s, dir)),
@@ -396,6 +399,7 @@ object SparkEntry {
     "q_ivf_indexed_int8" -> Similarity.ivfSearchInt8Sql(),
     "q_ivf_rerank" -> Similarity.ivfSearchRerankSql(widen = 2),
     "q_ivf_adaptive" -> Similarity.ivfSearchAdaptiveSql(chunk = 2, maxChunks = 3),
+    "q_quality_holdout" -> QualityClassifier.holdoutQuerySql(),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),
     "q_ivf_pq_rerank" -> Pq.ivfSearchPqRerankSql(widen = 2, m = 4, kSub = 8),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),

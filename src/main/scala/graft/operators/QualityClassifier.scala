@@ -181,6 +181,97 @@ object QualityClassifier {
     score(labeled, model, totals, dim).orderBy("doc_id")
   }
 
+  /** Deterministic 2-fold split on the md5-52 hash of the doc id — the
+    * SAME hash both engines already share for features, so the hold-out
+    * oracle stays total. Fold 0 trains, fold 1 is the disjoint held-out
+    * remainder. */
+  def holdoutFold(c: Column): Column = h52(c.cast("string")) % 2
+
+  /** OUT-OF-SAMPLE evidence path (the r10 verdict's in-sample caveat,
+    * `query`'s scaladoc): fit on the fold-0 documents only, score ONLY
+    * the disjoint fold-1 remainder. A gate is graded on held-out
+    * behavior; this is the oracled form of that measurement
+    * (q_quality_holdout), and [[metrics]] turns its output into the
+    * precision/recall row SCALING publishes. */
+  def holdoutQuery(spark: SparkSession, dir: String, dim: Int = DefaultDim): DataFrame = {
+    val labeled = docs(spark, dir).select(col("doc_id"),
+      col("source").isin(PositiveSources: _*).as("label"), col("text"))
+    val fold = holdoutFold(col("doc_id"))
+    val (model, totals) = train(spark, labeled.filter(fold === 0), dim)
+    score(labeled.filter(fold === 1), model, totals, dim).orderBy("doc_id")
+  }
+
+  /** Gate-quality metrics of a scored (label, predicted) frame — one row:
+    * counts + precision/recall/accuracy at the score>0 threshold. */
+  def metrics(scored: DataFrame): DataFrame = {
+    val agg = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("label") && col("predicted"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("label") && col("predicted"), 1L).otherwise(0L)).as("fp"),
+      sum(when(col("label") && !col("predicted"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!col("label") && !col("predicted"), 1L).otherwise(0L)).as("tn"))
+    // a gate that predicts NO positives has UNDEFINED precision — NULL,
+    // not 0 (and not an ANSI divide-by-zero): the distinction carries the
+    // honest "majority-class collapse" verdict the unseparable case needs
+    def safe(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(round(num / den, 4))
+    agg.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      safe(col("tp"), col("tp") + col("fp")).as("precision"),
+      safe(col("tp"), col("tp") + col("fn")).as("recall"),
+      safe(col("tp") + col("tn"), col("n")).as("accuracy"))
+  }
+
+  /** DuckDB mirror of [[holdoutQuery]]: the [[querySql]] chain with the
+    * fold column — training CTEs (feature counts, token totals, priors)
+    * read fold 0 ONLY, scoring CTEs read fold 1 ONLY. */
+  def holdoutQuerySql(dim: Int = DefaultDim): String = {
+    val pos = PositiveSources.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH d AS (
+  SELECT doc_id, (source IN ($pos)) AS label, coalesce(text, '') AS text,
+    CAST(list_sum(list_transform(generate_series(1, 13),
+      i -> (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - i))))) AS BIGINT) % 2 AS fold
+  FROM documents
+), toks AS (
+  SELECT doc_id, label, fold, unnest(string_split(text, ' ')) AS tok FROM d
+), hashed AS (
+  SELECT doc_id, label, fold,
+    CAST(CAST(list_sum(list_transform(generate_series(1, 13),
+      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - i))))) AS BIGINT) % $dim AS INTEGER) AS feat
+  FROM toks
+), tok_tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos_tok,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS n_neg_tok
+  FROM hashed WHERE fold = 0
+), doc_tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS d_pos,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS d_neg
+  FROM d WHERE fold = 0
+), counts AS (
+  SELECT feat, sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+               sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_neg
+  FROM hashed WHERE fold = 0 GROUP BY feat
+), model AS (
+  SELECT f.feat,
+    ln((coalesce(c.c_pos, 0) + 1)::DOUBLE / (t.n_pos_tok + $dim))
+      - ln((coalesce(c.c_neg, 0) + 1)::DOUBLE / (t.n_neg_tok + $dim)) AS llr
+  FROM (SELECT unnest(generate_series(0, $dim - 1)) AS feat) f
+  LEFT JOIN counts c USING (feat), tok_tot t
+), doc_feat AS (
+  SELECT doc_id, label, feat, count(*) AS c FROM hashed WHERE fold = 1 GROUP BY 1, 2, 3
+), scored AS (
+  SELECT doc_id, label,
+    round(sum(c::DOUBLE * llr) + ln(d_pos::DOUBLE / d_neg), 6) AS score
+  FROM doc_feat JOIN model USING (feat), doc_tot
+  GROUP BY doc_id, label, d_pos, d_neg
+)
+SELECT doc_id, label, score, score > 0 AS predicted
+FROM scored ORDER BY doc_id
+""".trim
+  }
+
   /** DuckDB mirror: same tokenization, same 52-bit md5 hash (the
     * hashed-features CTE), same add-one NB algebra. */
   def querySql(dim: Int = DefaultDim): String = {

@@ -101,6 +101,49 @@ class QualityClassifierSpec extends AnyFunSuite {
       totals.collect()(0).getAs[Double]("log_prior") == 0.0)
   }
 
+  test("held-out generalization on a separable corpus; chance on the unseparable one") {
+    // 1) SEPARABLE: positive docs draw from vocabulary A + shared fillers,
+    //    negative from vocabulary B + the same fillers. Train on the
+    //    md5-fold-0 half, score ONLY the disjoint fold-1 half — the gate
+    //    must classify documents it never saw.
+    val posVocab = Seq("alpha", "bravo", "charlie", "delta")
+    val negVocab = Seq("zulu", "yankee", "xray", "whiskey")
+    val fillers = Seq("the", "of", "and")
+    def text(vocab: Seq[String], i: Int): String =
+      (0 until 12).map(j => if (j % 3 == 2) fillers((i + j) % 3)
+        else vocab((i * 7 + j) % 4)).mkString(" ")
+    val corpus = ((0 until 60).map(i => (i.toLong, true, text(posVocab, i))) ++
+      (60 until 120).map(i => (i.toLong, false, text(negVocab, i))))
+      .toDF("doc_id", "label", "text")
+    val fold = QualityClassifier.holdoutFold(col("doc_id"))
+    val trainHalf = corpus.filter(fold === 0)
+    val testHalf = corpus.filter(fold === 1)
+    // folds genuinely split, both classes present on both sides
+    assert(trainHalf.count() > 0 && testHalf.count() > 0)
+    assert(trainHalf.count() + testHalf.count() == 120)
+    val dim = QualityClassifier.DefaultDim
+    val (model, totals) = QualityClassifier.train(spark, trainHalf, dim)
+    val m = QualityClassifier.metrics(
+      QualityClassifier.score(testHalf, model, totals, dim)).collect()(0)
+    assert(m.getAs[Long]("n") == testHalf.count())
+    assert(m.getAs[Double]("accuracy") == 1.0,
+      s"held-out accuracy on a separable corpus: $m")
+    assert(m.getAs[Double]("precision") == 1.0 && m.getAs[Double]("recall") == 1.0, s"$m")
+    // 2) UNSEPARABLE (the honest boundary SCALING states): the synthetic
+    //    sf corpus's source labels carry no token signal — held-out, the
+    //    score>0 gate predicts the majority class for every document
+    //    (tp = fp = 0) rather than hallucinating positives
+    val sf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
+        col("text"))
+    val (m2, t2) = QualityClassifier.train(spark, sf.filter(fold === 0), dim)
+    val held = QualityClassifier.metrics(
+      QualityClassifier.score(sf.filter(fold === 1), m2, t2, dim)).collect()(0)
+    assert(held.getAs[Long]("tp") == 0 && held.getAs[Long]("fp") == 0,
+      s"source labels should be unlearnable on the synthetic corpus: $held")
+  }
+
   test("persist → load round-trips: scores bit-equal, torn tables loud") {
     val labeled = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
