@@ -94,6 +94,10 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
     "q_pack_sequences" -> ((s, dir) => Packing.packSequences(s, dir)),
     "q_curation_pipeline" -> ((s, dir) => Sampling.curationPipeline(s, dir)),
+    // v2: the LEARNED gates composed — dedup -> NB-classifier median gate
+    // -> reference-trained LM perplexity band (CCNet head+middle) ->
+    // langid -> quota, one declarative plan, scalar broadcast thresholds
+    "q_curation_learned" -> ((s, dir) => Sampling.curationLearned(s, dir)),
     // α=0.5 mixture re-weighting (accept-prob k/√n_lang, md5-uniform coin)
     "q_temperature_sample" -> ((s, dir) => Sampling.temperatureSample(s, dir)),
     // deterministic global shuffle → shard manifest (md5 order, running totals)
@@ -369,6 +373,7 @@ object SparkEntry {
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),
     "q_curation_pipeline" -> Sampling.curationPipelineSql(),
+    "q_curation_learned" -> Sampling.curationLearnedSql(),
     "q_temperature_sample" -> Sampling.temperatureSampleSql(),
     "q_shard_manifest" -> Sharding.shardManifestSql(),
     "q_dedup_exact" -> Dedup.exactSql,

@@ -123,6 +123,69 @@ ORDER BY d.doc_id
       .orderBy("predicted_lang", "sample_rank")
   }
 
+  /** The LEARNED curation pipeline — [[curationPipeline]] v2, composing
+    * the round-10 learned gates into the one declarative flow a CCNet /
+    * GPT-3-style run actually executes (Wenzek 2020 + Brown 2020
+    * appendix A): exact dedup → trained-classifier gate → LM-perplexity
+    * band → language ID → per-language quota.
+    *
+    *  - CLASSIFIER GATE: the NB model ([[QualityClassifier.train]], fit
+    *    on the deduped corpus's source labels) scores every survivor;
+    *    the gate keeps scores ≥ the corpus MEDIAN — the calibrated
+    *    corpus-relative threshold the GPT-3 recipe uses in place of a
+    *    fixed constant. The threshold is ONE scalar computed by a
+    *    percentile aggregate and broadcast — never a global window (a
+    *    single-partition row_number over 100 TB is a scale-killer; an
+    *    aggregate + broadcast filter is two narrow passes).
+    *  - LM BAND: CCNet's head/middle/tail terciles under a bigram LM
+    *    trained on the REFERENCE corpus (the positive sources — the
+    *    wiki-vs-crawl split stated on the data we have); the tail
+    *    (worst-perplexity third) is dropped. Same scalar-threshold
+    *    discipline (ppl ≤ the 2/3 quantile). Documents with no bigrams
+    *    cannot be banded and are dropped (stated degradation).
+    *  - Thresholds compare ROUNDED values on both sides (scores round-6,
+    *    ppl round-3, the quantile itself round-6): rounded inputs are
+    *    ≥1e-3/1e-6 apart, so the rounded quantile can never be pulled
+    *    onto a data value it wasn't already equal to — no ulp flip
+    *    between engines.
+    *
+    * At 100 TB each stage boundary would be materialized to parquet
+    * rather than recomputed by the optimizer's shared-subtree choices;
+    * the one-plan form here is the composition CONTRACT the oracle pins. */
+  def curationLearned(spark: SparkSession, dir: String, quota: Int = 100,
+                      dim: Int = QualityClassifier.DefaultDim): DataFrame = {
+    val dedupWin = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("fp", Dedup.canonicalFp(col("text")))
+      .withColumn("rn", row_number().over(dedupWin))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val labeled = deduped.select(col("doc_id"),
+      col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
+      col("text"))
+    val (model, totals) = QualityClassifier.train(spark, labeled, dim)
+    val scored = deduped.join(
+      QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), model, totals, dim)
+        .select("doc_id", "score"), "doc_id")
+    val tauC = scored.agg(round(expr("percentile(score, 0.5)"), 6).as("tau_c"))
+    val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
+    val ref = deduped.filter(col("source").isin(QualityClassifier.PositiveSources: _*))
+      .select("doc_id", "text")
+    val withPpl = gated.join(
+      LanguageModel.scoreOn(gated.select("doc_id", "text"), ref), "doc_id")
+      .filter(col("n_bigrams") > 0)
+    val tauP = withPpl.agg(round(expr("percentile(ppl, 2.0/3)"), 6).as("tau_p"))
+    val banded = withPpl.crossJoin(broadcast(tauP)).filter(col("ppl") <= col("tau_p"))
+    val rankWin = Window.partitionBy("predicted_lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    banded
+      .withColumn("predicted_lang", TextAnalysis.predictedLang(col("text"))._1)
+      .withColumn("sample_rank", row_number().over(rankWin).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select("doc_id", "predicted_lang", "score", "ppl", "sample_rank")
+      .orderBy("predicted_lang", "sample_rank")
+  }
+
   def curationPipelineSql(minWords: Int = 30, quota: Int = 100): String = s"""
 WITH deduped AS (
   SELECT doc_id, text,
@@ -150,4 +213,117 @@ SELECT doc_id, predicted_lang, n_words, CAST(sample_rank AS BIGINT) AS sample_ra
 FROM ranked WHERE sample_rank <= $quota
 ORDER BY predicted_lang, sample_rank
 """.trim
+
+  /** DuckDB mirror of [[curationLearned]]: the dedup CTE, the NB training
+    * chain (the [[QualityClassifier.querySql]] CTEs over the deduped
+    * corpus), the median gate, the reference-trained bigram LM with
+    * left-join Laplace smoothing ([[LanguageModel.scoreOn]]'s disjoint
+    * form), the 2/3-quantile band, then langid + quota. */
+  def curationLearnedSql(quota: Int = 100,
+                         dim: Int = QualityClassifier.DefaultDim): String = {
+    val pos = QualityClassifier.PositiveSources.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH dd AS (
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+      row_number() OVER (
+        PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ORDER BY doc_id) AS rn
+    FROM documents) t WHERE rn = 1
+), d AS (
+  SELECT doc_id, (source IN ($pos)) AS label, coalesce(text, '') AS text FROM dd
+), toks AS (
+  SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM d
+), hashed AS (
+  SELECT doc_id, label,
+    CAST(CAST(list_sum(list_transform(generate_series(1, 13),
+      i -> (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - i))))) AS BIGINT) % $dim AS INTEGER) AS feat
+  FROM toks
+), tok_tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos_tok,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS n_neg_tok
+  FROM hashed
+), doc_tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS d_pos,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS d_neg
+  FROM d
+), cnt AS (
+  SELECT feat, sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_pos,
+               sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_neg
+  FROM hashed GROUP BY feat
+), nbmodel AS (
+  SELECT f.feat,
+    ln((coalesce(c.c_pos, 0) + 1)::DOUBLE / (t.n_pos_tok + $dim))
+      - ln((coalesce(c.c_neg, 0) + 1)::DOUBLE / (t.n_neg_tok + $dim)) AS llr
+  FROM (SELECT unnest(generate_series(0, $dim - 1)) AS feat) f
+  LEFT JOIN cnt c USING (feat), tok_tot t
+), doc_feat AS (
+  SELECT doc_id, feat, count(*) AS c FROM hashed GROUP BY 1, 2
+), cls AS (
+  SELECT doc_id,
+    round(sum(c::DOUBLE * llr) + ln(d_pos::DOUBLE / d_neg), 6) AS score
+  FROM doc_feat JOIN nbmodel USING (feat), doc_tot
+  GROUP BY doc_id, d_pos, d_neg
+), tau_c AS (
+  SELECT round(quantile_cont(score, 0.5), 6) AS tau_c FROM cls
+), gated AS (
+  SELECT dd.doc_id, dd.source, dd.text, cls.score
+  FROM dd JOIN cls USING (doc_id), tau_c
+  WHERE cls.score >= tau_c.tau_c
+), ref_docs AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(coalesce(text, '')), ' '), t -> len(t) > 0) AS toks
+  FROM dd WHERE source IN ($pos)
+), ref_tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM ref_docs
+), ref_bi AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM ref_tok a JOIN ref_tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM ref_bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM ref_bi GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS vs FROM ref_tok
+), g_docs AS (
+  SELECT doc_id,
+    list_filter(string_split(lower(coalesce(text, '')), ' '), t -> len(t) > 0) AS toks
+  FROM gated
+), g_tok AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM g_docs
+), g_bi AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM g_tok a JOIN g_tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), lm AS (
+  SELECT bi.doc_id,
+    ln((coalesce(c12.c12, 0) + 1.0) / (coalesce(c1.c1, 0) + v.vs)) AS lnp
+  FROM g_bi bi LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+), ppl AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(exp(-avg(lnp)), 3) AS ppl
+  FROM lm GROUP BY doc_id
+), tau_p AS (
+  SELECT round(quantile_cont(ppl, 2.0/3), 6) AS tau_p
+  FROM ppl WHERE n_bigrams > 0
+), banded AS (
+  SELECT g.doc_id, g.text, g.score, p.ppl
+  FROM gated g JOIN ppl p USING (doc_id), tau_p
+  WHERE p.n_bigrams > 0 AND p.ppl <= tau_p.tau_p
+), lang_scored AS (
+  SELECT doc_id, score, ppl, ${TextAnalysis.langScoreColsSql}
+  FROM banded
+), lang_labeled AS (
+  SELECT doc_id, score, ppl, ${TextAnalysis.predictedLangCaseSql} AS predicted_lang
+  FROM lang_scored
+), ranked AS (
+  SELECT doc_id, predicted_lang, score, ppl,
+    row_number() OVER (PARTITION BY predicted_lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM lang_labeled
+)
+SELECT doc_id, predicted_lang, score, ppl, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= $quota
+ORDER BY predicted_lang, sample_rank
+""".trim
+  }
 }

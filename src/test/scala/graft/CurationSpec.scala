@@ -68,6 +68,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("learned curation: dedup runs FIRST (duplicates cannot move the thresholds); short docs degrade out") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, String, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-curlearn").toString
+      rows.toDF("doc_id", "source", "text").write.parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val base = (0 until 40).map { i =>
+      val src = if (i % 5 == 0) "src0" else "srcX"
+      val words = (0 until 8 + i % 7).map(j => s"w${(i * 13 + j * 7) % 23}")
+      (i.toLong, src, words.mkString(" "))
+    } :+ ((40L, "srcX", "solo")) // one-token doc: no bigrams, cannot be banded
+    val clean = mk(base)
+    // duplicate SWARM: exact copies of a few negative docs at higher ids —
+    // if dedup ran after the gates, these would shift the score median and
+    // the perplexity tercile and change which docs survive
+    val dups = mk(base ++ (100 until 130).map(i => (i.toLong, "srcX", base(1)._3)))
+    val a = Sampling.curationLearned(spark, clean).collect().map(_.toString).toSeq
+    val b = Sampling.curationLearned(spark, dups).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty,
+      "exact duplicates leaked past the dedup stage into the learned thresholds")
+    // degradation: the bigram-less doc is dropped, not crashed on
+    assert(!a.exists(_.contains("40,")), "one-token doc cannot be perplexity-banded")
+    // the gates BITE: the composed output is a strict subset of the corpus
+    assert(a.length < 40)
+  }
+
   test("sequence packing: plan is partition-count-invariant and conserves the corpus") {
     val budget = 500L
     val p3 = Packing.packSequences(spark, sf, budget, numPartitions = 3).collect()
