@@ -17,10 +17,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * stream-side work per batch is one token scan and one per-doc
   * aggregate, the same scan-bound shape as the batch operator
   * (SCALING.md round-10 classifier section). Unlike [[IngestGate]] the
-  * gate consults NO accumulated state: scoring is per-document, so
-  * replayed batches simply overwrite-append identical receipts
-  * (at-least-once receipts, content-converged landing — same honest
-  * delivery semantics, simpler ledger). */
+  * gate consults NO accumulated state: scoring is per-document.
+  *
+  * Replay discipline (= [[VectorIngestGate]]'s, converged r11): landing
+  * and receipts are batch_id-partitioned and written with DYNAMIC
+  * partition overwrite, so foreachBatch's at-least-once replay rewrites
+  * its OWN partition with the identical rows (stateless scoring of the
+  * same batch is deterministic) instead of appending duplicates —
+  * exactly-once landing and receipts, reconciled by construction.
+  * Consumers read plain parquet; no dropDuplicates needed. */
 object QualityGate {
 
   /** Score one batch: returns (receipts, admitted-with-text). Duplicate
@@ -42,9 +47,41 @@ object QualityGate {
     (receipts, admitted)
   }
 
+  /** One micro-batch's writes — carved out of [[start]] so the replay
+    * contract is directly testable: called twice with the same batchId
+    * (foreachBatch's at-least-once), the second call dynamically
+    * overwrites the first's batch_id partitions with identical rows. A
+    * crash BETWEEN the two writes is also converged by the same
+    * mechanism: the replay rewrites the receipt partition and writes the
+    * landing partition it lost. */
+  private[graft] def landBatch(batch: DataFrame, batchId: Long,
+                                   model: DataFrame, totals: DataFrame, dim: Int,
+                                   threshold: Double, landingDir: String,
+                                   receiptsDir: String): Unit = {
+    val spark = batch.sparkSession
+    val (receipts, admitted) = gateBatch(batch, model, totals, dim, threshold)
+    receipts.persist()
+    val pmKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(pmKey)
+    spark.conf.set(pmKey, "dynamic")
+    try {
+      receipts.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(receiptsDir)
+      admitted.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(landingDir)
+    } finally {
+      receipts.unpersist()
+      prev match {
+        case Some(v) => spark.conf.set(pmKey, v)
+        case None    => spark.conf.unset(pmKey)
+      }
+    }
+  }
+
   /** Start the gate. `stream` must carry (doc_id: long, text: string);
     * `model`/`totals` come from [[QualityClassifier.train]]. Admitted
-    * docs append to `landingDir`; receipts append to `receiptsDir`. */
+    * docs land in `landingDir`, receipts in `receiptsDir` — both
+    * batch_id-partitioned, replay-overwritten (exactly-once). */
   def start(stream: DataFrame, model: DataFrame, totals: DataFrame,
             landingDir: String, receiptsDir: String, checkpointDir: String,
             dim: Int = QualityClassifier.DefaultDim,
@@ -53,15 +90,9 @@ object QualityGate {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val (receipts, admitted) = gateBatch(batch, model, totals, dim, threshold)
-          receipts.persist()
-          try {
-            receipts.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(receiptsDir)
-            admitted.write.mode("append").parquet(landingDir)
-          } finally receipts.unpersist()
-        }
+        if (!batch.isEmpty)
+          landBatch(batch, batchId, model, totals, dim, threshold,
+            landingDir, receiptsDir)
       }
       .start()
 }

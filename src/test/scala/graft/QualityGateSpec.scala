@@ -63,10 +63,11 @@ class QualityGateSpec extends AnyFunSuite {
     val landedIds = landed.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(landedIds == batchScores.filter(_._2 > threshold).keySet)
     // admitted rows carry their text for downstream consumption
-    assert(landed.columns.toSet == Set("doc_id", "score", "text"))
+    assert(landed.columns.toSet == Set("doc_id", "score", "text", "batch_id"))
 
-    // second batch: replays of doc 101 plus one new arrival — receipts
-    // accrue per attempt (at-least-once, honestly labeled by batch_id)
+    // second batch: a REDELIVERY of doc 101 plus one new arrival — it is
+    // a new batch_id (new data, not a replay), so 101 accrues a second
+    // receipt; replay-of-the-SAME-batch convergence is pinned below
     mem.addData((101L, "some plainly ordinary arriving text"),
       (104L, "a closing arrival"))
     QualityGate.start(stream, model, totals,
@@ -76,5 +77,39 @@ class QualityGateSpec extends AnyFunSuite {
     assert(receipts2.filter(col("doc_id") === 101L).count() == 2)
     assert(receipts2.select("batch_id").distinct().count() == 2)
     model.unpersist(); totals.unpersist()
+  }
+
+  test("replay of the SAME batch_id converges: identical receipts and landing, no duplicates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-qgate-replay").toString
+    val labeled = Seq((1L, true, "alpha bravo alpha"), (2L, false, "zulu xray zulu"))
+      .toDF("doc_id", "label", "text")
+    val dim = 32
+    val (model, totals) = QualityClassifier.train(spark, labeled, dim)
+    val batch = Seq((10L, "alpha alpha bravo"), (11L, "zulu zulu xray"),
+      (12L, "alpha zulu")).toDF("doc_id", "text")
+    def snap(p: String): Seq[String] =
+      spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    QualityGate.landBatch(batch, 7L, model, totals, dim, 0.0,
+      s"$root/landing", s"$root/receipts")
+    val (r1, l1) = (snap(s"$root/receipts"), snap(s"$root/landing"))
+    assert(r1.length == 3 && l1.nonEmpty && l1.length < 3,
+      s"need both outcomes for the pin: receipts=$r1 landing=$l1")
+    // foreachBatch at-least-once: the SAME batch re-lands under the SAME
+    // batch_id — dynamic partition overwrite rewrites its own partition,
+    // so contents are byte-identical, not doubled
+    QualityGate.landBatch(batch, 7L, model, totals, dim, 0.0,
+      s"$root/landing", s"$root/receipts")
+    assert(snap(s"$root/receipts") == r1, "replay duplicated receipts")
+    assert(snap(s"$root/landing") == l1, "replay duplicated landing rows")
+    // crash-between-writes: receipts committed, landing lost — the replay
+    // restores the landing partition and leaves receipts identical
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/landing/batch_id=7"), true)
+    QualityGate.landBatch(batch, 7L, model, totals, dim, 0.0,
+      s"$root/landing", s"$root/receipts")
+    assert(snap(s"$root/landing") == l1 && snap(s"$root/receipts") == r1,
+      "replay did not reconcile a torn receipts/landing pair")
   }
 }
