@@ -1093,6 +1093,73 @@ ORDER BY it
       .orderBy("doc_id")
   }
 
+  /** Per-word token count under a TRAINED merge list, applied by min-rank
+    * iteration — the standard BPE encoder shape (GPT-2's): repeatedly
+    * merge the lowest-rank adjacent pair present, left-to-right
+    * non-overlapping. PROVABLY ≡ applying the merges sequentially (the
+    * engine's replace chain): a merge can only create pairs involving its
+    * OWN output symbol, and any pair containing that symbol was learned
+    * AFTER it existed — i.e. at a later rank — so no earlier-rank pair
+    * ever (re)appears once passed. Cost per word is O(len²) hash lookups
+    * INDEPENDENT of the merge count — what makes a 10k-merge tokenizer
+    * encodable (the replace chain is one Catalyst column per merge: fine
+    * at the k=8 oracle scale, a plan explosion at 10k).
+    * Differential-pinned against [[bpeEncodeCountsOn]] in BpeLocalSpec. */
+  private[graft] def bpeEncodeWordTokens(w: String, merges: Array[(String, String)],
+                                         rank: collection.Map[(String, String), Int]): Int = {
+    var s = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var done = s.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j + 1 < s.length) {
+        rank.get((s(j), s(j + 1))).foreach(r => if (r < best) best = r)
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+        j = 0
+        while (j < s.length) { // left-to-right non-overlapping, all occurrences
+          if (j + 1 < s.length && s(j) == a && s(j + 1) == b) { nb += a + b; j += 2 }
+          else { nb += s(j); j += 1 }
+        }
+        s = nb.toArray
+        done = s.length < 2
+      }
+    }
+    s.length
+  }
+
+  /** [[bpeEncodeCounts]] with a CALLER-SUPPLIED merge list (the
+    * [[bpeMergesLocalOn]] output — the scan→local-loop→encode round trip
+    * a real tokenizer build runs): distinct words encode once via the
+    * min-rank kernel with the broadcast rank map, then one explode +
+    * left join + aggregate over the corpus. Same out-of-vocabulary rule
+    * as the engine encode (short / separator-carrying tokens count 1). */
+  def bpeEncodeCountsLocalOn(documents: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val mArr = merges.toArray
+    val rank: Map[(String, String), Int] = mArr.zipWithIndex.toMap
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+    val vocab = words
+      .filter(length(col("w")) >= 2 && !col("w").contains(BpeSep))
+      .select("w").distinct()
+    val encoded = vocab.as[String]
+      .map(w => (w, bpeEncodeWordTokens(w, mArr, rank).toLong))
+      .toDF("w", "n_tok")
+    words.join(encoded, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("n_tok"), lit(1L))).as("n_bpe_tokens"),
+        count(lit(1)).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle for [[bpeEncodeCounts]]: the shared merge-round CTEs (the
     * final wsK carries each vocabulary word's segmentation), separator
     * counting, LEFT join back to the corpus's whitespace tokens. */

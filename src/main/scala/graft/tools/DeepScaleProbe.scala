@@ -19,6 +19,35 @@ import org.apache.spark.sql.functions._
   * recall tax vs the flat index at the matched (rule / 2·rule) budgets.
   */
 object DeepScaleProbe {
+
+  /** Compressed parquet column-chunk bytes per column of a stored table —
+    * the honest per-tier candidate-scan I/O accounting (footer metadata
+    * only; no data read). */
+  private def parquetColumnBytes(spark: SparkSession,
+                                 table: String): Map[String, Long] = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = loc.getFileSystem(conf)
+    val files = fs.listStatus(loc).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    files.foreach { p =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        rd.getFooter.getBlocks.forEach { b =>
+          b.getColumns.forEach { c =>
+            val name = c.getPath.toDotString.split('.').head
+            acc.update(name, acc.getOrElse(name, 0L) + c.getTotalSize)
+          }
+        }
+      } finally rd.close()
+    }
+    acc.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 1000
@@ -247,6 +276,70 @@ object DeepScaleProbe {
         sweepNatural("flat", cells, Seq(8, rule / 2, rule, 2 * rule, 4 * rule)) { np =>
           IvfIndex.search(spark, tag, queries, nprobe = np)
         }
+        Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
+      }
+      if (tiers("naturalpq")) {
+        // the PQ/ADC tier vs the int8 tier it undercuts (r11 verdict item
+        // 1): same natural truth, same probe budgets; candidate-scan
+        // BYTES are accounted from the parquet footers — the compressed
+        // column-chunk sizes of exactly the columns each tier's scan
+        // reads (bucket pruning selects the same fraction for both, so
+        // the table-level column ratio IS the candidate-scan ratio)
+        val tag = "deepnatpq"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepnatpq").toString
+        val tb = System.nanoTime()
+        IvfIndex.build(emb, idxDir, tag, buckets = 32,
+          pq = graft.operators.Pq.PqSpec())
+        println(f"[naturalpq] IvfIndex.build (+PQ codebooks) " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        val byCol = parquetColumnBytes(spark, IvfIndex.assignTable(tag))
+        def tierBytes(cols: Seq[String]): Long =
+          cols.map(c => byCol.getOrElse(c, 0L)).foldLeft(0L)(_ + _)
+        val common = Seq("vec_id", "cid")
+        println(f"[naturalpq] stored candidate bytes (compressed parquet column chunks): " +
+          f"float=${tierBytes(common ++ Seq("embedding", "nrm"))}%,d  " +
+          f"int8=${tierBytes(common ++ Seq("qvec", "qnrm"))}%,d  " +
+          f"pq=${tierBytes(common ++ Seq("pqcode", "nrm"))}%,d")
+        sweepNatural("int8", cells, Seq(rule, 4 * rule)) { np =>
+          IvfIndex.searchInt8(spark, tag, queries, nprobe = np)
+        }
+        sweepNatural("pq/adc", cells, Seq(rule, 4 * rule)) { np =>
+          IvfIndex.searchPq(spark, tag, queries, nprobe = np)
+        }
+        sweepNatural("pq+rerank(w4)", cells, Seq(rule, 4 * rule)) { np =>
+          IvfIndex.searchPqRerank(spark, tag, queries, nprobe = np, widen = 4)
+        }
+        Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag), IvfIndex.pqModelTable(tag))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
+      }
+      if (tiers("naturaladaptive")) {
+        // the adaptive per-query budget vs the fixed budgets it arbitrates
+        // between (r11 verdict item 2): recall + warm wall of
+        // stability-terminated probing (chunk = rule, cap 4 chunks)
+        // against fixed rule and fixed 4·rule, same natural truth
+        val tag = "deepnatad"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepnatad").toString
+        val tb = System.nanoTime()
+        IvfIndex.build(emb, idxDir, tag, buckets = 32)
+        println(f"[naturaladaptive] IvfIndex.build ${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        sweepNatural("fixed", cells, Seq(rule, 2 * rule, 4 * rule)) { np =>
+          IvfIndex.search(spark, tag, queries, nprobe = np)
+        }
+        val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        sweepNatural("adaptive(cap4)", cells, Seq(rule)) { np =>
+          rounds.clear()
+          IvfIndex.searchAdaptive(spark, tag, queries, chunk = np, maxChunks = 4,
+            onRound = (r, nq) => rounds += ((r, nq)))
+        }
+        val bought = rounds.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        val total = (1 to 4).map(r => bought.getOrElse(r, 0L)).sum
+        println(s"[naturaladaptive] chunks bought per round (last run): " +
+          (1 to 4).map(r => s"r$r=${bought.getOrElse(r, 0L)}").mkString(" ") +
+          f" → mean budget ${total.toDouble / math.max(1L, bought.getOrElse(1, 0L))}%.2f·rule" +
+          s" (fixed 4·rule pays 4.00)")
         Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
           .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }

@@ -33,6 +33,31 @@ class BpeLocalSpec extends AnyFunSuite {
     assert(local == engine)
   }
 
+  test("min-rank local encode ≡ the engine's sequential replace chain; merges compress") {
+    // the encoder leg of the scan→loop→encode round trip: per-word
+    // min-rank application of a trained merge list must reproduce the
+    // engine's k-chained replaces token-for-token
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val k = 8
+    val merges = mergesOf(TextAnalysis.bpeMergesLocalOn(df, k)).map(m => (m._2, m._3))
+    val local = TextAnalysis.bpeEncodeCountsLocalOn(df, merges)
+      .collect().map(_.toString).toSeq
+    val engine = TextAnalysis.bpeEncodeCountsOn(df, k)
+      .collect().map(_.toString).toSeq
+    assert(local == engine && local.nonEmpty)
+    // compression sanity: trained merges strictly reduce total tokens vs
+    // the zero-merge (per-codepoint) segmentation, and every document
+    // still carries at least one token per whitespace word
+    val withM = TextAnalysis.bpeEncodeCountsLocalOn(df, merges)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val noM = TextAnalysis.bpeEncodeCountsLocalOn(df, Seq.empty)
+      .agg(org.apache.spark.sql.functions.sum("n_bpe_tokens")).collect()(0).getLong(0)
+    assert(withM < noM, s"merges bought no compression: $withM vs $noM")
+    TextAnalysis.bpeEncodeCountsLocalOn(df, merges).collect().foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"fewer BPE tokens than words: $r")
+    }
+  }
+
   test("ties break identically under UTF-8 binary order") {
     // 'ab' and 'ba' tie at 2; engine picks (a,b) < (b,a); second round the
     // other pair; also a multi-byte vs ASCII tie: 'é' (0xC3A9) sorts after
