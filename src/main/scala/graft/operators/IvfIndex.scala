@@ -475,7 +475,8 @@ object IvfIndex {
   def searchAdaptive(spark: SparkSession, tag: String, queries: DataFrame,
                      k: Int = 5, chunk: Int = 0, maxChunks: Int = 4,
                      excludeSelf: Boolean = true,
-                     onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+                     onRound: (Int, Long) => Unit = (_, _) => (),
+                     window: Int = 1): DataFrame = {
     import spark.implicits._
     IndexCanary.check(spark, modelTable(tag), assignTable(tag))
     val cents = loadModel(spark, tag)
@@ -530,32 +531,37 @@ object IvfIndex {
         .select("query_id", "rk", "neighbor_id", "cos")
     // round 1: every query
     var prev = ck.statsHonestLocalCheckpoint(topK(scoreChunk(1, None)))
-    onRound(1, queries.count())
-    var active: Seq[Long] = null // null = all queries still active
+    val allIds = queries.select(col("vec_id")).distinct().as[Long].collect().toSeq
+    onRound(1, allIds.size.toLong)
+    // stability streak per query: `window` CONSECUTIVE unchanged rounds
+    // terminate (window 1 = the oracle-pinned default; a higher window
+    // demands stronger evidence before a query stops buying)
+    val win = math.max(1, window)
+    val streak = scala.collection.mutable.HashMap.empty[Long, Int]
+    allIds.foreach(q => streak(q) = 0)
+    var active: Seq[Long] = allIds
     val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 2
-    var continue = rounds >= 2
-    while (continue) {
-      val ids = Option(active)
-      onRound(r, ids.map(_.size.toLong).getOrElse(queries.count()))
+    while (r <= rounds && active.nonEmpty) {
+      onRound(r, active.size.toLong)
       val next = ck.statsHonestLocalCheckpoint(topK(
         prev.select("query_id", "neighbor_id", "cos")
-          .unionAll(scoreChunk(r, ids))))
+          .unionAll(scoreChunk(r, Some(active)))))
       // stability verdict: neighbor-id sequence per query, null-safe full
       // join on (query_id, rk) — a length change is a change too
       val changed = next.select(col("query_id"), col("rk"), col("neighbor_id"))
         .join(prev.select(col("query_id"), col("rk"),
           col("neighbor_id").as("p_nid")), Seq("query_id", "rk"), "full")
         .filter(!(col("neighbor_id") <=> col("p_nid")))
-        .select("query_id").distinct().as[Long].collect().toSeq
-      val changedSet = changed.toSet
+        .select("query_id").distinct().as[Long].collect().toSet
+      active.foreach(q => streak(q) = if (changed(q)) 0 else streak(q) + 1)
+      val (done, cont) = active.partition(q => streak(q) >= win)
       // stable queries keep their (unchanged ≡ prev) rows and stop buying
-      finished += next.filter(!col("query_id").isin(changed: _*))
-      active = changed
+      finished += next.filter(col("query_id").isin(done: _*))
+      active = cont
       prev = ck.statsHonestLocalCheckpoint(
-        next.filter(col("query_id").isin(changed: _*)))
+        next.filter(col("query_id").isin(cont: _*)))
       r += 1
-      continue = r <= rounds && changedSet.nonEmpty
     }
     finished += prev
     finished.reduce(_ unionAll _)

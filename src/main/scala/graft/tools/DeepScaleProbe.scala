@@ -216,7 +216,8 @@ object DeepScaleProbe {
           .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }
     }
-    if (tiers("natural") || tiers("naturalimi")) {
+    if (tiers("natural") || tiers("naturalimi") || tiers("naturalpq") ||
+        tiers("naturaladaptive") || tiers("plantpq")) {
       import graft.operators.RecallEstimator
       // NATURAL-BAND recall (r8 verdict item 3, carried through r9): the
       // planted panel measures the cos 0.86–0.98 gate band; the semantic-
@@ -308,8 +309,45 @@ object DeepScaleProbe {
         sweepNatural("pq/adc", cells, Seq(rule, 4 * rule)) { np =>
           IvfIndex.searchPq(spark, tag, queries, nprobe = np)
         }
-        sweepNatural("pq+rerank(w4)", cells, Seq(rule, 4 * rule)) { np =>
-          IvfIndex.searchPqRerank(spark, tag, queries, nprobe = np, widen = 4)
+        // the widen knob IS the tier's contract: ADC is a candidate
+        // FILTER whose ordering noise the float re-rank absorbs — sweep
+        // how wide the cut must be to recover the float recall
+        for (w <- Seq(4, 16, 64, 256)) {
+          sweepNatural(s"pq+rerank(w$w)", cells, Seq(4 * rule)) { np =>
+            IvfIndex.searchPqRerank(spark, tag, queries, nprobe = np, widen = w)
+          }
+        }
+        Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag), IvfIndex.pqModelTable(tag))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
+      }
+      if (tiers("plantpq")) {
+        // the GATE band (planted cos 0.86–0.98 — the dup/ingest-gate
+        // regime): where the natural band's tight cosine spacing defeats
+        // 8-byte ADC ordering, the gate band's separation should not
+        import graft.operators.RecallEstimator
+        val panel = RecallEstimator.panel(nQueries = 50)
+        val pc = RecallEstimator.plantedCorpus(emb, panel)
+        val tag = "deepplantpq"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplantpq").toString
+        val tb = System.nanoTime()
+        IvfIndex.build(pc, idxDir, tag, buckets = 32,
+          pq = graft.operators.Pq.PqSpec())
+        println(f"[plantpq] IvfIndex.build (+PQ) ${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        println(s"\n| corpus | n | variant | nprobe | warm s | planted recall@5 |")
+        println("|---|---|---|---|---|---|")
+        for ((variant, run) <- Seq[(String, Int => org.apache.spark.sql.DataFrame)](
+          ("int8", np => IvfIndex.searchInt8(spark, tag, panel.queries(spark), nprobe = np)),
+          ("pq/adc", np => IvfIndex.searchPq(spark, tag, panel.queries(spark), nprobe = np)),
+          ("pq+rerank(w4)", np => IvfIndex.searchPqRerank(spark, tag, panel.queries(spark), nprobe = np, widen = 4)))) {
+          def once(): (Double, Double) = {
+            val t0 = System.nanoTime()
+            val rec = RecallEstimator.recallAgainst(panel, run(rule))
+            ((System.nanoTime() - t0) / 1e9, rec)
+          }
+          once(); drop()
+          val (warm, rec) = once(); drop()
+          println(f"| ${factor}x | $n | $variant | $rule (rule) | $warm%.2f | $rec%.3f |")
         }
         Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag), IvfIndex.pqModelTable(tag))
           .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
@@ -325,21 +363,27 @@ object DeepScaleProbe {
         IvfIndex.build(emb, idxDir, tag, buckets = 32)
         println(f"[naturaladaptive] IvfIndex.build ${(System.nanoTime() - tb) / 1e9}%.1f s")
         drop()
-        sweepNatural("fixed", cells, Seq(rule, 2 * rule, 4 * rule)) { np =>
+        sweepNatural("fixed", cells, Seq(rule, 2 * rule, 3 * rule, 4 * rule)) { np =>
           IvfIndex.search(spark, tag, queries, nprobe = np)
         }
-        val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-        sweepNatural("adaptive(cap4)", cells, Seq(rule)) { np =>
-          rounds.clear()
-          IvfIndex.searchAdaptive(spark, tag, queries, chunk = np, maxChunks = 4,
-            onRound = (r, nq) => rounds += ((r, nq)))
+        // grid over (cap, stability window): the question is whether
+        // per-query reallocation beats the fixed recall/budget frontier —
+        // a higher cap lets hard queries go past 4·rule while easy ones
+        // stop early; a higher window demands stronger stability evidence
+        for ((cap, win) <- Seq((4, 1), (4, 2), (8, 1), (8, 2))) {
+          val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          sweepNatural(s"adaptive(cap$cap,w$win)", cells, Seq(rule)) { np =>
+            rounds.clear()
+            IvfIndex.searchAdaptive(spark, tag, queries, chunk = np, maxChunks = cap,
+              onRound = (r, nq) => rounds += ((r, nq)), window = win)
+          }
+          val bought = rounds.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+          val total = (1 to cap).map(r => bought.getOrElse(r, 0L)).sum
+          println(s"[naturaladaptive] cap=$cap w=$win chunks bought per round (last run): " +
+            (1 to cap).map(r => s"r$r=${bought.getOrElse(r, 0L)}").mkString(" ") +
+            f" → mean budget ${total.toDouble / math.max(1L, bought.getOrElse(1, 0L))}%.2f·rule" +
+            s" (fixed 4·rule pays 4.00)")
         }
-        val bought = rounds.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-        val total = (1 to 4).map(r => bought.getOrElse(r, 0L)).sum
-        println(s"[naturaladaptive] chunks bought per round (last run): " +
-          (1 to 4).map(r => s"r$r=${bought.getOrElse(r, 0L)}").mkString(" ") +
-          f" → mean budget ${total.toDouble / math.max(1L, bought.getOrElse(1, 0L))}%.2f·rule" +
-          s" (fixed 4·rule pays 4.00)")
         Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
           .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
       }
