@@ -471,7 +471,16 @@ object IvfIndex {
     * stop a query EARLIER than the cap, so probed work only shrinks.
     * Stability compares NEIGHBOR IDS (rank order), not raw scores — ulp
     * differences must not flip a termination verdict between engines
-    * (the q_ivf_adaptive oracle unrolls the same rounds + rule). */
+    * (the q_ivf_adaptive oracle unrolls the same rounds + rule).
+    *
+    * MEASURED honesty (SCALING.md r11, exact truth): on the synthetic
+    * corpus the policy lands ON the fixed recall-per-probed-cell
+    * frontier — query difficulty there is homogeneous, so per-query
+    * reallocation buys no recall — and each round is a driver barrier
+    * that fixed budgets pay once. Reach for this operator when query
+    * difficulty is genuinely heterogeneous and per-chunk candidate work
+    * dominates the round barrier; otherwise a fixed budget at the same
+    * mean is simpler and faster. */
   def searchAdaptive(spark: SparkSession, tag: String, queries: DataFrame,
                      k: Int = 5, chunk: Int = 0, maxChunks: Int = 4,
                      excludeSelf: Boolean = true,
@@ -577,9 +586,14 @@ object IvfIndex {
     * (vec_id, cid, pqcode, nrm) ONLY: 16 B/candidate vs the int8 tier's
     * 72 B and the float tier's 264 B. Scores are ASYMMETRIC cosine
     * (exact query against the candidate's PQ reconstruction) — ranking
-    * differs from [[search]] by PQ quantization error; at 100 TB probe
-    * WIDE here and re-rank survivors via [[searchPqRerank]]. Requires an
-    * index built with the PQ tier (fails loudly otherwise). */
+    * differs from [[search]] by PQ quantization error, and that error is
+    * BAND-DEPENDENT (measured, SCALING.md r11): gate-band matches
+    * (cos ≥ 0.86) survive it — recall 0.96 raw / 1.00 via
+    * [[searchPqRerank]] widen 4 — while tight natural-band top-k does
+    * not (spacing ~10⁻³ < the 8-byte reconstruction error). Use this
+    * tier for dup/ingest-gate scans; keep [[searchInt8]] for
+    * natural-band semantic search. Requires an index built with the PQ
+    * tier (fails loudly otherwise). */
   def searchPq(spark: SparkSession, tag: String, queries: DataFrame,
                nprobe: Int = 0, k: Int = 5,
                excludeSelf: Boolean = true): DataFrame = {

@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   * independent of the candidate count. Codebooks are `m·k·dsub` doubles
   * (16 KB at the 8×256 default over dim 64) — a trivially broadcast
   * model; training reads the same bounded sample as the coarse quantizer.
+  *
+  * MEASURED deployment guidance (SCALING.md r11, exact truth at 2M):
+  * the tier is BAND-DEPENDENT. In the GATE band (near-dup / ingest-gate
+  * matches at cos ≥ 0.86) ADC holds — recall 0.96 raw, 1.00 with a
+  * widen-4 float re-rank — at 13× less candidate I/O than the float
+  * scan (3.9× below int8). In the tight NATURAL band (corpus top-k
+  * cosines spaced ~10⁻³) an 8-byte code's reconstruction error dwarfs
+  * the spacing and ADC ordering collapses (0.19 raw; re-rank width
+  * claws back slowly). Use PQ for gate-regime scans; keep the int8
+  * tier for natural-band semantic search.
   */
 object Pq {
 
