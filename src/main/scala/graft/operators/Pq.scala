@@ -30,15 +30,17 @@ import org.apache.spark.sql.functions._
   * (16 KB at the 8×256 default over dim 64) — a trivially broadcast
   * model; training reads the same bounded sample as the coarse quantizer.
   *
-  * MEASURED deployment guidance (SCALING.md r11, exact truth at 2M):
-  * the tier is BAND-DEPENDENT. In the GATE band (near-dup / ingest-gate
-  * matches at cos ≥ 0.86) ADC holds — recall 0.96 raw, 1.00 with a
-  * widen-4 float re-rank — at 13× less candidate I/O than the float
-  * scan (3.9× below int8). In the tight NATURAL band (corpus top-k
-  * cosines spaced ~10⁻³) an 8-byte code's reconstruction error dwarfs
-  * the spacing and ADC ordering collapses (0.19 raw; re-rank width
-  * claws back slowly). Use PQ for gate-regime scans; keep the int8
-  * tier for natural-band semantic search.
+  * MEASURED deployment guidance (SCALING.md r11, exact truth at 2M/20M):
+  * the tier is BAND- and CODE-SIZE-dependent. In the GATE band
+  * (near-dup / ingest-gate matches at cos ≥ 0.86) ADC holds — m=8 is
+  * 0.96 raw / 1.00 thinly re-ranked at 13× less candidate I/O than
+  * float (3.9× below int8); m=16 is 1.00 raw. In the tight NATURAL
+  * band (corpus top-k cosines spaced ~10⁻³) an 8-byte code's
+  * reconstruction error dwarfs the spacing and ADC ordering collapses
+  * (0.19 raw), but m=16 under a wide re-rank (widen 256) REACHES the
+  * int8 tier's recall at 2.8× fewer candidate bytes. Rule: m=8 for
+  * pure gate scans, m=16 as the general tier; the re-rank's second
+  * scan is query-sized, so wide widens are cheap.
   */
 object Pq {
 

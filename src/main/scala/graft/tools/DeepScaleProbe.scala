@@ -289,10 +289,14 @@ object DeepScaleProbe {
         // the table-level column ratio IS the candidate-scan ratio)
         val tag = "deepnatpq"
         val idxDir = java.nio.file.Files.createTempDirectory("graft-deepnatpq").toString
+        // SPARK_GRAFT_PQ_M sweeps the code size (m bytes/vector): m=8 is
+        // the default 8-byte code; m=16/32 halve/quarter the per-subspace
+        // dimensionality — finer reconstruction for more scan bytes
+        val pqM = sys.env.get("SPARK_GRAFT_PQ_M").map(_.toInt).getOrElse(8)
         val tb = System.nanoTime()
         IvfIndex.build(emb, idxDir, tag, buckets = 32,
-          pq = graft.operators.Pq.PqSpec())
-        println(f"[naturalpq] IvfIndex.build (+PQ codebooks) " +
+          pq = graft.operators.Pq.PqSpec(m = pqM))
+        println(f"[naturalpq] IvfIndex.build (+PQ m=$pqM codebooks) " +
           f"${(System.nanoTime() - tb) / 1e9}%.1f s")
         drop()
         val byCol = parquetColumnBytes(spark, IvfIndex.assignTable(tag))
@@ -329,10 +333,11 @@ object DeepScaleProbe {
         val pc = RecallEstimator.plantedCorpus(emb, panel)
         val tag = "deepplantpq"
         val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplantpq").toString
+        val pqM = sys.env.get("SPARK_GRAFT_PQ_M").map(_.toInt).getOrElse(8)
         val tb = System.nanoTime()
         IvfIndex.build(pc, idxDir, tag, buckets = 32,
-          pq = graft.operators.Pq.PqSpec())
-        println(f"[plantpq] IvfIndex.build (+PQ) ${(System.nanoTime() - tb) / 1e9}%.1f s")
+          pq = graft.operators.Pq.PqSpec(m = pqM))
+        println(f"[plantpq] IvfIndex.build (+PQ m=$pqM) ${(System.nanoTime() - tb) / 1e9}%.1f s")
         drop()
         println(s"\n| corpus | n | variant | nprobe | warm s | planted recall@5 |")
         println("|---|---|---|---|---|---|")
