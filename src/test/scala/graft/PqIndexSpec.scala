@@ -69,6 +69,36 @@ class PqIndexSpec extends AnyFunSuite {
     } finally drop("pqs")
   }
 
+  test("m=16 codes (the general-tier spec): scores ≡ driver recompute, appendable") {
+    // the code-size axis SCALING measures — dsub drops to 4, codes double
+    val sp16 = Pq.PqSpec(m = 16, k = 8)
+    val dir = Files.createTempDirectory("graft-pq-m16").toString
+    import spark.implicits._
+    try {
+      IvfIndex.build(emb, dir, "pq16", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = sp16)
+      val got = IvfIndex.searchPq(spark, "pq16", emb.filter(col("vec_id") < 8),
+        nprobe = 2).collect()
+      assert(got.nonEmpty)
+      val rows = spark.table(IvfIndex.pqModelTable("pq16"))
+        .select("m", "cid", "centroid", "rot_seed").collect()
+      assert(rows.length == 16 * 8, "16 subspaces × 8 centroids stored")
+      val books = Array.ofDim[Array[Double]](sp16.m, sp16.k)
+      rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val signs = Some(graft.operators.Imi.rotSigns(rows.head.getLong(3)))
+      val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().toMap
+      got.foreach { r =>
+        val (q, nb, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        val expect = Pq.adcDot(Pq.adcTable(vecs(q), books, signs),
+          Pq.encodeVec(vecs(nb), books, signs), sp16.k) /
+          (Similarity.normP(vecs(q)) * Similarity.normP(vecs(nb)))
+        assert(cos == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"m=16 query $q neighbor $nb: $cos vs $expect")
+      }
+    } finally drop("pq16")
+  }
+
   test("PQ re-rank with a non-biting widen ≡ float search; biting widen still top-ks") {
     val dir = Files.createTempDirectory("graft-pq-rr").toString
     try {
