@@ -143,6 +143,15 @@ ORDER BY d.doc_id
     *    (worst-perplexity third) is dropped. Same scalar-threshold
     *    discipline (ppl ≤ the 2/3 quantile). Documents with no bigrams
     *    cannot be banded and are dropped (stated degradation).
+    *  - THRESHOLD HONESTY AT SCALE: `percentile(...)` here is Spark's
+    *    EXACT interpolated percentile — its aggregation buffer holds the
+    *    distinct-value histogram, which is what makes it hash-oracle-able
+    *    against DuckDB's `quantile_cont` but also memory-unbounded on a
+    *    100 TB score column. The deployment substitution is
+    *    `approx_percentile` (bounded sketch, same scalar-broadcast plan
+    *    shape) or a fixed threshold calibrated offline — CCNet itself
+    *    calibrates on a sample. The COMPOSITION contract this operator
+    *    oracles is unchanged by that swap.
     *  - Thresholds compare ROUNDED values on both sides (scores round-6,
     *    ppl round-3, the quantile itself round-6): rounded inputs are
     *    ≥1e-3/1e-6 apart, so the rounded quantile can never be pulled
