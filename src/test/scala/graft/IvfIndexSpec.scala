@@ -234,6 +234,17 @@ class IvfIndexSpec extends AnyFunSuite {
         .collect()
       assert(ad.map(_.getLong(0)).distinct.length == 20)
       assert(ad.forall(_.getInt(1) <= 5))
+      // window=2 demands TWO consecutive stable rounds: on the
+      // full-coverage chunk every query is stable from round 2 on, so
+      // w=2 buys exactly one extra confirmation round (1,2,3 — never 4)
+      // and still answers with the exact full-probe result
+      val rounds2 = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      val fullW2 = IvfIndex.searchAdaptive(spark, "ivxad", q,
+        chunk = 8, maxChunks = 4, window = 2,
+        onRound = (r, n) => rounds2 += ((r, n))).collect().toSeq
+      assert(fullW2 == fixed8)
+      assert(rounds2.map(_._1).toSeq == Seq(1, 2, 3),
+        s"w=2 should buy exactly one confirmation round past w=1: $rounds2")
     } finally drop("ivxad")
   }
 
