@@ -286,6 +286,29 @@ object SparkEntry {
       IvfIndex.searchPqRerank(s, "q_ivfpqrr", e.filter(col("vec_id") < 50),
         nprobe = 2, widen = 2)
     }),
+    // the RESIDUAL PQ tier (IVFADC-proper, Jégou 2011 §IV): codes
+    // quantize rot(x − c_cell), search adds the exact per-(query, cell)
+    // coarse dot — same 16 B/candidate scan as q_ivf_pq, far lower
+    // reconstruction error; oracle unrolls the residual relation, its
+    // rotation, the per-subspace codebooks, and the coarse-term join
+    "q_ivf_pq_res" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfpqres").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfpqres", nCentroids = 8, seed = Similarity.ResidueSeed,
+        pq = Pq.PqSpec(m = 4, k = 8, residual = true))
+      IvfIndex.searchPq(s, "q_ivfpqres", e.filter(col("vec_id") < 50), nprobe = 2)
+    }),
+    // residual-ADC wide → exact-float re-rank; widen=2 makes the cut BITE
+    "q_ivf_pq_res_rerank" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_q_ivfpqresrr").getAbsolutePath
+      IvfIndex.build(e, idxDir, "q_ivfpqresrr", nCentroids = 8, seed = Similarity.ResidueSeed,
+        pq = Pq.PqSpec(m = 4, k = 8, residual = true))
+      IvfIndex.searchPqRerank(s, "q_ivfpqresrr", e.filter(col("vec_id") < 50),
+        nprobe = 2, widen = 2)
+    }),
     // the PERSISTENT product-cell index (the ImiIndex deployment shape
     // past the flat broadcast cap); oracle is Imi.searchSql's literal SQL
     // through the stored bucket-pruned path
@@ -407,6 +430,8 @@ object SparkEntry {
     "q_quality_holdout" -> QualityClassifier.holdoutQuerySql(),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),
     "q_ivf_pq_rerank" -> Pq.ivfSearchPqRerankSql(widen = 2, m = 4, kSub = 8),
+    "q_ivf_pq_res" -> Pq.ivfSearchPqResSql(m = 4, kSub = 8),
+    "q_ivf_pq_res_rerank" -> Pq.ivfSearchPqResRerankSql(widen = 2, m = 4, kSub = 8),
     "q_imi_indexed" -> Imi.searchSql(k1 = 8, nprobe = 4),
     "q_imi_indexed_rot" -> Imi.searchRotSql(k1 = 8, nprobe = 4),
     "q_imi_assign" -> Imi.assignSql(k1 = 8),

@@ -280,19 +280,23 @@ object Imi {
       .toDF("vec_id", "embedding")
   }
 
-  /** SQL mirror of [[rotated]] as a CTE named `rot` over `embeddings`. */
-  def rotCteSql(seed: Long, dim: Int = Similarity.Dim): String = {
+  /** SQL mirror of [[rotated]] as a CTE (default: named `rot`, over
+    * `embeddings`). `src`/`name` generalize it to rotate any
+    * (vec_id, embedding) relation — the residual-PQ oracle rotates the
+    * residual relation with the SAME transform the corpus gets. */
+  def rotCteSql(seed: Long, dim: Int = Similarity.Dim,
+                src: String = "embeddings", name: String = "rot"): String = {
     requireHadamardDim(dim)
     val signs = rotSigns(seed, dim)
     val signList = signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val root = math.sqrt(dim.toDouble).toInt
-    s"""rot AS (
+    s"""$name AS (
   SELECT vec_id, list_transform(generate_series(1, $dim), i ->
     CAST(list_sum(list_transform(generate_series(1, $dim), j ->
       (CASE WHEN bit_count(CAST((i - 1) AS BIGINT) & CAST((j - 1) AS BIGINT)) % 2 = 0
             THEN 1.0 ELSE -1.0 END)
       * ($signList)[j] * CAST(embedding[j] AS DOUBLE))) / $root AS FLOAT)) AS embedding
-  FROM embeddings
+  FROM $src
 )"""
   }
 

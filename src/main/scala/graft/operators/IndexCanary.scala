@@ -55,7 +55,10 @@ object IndexCanary {
     "_ivfmodel" -> Shape(Seq("cid" -> "int", "centroid" -> "array<double>"), None),
     "_pqmodel" -> Shape(
       Seq("m" -> "int", "cid" -> "int", "centroid" -> "array<double>",
-        "msub" -> "int", "ksub" -> "int", "rot_seed" -> "bigint"), None),
+        "msub" -> "int", "ksub" -> "int", "rot_seed" -> "bigint"), None,
+      // absent on pre-residual-tier tables (reads as raw codes — the
+      // legacy posture [[IvfIndex.loadPqModel]] documents)
+      optional = Seq("residual" -> "boolean")),
     "_ivfassign" -> Shape(
       Seq("vec_id" -> "bigint", "cid" -> "int", "embedding" -> "array<float>",
         "nrm" -> "double", "qvec" -> "binary", "qnrm" -> "double"), Some("cid"),

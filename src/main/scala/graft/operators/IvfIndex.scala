@@ -72,7 +72,14 @@ object IvfIndex {
       try {
         val c = Similarity.trainedCentroidArrays(trainBase, cells, iters,
           Similarity.resolveSeed(seed, nCentroids == 0, cells))
-        val b = pqSpec.map(s => Pq.train(trainBase, s, iters))
+        // residual tier (IVFADC-proper): codebooks train on what the codes
+        // will quantize — the residual of each training vector against its
+        // coarse cell. Same bounded sample, one extra nearest-cell pass
+        // over it (sample-sized, never corpus-sized on the auto path).
+        val b = pqSpec.map { s =>
+          Pq.train(if (s.residual) Pq.residualFrame(trainBase, c) else trainBase,
+            s, iters)
+        }
         (c, b)
       } finally if (sampled)
         org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(trainBase)
@@ -91,8 +98,8 @@ object IvfIndex {
     (pqSpec, books) match {
       case (Some(sp), Some(bk)) =>
         val rows = for (mi <- 0 until sp.m; j <- 0 until sp.k)
-          yield (mi, j, bk(mi)(j), sp.m, sp.k, sp.rotSeed)
-        rows.toDF("m", "cid", "centroid", "msub", "ksub", "rot_seed")
+          yield (mi, j, bk(mi)(j), sp.m, sp.k, sp.rotSeed, sp.residual)
+        rows.toDF("m", "cid", "centroid", "msub", "ksub", "rot_seed", "residual")
           .coalesce(1).write.mode(SaveMode.Overwrite)
           .option("path", s"$path/${pqModelTable(tag)}")
           .saveAsTable(pqModelTable(tag))
@@ -107,7 +114,8 @@ object IvfIndex {
     // the float vectors' bytes. pqcode (when the PQ tier is on) is the
     // 8-byte ADC leg — [[searchPq]] prunes down to it, another 8× less.
     val assigned = assignedFrame(base, cents,
-      books.map((_, pqSpec.get.rotSeed.map(Imi.rotSigns(_)))))
+      books.map(bk => PqEnc(bk, pqSpec.get.rotSeed.map(Imi.rotSigns(_)),
+        pqSpec.get.residual)))
     BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
     assigned.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
@@ -115,23 +123,32 @@ object IvfIndex {
       .saveAsTable(assignTable(tag))
   }
 
+  /** PQ encoding context: codebooks, rotation signs, and whether codes
+    * quantize residuals against the coarse model (IVFADC-proper) or raw
+    * rotated vectors. */
+  private final case class PqEnc(books: Array[Array[Array[Double]]],
+                                 signs: Option[Array[Double]],
+                                 residual: Boolean)
+
   /** The assignment relation for a (vec_id, embedding) frame — cell id,
     * float vector + norm, int8 code + norm, and (when the PQ tier is on)
     * the `m`-byte PQ code. One kernel pass; shared by [[build]] and
     * [[assignInto]] so the two writers cannot drift schemas. */
   private def assignedFrame(base: DataFrame, cents: Array[Array[Double]],
-                            pqOpt: Option[(Array[Array[Array[Double]]], Option[Array[Double]])])
+                            pqOpt: Option[PqEnc])
   : DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     pqOpt match {
-      case Some((books, signs)) =>
+      case Some(PqEnc(books, signs, res)) =>
         base.as[(Long, Array[Float])]
           .map { case (id, v) =>
             val q = Similarity.quantizeVec(v)
-            (id, Similarity.nearestCell(v, cents)._1, v, Similarity.normP(v),
+            val cid = Similarity.nearestCell(v, cents)._1
+            val enc = if (res) Pq.residualOf(v, cents(cid)) else v
+            (id, cid, v, Similarity.normP(v),
               q, math.sqrt(Similarity.dotI(q, q).toDouble),
-              Pq.encodeVec(v, books, signs)) }
+              Pq.encodeVec(enc, books, signs)) }
           .toDF("vec_id", "cid", "embedding", "nrm", "qvec", "qnrm", "pqcode")
       case None =>
         base.as[(Long, Array[Float])]
@@ -175,8 +192,8 @@ object IvfIndex {
     // appended vectors get PQ codes iff the index carries the tier — the
     // stored codebook decides, so appends can never drift the schema
     val pqOpt = if (spark.catalog.tableExists(pqModelTable(tag))) {
-      val (books, signs, _) = loadPqModel(spark, tag)
-      Some((books, signs))
+      val pm = loadPqModel(spark, tag)
+      Some(PqEnc(pm.books, pm.signs, pm.residual))
     } else None
     BucketedMaintenance.guardedAppend(spark, Seq(assignTable(tag)),
       rowsPresent = Some(present)) {
@@ -220,12 +237,12 @@ object IvfIndex {
       // tier keeps it with the same m/k/rotation; one without it stays on
       // the auto rule)
       val pqMode: Pq.PqMode = if (spark.catalog.tableExists(pqModelTable(tag))) {
-        val (books, _, kSub) = loadPqModel(spark, tag)
+        val pm = loadPqModel(spark, tag)
         val rot = spark.table(pqModelTable(tag)).select("rot_seed").head() match {
           case r if r.isNullAt(0) => None
           case r => Some(r.getLong(0))
         }
-        Pq.PqSpec(books.length, kSub, rot)
+        Pq.PqSpec(pm.books.length, pm.kSub, rot, pm.residual)
       } else Pq.PqAuto
       build(corpus, path, tag, bk, nCentroids = 0, iters, seed, pqMode)
       true
@@ -268,14 +285,28 @@ object IvfIndex {
       cents
     }
 
+  /** Loaded PQ model: codebooks, rotation signs, per-subspace codebook
+    * size, and the residual flag. */
+  private final case class PqModel(books: Array[Array[Array[Double]]],
+                                   signs: Option[Array[Double]],
+                                   kSub: Int, residual: Boolean)
+
   /** Driver-side PQ codebooks + rotation signs + per-subspace codebook
     * size, cached like the coarse model (the table is immutable outside
-    * build/rebuild). `m·k·dsub` doubles — 16 KB at the 8×256 default. */
-  private def loadPqModel(spark: SparkSession, tag: String)
-  : (Array[Array[Array[Double]]], Option[Array[Double]], Int) =
+    * build/rebuild). `m·k·dsub` doubles — 16 KB at the 8×256 default.
+    * Tables written before the residual tier existed lack the `residual`
+    * column → raw codes (the column's absence IS the legacy flag, same
+    * posture as the rotation-seed table property). */
+  private def loadPqModel(spark: SparkSession, tag: String): PqModel =
     BucketedMaintenance.cachedByVersion(spark, pqModelTable(tag)) {
-      val rows = spark.table(pqModelTable(tag))
-        .select("m", "cid", "centroid", "msub", "ksub", "rot_seed").collect()
+      val t = spark.table(pqModelTable(tag))
+      val hasRes = t.schema.fieldNames.contains("residual")
+      val rows = (if (hasRes)
+          t.select(col("m"), col("cid"), col("centroid"), col("msub"),
+            col("ksub"), col("rot_seed"), col("residual"))
+        else
+          t.select(col("m"), col("cid"), col("centroid"), col("msub"),
+            col("ksub"), col("rot_seed"), lit(false).as("residual"))).collect()
       require(rows.nonEmpty, s"PQ model table ${pqModelTable(tag)} is empty")
       val m = rows.head.getInt(3)
       val k = rows.head.getInt(4)
@@ -284,7 +315,7 @@ object IvfIndex {
       rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
       require(books.forall(_.forall(_ != null)),
         s"PQ model table ${pqModelTable(tag)} has gaps in (m, cid) space")
-      (books, rot.map(Imi.rotSigns(_)), k)
+      PqModel(books, rot.map(Imi.rotSigns(_)), k, rows.head.getBoolean(6))
     }
 
   /** Top-k cosine neighbors for `queries` (`vec_id`, `embedding`) against
@@ -592,8 +623,12 @@ object IvfIndex {
     * [[searchPqRerank]] widen 4 — while tight natural-band top-k does
     * not (spacing ~10⁻³ < the 8-byte reconstruction error). Use this
     * tier for dup/ingest-gate scans; keep [[searchInt8]] for
-    * natural-band semantic search. Requires an index built with the PQ
-    * tier (fails loudly otherwise). */
+    * natural-band semantic search. An index built with
+    * `PqSpec(residual = true)` (IVFADC-proper — see [[Pq.PqSpec]])
+    * scores `dot(q, c_cell) + ADC(residual code)` automatically: same
+    * scan bytes, tighter reconstruction (PqIndexSpec pins the error
+    * ordering; SCALING.md r12 the recall consequence). Requires an
+    * index built with the PQ tier (fails loudly otherwise). */
   def searchPq(spark: SparkSession, tag: String, queries: DataFrame,
                nprobe: Int = 0, k: Int = 5,
                excludeSelf: Boolean = true): DataFrame = {
@@ -615,19 +650,34 @@ object IvfIndex {
       s"index `$tag` has no PQ tier (${pqModelTable(tag)} absent) — rebuild with " +
         "pq = Pq.PqSpec(...) or let Pq.PqAuto engage at scale")
     val cents = loadModel(spark, tag)
-    val (books, signs, kSub) = loadPqModel(spark, tag)
+    val pm = loadPqModel(spark, tag)
+    val (books, signs) = (pm.books, pm.signs)
     val np = if (nprobe == 0) Similarity.nprobeFor(cents.length) else nprobe
     spark.catalog.refreshTable(assignTable(tag))
+    // residual tier: each probe row carries the EXACT coarse term
+    // dot(q, c_cell) — one double per (query, probed cell), computed in
+    // the same kernel that ranks the cells; candidate-count-independent
     val probes = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      queries.select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-        .flatMap { case (id, v) =>
-          Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
-            .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
-            .iterator.take(math.max(1, np))
-            .map { case (_, cid) => (id, cid) }
-        }
-        .toDF("query_id", "cid"))
+      if (pm.residual)
+        queries.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+              .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+              .iterator.take(math.max(1, np))
+              .map { case (_, cid) => (id, cid, Pq.coarseDot(v, cents(cid))) }
+          }
+          .toDF("query_id", "cid", "qc")
+      else
+        queries.select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .flatMap { case (id, v) =>
+            Array.tabulate(cents.length)(c => (Similarity.dist2P(v, cents(c)), c))
+              .sorted // (dist2 ASC, cid ASC) — the pinned tie-break
+              .iterator.take(math.max(1, np))
+              .map { case (_, cid) => (id, cid) }
+          }
+          .toDF("query_id", "cid"))
     val qtabs = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
       queries.select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
@@ -645,11 +695,12 @@ object IvfIndex {
       .join(probes, "cid")
       .join(qtabs.select("query_id", "tab", "nq"), "query_id")
     val cand = if (excludeSelf) joined.filter(col("vec_id") =!= col("query_id")) else joined
+    val adcCol = expr(s"${graft.plans.AdcLookup.FuncName}(tab, pqcode, ${pm.kSub})")
+    val approx = if (pm.residual) col("qc") + adcCol else adcCol
     val scored = cand
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cid"),
         when(col("nq") === 0 || col("nrm") === 0, lit(0.0))
-          .otherwise(expr(s"${graft.plans.AdcLookup.FuncName}(tab, pqcode, $kSub)")
-            / (col("nq") * col("nrm"))).as("cos"))
+          .otherwise(approx / (col("nq") * col("nrm"))).as("cos"))
     (qtabs, scored)
   }
 

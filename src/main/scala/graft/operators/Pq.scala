@@ -51,8 +51,16 @@ object Pq {
   sealed trait PqMode
   case object PqOff extends PqMode
   case object PqAuto extends PqMode
+  /** `residual = true` is IVFADC-proper (Jégou 2011 §IV): the code
+    * quantizes `rot(x − c_cell)` instead of `rot(x)`. Residuals inside a
+    * cell span a fraction of the corpus's variance, so the same `m` bytes
+    * buy a much smaller reconstruction error — at IDENTICAL candidate-scan
+    * bytes. Search adds the exact per-(query, cell) coarse term
+    * `dot(q, c_cell)` (nprobe dots per query, candidate-count-independent):
+    * `score = (dot(q, c) + ADC(rot q, code)) / (|q|·|x|)`. */
   final case class PqSpec(m: Int = DefaultM, k: Int = DefaultK,
-                          rotSeed: Option[Long] = Some(Imi.RotSeed)) extends PqMode
+                          rotSeed: Option[Long] = Some(Imi.RotSeed),
+                          residual: Boolean = false) extends PqMode
 
   val DefaultM = 8
   val DefaultK = 256
@@ -85,6 +93,36 @@ object Pq {
         slice(col("embedding"), mi * dsub + 1, dsub).as("embedding"))
       Similarity.trainedCentroidArrays(sl, spec.k, iters, Similarity.ResidueSeed, dsub)
     }
+  }
+
+  /** The residual a cell leaves unexplained: `(v_i − c_i)` in double,
+    * narrowed to FLOAT — the exact element type the rotation kernel and
+    * the DuckDB oracle's residual CTE both consume, so driver and oracle
+    * quantize bit-identical inputs. */
+  def residualOf(v: Array[Float], cent: Array[Double]): Array[Float] =
+    Array.tabulate(v.length)(i => (v(i).toDouble - cent(i)).toFloat)
+
+  /** Exact coarse term `dot(q, c_cell)` — ascending-dimension double
+    * accumulation, the pinned oracle order (one per probed cell, never
+    * per candidate). */
+  def coarseDot(v: Array[Float], cent: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * cent(i); i += 1 }
+    s
+  }
+
+  /** Residual relation of a (vec_id, embedding) frame against a coarse
+    * model — what the residual tier's codebooks train on. Feeding this to
+    * [[train]] reuses the whole raw-tier pipeline: train never needs to
+    * know whether its input is vectors or residuals. */
+  def residualFrame(base: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (id, residualOf(v, cents(Similarity.nearestCell(v, cents)._1))) }
+      .toDF("vec_id", "embedding")
   }
 
   /** `m`-byte PQ code of one vector: nearest sub-centroid per subspace
@@ -249,6 +287,121 @@ ${Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
   JOIN nrm qn ON qn.vec_id = c.query_id
   JOIN nrm bn ON bn.vec_id = c.neighbor_id
 )"""
+
+  /** Residual-tier relations: `res` (the float residual of each vector
+    * against its assigned coarse centroid — element-exact twin of
+    * [[residualOf]]), its rotation `rotres` (codebook/code source), and
+    * the rotated QUERY relation `qrot` (qtab source — queries rotate
+    * whole, residuals are a stored-side concept). All MATERIALIZED: the
+    * m codebook chains re-reference their source ~20× (the r11 rot
+    * lesson — inlining re-rotates the corpus per reference). Returns
+    * (cte fragment, codebook src, qtab src). */
+  private def residualCtes(dim: Int, rotSeed: Option[Long],
+                           nQueries: Int): (String, String, String) = {
+    val res = s"""res AS MATERIALIZED (
+  SELECT e.vec_id, list_transform(generate_series(1, $dim),
+    i -> CAST(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i] AS FLOAT)) AS embedding
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id JOIN cent c ON c.cid = a.cid
+)"""
+    rotSeed match {
+      case Some(seed) =>
+        val rr = Imi.rotCteSql(seed, dim, "res", "rotres")
+          .replaceFirst("^rotres AS \\(", "rotres AS MATERIALIZED (")
+        val qr = Imi.rotCteSql(seed, dim,
+            s"(SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries)", "qrot")
+          .replaceFirst("^qrot AS \\(", "qrot AS MATERIALIZED (")
+        (s"$res,\n$rr,\n$qr", "rotres", "qrot")
+      case None => (res, "res", "embeddings")
+    }
+  }
+
+  /** Exact coarse term per (query, cell): `qcd(query_id, cid, qc)` — the
+    * SQL twin of [[coarseDot]] (original space, both sides unrotated). */
+  private def qcdCte(dim: Int, nQueries: Int): String = s"""qcd AS (
+  SELECT e.vec_id AS query_id, c.cid,
+    list_sum(list_transform(generate_series(1, $dim),
+      i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])) AS qc
+  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < $nQueries
+)"""
+
+  /** Residual ADC score CTE: `qc(query, neighbor's cell) + m table
+    * lookups`, over the true norms — the candidate's cell rides in from
+    * `assign`. */
+  private def simsResCte(m: Int, k: Int): String = s"""sims AS (
+  SELECT c.query_id, c.neighbor_id,
+    CASE WHEN qn.nrm = 0 OR bn.nrm = 0 THEN 0.0
+      ELSE (qcd.qc + list_sum(list_transform(generate_series(1, $m),
+        mm -> qt.tab[(mm - 1) * $k + cd.code[mm] + 1]))) / (qn.nrm * bn.nrm) END AS cos
+  FROM cand c
+  JOIN assign a2 ON a2.vec_id = c.neighbor_id
+  JOIN qcd ON qcd.query_id = c.query_id AND qcd.cid = a2.cid
+  JOIN qtab qt ON qt.vec_id = c.query_id
+  JOIN codes cd ON cd.vec_id = c.neighbor_id
+  JOIN nrm qn ON qn.vec_id = c.query_id
+  JOIN nrm bn ON bn.vec_id = c.neighbor_id
+)"""
+
+  /** Full relational oracle for the RESIDUAL tier ([[IvfIndex.searchPq]]
+    * over a `PqSpec(residual = true)` index): coarse chain, residual
+    * relation + rotation, per-subspace codebooks trained on rotated
+    * residuals, codes, rotated-query ADC tables, exact coarse terms,
+    * residual ADC scoring, top-k. */
+  def ivfSearchPqResSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                        nQueries: Int = 50, m: Int = 4, kSub: Int = 8,
+                        rotSeed: Option[Long] = Some(Imi.RotSeed),
+                        dim: Int = Similarity.Dim,
+                        iters: Int = Similarity.LloydIters): String = {
+    val (frag, bookSrc, qSrc) = residualCtes(dim, rotSeed, nQueries)
+    s"""WITH ${coarseCtes(nCentroids, nprobe, nQueries, dim, iters)},
+$frag,
+${codebookCtes(m, kSub, iters, bookSrc, dim)},
+${qtabCtes(m, kSub, qSrc, dim, nQueries)},
+${qcdCte(dim, nQueries)},
+$NrmCte,
+${simsResCte(m, kSub)}, ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM sims
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk
+""".trim
+  }
+
+  /** Oracle for the residual tier's ADC-wide → exact-float re-rank
+    * ([[IvfIndex.searchPqRerank]] over a residual index). */
+  def ivfSearchPqResRerankSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                              widen: Int = 4, nQueries: Int = 50, m: Int = 4,
+                              kSub: Int = 8,
+                              rotSeed: Option[Long] = Some(Imi.RotSeed),
+                              dim: Int = Similarity.Dim,
+                              iters: Int = Similarity.LloydIters): String = {
+    val (frag, bookSrc, qSrc) = residualCtes(dim, rotSeed, nQueries)
+    s"""WITH ${coarseCtes(nCentroids, nprobe, nQueries, dim, iters)},
+$frag,
+${codebookCtes(m, kSub, iters, bookSrc, dim)},
+${qtabCtes(m, kSub, qSrc, dim, nQueries)},
+${qcdCte(dim, nQueries)},
+$NrmCte,
+${simsResCte(m, kSub)}, wide AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rw
+    FROM sims) t WHERE rw <= ${k * widen}
+), simsf AS (
+  SELECT w.query_id, w.neighbor_id, ${Similarity.CosineSqlExpr} AS cos
+  FROM wide w
+  JOIN embeddings a ON a.vec_id = w.query_id
+  JOIN embeddings b ON b.vec_id = w.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+  FROM simsf
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk
+""".trim
+  }
 
   private def withRot(rotSeed: Option[Long], body: String): (String, String) =
     rotSeed match {

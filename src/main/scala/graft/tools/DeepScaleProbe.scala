@@ -293,10 +293,13 @@ object DeepScaleProbe {
         // the default 8-byte code; m=16/32 halve/quarter the per-subspace
         // dimensionality — finer reconstruction for more scan bytes
         val pqM = sys.env.get("SPARK_GRAFT_PQ_M").map(_.toInt).getOrElse(8)
+        // SPARK_GRAFT_PQ_RES=1 switches to the residual tier (IVFADC-
+        // proper): same code bytes, codes quantize rot(x − c_cell)
+        val pqRes = sys.env.get("SPARK_GRAFT_PQ_RES").contains("1")
         val tb = System.nanoTime()
         IvfIndex.build(emb, idxDir, tag, buckets = 32,
-          pq = graft.operators.Pq.PqSpec(m = pqM))
-        println(f"[naturalpq] IvfIndex.build (+PQ m=$pqM codebooks) " +
+          pq = graft.operators.Pq.PqSpec(m = pqM, residual = pqRes))
+        println(f"[naturalpq] IvfIndex.build (+PQ m=$pqM residual=$pqRes codebooks) " +
           f"${(System.nanoTime() - tb) / 1e9}%.1f s")
         drop()
         val byCol = parquetColumnBytes(spark, IvfIndex.assignTable(tag))
@@ -334,10 +337,12 @@ object DeepScaleProbe {
         val tag = "deepplantpq"
         val idxDir = java.nio.file.Files.createTempDirectory("graft-deepplantpq").toString
         val pqM = sys.env.get("SPARK_GRAFT_PQ_M").map(_.toInt).getOrElse(8)
+        val pqRes = sys.env.get("SPARK_GRAFT_PQ_RES").contains("1")
         val tb = System.nanoTime()
         IvfIndex.build(pc, idxDir, tag, buckets = 32,
-          pq = graft.operators.Pq.PqSpec(m = pqM))
-        println(f"[plantpq] IvfIndex.build (+PQ m=$pqM) ${(System.nanoTime() - tb) / 1e9}%.1f s")
+          pq = graft.operators.Pq.PqSpec(m = pqM, residual = pqRes))
+        println(f"[plantpq] IvfIndex.build (+PQ m=$pqM residual=$pqRes) " +
+          f"${(System.nanoTime() - tb) / 1e9}%.1f s")
         drop()
         println(s"\n| corpus | n | variant | nprobe | warm s | planted recall@5 |")
         println("|---|---|---|---|---|---|")

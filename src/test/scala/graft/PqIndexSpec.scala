@@ -99,6 +99,114 @@ class PqIndexSpec extends AnyFunSuite {
     } finally drop("pq16")
   }
 
+  test("residual tier: stored searchPq ≡ driver qc + residual-ADC recompute") {
+    val dir = Files.createTempDirectory("graft-pq-res").toString
+    import spark.implicits._
+    val spR = Pq.PqSpec(m = 4, k = 8, residual = true)
+    try {
+      IvfIndex.build(emb, dir, "pqres", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = spR)
+      // the model table carries the flag — a reader can tell the tiers apart
+      val mrows = spark.table(IvfIndex.pqModelTable("pqres"))
+        .select("m", "cid", "centroid", "rot_seed", "residual").collect()
+      assert(mrows.forall(_.getBoolean(4)), "residual flag not stored")
+      val got = IvfIndex.searchPq(spark, "pqres", emb.filter(col("vec_id") < 10),
+        nprobe = 2).collect()
+      assert(got.nonEmpty)
+      val books = Array.ofDim[Array[Double]](spR.m, spR.k)
+      mrows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val signs = Some(graft.operators.Imi.rotSigns(mrows.head.getLong(3)))
+      val crows = spark.table(IvfIndex.modelTable("pqres"))
+        .select("cid", "centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val cents = Array.tabulate(crows.size)(crows(_))
+      val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().toMap
+      got.foreach { r =>
+        val (q, nb, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        val vq = vecs(q); val vn = vecs(nb)
+        val cell = Similarity.nearestCell(vn, cents)._1
+        val code = Pq.encodeVec(Pq.residualOf(vn, cents(cell)), books, signs)
+        val expect = (Pq.coarseDot(vq, cents(cell)) +
+          Pq.adcDot(Pq.adcTable(vq, books, signs), code, spR.k)) /
+          (Similarity.normP(vq) * Similarity.normP(vn))
+        assert(cos == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"residual query $q neighbor $nb: $cos vs $expect")
+      }
+    } finally drop("pqres")
+  }
+
+  test("residual tier: non-biting re-rank ≡ float search; appends encode residuals") {
+    val dir = Files.createTempDirectory("graft-pq-res-rr").toString
+    import spark.implicits._
+    val spR = Pq.PqSpec(m = 4, k = 8, residual = true)
+    try {
+      IvfIndex.build(emb.filter(col("vec_id") >= 40), dir, "pqresrr",
+        nCentroids = 8, seed = Similarity.ResidueSeed, pq = spR)
+      val arrivals = emb.filter(col("vec_id") < 40)
+      IvfIndex.assignInto(spark, "pqresrr", arrivals)
+      // appended rows carry residual codes computed with the STORED models
+      val mrows = spark.table(IvfIndex.pqModelTable("pqresrr"))
+        .select("m", "cid", "centroid", "rot_seed").collect()
+      val books = Array.ofDim[Array[Double]](spR.m, spR.k)
+      mrows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val signs = Some(graft.operators.Imi.rotSigns(mrows.head.getLong(3)))
+      val crows = spark.table(IvfIndex.modelTable("pqresrr"))
+        .select("cid", "centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val cents = Array.tabulate(crows.size)(crows(_))
+      val appended = spark.table(IvfIndex.assignTable("pqresrr"))
+        .join(arrivals.select("vec_id"), "vec_id")
+        .select(col("vec_id"), col("pqcode"), col("embedding"))
+        .as[(Long, Array[Byte], Array[Float])].collect()
+      assert(appended.length == arrivals.count())
+      appended.foreach { case (id, code, v) =>
+        val cell = Similarity.nearestCell(v, cents)._1
+        assert(code.toSeq ==
+          Pq.encodeVec(Pq.residualOf(v, cents(cell)), books, signs).toSeq,
+          s"vec $id not residual-encoded with the stored models")
+      }
+      // a non-biting widen recovers the exact float search through the
+      // residual first pass too
+      val q = emb.filter(col("vec_id") < 20)
+      val all = IvfIndex.searchPqRerank(spark, "pqresrr", q, nprobe = 2,
+        widen = 100000).collect().toSeq
+      val float = IvfIndex.search(spark, "pqresrr", q, nprobe = 2).collect().toSeq
+      assert(all == float && all.nonEmpty,
+        "non-biting residual-ADC cut must reproduce the exact float search")
+    } finally drop("pqresrr")
+  }
+
+  test("residual codes reconstruct tighter: mean |ADC − float| cosine error shrinks") {
+    // the tier's reason to exist, pinned where it is cheap to verify: at
+    // IDENTICAL code bytes (m=4, k=8), quantizing rot(x − c_cell) must
+    // approximate the true cosine better than quantizing rot(x) — the
+    // within-cell residual spans a fraction of the corpus variance
+    // (Jégou 2011 §IV). SCALING.md r12 measures the recall consequence
+    // at 2M/20M; this spec pins the mechanism on the spec corpus.
+    val dirA = Files.createTempDirectory("graft-pq-err-raw").toString
+    val dirB = Files.createTempDirectory("graft-pq-err-res").toString
+    try {
+      IvfIndex.build(emb, dirA, "pqerrraw", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = Pq.PqSpec(m = 4, k = 8))
+      IvfIndex.build(emb, dirB, "pqerrres", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = Pq.PqSpec(m = 4, k = 8, residual = true))
+      val q = emb.filter(col("vec_id") < 30)
+      def meanErr(tag: String): Double = {
+        val adc = IvfIndex.searchPq(spark, tag, q, nprobe = 2, k = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+        val fl = IvfIndex.search(spark, tag, q, nprobe = 2, k = 50)
+          .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+        val common = adc.keySet & fl.keySet
+        assert(common.nonEmpty)
+        common.iterator.map(k => math.abs(adc(k) - fl(k))).sum / common.size
+      }
+      val (eRaw, eRes) = (meanErr("pqerrraw"), meanErr("pqerrres"))
+      assert(eRes < eRaw,
+        f"residual ADC error $eRes%.5f not below raw $eRaw%.5f at equal code bytes")
+    } finally { drop("pqerrraw"); drop("pqerrres") }
+  }
+
   test("PQ re-rank with a non-biting widen ≡ float search; biting widen still top-ks") {
     val dir = Files.createTempDirectory("graft-pq-rr").toString
     try {
