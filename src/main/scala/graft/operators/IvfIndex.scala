@@ -737,6 +737,69 @@ object IvfIndex {
     topKScored(scoredF, k)
   }
 
+  /** k = 1 gate composition over the PQ tier: ADC scores go through
+    * [[graft.plans.ArgMaxBest]] (HashAggregateExec — the candidate
+    * relation is NEVER sorted, the property the 20M dup gate depends
+    * on; a rerank-tier window cut would reintroduce exactly that sort),
+    * then the ONE arg-max survivor per query is re-scored in exact
+    * float cosine via a bucket-pruned scan of the survivors' cells.
+    * Contract difference vs [[searchPqRerank]](k = 1): the cut is width
+    * 1 in the CHEAP tier's order — the returned cos is the exact float
+    * cosine OF THE TIER'S ARG-MAX candidate, not necessarily the
+    * float-best. Dup-gate geometry is what makes width 1 usable: a
+    * stored near-copy sits at the top of the ADC range, far above
+    * generic neighbors (verdict agreement vs the float gate measured in
+    * SCALING.md r12); semantic gates should stay on [[search]] /
+    * [[searchRerank]]. */
+  def searchPqBestRescored(spark: SparkSession, tag: String, queries: DataFrame,
+                           nprobe: Int = 0,
+                           excludeSelf: Boolean = true): DataFrame = {
+    val (qtabs, scored) = pqStage(spark, tag, queries, nprobe, excludeSelf)
+    bestRescored(spark, tag, qtabs.select("query_id", "vq", "nq"), scored)
+  }
+
+  /** [[searchPqBestRescored]] over the int8 tier — same sort-free
+    * arg-max + single-survivor float re-score, 4× scan-byte cut instead
+    * of the PQ tier's ~13×. */
+  def searchInt8BestRescored(spark: SparkSession, tag: String, queries: DataFrame,
+                             nprobe: Int = 0,
+                             excludeSelf: Boolean = true): DataFrame = {
+    val (probes, scored8) = int8Stage(spark, tag, queries, nprobe, excludeSelf)
+    bestRescored(spark, tag,
+      probes.select("query_id", "vq", "nq").dropDuplicates("query_id"), scored8)
+  }
+
+  /** Shared tail of the `*BestRescored` gate compositions: arg-max on
+    * the cheap-tier score with the cell id riding the payload slot
+    * (fixed-width HashAggregate buffer — map-side combine keeps ONE row
+    * per query per split), then one bucket-pruned float scan joined to
+    * the survivor-per-query relation. Output contract = [[search]] with
+    * k = 1. */
+  private def bestRescored(spark: SparkSession, tag: String,
+                           qvecs: DataFrame, scored: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.plans.ArgMaxBest.ensureRegistered(spark)
+    graft.plans.DotFloat.ensureRegistered(spark)
+    // checkpointed: feeds both the survivor-cell collect and the re-score
+    // join (one tiny row per query)
+    val best = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      scored.groupBy("query_id")
+        .agg(expr(s"${graft.plans.ArgMaxBest.FuncName}(" +
+          "cos, neighbor_id, cast(cid as bigint))").as("b"))
+        .select(col("query_id"), col("b.id").as("neighbor_id"),
+          col("b.payload").cast("int").as("cid")))
+    val cells = best.select("cid").distinct().as[Int].collect().toSeq
+    val floats = spark.table(assignTable(tag))
+      .select(col("vec_id").as("neighbor_id"), col("cid"), col("embedding"), col("nrm"))
+      .filter(col("cid").isin(cells: _*))
+    best.join(floats, Seq("neighbor_id", "cid"))
+      .join(qvecs, "query_id")
+      .select(col("query_id"), lit(1).as("rk"), col("neighbor_id"),
+        round(expr(s"${graft.plans.DotFloat.FuncName}(vq, embedding)")
+          / (col("nq") * col("nrm")), 6).as("cos"))
+      .orderBy("query_id")
+  }
+
   /** Top-k per query over `(query_id, neighbor_id, cos)` with the pinned
     * (cos DESC, neighbor_id ASC) tie-break. k = 1 — the streaming gate's
     * shape — goes through [[graft.plans.ArgMaxBest]] (HashAggregateExec

@@ -69,9 +69,15 @@ object Pq {
     * reliably populated. */
   val AutoMinRows: Long = 100000L
 
+  /** PqAuto resolves to RESIDUAL codes: at identical code bytes the
+    * residual tier dominated raw codes on every measured band at 2M
+    * (SCALING.md r12 — gate raw 0.972 vs 0.960, natural w256 0.892 vs
+    * 0.848 at m=8), for one extra sample-sized nearest-cell pass at
+    * build and nprobe coarse dots per query at search. Oracle configs
+    * pass explicit specs and are untouched. */
   private[operators] def resolve(mode: PqMode, n: Long): Option[PqSpec] = mode match {
     case PqOff => None
-    case PqAuto => if (n >= AutoMinRows) Some(PqSpec()) else None
+    case PqAuto => if (n >= AutoMinRows) Some(PqSpec(residual = true)) else None
     case s: PqSpec => Some(s)
   }
 

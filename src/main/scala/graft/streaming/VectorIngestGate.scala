@@ -81,6 +81,23 @@ object VectorIngestGate {
   private def resolveNprobe(nprobe: Int, threshold: Double): Int =
     if (nprobe == 0 && threshold >= DupGateThreshold) DupGateNprobe else nprobe
 
+  /** Candidate-scoring storage tier for the gate's probe search. Every
+    * tier verdicts on an EXACT float cosine (the byte tiers re-score
+    * their arg-max survivor in float — [[graft.operators.IvfIndex.searchPqBestRescored]]),
+    * so the threshold semantics never change; what varies is the
+    * candidate-scan I/O (float 264 B/candidate, int8 72 B, PQ 16 B) and
+    * the possibility that the float-best match is not the cheap tier's
+    * arg-max — in the dup-gate regime a stored near-copy dominates the
+    * byte-tier order too (it reconstructs like its stored source), so
+    * the verdict survives; SCALING.md r12 measures the agreement at 2M.
+    * Byte tiers keep the dup gate's no-candidate-sort property
+    * (arg-max, not a window cut). [[PqTier]] requires the index built
+    * with the PQ tier. */
+  sealed trait ScoreTier
+  case object FloatTier extends ScoreTier
+  case object Int8Tier extends ScoreTier
+  case object PqTier extends ScoreTier
+
   /** Gate one batch (vec_id, embedding) against the index; returns
     * (receipts, kept). Receipts: one row per arrival —
     * (vec_id, dup_of, cos, is_dup). Exposed for direct batch use and
@@ -96,12 +113,18 @@ object VectorIngestGate {
     * still reconciles with landing and index content (`dup_of`/`cos`
     * keep the observed self-match — an honest replay marker). */
   def gateBatch(tag: String, batch: DataFrame, threshold: Double,
-                nprobe: Int): (DataFrame, DataFrame) = {
+                nprobe: Int, tier: ScoreTier = FloatTier): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val arrivals = batch.select(col("vec_id"), col("embedding"))
-    val best = IvfIndex.search(spark, tag, arrivals,
-        nprobe = resolveNprobe(nprobe, threshold), k = 1,
-        excludeSelf = false)
+    val np = resolveNprobe(nprobe, threshold)
+    val best = (tier match {
+        case FloatTier => IvfIndex.search(spark, tag, arrivals,
+          nprobe = np, k = 1, excludeSelf = false)
+        case Int8Tier => IvfIndex.searchInt8BestRescored(spark, tag, arrivals,
+          nprobe = np, excludeSelf = false)
+        case PqTier => IvfIndex.searchPqBestRescored(spark, tag, arrivals,
+          nprobe = np, excludeSelf = false)
+      })
       .select(col("query_id").as("vec_id"), col("neighbor_id").as("dup_of"),
         col("cos"))
     // CHECKPOINT the verdicts (one tiny row per arrival): receipts, the
@@ -228,7 +251,7 @@ ORDER BY a.vec_id
   def start(indexTag: String, stream: DataFrame,
             landingDir: String, receiptsDir: String, checkpointDir: String,
             threshold: Double = 0.92, nprobe: Int = 0,
-            verbose: Boolean = false): StreamingQuery =
+            verbose: Boolean = false, tier: ScoreTier = FloatTier): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -248,7 +271,7 @@ ORDER BY a.vec_id
             r
           }
           val (receipts, kept) =
-            phase("gate")(gateBatch(indexTag, batch, threshold, nprobe))
+            phase("gate")(gateBatch(indexTag, batch, threshold, nprobe, tier))
           // landing/receipts are partitioned by batch_id and written with
           // DYNAMIC partition overwrite: a replayed attempt overwrites
           // its OWN partition instead of appending duplicates, so the

@@ -49,6 +49,15 @@ object StreamBench {
     // vecgate probe width: 0 → the gate's default; explicit values let the
     // dup-gate-vs-recall-rule comparison run on the same corpus (SCALING r7)
     val gateNprobe = if (args.length > 4) args(4).toInt else 0
+    // vecgate candidate tier: float (default) | int8 | pq — the pq tier
+    // needs a corpus ≥ Pq.AutoMinRows (the build below uses PqAuto), i.e.
+    // run it against a /tmp/graft_scale{N}x_vec corpus
+    val gateTier: graft.streaming.VectorIngestGate.ScoreTier =
+      (if (args.length > 5) args(5) else "float") match {
+        case "int8" => graft.streaming.VectorIngestGate.Int8Tier
+        case "pq"   => graft.streaming.VectorIngestGate.PqTier
+        case _      => graft.streaming.VectorIngestGate.FloatTier
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -228,9 +237,11 @@ object StreamBench {
           // threshold: fixed DupGateNprobe — see VectorIngestGate's class
           // doc and the SCALING r7 deep-scale A/B; pass an explicit value
           // as args(4) to measure the recall-rule budget instead)
-          threshold = 0.999, nprobe = gateNprobe, verbose = true).awaitTermination()
+          threshold = 0.999, nprobe = gateNprobe, verbose = true,
+          tier = gateTier).awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[streambench] vecgate batch $b: ${batch.length} vectors in $sec%.2f s " +
+        println(f"[streambench] vecgate batch $b (tier=$gateTier): " +
+          f"${batch.length} vectors in $sec%.2f s " +
           f"(${batch.length / sec}%.0f vec/s)")
         // maintenance cadence: compact the assignment relation between
         // batches (each append adds a file per bucket — without this the

@@ -177,6 +177,64 @@ class PqIndexSpec extends AnyFunSuite {
     } finally drop("pqresrr")
   }
 
+  test("searchPqBestRescored: neighbor ≡ driver ADC arg-max, cos ≡ exact float; no sort") {
+    val dir = Files.createTempDirectory("graft-pq-best").toString
+    import spark.implicits._
+    val spR = Pq.PqSpec(m = 4, k = 8, residual = true)
+    try {
+      IvfIndex.build(emb, dir, "pqbest", nCentroids = 8,
+        seed = Similarity.ResidueSeed, pq = spR)
+      val res = IvfIndex.searchPqBestRescored(spark, "pqbest",
+        emb.filter(col("vec_id") < 15), nprobe = 2)
+      val got = res.collect()
+      assert(got.nonEmpty && got.forall(_.getInt(1) == 1))
+      // the re-score tail never windows the survivors (the arg-max stage
+      // itself runs inside the checkpoint barrier — its HashAggregate
+      // planning is pinned by ArgMaxBestSpec, which is the shared shape)
+      val plan = res.queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+        s"best-rescored path went through a window:\n$plan")
+      // driver replica: full ADC scoring of the probed cells, arg-max
+      // with the pinned (score DESC, id ASC) tie-break, float re-score
+      val mrows = spark.table(IvfIndex.pqModelTable("pqbest"))
+        .select("m", "cid", "centroid", "rot_seed").collect()
+      val books = Array.ofDim[Array[Double]](spR.m, spR.k)
+      mrows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      val signs = Some(graft.operators.Imi.rotSigns(mrows.head.getLong(3)))
+      val crows = spark.table(IvfIndex.modelTable("pqbest"))
+        .select("cid", "centroid").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val cents = Array.tabulate(crows.size)(crows(_))
+      val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val byId = vecs.toMap
+      got.foreach { r =>
+        val (q, nb, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+        val vq = byId(q)
+        val probed = Array.tabulate(cents.length)(c =>
+          (Similarity.dist2P(vq, cents(c)), c)).sorted.take(2).map(_._2).toSet
+        val tab = Pq.adcTable(vq, books, signs)
+        val best = vecs.iterator
+          .map { case (id, v) => (id, Similarity.nearestCell(v, cents)._1, v) }
+          .filter { case (id, cell, _) => probed(cell) && id != q }
+          .map { case (id, cell, v) =>
+            val adc = (Pq.coarseDot(vq, cents(cell)) +
+              Pq.adcDot(tab, Pq.encodeVec(Pq.residualOf(v, cents(cell)), books, signs), spR.k)) /
+              (Similarity.normP(vq) * Similarity.normP(v))
+            (id, adc)
+          }
+          .reduce[(Long, Double)] { case (a, b) =>
+            if (b._2 > a._2 || (b._2 == a._2 && b._1 < a._1)) b else a
+          }
+        assert(nb == best._1, s"query $q: arg-max ${best._1} vs returned $nb")
+        val expect = Similarity.dotP(vq, byId(nb)) /
+          (Similarity.normP(vq) * Similarity.normP(byId(nb)))
+        assert(cos == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"query $q: float re-score $cos vs $expect")
+      }
+    } finally drop("pqbest")
+  }
+
   test("residual codes reconstruct tighter: mean |ADC − float| cosine error shrinks") {
     // the tier's reason to exist, pinned where it is cheap to verify: at
     // IDENTICAL code bytes (m=4, k=8), quantizing rot(x − c_cell) must

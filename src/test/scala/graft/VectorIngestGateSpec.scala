@@ -17,7 +17,7 @@ class VectorIngestGateSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   private def drop(tag: String): Unit =
-    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+    Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag), IvfIndex.pqModelTable(tag))
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
 
   test("gate drops exact dups, admits fresh, and the index is the cross-batch ledger") {
@@ -96,6 +96,55 @@ class VectorIngestGateSpec extends AnyFunSuite {
       assert(!r.getBoolean(3), s"collision below threshold reported dup: $r")
       assert(kept.count() == 1, "collision below threshold must stay admitted")
     } finally drop("vgcoll")
+  }
+
+  test("byte-tier gates verdict-agree with the float gate (dup regime)") {
+    // the tier knob's contract IN ITS REGIME: the byte tiers exist for
+    // the dup gate (τ ≥ DupGateThreshold — searchPqBestRescored's
+    // scaladoc routes semantic gates to the float/rerank paths), where a
+    // stored near-copy dominates the cheap tier's order. The arg-max
+    // survivor is re-scored in exact float cosine before thresholding,
+    // so all three tiers must land identically on this corpus (exact
+    // copies to drop, one-dim near-copies + sign-scrambles to admit at
+    // τ = 0.999). Codebook is deployment-shaped (m=8, k=32 — the toy
+    // m=4/k=8 oracle spec has ADC noise the width-1 cut genuinely
+    // feels, measured and stated in SCALING.md r12).
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vecgate-tier").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    try {
+      IvfIndex.build(emb, s"$root/index", "vgtier", nCentroids = 8,
+        seed = graft.operators.Similarity.ResidueSeed,
+        pq = graft.operators.Pq.PqSpec(m = 8, k = 32, residual = true))
+      val dim = graft.operators.Similarity.Dim
+      // ids 0–19: exact copies (drop at τ=0.999); 20–39: near-copies with
+      // one dim negated (admit — cos ≈ 0.97); 40–59: 16-dim
+      // sign-scrambles (admit)
+      val arrivals = emb.filter(col("vec_id") < 60).select(
+        (col("vec_id") + 700000L).as("vec_id"),
+        when(col("vec_id") < 20, col("embedding"))
+          .otherwise(array((1 to dim).map { i =>
+            val x = element_at(col("embedding"), i)
+            when(lit(i) === 1 && col("vec_id") < 40, -x)
+              .otherwise(when(lit(i) <= 16 && col("vec_id") >= 40, -x)
+                .otherwise(x)).as(s"_$i")
+          }: _*)).as("embedding"))
+      def verdicts(tier: VectorIngestGate.ScoreTier): Map[Long, Boolean] =
+        VectorIngestGate.gateBatch("vgtier", arrivals, threshold = 0.999,
+          nprobe = 0, tier = tier)._1
+          .select("vec_id", "is_dup").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val f = verdicts(VectorIngestGate.FloatTier)
+      val i8 = verdicts(VectorIngestGate.Int8Tier)
+      val pq = verdicts(VectorIngestGate.PqTier)
+      assert(f.nonEmpty && f.values.exists(identity) && f.values.exists(!_),
+        s"fixture must exercise both verdicts: $f")
+      assert(i8 == f, s"int8 tier diverged: ${i8.toSet -- f.toSet}")
+      assert(pq == f, s"pq tier diverged: ${pq.toSet -- f.toSet}")
+      // exact copies verdict-dup under every tier (the regime's anchor)
+      (700000L until 700020L).foreach(id => assert(f(id), s"$id not dropped"))
+    } finally drop("vgtier")
   }
 
   test("auto nprobe resolves per regime: dup gate fixed, semantic gate rule") {
