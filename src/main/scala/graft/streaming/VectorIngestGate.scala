@@ -92,7 +92,17 @@ object VectorIngestGate {
     * the verdict survives; SCALING.md r12 measures the agreement at 2M.
     * Byte tiers keep the dup gate's no-candidate-sort property
     * (arg-max, not a window cut). [[PqTier]] requires the index built
-    * with the PQ tier. */
+    * with the PQ tier.
+    *
+    * Tier choice (SCALING.md r12, measured at 2M vectors / 3×2,000-batch):
+    * all three tiers land the IDENTICAL verdict set, but wall at this
+    * scale orders int8 < float < PQ — the PQ path's extra per-batch
+    * stage (query-table build + arg-max + float re-score scan) costs
+    * more than the ~3 MB/batch of candidate bytes it saves. Byte
+    * savings only pay once the probed candidate I/O per batch is large
+    * (≫ the fixed per-stage overhead, i.e. big batches × big cells at
+    * 100 TB scale); for interactive micro-batches prefer [[Int8Tier]]
+    * (fastest measured) or [[FloatTier]] (no build-tier requirement). */
   sealed trait ScoreTier
   case object FloatTier extends ScoreTier
   case object Int8Tier extends ScoreTier
