@@ -221,6 +221,138 @@ LEFT JOIN per_kind b ON b.doc_id = d.doc_id AND b.kind = 2
 ORDER BY d.doc_id
 """.trim
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the construction rules of the C4 corpus): the canonical
+    * pre-training page cleanup that sits BETWEEN raw extraction and the
+    * document-level gates already in-tree ([[quality]]'s stopword ratios,
+    * [[repetition]]'s Gopher counts, the trained classifier). Per-LINE
+    * keep rules: the line must end in a terminal punctuation mark
+    * (`. ! ?` or a closing quote — the paper's list), carry ≥3
+    * whitespace-split words, and not contain the word "javascript"
+    * (case-insensitive, word-bounded). Per-PAGE verdicts on what
+    * survives: ≥5 sentences in the cleaned text (sentences counted as
+    * runs of terminal punctuation — `!!!` is one boundary), and the raw
+    * page must contain neither "lorem ipsum" nor a curly brace (the
+    * paper's code-page heuristic). Two published C4 stages are
+    * deliberately NOT here: the bad-words page filter takes an external
+    * word list (a deployment input — pass it to [[c4CleanCols]]'s
+    * `badWords`), and the three-sentence-span dedup is substring-level
+    * exact dedup, i.e. [[graft.operators.ExactSubstr]]'s job.
+    *
+    * The terminal-punctuation test is a LAST-CHARACTER SET test, not a
+    * `$`-anchored regex, on purpose: Java's `$` also matches before a
+    * trailing line terminator (`"x.\r"` would pass) while RE2/DuckDB's
+    * does not — the one engine-divergent corner in these rules, designed
+    * out rather than documented around.
+    *
+    * Scale: a narrow per-row map — split / lambda-filter / rejoin inside
+    * one codegen stage, no shuffle, no UDF, no driver state. Rejected
+    * pages are KEPT in the output (`kept=false` + per-rule flags) so the
+    * caller chooses filter vs audit; the cleaned text column makes the
+    * keep path a single `.filter(col("kept")).select("doc_id",
+    * "clean_text")`. */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame = {
+    // input-sorted, projection after (the sampler note above)
+    val d = docs(spark, dir).orderBy("doc_id")
+    d.select(col("doc_id") +: c4CleanCols(c4SyntheticPage): _*)
+  }
+
+  /** The corpus' documents are single-line punctuation-free word soup —
+    * C4 rejects 100% of them, which is CORRECT but gives the oracle a
+    * constant frame to compare. The query therefore synthesizes a
+    * deterministic multi-line page per document (8-word lines, a cycling
+    * terminal-punctuation pattern `. ∅ ! , ?` so ~2/5 of lines fail the
+    * line rules, and doc_id-keyed marker lines that trip each PAGE rule),
+    * identically in Spark and DuckDB, then applies the kernel. The
+    * deployment shape is [[c4CleanCols]] on real multi-line text. */
+  private[graft] def c4SyntheticPage: Column = {
+    val words = split(col("text"), " ")
+    val nLines = ceil(size(words).cast("double") / 8d).cast("int")
+    val punct = array(lit("."), lit(""), lit("!"), lit(","), lit("?"))
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      concat(array_join(slice(words, i * 8 + 1, lit(8)), " "),
+        element_at(punct, (i % 5) + 1)))
+    concat(array_join(lines, "\n"),
+      when(col("doc_id") % 17 === 0,
+        lit("\nplus a lorem ipsum marker line.")).otherwise(lit("")),
+      when(col("doc_id") % 23 === 0,
+        lit("\nint main() { return 0; }")).otherwise(lit("")),
+      when(col("doc_id") % 31 === 0,
+        lit("\nPlease enable javascript to continue.")).otherwise(lit("")))
+  }
+
+  /** The [[c4Clean]] kernel over an arbitrary text column — the
+    * deployment shape (compose into any pipeline; `badWords` is the
+    * paper's external block list, empty by default). Columns:
+    * n_lines, n_lines_kept, n_sentences, has_lorem, has_brace, kept,
+    * clean_text. */
+  def c4CleanCols(text: Column, badWords: Seq[String] = Nil): Seq[Column] = {
+    val lines = split(text, "\n")
+    val keptLines = filter(lines, l =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+      size(split(trim(l), "\\s+")) >= 3 &&
+      !lower(l).rlike("\\bjavascript\\b"))
+    val cleanText = array_join(keptLines, "\n")
+    val nSent = size(regexp_extract_all(cleanText, lit("[.!?]+"), lit(0)))
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val hasBad =
+      if (badWords.isEmpty) lit(false)
+      else lower(text).rlike(
+        badWords.map(w => java.util.regex.Pattern.quote(w.toLowerCase))
+          .mkString("\\b(", "|", ")\\b"))
+    Seq(
+      size(lines).as("n_lines"),
+      size(keptLines).as("n_lines_kept"),
+      nSent.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      (nSent >= 5 && !hasLorem && !hasBrace && !hasBad).as("kept"),
+      cleanText.as("clean_text"))
+  }
+
+  /** Oracle: the same rules in DuckDB list lambdas — last-character set
+    * test (see the [[c4Clean]] scaladoc for why not `$`), the same
+    * word-boundary javascript regex (identical `\b` semantics in Java
+    * and RE2), the same `[.!?]+` sentence-run count. */
+  val c4CleanSql: String = """
+WITH pages AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1, 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')
+           || (['.', '', '!', ',', '?'])[(i % 5) + 1]), chr(10))
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'plus a lorem ipsum marker line.' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
+    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END
+    AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x ->
+      right(rtrim(x), 1) IN ('.', '!', '?', '"')
+      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+      AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept_lines
+  FROM pages
+), c AS (
+  SELECT doc_id, text, len(lines) AS n_lines, len(kept_lines) AS n_lines_kept,
+    array_to_string(kept_lines, chr(10)) AS clean_text
+  FROM l
+)
+SELECT doc_id,
+  CAST(n_lines AS INTEGER) AS n_lines,
+  CAST(n_lines_kept AS INTEGER) AS n_lines_kept,
+  CAST(len(regexp_extract_all(clean_text, '[.!?]+')) AS INTEGER) AS n_sentences,
+  (lower(text) LIKE '%lorem ipsum%') AS has_lorem,
+  (contains(text, '{')) AS has_brace,
+  (len(regexp_extract_all(clean_text, '[.!?]+')) >= 5
+    AND NOT lower(text) LIKE '%lorem ipsum%'
+    AND NOT contains(text, '{')) AS kept,
+  clean_text
+FROM c ORDER BY doc_id
+""".trim
+
   /** Canonicalizing fingerprint: md5 over lowercased, whitespace-collapsed
     * text — the cheap exact-dup key for corpus-scale dedup via group-by or
     * anti-join against an already-processed ledger. */
