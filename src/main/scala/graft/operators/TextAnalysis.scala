@@ -235,7 +235,7 @@ ORDER BY d.doc_id
     * page must contain neither "lorem ipsum" nor a curly brace (the
     * paper's code-page heuristic). Two published C4 stages are
     * deliberately NOT here: the bad-words page filter takes an external
-    * word list (a deployment input — pass it to [[c4CleanCols]]'s
+    * word list (a deployment input — pass it to [[c4CleanOn]]'s
     * `badWords`), and the three-sentence-span dedup is substring-level
     * exact dedup, i.e. [[graft.operators.ExactSubstr]]'s job.
     *
@@ -254,7 +254,9 @@ ORDER BY d.doc_id
   def c4Clean(spark: SparkSession, dir: String): DataFrame = {
     // input-sorted, projection after (the sampler note above)
     val d = docs(spark, dir).orderBy("doc_id")
-    d.select(col("doc_id") +: c4CleanCols(c4SyntheticPage): _*)
+    c4CleanOn(d.withColumn("__c_text", c4SyntheticPage), col("__c_text"))
+      .select("doc_id", "n_lines", "n_lines_kept", "n_sentences",
+        "has_lorem", "has_brace", "kept", "clean_text")
   }
 
   /** The corpus' documents are single-line punctuation-free word soup —
@@ -264,7 +266,7 @@ ORDER BY d.doc_id
     * terminal-punctuation pattern `. ∅ ! , ?` so ~2/5 of lines fail the
     * line rules, and doc_id-keyed marker lines that trip each PAGE rule),
     * identically in Spark and DuckDB, then applies the kernel. The
-    * deployment shape is [[c4CleanCols]] on real multi-line text. */
+    * deployment shape is [[c4CleanOn]] on real multi-line text. */
   private[graft] def c4SyntheticPage: Column = {
     val words = split(col("text"), " ")
     val nLines = ceil(size(words).cast("double") / 8d).cast("int")
@@ -283,32 +285,37 @@ ORDER BY d.doc_id
 
   /** The [[c4Clean]] kernel over an arbitrary text column — the
     * deployment shape (compose into any pipeline; `badWords` is the
-    * paper's external block list, empty by default). Columns:
+    * paper's external block list, empty by default). Appends columns
     * n_lines, n_lines_kept, n_sentences, has_lorem, has_brace, kept,
-    * clean_text. */
-  def c4CleanCols(text: Column, badWords: Seq[String] = Nil): Seq[Column] = {
-    val lines = split(text, "\n")
-    val keptLines = filter(lines, l =>
-      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
-      size(split(trim(l), "\\s+")) >= 3 &&
-      !lower(l).rlike("\\bjavascript\\b"))
-    val cleanText = array_join(keptLines, "\n")
-    val nSent = size(regexp_extract_all(cleanText, lit("[.!?]+"), lit(0)))
-    val hasLorem = lower(text).contains("lorem ipsum")
-    val hasBrace = text.contains("{")
+    * clean_text to `df`. Staged through intermediate projections for the
+    * same reason as [[gopherQualityOn]]: lambda expressions get no
+    * common-subexpression elimination, so a flat tree re-evaluates the
+    * line-split and the kept-lines filter once per derived column. */
+  def c4CleanOn(df: DataFrame, text: Column, badWords: Seq[String] = Nil): DataFrame = {
     val hasBad =
       if (badWords.isEmpty) lit(false)
       else lower(text).rlike(
         badWords.map(w => java.util.regex.Pattern.quote(w.toLowerCase))
           .mkString("\\b(", "|", ")\\b"))
-    Seq(
-      size(lines).as("n_lines"),
-      size(keptLines).as("n_lines_kept"),
-      nSent.as("n_sentences"),
-      hasLorem.as("has_lorem"),
-      hasBrace.as("has_brace"),
-      (nSent >= 5 && !hasLorem && !hasBrace && !hasBad).as("kept"),
-      cleanText.as("clean_text"))
+    val s1 = df
+      .withColumn("__c_lines", split(text, "\n"))
+      .withColumn("has_lorem", lower(text).contains("lorem ipsum"))
+      .withColumn("has_brace", text.contains("{"))
+      .withColumn("__c_bad", hasBad)
+    val s2 = s1.withColumn("__c_kept_lines", filter(col("__c_lines"), l =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+      size(split(trim(l), "\\s+")) >= 3 &&
+      !lower(l).rlike("\\bjavascript\\b")))
+    val s3 = s2
+      .withColumn("n_lines", size(col("__c_lines")))
+      .withColumn("n_lines_kept", size(col("__c_kept_lines")))
+      .withColumn("clean_text", array_join(col("__c_kept_lines"), "\n"))
+    s3
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("clean_text"), lit("[.!?]+"), lit(0))))
+      .withColumn("kept", col("n_sentences") >= 5 &&
+        !col("has_lorem") && !col("has_brace") && !col("__c_bad"))
+      .drop("__c_lines", "__c_kept_lines", "__c_bad")
   }
 
   /** Oracle: the same rules in DuckDB list lambdas — last-character set
@@ -351,6 +358,182 @@ SELECT doc_id,
     AND NOT contains(text, '{')) AS kept,
   clean_text
 FROM c ORDER BY doc_id
+""".trim
+
+  /** The QUALITY half of the Gopher rules (Rae et al. 2021,
+    * arXiv:2112.11446, Appendix A1.1) as a composed per-page verdict —
+    * the sibling of [[repetition]] (which carries the rule set's
+    * repetition half) and [[c4Clean]] (line-level): word count in
+    * [50, 100k], mean word length in [3, 10], hash and ellipsis
+    * symbol-to-word ratios ≤ 0.1, ≤ 90% of lines bullet-started, ≤ 30%
+    * of lines ellipsis-ended, ≥ 80% of words containing an alphabetic
+    * character, and ≥ 2 distinct hits from the paper's stop-word list
+    * (the, be, to, of, and, that, have, with). The verdict is decided on
+    * UNROUNDED ratios (identical integer divisions are IEEE-identical in
+    * both engines — the [[graft.operators.Dedup]] jaccard convention);
+    * ratio columns round to 6 places on output only. Bullet characters
+    * are the repo's fixed set `• ‣ - *`; "alphabetic" is ASCII
+    * `[A-Za-z]` (both stated rather than locale-dependent).
+    *
+    * Scale: same shape as [[c4CleanOn]] — narrow per-row column
+    * algebra, no shuffle, no UDF — but STAGED through intermediate
+    * projections on purpose: lambda expressions (higher-order functions)
+    * are excluded from Catalyst's common-subexpression elimination, so a
+    * flat expression tree re-evaluates the split/filter word array once
+    * per derived column (~20×/row — measured 6.1 s warm on the bench
+    * corpus, 2nd most expensive query). Materializing the arrays and the
+    * integer counts as aliased projection outputs computes each pass
+    * once: `CollapseProject` declines to merge projections whose
+    * non-cheap outputs are referenced more than once, and whole-stage
+    * codegen carries them as locals. Stop hits are ONE
+    * `array_intersect` pass (distinct-presence count), not one
+    * `array_contains` scan per list word. */
+  def gopherQualityOn(df: DataFrame, text: Column): DataFrame = {
+    def occurrences(needle: String): Column =
+      (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
+    // stage 1: the two arrays + raw char counts — each computed ONCE
+    val s1 = df
+      .withColumn("__g_words", filter(split(text, "\\s+"), w => length(w) > 0))
+      .withColumn("__g_lines", split(text, "\n"))
+      .withColumn("__g_nhash", occurrences("#"))
+      .withColumn("__g_nellipsis", occurrences("…") + occurrences("..."))
+    // stage 2: one pass per count over the materialized arrays
+    val s2 = s1
+      .withColumn("__g_nw", size(col("__g_words")))
+      .withColumn("__g_sumlen",
+        aggregate(col("__g_words"), lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("__g_alpha",
+        size(filter(col("__g_words"), w => w.rlike("[A-Za-z]"))))
+      .withColumn("__g_stop",
+        size(array_intersect(transform(col("__g_words"), w => lower(w)),
+          typedLit(GopherStopWords))))
+      .withColumn("__g_nlines", size(col("__g_lines")))
+      .withColumn("__g_bullet", size(filter(col("__g_lines"), l =>
+        substring(ltrim(l), 1, 1).isin("•", "‣", "-", "*"))))
+      .withColumn("__g_ell", size(filter(col("__g_lines"), l =>
+        substring(rtrim(l), -3, 3) === "..." || substring(rtrim(l), -1, 1) === "…")))
+    // stage 3: ratios + verdict from cheap integer columns
+    val nWords = col("__g_nw")
+    def ratio(num: Column): Column =
+      when(nWords === 0, lit(null)).otherwise(num.cast("double") / nWords.cast("double"))
+    val meanLen = ratio(col("__g_sumlen"))
+    val hashRatio = ratio(col("__g_nhash"))
+    val ellipsisRatio = ratio(col("__g_nellipsis"))
+    val pctAlpha = ratio(col("__g_alpha"))
+    val pctBullet = col("__g_bullet").cast("double") / col("__g_nlines").cast("double")
+    val pctEllipsis = col("__g_ell").cast("double") / col("__g_nlines").cast("double")
+    val stopHits = col("__g_stop")
+    val kept = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3d && meanLen <= 10d &&
+      hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+      pctBullet <= 0.9 && pctEllipsis <= 0.3 &&
+      pctAlpha >= 0.8 && stopHits >= 2
+    s2
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("hash_ratio", round(hashRatio, 6))
+      .withColumn("ellipsis_ratio", round(ellipsisRatio, 6))
+      .withColumn("pct_bullet_lines", round(pctBullet, 6))
+      .withColumn("pct_ellipsis_lines", round(pctEllipsis, 6))
+      .withColumn("pct_alpha_words", round(pctAlpha, 6))
+      .withColumn("n_stop_hits", stopHits)
+      .withColumn("kept", coalesce(kept, lit(false)))
+      .drop(s1.columns.filter(_.startsWith("__g_")) ++
+        Seq("__g_nw", "__g_sumlen", "__g_alpha", "__g_stop",
+          "__g_nlines", "__g_bullet", "__g_ell"): _*)
+  }
+
+  /** Rae et al. 2021 A1.1's stop-word list, verbatim. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-quality verdict query. Like [[c4Clean]], the corpus' word-soup
+    * documents need structure for the rules to vary, so the query builds
+    * the same deterministic synthetic page plus doc_id-keyed rule
+    * triggers (stop words at %3 — the corpus vocabulary carries only
+    * "the" from the list, so UNtriggered docs fail the ≥2-stop-hits rule;
+    * hashes at %7, bullet lines at %5, a trailing ellipsis at %11),
+    * identically in Spark and DuckDB. Deployment composes
+    * [[gopherQualityOn]] directly. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    // input-sorted, projection after (the sampler note above)
+    val d = docs(spark, dir).orderBy("doc_id")
+    val synthetic = concat(c4SyntheticPage,
+      when(col("doc_id") % 3 === 0,
+        lit("\nand that have with of to be the.")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\n# # # # # # # # # # # #")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\n• bullet line here\n• another bullet line")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit("\nthis line trails off with an ellipsis...")).otherwise(lit("")))
+    gopherQualityOn(d.withColumn("__g_text", synthetic), col("__g_text"))
+      .select("doc_id", "n_words", "mean_word_len", "hash_ratio",
+        "ellipsis_ratio", "pct_bullet_lines", "pct_ellipsis_lines",
+        "pct_alpha_words", "n_stop_hits", "kept")
+  }
+
+  val gopherQualitySql: String = """
+WITH pages AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1, 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')
+           || (['.', '', '!', ',', '?'])[(i % 5) + 1]), chr(10))
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'plus a lorem ipsum marker line.' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
+    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'and that have with of to be the.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '# # # # # # # # # # # #' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '• bullet line here' || chr(10) || '• another bullet line' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this line trails off with an ellipsis...' ELSE '' END
+    AS text
+  FROM documents
+), g AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS words,
+    string_split(text, chr(10)) AS lines
+  FROM pages
+), m AS (
+  SELECT doc_id, text, lines,
+    len(words) AS n_words,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST((length(text) - length(replace(text, '#', ''))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS hash_ratio,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST((length(text) - length(replace(text, '…', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS ellipsis_ratio,
+    CAST(len(list_filter(lines, l -> left(ltrim(l), 1) IN ('•', '‣', '-', '*'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS pct_bullet_lines,
+    CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS pct_ellipsis_lines,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS pct_alpha_words,
+    (CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)) AS n_stop_hits
+  FROM g
+)
+SELECT doc_id,
+  CAST(n_words AS INTEGER) AS n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(hash_ratio, 6) AS hash_ratio,
+  round(ellipsis_ratio, 6) AS ellipsis_ratio,
+  round(pct_bullet_lines, 6) AS pct_bullet_lines,
+  round(pct_ellipsis_lines, 6) AS pct_ellipsis_lines,
+  round(pct_alpha_words, 6) AS pct_alpha_words,
+  CAST(n_stop_hits AS INTEGER) AS n_stop_hits,
+  coalesce(n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3 AND mean_word_len <= 10
+    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+    AND pct_bullet_lines <= 0.9 AND pct_ellipsis_lines <= 0.3
+    AND pct_alpha_words >= 0.8 AND n_stop_hits >= 2, FALSE) AS kept
+FROM m ORDER BY doc_id
 """.trim
 
   /** Canonicalizing fingerprint: md5 over lowercased, whitespace-collapsed

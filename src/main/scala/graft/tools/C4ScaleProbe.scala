@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** 1×→100× scaling of the C4 line-cleaning kernel: duplicate the sf0.1
   * corpus k× with re-keyed doc_ids, synthesize the same deterministic
   * multi-line page the oracle query uses (so the line rules actually
-  * fire), run [[TextAnalysis.c4CleanCols]] under the bench's honest
+  * fire), run [[TextAnalysis.c4CleanOn]] under the bench's honest
   * toRdd action, and print wall + verdict census. The kernel claims
   * scan-speed / shuffle-free — the probe asserts the executed plan
   * carries no Exchange and reports µs/doc so the linearity is visible.
@@ -32,12 +32,14 @@ object C4ScaleProbe {
         .crossJoin(spark.range(k).select(col("id").as("rep")))
         .select((col("doc_id") * k + col("rep")).as("doc_id"), col("text"))
         .repartition(spark.sparkContext.defaultParallelism)
-      val cleaned = docs.select(
-        col("doc_id") +: TextAnalysis.c4CleanCols(TextAnalysis.c4SyntheticPage): _*)
+      def clean(d: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.c4CleanOn(d.withColumn("__c_text", TextAnalysis.c4SyntheticPage),
+          col("__c_text"))
+          .select("doc_id", "n_lines", "n_lines_kept", "n_sentences",
+            "has_lorem", "has_brace", "kept", "clean_text")
+      val cleaned = clean(docs)
       // the kernel below the repartition must add no Exchange of its own
-      val kernelPlan = base.select(
-        col("doc_id") +: TextAnalysis.c4CleanCols(TextAnalysis.c4SyntheticPage): _*)
-        .queryExecution.executedPlan.toString
+      val kernelPlan = clean(base).queryExecution.executedPlan.toString
       require(!kernelPlan.contains("Exchange"),
         s"c4 kernel plan grew a shuffle:\n$kernelPlan")
       val t0 = System.nanoTime()

@@ -13,8 +13,7 @@ class C4CleanSpec extends AnyFunSuite {
 
   private def clean(text: String) = {
     val d = Seq((1L, text)).toDF("doc_id", "text")
-    d.select(col("doc_id") +: TextAnalysis.c4CleanCols(col("text")): _*)
-      .collect().head
+    TextAnalysis.c4CleanOn(d, col("text")).collect().head
   }
 
   test("terminal punctuation rule: period/bang/question/closing-quote keep, else drop") {
@@ -82,7 +81,7 @@ class C4CleanSpec extends AnyFunSuite {
     val base = (1 to 6).map(i => s"Perfectly good sentence number $i here.").mkString("\n")
     def keptWith(words: Seq[String], text: String) = {
       val d = Seq((1L, text)).toDF("doc_id", "text")
-      d.select(col("doc_id") +: TextAnalysis.c4CleanCols(col("text"), words): _*)
+      TextAnalysis.c4CleanOn(d, col("text"), words)
         .collect().head.getAs[Boolean]("kept")
     }
     assert(keptWith(Nil, base))
