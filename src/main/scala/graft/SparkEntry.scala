@@ -66,6 +66,7 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(s, dir)),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(s, dir)),
+    "q_curation_rules" -> ((s, dir) => Sampling.curationRules(s, dir)),
     "q_bm25" -> ((s, dir) => Search.bm25(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
@@ -381,6 +382,7 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSql,
     "q_c4_clean" -> TextAnalysis.c4CleanSql,
     "q_gopher_quality" -> TextAnalysis.gopherQualitySql,
+    "q_curation_rules" -> Sampling.curationRulesSql(),
     "q_bm25" -> Search.bm25Sql(),
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_winnow" -> TextAnalysis.winnowSql,

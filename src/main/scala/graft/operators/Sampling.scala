@@ -162,13 +162,27 @@ ORDER BY d.doc_id
     * rather than recomputed by the optimizer's shared-subtree choices;
     * the one-plan form here is the composition CONTRACT the oracle pins. */
   def curationLearned(spark: SparkSession, dir: String, quota: Int = 100,
-                      dim: Int = QualityClassifier.DefaultDim): DataFrame = {
+                      dim: Int = QualityClassifier.DefaultDim): DataFrame =
+    learnedTail(spark,
+      exactDedupOn(spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")), quota, dim)
+
+  /** Keep the smallest doc_id per canonical fingerprint — the pipelines'
+    * shared exact-dedup stage over a (doc_id, source, text) relation. */
+  private def exactDedupOn(df: DataFrame): DataFrame = {
     val dedupWin = Window.partitionBy("fp").orderBy("doc_id")
-    val deduped = spark.read.parquet(s"$dir/documents.parquet")
+    df
       .withColumn("fp", Dedup.canonicalFp(col("text")))
       .withColumn("rn", row_number().over(dedupWin))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), col("text"))
+  }
+
+  /** The learned tail shared by [[curationLearned]] and
+    * [[curationRules]]: classifier gate → LM band → langid → quota over
+    * an already-deduplicated (doc_id, source, text) relation. */
+  private def learnedTail(spark: SparkSession, deduped: DataFrame, quota: Int,
+                          dim: Int): DataFrame = {
     val labeled = deduped.select(col("doc_id"),
       col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
       col("text"))
@@ -193,6 +207,46 @@ ORDER BY d.doc_id
       .filter(col("sample_rank") <= quota)
       .select("doc_id", "predicted_lang", "score", "ppl", "sample_rank")
       .orderBy("predicted_lang", "sample_rank")
+  }
+
+  /** Curation v3 — the FULL published pre-training recipe in one
+    * declarative plan: rule gates first (C4 line cleaning, Raffel 2020,
+    * then the Gopher quality verdict, Rae 2021, applied to the line-
+    * CLEANED text — cleaning TRANSFORMS the document, it doesn't just
+    * filter), then the v2 learned flow (exact dedup → trained-classifier
+    * median gate → CCNet perplexity band → langid → per-language quota)
+    * over the cleaned survivors. Every learned stage downstream of the
+    * rules consumes `clean_text`, so dedup fingerprints, classifier
+    * features, LM bigrams, and language ID all see the page the rules
+    * produced — the composition a real curation run executes.
+    *
+    * Same corpus caveat as [[TextAnalysis.c4Clean]]: the word-soup docs
+    * need structure for the rules to discriminate, so the query builds
+    * the deterministic synthetic page (plus the %3 stop-word trigger
+    * line, which passes the C4 line rules by construction and is what
+    * lets any doc clear Gopher's ≥2-stop-hits bar — the corpus
+    * vocabulary carries only "the"). Deployment composes
+    * [[TextAnalysis.c4CleanOn]] → [[TextAnalysis.gopherQualityOn]] →
+    * [[curationLearned]]'s stages on real text.
+    *
+    * Scale shape: the rule gates are narrow per-row projections ahead of
+    * the v2 plan, so they REDUCE every downstream stage's input (the
+    * whole point of running cheap rules first at 100 TB); thresholds
+    * stay scalar aggregates broadcast back, never global windows. */
+  def curationRules(spark: SparkSession, dir: String, quota: Int = 100,
+                    dim: Int = QualityClassifier.DefaultDim): DataFrame = {
+    val paged = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .withColumn("__page", concat(TextAnalysis.c4SyntheticPage,
+        when(col("doc_id") % 3 === 0,
+          lit("\nand that have with of to be the.")).otherwise(lit(""))))
+    val afterC4 = TextAnalysis.c4CleanOn(paged, col("__page"))
+      .filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    val rules = TextAnalysis.gopherQualityOn(afterC4, col("text"))
+      .filter(col("kept"))
+      .select("doc_id", "source", "text")
+    learnedTail(spark, exactDedupOn(rules), quota, dim)
   }
 
   def curationPipelineSql(minWords: Int = 30, quota: Int = 100): String = s"""
@@ -229,16 +283,18 @@ ORDER BY predicted_lang, sample_rank
     * left-join Laplace smoothing ([[LanguageModel.scoreOn]]'s disjoint
     * form), the 2/3-quantile band, then langid + quota. */
   def curationLearnedSql(quota: Int = 100,
-                         dim: Int = QualityClassifier.DefaultDim): String = {
+                         dim: Int = QualityClassifier.DefaultDim,
+                         prefixCtes: String = "",
+                         rel: String = "documents"): String = {
     val pos = QualityClassifier.PositiveSources.map(s => s"'$s'").mkString(", ")
     s"""
-WITH dd AS (
+WITH ${prefixCtes}dd AS (
   SELECT doc_id, source, text FROM (
     SELECT doc_id, source, text,
       row_number() OVER (
         PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
         ORDER BY doc_id) AS rn
-    FROM documents) t WHERE rn = 1
+    FROM $rel) t WHERE rn = 1
 ), d AS (
   SELECT doc_id, (source IN ($pos)) AS label, coalesce(text, '') AS text FROM dd
 ), toks AS (
@@ -334,5 +390,77 @@ SELECT doc_id, predicted_lang, score, ppl, CAST(sample_rank AS BIGINT) AS sample
 FROM ranked WHERE sample_rank <= $quota
 ORDER BY predicted_lang, sample_rank
 """.trim
+  }
+
+  /** DuckDB mirror of [[curationRules]]: the synthetic page + C4 +
+    * Gopher rule CTEs (the exact expressions of
+    * [[TextAnalysis.c4CleanSql]] / [[TextAnalysis.gopherQualitySql]],
+    * verdicts on unrounded ratios) feeding [[curationLearnedSql]]'s
+    * chain retargeted at the cleaned survivors. */
+  def curationRulesSql(quota: Int = 100,
+                       dim: Int = QualityClassifier.DefaultDim): String = {
+    val prefix = """pages AS (
+  SELECT doc_id, source,
+    array_to_string(list_transform(
+      generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1, 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')
+           || (['.', '', '!', ',', '?'])[(i % 5) + 1]), chr(10))
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'plus a lorem ipsum marker line.' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
+    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'and that have with of to be the.' ELSE '' END
+    AS page
+  FROM documents
+), c4 AS (
+  SELECT doc_id, source, page,
+    array_to_string(list_filter(string_split(page, chr(10)), x ->
+      right(rtrim(x), 1) IN ('.', '!', '?', '"')
+      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+      AND NOT regexp_matches(lower(x), '\bjavascript\b')), chr(10)) AS text
+  FROM pages
+), c4kept AS (
+  SELECT doc_id, source, text FROM c4
+  WHERE len(regexp_extract_all(text, '[.!?]+')) >= 5
+    AND NOT lower(page) LIKE '%lorem ipsum%'
+    AND NOT contains(page, '{')
+), gw AS (
+  SELECT doc_id, source, text,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS words,
+    string_split(text, chr(10)) AS lines
+  FROM c4kept
+), gm AS (
+  SELECT doc_id, source, text,
+    len(words) AS n_words,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS mean_word_len,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST((length(text) - length(replace(text, '#', ''))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS hash_ratio,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST((length(text) - length(replace(text, '…', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS ellipsis_ratio,
+    CAST(len(list_filter(lines, l -> left(ltrim(l), 1) IN ('•', '‣', '-', '*'))) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS pct_bullet,
+    CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE)
+      / CAST(len(lines) AS DOUBLE) AS pct_ell,
+    CASE WHEN len(words) = 0 THEN NULL
+      ELSE CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS pct_alpha,
+    (CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)) AS stop_hits
+  FROM gw
+), rules AS (
+  SELECT doc_id, source, text FROM gm
+  WHERE coalesce(n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3 AND mean_word_len <= 10
+    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+    AND pct_bullet <= 0.9 AND pct_ell <= 0.3
+    AND pct_alpha >= 0.8 AND stop_hits >= 2, FALSE)
+),
+"""
+    curationLearnedSql(quota, dim, prefix, "rules")
   }
 }

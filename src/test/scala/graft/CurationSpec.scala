@@ -95,6 +95,38 @@ class CurationSpec extends AnyFunSuite {
     assert(a.length < 40)
   }
 
+  test("curation v3: rule gates run FIRST and bite; survivors carry CLEANED text downstream") {
+    import graft.operators.TextAnalysis
+    // funnel on the real corpus: raw → c4 page verdict → gopher verdict.
+    // Reconstruct the same stages the pipeline composes and check each
+    // strictly reduces (both-ways discrimination at every gate).
+    val paged = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+      .withColumn("__page", concat(TextAnalysis.c4SyntheticPage,
+        when(col("doc_id") % 3 === 0,
+          lit("\nand that have with of to be the.")).otherwise(lit(""))))
+    val n0 = paged.count()
+    val afterC4 = TextAnalysis.c4CleanOn(paged, col("__page"))
+      .filter(col("kept"))
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    val n1 = afterC4.count()
+    val n2 = TextAnalysis.gopherQualityOn(afterC4, col("text"))
+      .filter(col("kept")).count()
+    assert(n1 > 0 && n1 < n0, s"C4 gate degenerate: $n1/$n0")
+    assert(n2 > 0 && n2 < n1, s"Gopher gate degenerate: $n2/$n1")
+    // the composed output exists and is a subset of the gopher survivors
+    val out = Sampling.curationRules(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= n2,
+      s"pipeline output ${out.length} vs rule survivors $n2")
+    // downstream consumed CLEANED text: a surviving doc's predicted_lang
+    // was computed on line-filtered text, so every survivor must also
+    // survive when scored standalone on its cleaned text (consistency,
+    // not re-derivation): survivors' doc_ids ⊂ rule survivors' doc_ids
+    val ruleIds = TextAnalysis.gopherQualityOn(afterC4, col("text"))
+      .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => ruleIds.contains(r.getLong(0))))
+  }
+
   test("sequence packing: plan is partition-count-invariant and conserves the corpus") {
     val budget = 500L
     val p3 = Packing.packSequences(spark, sf, budget, numPartitions = 3).collect()
