@@ -67,6 +67,7 @@ object SparkEntry {
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(s, dir)),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(s, dir)),
     "q_curation_rules" -> ((s, dir) => Sampling.curationRules(s, dir)),
+    "q_gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(s, dir)),
     "q_bm25" -> ((s, dir) => Search.bm25(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_winnow" -> ((s, dir) => TextAnalysis.winnow(s, dir)),
@@ -383,6 +384,7 @@ object SparkEntry {
     "q_c4_clean" -> TextAnalysis.c4CleanSql,
     "q_gopher_quality" -> TextAnalysis.gopherQualitySql,
     "q_curation_rules" -> Sampling.curationRulesSql(),
+    "q_gopher_repetition" -> TextAnalysis.gopherRepetitionSql,
     "q_bm25" -> Search.bm25Sql(),
     "q_fingerprint" -> TextAnalysis.fingerprintSql,
     "q_winnow" -> TextAnalysis.winnowSql,

@@ -221,6 +221,237 @@ LEFT JOIN per_kind b ON b.doc_id = d.doc_id AND b.kind = 2
 ORDER BY d.doc_id
 """.trim
 
+  /** The full Gopher REPETITION battery (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1) — [[repetition]] carries the word/bigram counting core;
+    * this operator computes the paper's thirteen repetition fractions and
+    * the composed verdict:
+    *
+    *  - duplicate LINE fraction (≤0.30) and duplicate line CHARACTER
+    *    fraction (≤0.20); same pair for PARAGRAPHS (≤0.30 / ≤0.20).
+    *    Lines are nonempty trimmed `\n` segments; paragraphs are `\n\n`
+    *    segments (both stated — the paper doesn't pin the splitter). A
+    *    value is "duplicated" when it occurs ≥2 times; the fraction
+    *    counts ALL its occurrences (c_v, not c_v − 1), char mass is
+    *    c_v · len(v) over len(text).
+    *  - top word-n-gram character fraction for n=2,3,4 (≤0.20/0.18/0.16):
+    *    the most frequent n-gram's c·len(gram)/len(text), tie-broken by
+    *    (count DESC, gram ASC in binary order) so both engines pick the
+    *    same gram.
+    *  - duplicated word-n-gram character fraction for n=5..10
+    *    (≤0.15/0.14/0.13/0.12/0.11/0.10): Σ over grams with c≥2 of
+    *    c·len(gram), over len(text). Overlapping occurrences each count
+    *    (stated: this upper-bounds the paper's non-overlapping character
+    *    measure — the deterministic form both engines can replicate
+    *    exactly).
+    *
+    * Verdicts compare UNROUNDED fractions (identical integer divisions);
+    * outputs round to 6. Shape: ONE typed map per document (hash-map
+    * counting, like [[repetition]]) — no shuffle, corpus-linear. */
+  def gopherRepetitionOn(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, textOrNull) =>
+        val text = if (textOrNull == null) "" else textOrNull
+        val totalChars = text.codePointCount(0, text.length).toLong
+        def dupStats(vals: Array[String]): (Double, Double) = {
+          if (vals.isEmpty || totalChars == 0) return (0.0, 0.0)
+          val counts = new java.util.HashMap[String, Long]()
+          vals.foreach(v => counts.merge(v, 1L, (a, b) => a + b))
+          var occ = 0L; var chars = 0L
+          counts.forEach { (v, c) =>
+            if (c >= 2) { occ += c; chars += c * v.codePointCount(0, v.length) }
+          }
+          (occ.toDouble / vals.length, chars.toDouble / totalChars)
+        }
+        val lines = text.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+        val paras = text.split("\n\n", -1).map(_.trim).filter(_.nonEmpty)
+        val (dupLineFrac, dupLineCharFrac) = dupStats(lines)
+        val (dupParaFrac, dupParaCharFrac) = dupStats(paras)
+        val words = text.split("\\s+", -1).filter(_.nonEmpty)
+        def gramCounts(n: Int): java.util.HashMap[String, Long] = {
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i + n <= words.length) {
+            m.merge(words.slice(i, i + n).mkString(" "), 1L, (a, b) => a + b)
+            i += 1
+          }
+          m
+        }
+        def topFrac(n: Int): Double = {
+          if (totalChars == 0) return 0.0
+          val m = gramCounts(n)
+          var bestC = 0L; var bestG: String = null
+          m.forEach { (g, c) =>
+            if (c > bestC || (c == bestC && bestG != null &&
+                compareBinary(g, bestG) < 0)) { bestC = c; bestG = g }
+          }
+          if (bestG == null) 0.0
+          else bestC.toDouble * bestG.codePointCount(0, bestG.length) / totalChars
+        }
+        def dupFrac(n: Int): Double = {
+          if (totalChars == 0) return 0.0
+          var chars = 0L
+          gramCounts(n).forEach { (g, c) =>
+            if (c >= 2) chars += c * g.codePointCount(0, g.length)
+          }
+          chars.toDouble / totalChars
+        }
+        val top = Array(2, 3, 4).map(topFrac)
+        val dup = Array(5, 6, 7, 8, 9, 10).map(dupFrac)
+        val kept = dupLineFrac <= 0.30 && dupParaFrac <= 0.30 &&
+          dupLineCharFrac <= 0.20 && dupParaCharFrac <= 0.20 &&
+          top(0) <= 0.20 && top(1) <= 0.18 && top(2) <= 0.16 &&
+          dup(0) <= 0.15 && dup(1) <= 0.14 && dup(2) <= 0.13 &&
+          dup(3) <= 0.12 && dup(4) <= 0.11 && dup(5) <= 0.10
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, r6(dupLineFrac), r6(dupLineCharFrac), r6(dupParaFrac), r6(dupParaCharFrac),
+          r6(top(0)), r6(top(1)), r6(top(2)),
+          r6(dup(0)), r6(dup(1)), r6(dup(2)), r6(dup(3)), r6(dup(4)), r6(dup(5)), kept)
+      }
+      .toDF("doc_id", "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top2_char_frac", "top3_char_frac", "top4_char_frac",
+        "dup5_char_frac", "dup6_char_frac", "dup7_char_frac",
+        "dup8_char_frac", "dup9_char_frac", "dup10_char_frac", "kept")
+  }
+
+  /** UTF-8 byte-order comparison — DuckDB's binary collation; identical
+    * to Java's String.compareTo on these space-joined word grams only
+    * when no surrogate pairs are involved, so compare code POINTS. */
+  private def compareBinary(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Gopher-repetition verdict query: the corpus' single-line docs carry
+    * no line/paragraph structure, so the query builds a paragraph-
+    * structured page (8-word lines, 3-line paragraphs joined `\n\n`) with
+    * doc_id-keyed PLANTED duplicates — the first line re-appended at
+    * %4 ≡ 0, the first paragraph re-appended at %6 ≡ 0 — identically in
+    * Spark and DuckDB. Small docs fail on a planted dup, large docs
+    * absorb it: verdicts vary both ways. Deployment composes
+    * [[gopherRepetitionOn]] on real text. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nLines = ceil(size(words).cast("double") / 8d).cast("int")
+    val lines = transform(sequence(lit(0), nLines - 1), i =>
+      array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    val nParas = ceil(nLines.cast("double") / 3d).cast("int")
+    val paras = transform(sequence(lit(0), nParas - 1), p =>
+      array_join(slice(lines, p * 3 + 1, lit(3)), "\n"))
+    val page0 = array_join(paras, "\n\n")
+    val firstLine = array_join(slice(words, lit(1), lit(8)), " ")
+    val firstPara = array_join(slice(lines, lit(1), lit(3)), "\n")
+    val page = concat(page0,
+      when(col("doc_id") % 4 === 0, concat(lit("\n"), firstLine)).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0, concat(lit("\n\n"), firstPara)).otherwise(lit("")))
+    gopherRepetitionOn(
+      docs(spark, dir).orderBy("doc_id").select(col("doc_id"), page.as("text")))
+      .orderBy("doc_id")
+  }
+
+  val gopherRepetitionSql: String = {
+    val gramCtes = (2 to 10).map { n =>
+      s"""g$n AS (
+  SELECT doc_id, g, COUNT(*) AS c, length(g) AS gl FROM (
+    SELECT doc_id,
+      unnest(CASE WHEN len(words) >= $n
+        THEN list_transform(generate_series(1, len(words) - ${n - 1}),
+          i -> array_to_string(list_slice(words, i, i + ${n - 1}), ' '))
+        ELSE [] END) AS g
+    FROM w) t GROUP BY doc_id, g
+)"""
+    }.mkString(", ")
+    val topSel = Seq(2, 3, 4).map { n =>
+      s"""top$n AS (
+  SELECT doc_id, c * gl AS mass FROM (
+    SELECT doc_id, c, gl,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rk
+    FROM g$n) t WHERE rk = 1
+)"""
+    }.mkString(", ")
+    val dupSel = (5 to 10).map { n =>
+      s"""dup$n AS (
+  SELECT doc_id, SUM(c * gl) AS mass FROM g$n WHERE c >= 2 GROUP BY doc_id
+)"""
+    }.mkString(", ")
+    s"""
+WITH pages AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      generate_series(0, CAST(ceil(CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) / 3.0) AS INT) - 1, 1),
+      p -> array_to_string(list_transform(
+        generate_series(p*3, least(p*3 + 2, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1), 1),
+        i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')), chr(10))),
+      chr(10) || chr(10))
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+         array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10) ||
+         array_to_string(list_transform(
+           generate_series(0, least(2, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1), 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')), chr(10))
+       ELSE '' END
+    AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, text, length(text) AS total_chars FROM pages
+), lns AS (
+  SELECT doc_id, v, COUNT(*) AS c, length(v) AS vl FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10)),
+      x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))), x -> length(x) > 0)) AS v FROM base) t
+  GROUP BY doc_id, v
+), prs AS (
+  SELECT doc_id, v, COUNT(*) AS c, length(v) AS vl FROM (
+    SELECT doc_id, unnest(list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+      x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))), x -> length(x) > 0)) AS v FROM base) t
+  GROUP BY doc_id, v
+), ln_tot AS (
+  SELECT doc_id, SUM(c) AS n, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+    SUM(CASE WHEN c >= 2 THEN c * vl ELSE 0 END) AS dup_chars
+  FROM lns GROUP BY doc_id
+), pr_tot AS (
+  SELECT doc_id, SUM(c) AS n, SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_occ,
+    SUM(CASE WHEN c >= 2 THEN c * vl ELSE 0 END) AS dup_chars
+  FROM prs GROUP BY doc_id
+), w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS words
+  FROM base
+), $gramCtes, $topSel, $dupSel, m AS (
+  SELECT b.doc_id,
+    coalesce(CAST(l.dup_occ AS DOUBLE) / l.n, 0) AS dup_line_frac,
+    coalesce(CAST(l.dup_chars AS DOUBLE) / b.total_chars, 0) AS dup_line_char_frac,
+    coalesce(CAST(p.dup_occ AS DOUBLE) / p.n, 0) AS dup_para_frac,
+    coalesce(CAST(p.dup_chars AS DOUBLE) / b.total_chars, 0) AS dup_para_char_frac,
+    ${Seq(2, 3, 4).map(n => s"coalesce(CAST(t$n.mass AS DOUBLE) / b.total_chars, 0) AS top${n}_char_frac").mkString(",\n    ")},
+    ${(5 to 10).map(n => s"coalesce(CAST(d$n.mass AS DOUBLE) / b.total_chars, 0) AS dup${n}_char_frac").mkString(",\n    ")}
+  FROM base b
+  LEFT JOIN ln_tot l USING (doc_id)
+  LEFT JOIN pr_tot p USING (doc_id)
+  ${Seq(2, 3, 4).map(n => s"LEFT JOIN top$n t$n USING (doc_id)").mkString("\n  ")}
+  ${(5 to 10).map(n => s"LEFT JOIN dup$n d$n USING (doc_id)").mkString("\n  ")}
+)
+SELECT doc_id,
+  ${Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+      "top2_char_frac", "top3_char_frac", "top4_char_frac",
+      "dup5_char_frac", "dup6_char_frac", "dup7_char_frac",
+      "dup8_char_frac", "dup9_char_frac", "dup10_char_frac")
+    .map(c => s"round($c, 6) AS $c").mkString(",\n  ")},
+  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+   AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+   AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18 AND top4_char_frac <= 0.16
+   AND dup5_char_frac <= 0.15 AND dup6_char_frac <= 0.14 AND dup7_char_frac <= 0.13
+   AND dup8_char_frac <= 0.12 AND dup9_char_frac <= 0.11 AND dup10_char_frac <= 0.10) AS kept
+FROM m ORDER BY doc_id
+""".trim
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
     * §2.2 — the construction rules of the C4 corpus): the canonical
     * pre-training page cleanup that sits BETWEEN raw extraction and the
