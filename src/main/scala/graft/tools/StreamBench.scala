@@ -85,27 +85,32 @@ object StreamBench {
       }
     })
 
-    if (!new java.io.File(s"$sfDir/documents.parquet").exists()) {
-      val m = "scale(\\d+)x".r.findFirstMatchIn(sfDir)
-      require(m.isDefined, s"no documents.parquet at $sfDir and not a scale dir")
-      println(s"[streambench] generating ${m.get.group(1)}x corpus at $sfDir")
-      ScaleProbe.generate(spark, "/root/testdata/sf0.1", m.get.group(1).toInt, sfDir)
-    }
-
-    // ---- 1. IngestGate ----
+    // the vecgate-only tier needs embeddings.parquet alone — skip the
+    // document-corpus prep entirely (a vec-only scale dir has no docs,
+    // and regenerating 10000× of them for an embedding benchmark would
+    // be hours of wasted work)
     val root = java.nio.file.Files.createTempDirectory("graft-streambench").toString
     val corpusDir = s"$root/corpus"
-    spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-      .write.parquet(s"$corpusDir/documents.parquet")
-    val corpusN = spark.read.parquet(s"$corpusDir/documents.parquet").count()
-    // batch material: only batchSize×nBatches source docs are ever used
-    // (cycled by modulo) — collect just those, not the corpus (at 100×
-    // the full collect would be data-sized on the driver)
-    val corpusRows = spark.read.parquet(s"$corpusDir/documents.parquet")
-      .orderBy("doc_id").limit(math.max(1, batchSize * nBatches))
-      .as[(Long, String)].collect()
-    println(s"[streambench] corpus: $corpusN docs from $sfDir " +
-      s"(${corpusRows.length} collected as batch material)")
+    val corpusRows: Array[(Long, String)] = if (tiers == "vecgate") Array.empty else {
+      if (!new java.io.File(s"$sfDir/documents.parquet").exists()) {
+        val m = "scale(\\d+)x".r.findFirstMatchIn(sfDir)
+        require(m.isDefined, s"no documents.parquet at $sfDir and not a scale dir")
+        println(s"[streambench] generating ${m.get.group(1)}x corpus at $sfDir")
+        ScaleProbe.generate(spark, "/root/testdata/sf0.1", m.get.group(1).toInt, sfDir)
+      }
+      spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+        .write.parquet(s"$corpusDir/documents.parquet")
+      val corpusN = spark.read.parquet(s"$corpusDir/documents.parquet").count()
+      // batch material: only batchSize×nBatches source docs are ever used
+      // (cycled by modulo) — collect just those, not the corpus (at 100×
+      // the full collect would be data-sized on the driver)
+      val rows = spark.read.parquet(s"$corpusDir/documents.parquet")
+        .orderBy("doc_id").limit(math.max(1, batchSize * nBatches))
+        .as[(Long, String)].collect()
+      println(s"[streambench] corpus: $corpusN docs from $sfDir " +
+        s"(${rows.length} collected as batch material)")
+      rows
+    }
 
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF.toDF("doc_id", "text")
