@@ -87,22 +87,29 @@ object VectorIngestGate {
     * so the threshold semantics never change; what varies is the
     * candidate-scan I/O (float 264 B/candidate, int8 72 B, PQ 16 B) and
     * the possibility that the float-best match is not the cheap tier's
-    * arg-max — in the dup-gate regime a stored near-copy dominates the
-    * byte-tier order too (it reconstructs like its stored source), so
-    * the verdict survives; SCALING.md r12 measures the agreement at 2M.
+    * arg-max — in the dup-gate regime a stored near-copy usually
+    * dominates the byte-tier order too (it reconstructs like its stored
+    * source), so the verdict usually survives. MEASURED, not assumed
+    * (SCALING.md r12): at 2M all three tiers produced the identical
+    * verdict set; at 20M the PQ tier admitted ONE of 6,000 arrivals
+    * that float/int8 dropped (its ADC arg-max picked a survivor that
+    * re-scored below τ while the true float-best sat above) — byte
+    * tiers are near-exact, not bit-guaranteed, on the dup gate.
     * Byte tiers keep the dup gate's no-candidate-sort property
     * (arg-max, not a window cut). [[PqTier]] requires the index built
     * with the PQ tier.
     *
-    * Tier choice (SCALING.md r12, measured at 2M vectors / 3×2,000-batch):
-    * all three tiers land the IDENTICAL verdict set, but wall at this
-    * scale orders int8 < float < PQ — the PQ path's extra per-batch
-    * stage (query-table build + arg-max + float re-score scan) costs
-    * more than the ~3 MB/batch of candidate bytes it saves. Byte
-    * savings only pay once the probed candidate I/O per batch is large
-    * (≫ the fixed per-stage overhead, i.e. big batches × big cells at
-    * 100 TB scale); for interactive micro-batches prefer [[Int8Tier]]
-    * (fastest measured) or [[FloatTier]] (no build-tier requirement). */
+    * Tier choice (SCALING.md r12, measured at 2M AND 20M, 3×2,000-vector
+    * batches each): wall orders float ≤ int8 < PQ at BOTH scales — the
+    * crossover the byte tiers exist for did not appear even at 10× the
+    * candidate volume, because a page-cached local candidate scan is
+    * CPU-bound (the join + arg-max dominate), not byte-bound. The byte
+    * tiers pay when the scan is STORAGE-bound — cold reads, object
+    * store, memory-constrained executors — which local[n] cannot
+    * exhibit; that boundary is stated here rather than extrapolated.
+    * For this deployment shape prefer [[FloatTier]] (fastest measured,
+    * no build-tier requirement); [[Int8Tier]] when index bytes matter;
+    * [[PqTier]] only when candidate I/O is the measured bottleneck. */
   sealed trait ScoreTier
   case object FloatTier extends ScoreTier
   case object Int8Tier extends ScoreTier

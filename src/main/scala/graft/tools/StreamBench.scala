@@ -202,9 +202,24 @@ object StreamBench {
     // fabricate 8k arrivals. Sorted → deterministic pool at every scale
     // (≤ 60k corpora collected everything before, so published numbers
     // at those scales are composition-identical).
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .sort("vec_id").limit(100000).collect()
+    val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val poolN = 100000
+    val nEmb = embDf.count()
+    // rank-prefilter before the global sort: at 20M the bare
+    // sort+limit pulled >1 GiB of per-partition partial sorts to the
+    // driver (maxResultSize abort). The quantile cut keeps the smallest
+    // ~2·poolN ids (error bound 0.001·n keeps the retained rank ≥ poolN),
+    // so the sort and the driver pull are pool-sized at any corpus size —
+    // and the collected pool is IDENTICAL to the unfiltered sort+limit
+    // (the filter only discards rows the limit would have dropped).
+    val embPre = if (nEmb > poolN * 4L) {
+      val cut = embDf.stat.approxQuantile("vec_id",
+        Array(math.min(1.0, 2.0 * poolN / nEmb)), 0.001).head
+      embDf.filter(col("vec_id") <= cut)
+    } else embDf
+    val emb = embPre.as[(Long, Array[Float])]
+      .sort("vec_id").limit(poolN).collect()
 
     // ---- 1c. VectorIngestGate (persistent-IVF embedding gate) ----
     if (tiers == "all" || tiers == "vecgate") {
@@ -215,9 +230,12 @@ object StreamBench {
       println(f"[streambench] vector index build (once): ${(System.nanoTime() - vb0) / 1e9}%.2f s")
       val vmem = MemoryStream[VecRow]
       // OUTSIDE any reachable ScaleProbe block id range (block b occupies
-      // b·10⁷ + [0, base); 300M — the old start — was exactly block 30,
-      // so factor ≥ 31 corpora collided arrival ids with stored ids)
-      var nextVid = 20000000000L
+      // b·10⁷ + [0, base); 300M — the original start — was exactly block
+      // 30, and 2·10¹⁰ — the first fix — was exactly block 2000, which
+      // the 10000× corpus reaches: its 1,800 admitted arrivals collided
+      // id-for-id with stored rows and tripped the append guard. Start
+      // beyond block 10⁵, i.e. beyond any factor ≤ 100,000 corpus.
+      var nextVid = 2000000000000L
       def vsigned(b: Int, i: Int, v: Array[Float]): Array[Float] =
         v.zipWithIndex.map { case (x, d) =>
           var z = (b.toLong * 7919L + i.toLong) * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
