@@ -127,6 +127,16 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => ruleIds.contains(r.getLong(0))))
   }
 
+  test("curation v3: the rule-gate prefix adds ZERO shuffles over v2's plan") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    val v2 = exchanges(Sampling.curationLearned(spark, sf))
+    val v3 = exchanges(Sampling.curationRules(spark, sf))
+    assert(v3 == v2,
+      s"rule gates grew the shuffle count: v2=$v2 v3=$v3 — they must stay narrow projections")
+  }
+
   test("sequence packing: plan is partition-count-invariant and conserves the corpus") {
     val budget = 500L
     val p3 = Packing.packSequences(spark, sf, budget, numPartitions = 3).collect()
