@@ -234,19 +234,27 @@ ORDER BY d.doc_id
     * whole point of running cheap rules first at 100 TB); thresholds
     * stay scalar aggregates broadcast back, never global windows. */
   def curationRules(spark: SparkSession, dir: String, quota: Int = 100,
-                    dim: Int = QualityClassifier.DefaultDim): DataFrame = {
-    val paged = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "source", "text")
+                    dim: Int = QualityClassifier.DefaultDim): DataFrame =
+    learnedTail(spark, exactDedupOn(ruleGates(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text"))), quota, dim)
+
+  /** The v3 rule-gate prefix over a (doc_id, source, text) relation —
+    * ONE definition shared by [[curationRules]], the scale probe, and
+    * the funnel spec, so a change here cannot de-sync what SCALING.md
+    * measures from what ships: synthetic page + %3 stop trigger →
+    * C4 clean (downstream consumes clean_text) → Gopher verdict. */
+  private[graft] def ruleGates(docs: DataFrame): DataFrame = {
+    val paged = docs
       .withColumn("__page", concat(TextAnalysis.c4SyntheticPage,
         when(col("doc_id") % 3 === 0,
           lit("\nand that have with of to be the.")).otherwise(lit(""))))
     val afterC4 = TextAnalysis.c4CleanOn(paged, col("__page"))
       .filter(col("kept"))
       .select(col("doc_id"), col("source"), col("clean_text").as("text"))
-    val rules = TextAnalysis.gopherQualityOn(afterC4, col("text"))
+    TextAnalysis.gopherQualityOn(afterC4, col("text"))
       .filter(col("kept"))
       .select("doc_id", "source", "text")
-    learnedTail(spark, exactDedupOn(rules), quota, dim)
   }
 
   def curationPipelineSql(minWords: Int = 30, quota: Int = 100): String = s"""
@@ -399,24 +407,20 @@ ORDER BY predicted_lang, sample_rank
     * chain retargeted at the cleaned survivors. */
   def curationRulesSql(quota: Int = 100,
                        dim: Int = QualityClassifier.DefaultDim): String = {
-    val prefix = """pages AS (
+    // assembled from the SAME shared constants as q_c4_clean /
+    // q_gopher_quality (TextAnalysis.c4PageSqlExpr / c4KeptLinesSql /
+    // gopherArraysSql / gopherMetricSqlCols / gopherVerdictSql) — the
+    // rule expressions cannot de-sync between the standalone oracles
+    // and this composed one
+    val prefix = s"""pages AS (
   SELECT doc_id, source,
-    array_to_string(list_transform(
-      generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1, 1),
-      i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')
-           || (['.', '', '!', ',', '?'])[(i % 5) + 1]), chr(10))
-    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'plus a lorem ipsum marker line.' ELSE '' END
-    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
-    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END
+    ${TextAnalysis.c4PageSqlExpr}
     || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'and that have with of to be the.' ELSE '' END
     AS page
   FROM documents
 ), c4 AS (
   SELECT doc_id, source, page,
-    array_to_string(list_filter(string_split(page, chr(10)), x ->
-      right(rtrim(x), 1) IN ('.', '!', '?', '"')
-      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
-      AND NOT regexp_matches(lower(x), '\bjavascript\b')), chr(10)) AS text
+    array_to_string(${TextAnalysis.c4KeptLinesSql("page")}, chr(10)) AS text
   FROM pages
 ), c4kept AS (
   SELECT doc_id, source, text FROM c4
@@ -424,41 +428,14 @@ ORDER BY predicted_lang, sample_rank
     AND NOT lower(page) LIKE '%lorem ipsum%'
     AND NOT contains(page, '{')
 ), gw AS (
-  SELECT doc_id, source, text,
-    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS words,
-    string_split(text, chr(10)) AS lines
-  FROM c4kept
+  ${TextAnalysis.gopherArraysSql("c4kept", "doc_id, source, text")}
 ), gm AS (
   SELECT doc_id, source, text,
-    len(words) AS n_words,
-    CASE WHEN len(words) = 0 THEN NULL
-      ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS mean_word_len,
-    CASE WHEN len(words) = 0 THEN NULL
-      ELSE CAST((length(text) - length(replace(text, '#', ''))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS hash_ratio,
-    CASE WHEN len(words) = 0 THEN NULL
-      ELSE CAST((length(text) - length(replace(text, '…', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS ellipsis_ratio,
-    CAST(len(list_filter(lines, l -> left(ltrim(l), 1) IN ('•', '‣', '-', '*'))) AS DOUBLE)
-      / CAST(len(lines) AS DOUBLE) AS pct_bullet,
-    CAST(len(list_filter(lines, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE)
-      / CAST(len(lines) AS DOUBLE) AS pct_ell,
-    CASE WHEN len(words) = 0 THEN NULL
-      ELSE CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS pct_alpha,
-    (CAST(list_contains(list_transform(words, w -> lower(w)), 'the') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'be') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'to') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'of') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)) AS stop_hits
+    ${TextAnalysis.gopherMetricSqlCols}
   FROM gw
 ), rules AS (
   SELECT doc_id, source, text FROM gm
-  WHERE coalesce(n_words >= 50 AND n_words <= 100000
-    AND mean_word_len >= 3 AND mean_word_len <= 10
-    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
-    AND pct_bullet <= 0.9 AND pct_ell <= 0.3
-    AND pct_alpha >= 0.8 AND stop_hits >= 2, FALSE)
+  WHERE ${TextAnalysis.gopherVerdictSql}
 ),
 """
     curationLearnedSql(quota, dim, prefix, "rules")

@@ -352,8 +352,10 @@ ORDER BY d.doc_id
     val page = concat(page0,
       when(col("doc_id") % 4 === 0, concat(lit("\n"), firstLine)).otherwise(lit("")),
       when(col("doc_id") % 6 === 0, concat(lit("\n\n"), firstPara)).otherwise(lit("")))
+    // no input orderBy: the typed map discards ordering anyway and the
+    // trailing orderBy re-sorts — same shape as [[repetition]]
     gopherRepetitionOn(
-      docs(spark, dir).orderBy("doc_id").select(col("doc_id"), page.as("text")))
+      docs(spark, dir).select(col("doc_id"), page.as("text")))
       .orderBy("doc_id")
   }
 
@@ -522,7 +524,11 @@ FROM m ORDER BY doc_id
     * same reason as [[gopherQualityOn]]: lambda expressions get no
     * common-subexpression elimination, so a flat tree re-evaluates the
     * line-split and the kept-lines filter once per derived column. */
-  def c4CleanOn(df: DataFrame, text: Column, badWords: Seq[String] = Nil): DataFrame = {
+  def c4CleanOn(df: DataFrame, textCol: Column, badWords: Seq[String] = Nil): DataFrame = {
+    // NULL behaves like '' (the repo-wide convention — see [[repetition]]):
+    // without this, kept would be NULL and the row would vanish from BOTH
+    // the keep filter and the !kept audit filter
+    val text = coalesce(textCol, lit(""))
     val hasBad =
       if (badWords.isEmpty) lit(false)
       else lower(text).rlike(
@@ -549,29 +555,44 @@ FROM m ORDER BY doc_id
       .drop("__c_lines", "__c_kept_lines", "__c_bad")
   }
 
-  /** Oracle: the same rules in DuckDB list lambdas — last-character set
-    * test (see the [[c4Clean]] scaladoc for why not `$`), the same
-    * word-boundary javascript regex (identical `\b` semantics in Java
-    * and RE2), the same `[.!?]+` sentence-run count. */
-  val c4CleanSql: String = """
-WITH pages AS (
-  SELECT doc_id,
-    array_to_string(list_transform(
+  /** The deterministic synthetic-page SQL expression (base 8-word lines
+    * with the cycling punctuation + the three C4 page-marker appends) —
+    * ONE constant shared by every oracle that builds the page
+    * ([[c4CleanSql]], [[gopherQualitySql]],
+    * [[Sampling.curationRulesSql]]), so the copies cannot de-sync. */
+  private[graft] val c4PageSqlExpr: String =
+    """array_to_string(list_transform(
       generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1, 1),
       i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')
            || (['.', '', '!', ',', '?'])[(i % 5) + 1]), chr(10))
     || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'plus a lorem ipsum marker line.' ELSE '' END
     || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
-    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END
+    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END"""
+
+  /** The C4 per-line keep filter in DuckDB, over a named text column —
+    * shared by [[c4CleanSql]] and [[Sampling.curationRulesSql]]. Built
+    * from a RAW string (the `\s`/`\b` regexes must reach DuckDB
+    * verbatim; an s-interpolator would eat them as escapes). */
+  private[graft] def c4KeptLinesSql(src: String): String =
+    """list_filter(string_split(SRC, chr(10)), x ->
+      right(rtrim(x), 1) IN ('.', '!', '?', '"')
+      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+      AND NOT regexp_matches(lower(x), '\bjavascript\b'))""".replace("SRC", src)
+
+  /** Oracle: the same rules in DuckDB list lambdas — last-character set
+    * test (see the [[c4Clean]] scaladoc for why not `$`), the same
+    * word-boundary javascript regex (identical `\b` semantics in Java
+    * and RE2), the same `[.!?]+` sentence-run count. */
+  val c4CleanSql: String = s"""
+WITH pages AS (
+  SELECT doc_id,
+    $c4PageSqlExpr
     AS text
   FROM documents
 ), l AS (
   SELECT doc_id, text,
     string_split(text, chr(10)) AS lines,
-    list_filter(string_split(text, chr(10)), x ->
-      right(rtrim(x), 1) IN ('.', '!', '?', '"')
-      AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
-      AND NOT regexp_matches(lower(x), '\bjavascript\b')) AS kept_lines
+    ${c4KeptLinesSql("text")} AS kept_lines
   FROM pages
 ), c AS (
   SELECT doc_id, text, len(lines) AS n_lines, len(kept_lines) AS n_lines_kept,
@@ -619,15 +640,15 @@ FROM c ORDER BY doc_id
     * codegen carries them as locals. Stop hits are ONE
     * `array_intersect` pass (distinct-presence count), not one
     * `array_contains` scan per list word. */
-  def gopherQualityOn(df: DataFrame, text: Column): DataFrame = {
-    def occurrences(needle: String): Column =
-      (length(text) - length(replace(text, lit(needle), lit("")))) / needle.length
+  def gopherQualityOn(df: DataFrame, textCol: Column): DataFrame = {
+    // NULL behaves like '' (the repo-wide convention — see [[repetition]])
+    val text = coalesce(textCol, lit(""))
     // stage 1: the two arrays + raw char counts — each computed ONCE
     val s1 = df
       .withColumn("__g_words", filter(split(text, "\\s+"), w => length(w) > 0))
       .withColumn("__g_lines", split(text, "\n"))
-      .withColumn("__g_nhash", occurrences("#"))
-      .withColumn("__g_nellipsis", occurrences("…") + occurrences("..."))
+      .withColumn("__g_nhash", occurrences(text, "#"))
+      .withColumn("__g_nellipsis", occurrences(text, "…") + occurrences(text, "..."))
     // stage 2: one pass per count over the materialized arrays
     val s2 = s1
       .withColumn("__g_nw", size(col("__g_words")))
@@ -704,30 +725,12 @@ FROM c ORDER BY doc_id
         "pct_alpha_words", "n_stop_hits", "kept")
   }
 
-  val gopherQualitySql: String = """
-WITH pages AS (
-  SELECT doc_id,
-    array_to_string(list_transform(
-      generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1, 1),
-      i -> array_to_string(list_slice(string_split(text, ' '), i*8 + 1, i*8 + 8), ' ')
-           || (['.', '', '!', ',', '?'])[(i % 5) + 1]), chr(10))
-    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'plus a lorem ipsum marker line.' ELSE '' END
-    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
-    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END
-    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'and that have with of to be the.' ELSE '' END
-    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '# # # # # # # # # # # #' ELSE '' END
-    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '• bullet line here' || chr(10) || '• another bullet line' ELSE '' END
-    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this line trails off with an ellipsis...' ELSE '' END
-    AS text
-  FROM documents
-), g AS (
-  SELECT doc_id, text,
-    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS words,
-    string_split(text, chr(10)) AS lines
-  FROM pages
-), m AS (
-  SELECT doc_id, text, lines,
-    len(words) AS n_words,
+  /** The Gopher quality metrics as DuckDB select-list columns, over a
+    * relation carrying `text`, `words`, `lines` — ONE definition shared
+    * by [[gopherQualitySql]] and [[Sampling.curationRulesSql]] (raw
+    * string: the `\`-free block still shares the no-interpolation rule
+    * for uniformity with its sibling constants). */
+  private[graft] val gopherMetricSqlCols: String = """len(words) AS n_words,
     CASE WHEN len(words) = 0 THEN NULL
       ELSE CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / CAST(len(words) AS DOUBLE) END AS mean_word_len,
     CASE WHEN len(words) = 0 THEN NULL
@@ -747,7 +750,40 @@ WITH pages AS (
      + CAST(list_contains(list_transform(words, w -> lower(w)), 'and') AS INT)
      + CAST(list_contains(list_transform(words, w -> lower(w)), 'that') AS INT)
      + CAST(list_contains(list_transform(words, w -> lower(w)), 'have') AS INT)
-     + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)) AS n_stop_hits
+     + CAST(list_contains(list_transform(words, w -> lower(w)), 'with') AS INT)) AS n_stop_hits"""
+
+  /** The Gopher word/line array CTE body over a named source relation
+    * (raw string — the `\s+` must reach DuckDB verbatim). `lead` lets a
+    * composed pipeline carry extra key columns through. */
+  private[graft] def gopherArraysSql(src: String, lead: String = "doc_id, text"): String =
+    """SELECT LEAD,
+    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS words,
+    string_split(text, chr(10)) AS lines
+  FROM SRC""".replace("LEAD", lead).replace("SRC", src)
+
+  /** The Gopher verdict predicate over the (unrounded) metric columns —
+    * shared by [[gopherQualitySql]] and [[Sampling.curationRulesSql]]. */
+  private[graft] val gopherVerdictSql: String = """coalesce(n_words >= 50 AND n_words <= 100000
+    AND mean_word_len >= 3 AND mean_word_len <= 10
+    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+    AND pct_bullet_lines <= 0.9 AND pct_ellipsis_lines <= 0.3
+    AND pct_alpha_words >= 0.8 AND n_stop_hits >= 2, FALSE)"""
+
+  val gopherQualitySql: String = s"""
+WITH pages AS (
+  SELECT doc_id,
+    $c4PageSqlExpr
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'and that have with of to be the.' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || '# # # # # # # # # # # #' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '• bullet line here' || chr(10) || '• another bullet line' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'this line trails off with an ellipsis...' ELSE '' END
+    AS text
+  FROM documents
+), g AS (
+  ${gopherArraysSql("pages")}
+), m AS (
+  SELECT doc_id, text, lines,
+    $gopherMetricSqlCols
   FROM g
 )
 SELECT doc_id,
@@ -759,11 +795,7 @@ SELECT doc_id,
   round(pct_ellipsis_lines, 6) AS pct_ellipsis_lines,
   round(pct_alpha_words, 6) AS pct_alpha_words,
   CAST(n_stop_hits AS INTEGER) AS n_stop_hits,
-  coalesce(n_words >= 50 AND n_words <= 100000
-    AND mean_word_len >= 3 AND mean_word_len <= 10
-    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
-    AND pct_bullet_lines <= 0.9 AND pct_ellipsis_lines <= 0.3
-    AND pct_alpha_words >= 0.8 AND n_stop_hits >= 2, FALSE) AS kept
+  $gopherVerdictSql AS kept
 FROM m ORDER BY doc_id
 """.trim
 

@@ -32,18 +32,10 @@ object CurationScaleProbe {
     val n0 = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"[curscale] corpus: $n0 docs from $dir")
 
-    def rules = {
-      val paged = spark.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "source", "text")
-        .withColumn("__page", concat(TextAnalysis.c4SyntheticPage,
-          when(col("doc_id") % 3 === 0,
-            lit("\nand that have with of to be the.")).otherwise(lit(""))))
-      val afterC4 = TextAnalysis.c4CleanOn(paged, col("__page"))
-        .filter(col("kept"))
-        .select(col("doc_id"), col("source"), col("clean_text").as("text"))
-      TextAnalysis.gopherQualityOn(afterC4, col("text"))
-        .filter(col("kept")).select("doc_id", "source", "text")
-    }
+    // the EXACT pipeline prefix (shared definition — see Sampling.ruleGates)
+    def rules = Sampling.ruleGates(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text"))
     val n1 = timed("rule gates (C4+Gopher)")(rules.count())
     val n2 = timed("rules + exact dedup") {
       import org.apache.spark.sql.expressions.Window

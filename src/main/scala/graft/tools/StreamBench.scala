@@ -202,6 +202,15 @@ object StreamBench {
     // fabricate 8k arrivals. Sorted → deterministic pool at every scale
     // (≤ 60k corpora collected everything before, so published numbers
     // at those scales are composition-identical).
+    // the vecgate arm still needs the generate fallback the document-prep
+    // skip removed: a plain (not yet generated) scale dir has neither
+    // relation, and embeddings come from the same ScaleProbe.generate
+    if (!new java.io.File(s"$sfDir/embeddings.parquet").exists()) {
+      val m = "scale(\\d+)x".r.findFirstMatchIn(sfDir)
+      require(m.isDefined, s"no embeddings.parquet at $sfDir and not a scale dir")
+      println(s"[streambench] generating ${m.get.group(1)}x corpus at $sfDir")
+      ScaleProbe.generate(spark, "/root/testdata/sf0.1", m.get.group(1).toInt, sfDir)
+    }
     val embDf = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val poolN = 100000
@@ -214,12 +223,19 @@ object StreamBench {
     // and the collected pool is IDENTICAL to the unfiltered sort+limit
     // (the filter only discards rows the limit would have dropped).
     val embPre = if (nEmb > poolN * 4L) {
+      // the error bound must SCALE with the corpus: a fixed 0.001
+      // relative error is an absolute rank error of 0.001·n, which
+      // crosses the 2·poolN target rank at n = 100M and would silently
+      // shrink the pool. 0.5·poolN/n keeps the retained rank ≥ 1.5·poolN
+      // at any corpus size.
       val cut = embDf.stat.approxQuantile("vec_id",
-        Array(math.min(1.0, 2.0 * poolN / nEmb)), 0.001).head
+        Array(math.min(1.0, 2.0 * poolN / nEmb)), 0.5 * poolN / nEmb).head
       embDf.filter(col("vec_id") <= cut)
     } else embDf
     val emb = embPre.as[(Long, Array[Float])]
       .sort("vec_id").limit(poolN).collect()
+    require(emb.length >= math.min(poolN.toLong, nEmb),
+      s"arrival pool shrank: ${emb.length} < ${math.min(poolN.toLong, nEmb)} — prefilter bug")
 
     // ---- 1c. VectorIngestGate (persistent-IVF embedding gate) ----
     if (tiers == "all" || tiers == "vecgate") {

@@ -125,6 +125,12 @@ class CurationSpec extends AnyFunSuite {
     val ruleIds = TextAnalysis.gopherQualityOn(afterC4, col("text"))
       .filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out.forall(r => ruleIds.contains(r.getLong(0))))
+    // and this test's stage-by-stage reconstruction must BE the shared
+    // prefix the pipeline ships (Sampling.ruleGates) — catches de-sync
+    val shared = Sampling.ruleGates(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(shared == ruleIds, "spec reconstruction diverged from Sampling.ruleGates")
   }
 
   test("curation v3: the rule-gate prefix adds ZERO shuffles over v2's plan") {
