@@ -62,6 +62,14 @@ object SparkEntry {
     // CCNet-style bigram-LM perplexity, self-trained on the corpus
     // (Wenzek et al. 2020): train = relational counts, score = equi-joins
     "q_lm_perplexity" -> ((s, dir) => LanguageModel.perplexity(s, dir)),
+    // DSIR importance resampling (Xie 2023): hashed unigram+bigram
+    // target-vs-raw model, deterministic Gumbel top-k selection
+    "q_dsir_weights" -> ((s, dir) => Dsir.weightsQuery(s, dir)),
+    "q_dsir_select" -> ((s, dir) => Dsir.select(s, dir)),
+    // Bloom-filter dedup gate (Dolma, Soldaini 2024): fixed-memory
+    // membership over md5 bit positions; the false-positive SET is
+    // deterministic and part of the checked relation
+    "q_bloom_dedup" -> ((s, dir) => BloomDedup.query(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(s, dir)),
@@ -436,6 +444,9 @@ object SparkEntry {
     "q_ivf_rerank" -> Similarity.ivfSearchRerankSql(widen = 2),
     "q_ivf_adaptive" -> Similarity.ivfSearchAdaptiveSql(chunk = 2, maxChunks = 3),
     "q_quality_holdout" -> QualityClassifier.holdoutQuerySql(),
+    "q_dsir_weights" -> Dsir.weightsSql(),
+    "q_dsir_select" -> Dsir.selectSql(),
+    "q_bloom_dedup" -> BloomDedup.querySql(),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),
     "q_ivf_pq_rerank" -> Pq.ivfSearchPqRerankSql(widen = 2, m = 4, kSub = 8),
     "q_ivf_pq_res" -> Pq.ivfSearchPqResSql(m = 4, kSub = 8),

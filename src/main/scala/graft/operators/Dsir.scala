@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): select raw-corpus documents whose hashed n-gram
+  * distribution resembles a curated TARGET corpus, by importance
+  * resampling instead of a hard threshold gate.
+  *
+  * The recipe, faithfully:
+  *  1. **Features**: bag of word unigrams + bigrams hashed into `dim`
+  *     buckets (the paper's hashed n-gram features; the same 52-bit md5
+  *     hash as [[QualityClassifier]] / [[TextAnalysis.hashedFeatures]],
+  *     so both engines compute bit-identical bucket ids).
+  *  2. **Fit** bag-of-words bucket distributions on the target (p̂) and
+  *     the raw corpus (q̂), add-one smoothed. The per-bucket
+  *     log-importance `llr(f) = ln p̂(f) − ln q̂(f)` — structurally the
+  *     Naive-Bayes llr, fitted target-vs-raw instead of pos-vs-neg.
+  *  3. **Weight**: per raw document, log w = Σ_f c_doc(f) · llr(f).
+  *  4. **Resample** k documents WITHOUT replacement via Gumbel top-k
+  *     (Vieira 2014): key = log w + Gumbel(0,1), take the k largest.
+  *     The Gumbel noise is deterministic — u from the md5-52 hash of the
+  *     doc id (the engine-portable coin [[Sampling.temperatureSample]]
+  *     flips), g = −ln(−ln u) — so selection is bit-reproducible and the
+  *     DuckDB oracle replays it exactly.
+  *
+  * Scale shape (100 TB): fitting is ONE gram scan into a dim-bounded
+  * map-side-combinable aggregate (≤ `dim` rows per partial) collected to
+  * a dim-row literal model — broadcast, like the NB classifier and the
+  * IVF centroid models. Weighting is one gram scan joined to the
+  * broadcast model and a per-doc sum (map-side combinable). Selection is
+  * a global top-k (`TakeOrderedAndProject` — k-sized heaps per
+  * partition, never a full sort). Nothing grows with corpus size except
+  * the two scans.
+  *
+  * Documents whose text yields zero tokens carry log w = 0 (they still
+  * compete in the resampling round, per the paper's "every raw example
+  * has a weight") — restored by a left join from the raw doc list.
+  *
+  * Reference framing: the reference pipeline (SURVEY §2) has no learned
+  * selection stage; this is a scale extension beside
+  * [[QualityClassifier]] (threshold gate) — DSIR is the published
+  * alternative that preserves diversity by sampling instead of gating. */
+object Dsir {
+
+  val DefaultDim: Int = 512
+  val DefaultK: Int = 200
+
+  /** Target corpus definition shared with the classifier oracle: three
+    * synthetic sources play "curated reference corpus". */
+  val TargetSources: Seq[String] = QualityClassifier.PositiveSources
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** 52-bit md5 hash — identical to [[QualityClassifier]]'s. */
+  private def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  private def toksCol(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), " ", -1), t => length(t) > 0)
+
+  /** `(carry…, feat)` — one row per unigram AND per space-joined bigram,
+    * hashed into [0, dim). Both n-gram orders share the bucket space
+    * (the paper's hashing-trick feature map). Built in-stage from the
+    * token array (zip with its own 1-shifted self — no position join). */
+  private[graft] def gramRows(d: DataFrame, dim: Int,
+                              carry: Seq[String]): DataFrame = {
+    val toks = d.select(carry.map(col) :+ toksCol(col("text")).as("toks"): _*)
+    val n1 = greatest(size(col("toks")) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), n1), slice(col("toks"), lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    toks
+      .select(carry.map(col) :+
+        explode(concat(col("toks"), bigrams)).as("gram"): _*)
+      .select(carry.map(col) :+
+        (h52(col("gram")) % dim).cast("int").as("feat"): _*)
+  }
+
+  /** Fit the per-bucket log-importance model on `labeled`
+    * (doc_id, label: boolean — true = target, text). ONE gram scan; the
+    * ≤dim count rows come back to the driver and the model ships as a
+    * dim-row literal (every bucket present — zero-count buckets carry
+    * the Laplace floor, so out-of-corpus grams degrade gracefully). */
+  def fit(spark: SparkSession, labeled: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    val countRows = gramRows(labeled, dim, Seq("label")).groupBy("feat").agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(!col("label"), 1L).otherwise(0L)).as("c_r")).collect()
+    val byFeat = countRows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nT = countRows.map(_.getLong(1)).sum
+    val nR = countRows.map(_.getLong(2)).sum
+    require(nT > 0 && nR > 0,
+      s"Dsir.fit: both the target and the raw corpus must contribute grams " +
+        s"(n_target=$nT, n_raw=$nR) — check the target predicate")
+    (0 until dim).map { f =>
+      val (ct, cr) = byFeat.getOrElse(f, (0L, 0L))
+      (f, math.log((ct + 1).toDouble / (nT + dim)) -
+        math.log((cr + 1).toDouble / (nR + dim)))
+    }.toDF("feat", "llr")
+  }
+
+  /** Per-document log importance weight of `raw` (doc_id, text) under a
+    * fitted model: gram counts × broadcast llr, zero-token documents
+    * restored at log w = 0. `round(·, 6)` pins the cross-engine double
+    * (the [[LanguageModel]] / [[QualityClassifier]] precedent). */
+  def logWeights(raw: DataFrame, model: DataFrame, dim: Int): DataFrame = {
+    val byDoc = gramRows(raw, dim, Seq("doc_id"))
+      .groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "feat")
+      .groupBy("doc_id")
+      .agg(sum(col("c").cast("double") * col("llr")).as("s"))
+    raw.select(col("doc_id"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("s"), lit(0.0)), 6).as("log_weight"))
+  }
+
+  /** Deterministic Gumbel(0,1) noise for a doc id: u ∈ (0,1) from the
+    * md5-52 hash (the +0.5 offset keeps u strictly inside the interval),
+    * g = −ln(−ln u). */
+  private def gumbel(docId: Column): Column = {
+    val u = (h52(concat(lit("dsir:"), docId.cast("string"))).cast("double")
+      + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    -log(-log(u))
+  }
+
+  /** End-to-end oracled selection: fit target-vs-raw on source labels,
+    * weight every raw document, Gumbel-top-k resample. Output ordered by
+    * the resampling key (the selection order IS the result's meaning). */
+  def select(spark: SparkSession, dir: String, k: Int = DefaultK,
+             dim: Int = DefaultDim): DataFrame = {
+    val labeled = docs(spark, dir).select(col("doc_id"),
+      col("source").isin(TargetSources: _*).as("label"), col("text"))
+    val model = fit(spark, labeled, dim)
+    val raw = labeled.filter(!col("label")).select("doc_id", "text")
+    logWeights(raw, model, dim)
+      .withColumn("gumbel_key", round(col("log_weight") + gumbel(col("doc_id")), 6))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The weight relation alone (all raw documents, ordered by id) — the
+    * denser oracle surface for the model + weighting math. */
+  def weightsQuery(spark: SparkSession, dir: String,
+                   dim: Int = DefaultDim): DataFrame = {
+    val labeled = docs(spark, dir).select(col("doc_id"),
+      col("source").isin(TargetSources: _*).as("label"), col("text"))
+    val model = fit(spark, labeled, dim)
+    logWeights(labeled.filter(!col("label")).select("doc_id", "text"), model, dim)
+      .orderBy("doc_id")
+  }
+
+  /** The md5-52 hash in DuckDB — shared with the classifier oracle. The
+    * inner lambda variable is `hi`, not `i`, so splicing this hash inside
+    * a `list_transform(…, i -> …)` can never shadow the outer `i` (the
+    * [[BloomDedup]] position-collapse lesson). */
+  private def h52Sql(e: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 13),
+      hi -> (strpos('0123456789abcdef', substr(md5($e), hi, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - hi))))) AS BIGINT)"""
+
+  private def fitCtes(dim: Int): String = {
+    val tgt = TargetSources.map(s => s"'$s'").mkString(", ")
+    s"""
+d AS (
+  SELECT doc_id, (source IN ($tgt)) AS label,
+    list_filter(string_split(lower(coalesce(text, '')), ' '),
+                t -> len(t) > 0) AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, label,
+    unnest(list_concat(toks,
+      list_transform(generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]))) AS gram
+  FROM d
+), hashed AS (
+  SELECT doc_id, label,
+    CAST(${h52Sql("gram")} % $dim AS INTEGER) AS feat
+  FROM grams
+), tot AS (
+  SELECT sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_t,
+         sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS n_r
+  FROM hashed
+), counts AS (
+  SELECT feat, sum(CASE WHEN label THEN 1 ELSE 0 END) AS c_t,
+               sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS c_r
+  FROM hashed GROUP BY feat
+), model AS (
+  SELECT f.feat,
+    ln((coalesce(c.c_t, 0) + 1)::DOUBLE / (t.n_t + $dim))
+      - ln((coalesce(c.c_r, 0) + 1)::DOUBLE / (t.n_r + $dim)) AS llr
+  FROM (SELECT unnest(generate_series(0, $dim - 1)) AS feat) f
+  LEFT JOIN counts c USING (feat) CROSS JOIN tot t
+), w AS (
+  SELECT r.doc_id,
+    round(coalesce(s.s, 0), 6) AS log_weight
+  FROM (SELECT doc_id FROM d WHERE NOT label) r
+  LEFT JOIN (
+    SELECT doc_id, sum(c * llr) AS s
+    FROM (SELECT doc_id, feat, count(*)::DOUBLE AS c
+          FROM hashed WHERE NOT label GROUP BY doc_id, feat) dc
+    JOIN model USING (feat) GROUP BY doc_id
+  ) s USING (doc_id)
+)"""
+  }
+
+  def selectSql(k: Int = DefaultK, dim: Int = DefaultDim): String = s"""
+WITH ${fitCtes(dim)}
+SELECT doc_id, log_weight,
+  round(log_weight
+    - ln(-ln((${h52Sql("'dsir:' || doc_id::VARCHAR")} + 0.5)
+             / 4503599627370496.0)), 6) AS gumbel_key
+FROM w
+ORDER BY gumbel_key DESC, doc_id
+LIMIT $k
+"""
+
+  def weightsSql(dim: Int = DefaultDim): String = s"""
+WITH ${fitCtes(dim)}
+SELECT doc_id, log_weight FROM w ORDER BY doc_id
+"""
+}

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.BloomDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom-gate invariants: the packed bit array equals the distinct
+  * position set (the oracle's relational form), duplicates are NEVER
+  * missed (no false negatives), false positives appear exactly when an
+  * undersized filter says they should, OR-union equals a fresh combined
+  * build, persistence round-trips with torn-state loudness, and the gate
+  * plan is shuffle-free. */
+class BloomDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def posOf(text: String, i: Int, m: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$text".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(h.substring(0, 13), 16) % m
+  }
+
+  test("packed bit array == distinct position set (hand-replicated hashes)") {
+    val m = 1 << 10
+    val k = 4
+    val corpus = Seq("alpha", "beta", "gamma", "alpha").toDF("text")
+    val words = BloomDedup.build(spark, corpus, k, m)
+    val setBits = (0 until m).filter(p => (words(p >>> 6) & (1L << (p & 63))) != 0).toSet
+    val want = Seq("alpha", "beta", "gamma")
+      .flatMap(t => (0 until k).map(i => posOf(t, i, m).toInt)).toSet
+    assert(setBits == want)
+  }
+
+  test("no false negatives: every seen text gates as bloom_dup") {
+    val m = 1 << 12
+    val seen = (1 to 200).map(i => s"document number $i").toDF("text")
+    val words = BloomDedup.build(spark, seen, 5, m)
+    val gated = BloomDedup.gate(spark, seen, words, 5, m)
+    assert(gated.filter(!col("bloom_dup")).count() == 0)
+  }
+
+  test("an undersized filter exhibits false positives; a sized one does not") {
+    val seen = (1 to 500).map(i => s"seen $i").toDF("text")
+    val fresh = (1 to 500).map(i => s"fresh $i").toDF("text")
+    // m=512 at 2,500 insertions: fill ≈ 99%, nearly everything collides
+    val tiny = BloomDedup.build(spark, seen, 5, 512)
+    val fpTiny = BloomDedup.gate(spark, fresh, tiny, 5, 512)
+      .filter(col("bloom_dup")).count()
+    assert(fpTiny > 400, s"undersized filter should flood: $fpTiny")
+    // m=2^16 at the same load: fill ≈ 4%, fpr ≈ 1e-7
+    val sized = BloomDedup.build(spark, seen, 5, 1 << 16)
+    val fpSized = BloomDedup.gate(spark, fresh, sized, 5, 1 << 16)
+      .filter(col("bloom_dup")).count()
+    assert(fpSized == 0, s"sized filter should be clean: $fpSized")
+  }
+
+  test("OR-union of two builds == one build over the concatenated corpus") {
+    val m = 1 << 10
+    val a = (1 to 50).map(i => s"a $i").toDF("text")
+    val b = (1 to 50).map(i => s"b $i").toDF("text")
+    val wa = BloomDedup.build(spark, a, 3, m)
+    val wb = BloomDedup.build(spark, b, 3, m)
+    val both = BloomDedup.build(spark, a.unionAll(b), 3, m)
+    assert(wa.zip(wb).map { case (x, y) => x | y }.toSeq == both.toSeq)
+  }
+
+  test("oracled query: exact_dup implies bloom_dup on the sf corpus") {
+    val rows = BloomDedup.query(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bloom = r.getAs[Boolean]("bloom_dup")
+      val exact = r.getAs[Boolean]("exact_dup")
+      val fp = r.getAs[Boolean]("false_positive")
+      assert(!exact || bloom, s"false negative at ${r.getAs[Long]("doc_id")}")
+      assert(fp == (bloom && !exact))
+    }
+  }
+
+  test("persist/load round-trip; absorb == rebuild over both corpora; torn is loud") {
+    val tag = s"bloomspec_${System.nanoTime()}"
+    val m = 1 << 10
+    val a = (1 to 40).map(i => s"pa $i").toDF("text")
+    val b = (1 to 40).map(i => s"pb $i").toDF("text")
+    val wa = BloomDedup.build(spark, a, 3, m)
+    BloomDedup.persist(spark, tag, wa, m, 3)
+    val (loaded, lm, lk) = BloomDedup.load(spark, tag)
+    assert(loaded.toSeq == wa.toSeq && lm == m && lk == 3)
+    BloomDedup.absorb(spark, tag, b)
+    val (after, _, _) = BloomDedup.load(spark, tag)
+    assert(after.toSeq == BloomDedup.build(spark, a.unionAll(b), 3, m).toSeq)
+    // torn state: drop the geometry row → load must refuse
+    spark.sql(s"CREATE TABLE ${BloomDedup.filterTable(s"${tag}_torn")} AS " +
+      s"SELECT * FROM ${BloomDedup.filterTable(tag)} WHERE kind <> 'm'")
+    val e = intercept[IllegalArgumentException] {
+      BloomDedup.load(spark, s"${tag}_torn")
+    }
+    assert(e.getMessage.contains("expected exactly one m row"))
+    spark.sql(s"DROP TABLE ${BloomDedup.filterTable(tag)}")
+    spark.sql(s"DROP TABLE ${BloomDedup.filterTable(s"${tag}_torn")}")
+  }
+
+  test("plan shape: the gate is shuffle-free") {
+    val arrivals = (1 to 100).map(i => s"arr $i").toDF("text")
+    val words = BloomDedup.build(spark, arrivals, 5, 1 << 12)
+    val gated = BloomDedup.gate(spark, arrivals, words, 5, 1 << 12)
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.operators.Dsir
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form checks of DSIR importance resampling: hand-computed
+  * unigram+bigram weights on a calculator-sized corpus, the Gumbel
+  * top-k's determinism and exhaustiveness edges, zero-token weight
+  * restoration, and the plan shapes that carry the 100 TB claim
+  * (broadcast model join; top-k as TakeOrderedAndProject, never a global
+  * sort). */
+class DsirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def featOf(gram: String, dim: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(h.substring(0, 13), 16) % dim).toInt
+  }
+
+  test("dim=1 collapses to gram-count algebra (hand-computed)") {
+    // grams: doc1 (target): a, b, "a b" → 3; doc2 (raw): c, d, "c d" → 3;
+    // doc3 (raw): e → 1. All in bucket 0 at dim=1.
+    val labeled = Seq(
+      (1L, true, "a b"),
+      (2L, false, "c d"),
+      (3L, false, "e")
+    ).toDF("doc_id", "label", "text")
+    val model = Dsir.fit(spark, labeled, dim = 1)
+    val llr = model.collect()(0).getDouble(1)
+    // cT=3, nT=3, cR=4, nR=4 → llr = ln(4/4) − ln(5/5) = 0
+    assert(math.abs(llr) < 1e-12)
+    val w = Dsir.logWeights(
+      labeled.filter(!col("label")).select("doc_id", "text"), model, dim = 1)
+      .orderBy("doc_id").collect()
+    assert(w.map(_.getAs[Double]("log_weight")).forall(v => math.abs(v) < 1e-9))
+  }
+
+  test("unigram+bigram weights match hand computation at dim=8") {
+    val dim = 8
+    val labeled = Seq(
+      (1L, true, "x y"),   // target grams: x, y, "x y"
+      (2L, false, "x z")   // raw grams:    x, z, "x z"
+    ).toDF("doc_id", "label", "text")
+    val model = Dsir.fit(spark, labeled, dim)
+    val llrs = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(llrs.size == dim) // every bucket materializes
+    val tGrams = Seq("x", "y", "x y")
+    val rGrams = Seq("x", "z", "x z")
+    (0 until dim).foreach { f =>
+      val ct = tGrams.count(featOf(_, dim) == f)
+      val cr = rGrams.count(featOf(_, dim) == f)
+      val want = math.log((ct + 1.0) / (3 + dim)) - math.log((cr + 1.0) / (3 + dim))
+      assert(math.abs(llrs(f) - want) < 1e-12, s"bucket $f")
+    }
+    // doc2's weight = Σ c_f · llr(f) over its own grams
+    val expect = rGrams.groupBy(featOf(_, dim)).map { case (f, g) =>
+      g.size * llrs(f)
+    }.sum
+    val got = Dsir.logWeights(
+        labeled.filter(!col("label")).select("doc_id", "text"), model, dim)
+      .collect()(0).getAs[Double]("log_weight")
+    assert(math.abs(got - BigDecimal(expect).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("zero-token raw documents are restored at log_weight = 0") {
+    val labeled = Seq(
+      (1L, true, "t t"),
+      (2L, false, "r"),
+      (3L, false, "   "), // whitespace-only → zero tokens
+      (4L, false, null.asInstanceOf[String])
+    ).toDF("doc_id", "label", "text")
+    val model = Dsir.fit(spark, labeled, dim = 4)
+    val w = Dsir.logWeights(
+        labeled.filter(!col("label")).select("doc_id", "text"), model, dim = 4)
+      .orderBy("doc_id").collect()
+    assert(w.length == 3) // every raw doc present
+    assert(w(1).getAs[Double]("log_weight") == 0.0)
+    assert(w(2).getAs[Double]("log_weight") == 0.0)
+  }
+
+  test("fit is loud when a side contributes no grams") {
+    val oneSided = Seq((1L, true, "a"), (2L, false, "")).toDF("doc_id", "label", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.fit(spark, oneSided, dim = 4)
+    }
+    assert(e.getMessage.contains("both the target and the raw corpus"))
+  }
+
+  test("selection: deterministic, k-bounded, exhaustive when k >= pool") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Dsir.select(spark, dir, k = 25).collect()
+    val b = Dsir.select(spark, dir, k = 25).collect()
+    assert(a.length == 25)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq) // bit-reproducible
+    // keys strictly ordered (round-to-6 ties broken by doc_id, so the
+    // sequence of (key, id) pairs is strictly descending lexicographically)
+    val keys = a.map(r => (r.getAs[Double]("gumbel_key"), r.getAs[Long]("doc_id")))
+    assert(keys.sliding(2).forall { case Array((k1, d1), (k2, d2)) =>
+      k1 > k2 || (k1 == k2 && d1 < d2) })
+    val pool = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(!col("source").isin(Dsir.TargetSources: _*)).count()
+    val all = Dsir.select(spark, dir, k = pool.toInt + 10)
+    assert(all.count() == pool) // every raw doc competes, none duplicated
+    assert(all.select("doc_id").distinct().count() == pool)
+  }
+
+  test("plan shape: broadcast model join; top-k never global-sorts") {
+    val dir = "/root/testdata/sf0.001"
+    val sel = Dsir.select(spark, dir, k = 10)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded heap, not Sort+Limit:\n$plan")
+    // the dim-row model join (on feat) must broadcast; the zero-token
+    // restoration join (on doc_id) is corpus-keyed and MAY sort-merge
+    assert(!plan.contains("SortMergeJoin [feat"),
+      s"the dim-row model must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [feat"), plan)
+    val w = Dsir.weightsQuery(spark, dir)
+    val wPlan = w.queryExecution.executedPlan.toString
+    assert(wPlan.contains("BroadcastHashJoin"), wPlan)
+  }
+
+  test("higher-weight docs are preferentially selected (distribution sanity)") {
+    // Construct a raw pool where half the docs are verbatim target-like
+    // ("x"-heavy) and half are not; the x-heavy docs must dominate the
+    // selected set. Gumbel noise is O(1) while the weight gap grows with
+    // doc length, so 30 repeated tokens dwarf the noise.
+    val tgt = (1 to 10).map(i => (s"t$i", true, Seq.fill(30)("x").mkString(" ")))
+    val rawX = (1 to 20).map(i => (s"rx$i", false, Seq.fill(30)("x").mkString(" ")))
+    val rawZ = (1 to 20).map(i => (s"rz$i", false, Seq.fill(30)("z").mkString(" ")))
+    val labeled = (tgt ++ rawX ++ rawZ).toDF("doc_id", "label", "text")
+    val model = Dsir.fit(spark, labeled, dim = 64)
+    val w = Dsir.logWeights(
+      labeled.filter(!col("label")).select("doc_id", "text"), model, dim = 64)
+    val picked = w
+      .withColumn("key", col("log_weight") + lit(0.0)) // weights alone: top-20
+      .orderBy(col("key").desc).limit(20).collect().map(_.getString(0))
+    assert(picked.forall(_.startsWith("rx")))
+  }
+}
