@@ -58,11 +58,22 @@ object BloomDedup {
 
   /** The k bit positions of a text: `md5("i:" || text) % m` for
     * i ∈ [0, k). Null texts hash as the empty string (the repo-wide
-    * coalesce convention). */
+    * coalesce convention).
+    *
+    * Deliberately an explicit `array(...)` of k expressions, NOT a
+    * `transform(sequence(0, k−1), i → …)` lambda: k is a driver-side Int
+    * so unrolling is free, the unrolled form stays in plain whole-stage
+    * codegen (no lambda-variable boxing), and — found the hard way — a
+    * HOF whose lambda captures a column derived from BOTH sides of a
+    * join trips a Catalyst mis-pushdown in Spark 4.1.2: the filter's
+    * outer reference is dropped from the predicate's reference set, the
+    * predicate is pushed below the join onto the side that cannot
+    * resolve it, and execution dies with INTERNAL_ERROR_ATTRIBUTE_NOT_
+    * FOUND (pinned by BloomDedupSpec's join-derived-text case). */
   def positions(text: Column, k: Int = DefaultHashes,
                 m: Int = DefaultBits): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => h52(concat(i.cast("string"), lit(":"), coalesce(text, lit("")))) % m)
+    array((0 until k).map(i =>
+      h52(concat(lit(s"$i:"), coalesce(text, lit("")))) % m): _*)
 
   case class BloomWords(words: Array[Long])
 

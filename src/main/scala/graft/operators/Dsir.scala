@@ -27,16 +27,18 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (100 TB): fitting is ONE gram scan into a dim-bounded
   * map-side-combinable aggregate (≤ `dim` rows per partial) collected to
-  * a dim-row literal model — broadcast, like the NB classifier and the
-  * IVF centroid models. Weighting is one gram scan joined to the
-  * broadcast model and a per-doc sum (map-side combinable). Selection is
+  * a dim-element driver array — model-sized, like the NB classifier and
+  * the IVF centroid models. Weighting is a pure NARROW map: the model
+  * ships as a dim-element array literal and each document folds
+  * llr[h52(gram) % dim] over its own gram array in-row — no per-gram
+  * explode relation, no (doc, feat) shuffle, no model join. Selection is
   * a global top-k (`TakeOrderedAndProject` — k-sized heaps per
-  * partition, never a full sort). Nothing grows with corpus size except
-  * the two scans.
+  * partition, never a full sort). The whole selection plan is scan →
+  * map → top-k: zero data-sized shuffles (spec-pinned).
   *
-  * Documents whose text yields zero tokens carry log w = 0 (they still
-  * compete in the resampling round, per the paper's "every raw example
-  * has a weight") — restored by a left join from the raw doc list.
+  * Documents whose text yields zero tokens fold over an empty gram array
+  * to log w = 0 (they still compete in the resampling round, per the
+  * paper's "every raw example has a weight").
   *
   * Reference framing: the reference pipeline (SURVEY §2) has no learned
   * selection stage; this is a scale extension beside
@@ -80,12 +82,11 @@ object Dsir {
   }
 
   /** Fit the per-bucket log-importance model on `labeled`
-    * (doc_id, label: boolean — true = target, text). ONE gram scan; the
-    * ≤dim count rows come back to the driver and the model ships as a
-    * dim-row literal (every bucket present — zero-count buckets carry
-    * the Laplace floor, so out-of-corpus grams degrade gracefully). */
-  def fit(spark: SparkSession, labeled: DataFrame, dim: Int): DataFrame = {
-    import spark.implicits._
+    * (doc_id, label: boolean — true = target, text) as a driver-side
+    * dim-array. ONE gram scan; the ≤dim count rows come back to the
+    * driver (every bucket present — zero-count buckets carry the Laplace
+    * floor, so out-of-corpus grams degrade gracefully). */
+  def fitLlr(spark: SparkSession, labeled: DataFrame, dim: Int): Array[Double] = {
     val countRows = gramRows(labeled, dim, Seq("label")).groupBy("feat").agg(
       sum(when(col("label"), 1L).otherwise(0L)).as("c_t"),
       sum(when(!col("label"), 1L).otherwise(0L)).as("c_r")).collect()
@@ -97,25 +98,47 @@ object Dsir {
         s"(n_target=$nT, n_raw=$nR) — check the target predicate")
     (0 until dim).map { f =>
       val (ct, cr) = byFeat.getOrElse(f, (0L, 0L))
-      (f, math.log((ct + 1).toDouble / (nT + dim)) -
-        math.log((cr + 1).toDouble / (nR + dim)))
-    }.toDF("feat", "llr")
+      math.log((ct + 1).toDouble / (nT + dim)) -
+        math.log((cr + 1).toDouble / (nR + dim))
+    }.toArray
+  }
+
+  /** [[fitLlr]] as a (feat, llr) relation — the model-as-relations form
+    * for persistence/inspection and for the spec's differential. */
+  def fit(spark: SparkSession, labeled: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
+    fitLlr(spark, labeled, dim).toSeq.zipWithIndex
+      .map { case (l, f) => (f, l) }.toDF("feat", "llr")
   }
 
   /** Per-document log importance weight of `raw` (doc_id, text) under a
-    * fitted model: gram counts × broadcast llr, zero-token documents
-    * restored at log w = 0. `round(·, 6)` pins the cross-engine double
-    * (the [[LanguageModel]] / [[QualityClassifier]] precedent). */
-  def logWeights(raw: DataFrame, model: DataFrame, dim: Int): DataFrame = {
-    val byDoc = gramRows(raw, dim, Seq("doc_id"))
-      .groupBy("doc_id", "feat").agg(count(lit(1)).as("c"))
-      .join(broadcast(model), "feat")
-      .groupBy("doc_id")
-      .agg(sum(col("c").cast("double") * col("llr")).as("s"))
-    raw.select(col("doc_id"))
-      .join(byDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(col("s"), lit(0.0)), 6).as("log_weight"))
+    * fitted model, folded IN-ROW over the gram array against the model
+    * as a dim-element array literal: log w = fold over grams of
+    * llr[h52(gram) % dim]. Zero shuffle — no per-gram explode relation,
+    * no (doc, feat) aggregation, and zero-token documents fold over an
+    * empty array to exactly 0 with no restoration join (the first
+    * relational form paid a corpus-sized groupBy(doc, feat) shuffle
+    * PLUS a doc_id join, measured 26 µs/doc at 5M docs — this form is a
+    * pure narrow map). `round(·, 6)` pins the cross-engine double (the
+    * [[LanguageModel]] / [[QualityClassifier]] precedent; both engines
+    * fold the gram list left-to-right, so even the summation ORDER
+    * matches). */
+  def logWeights(raw: DataFrame, llr: Array[Double], dim: Int): DataFrame = {
+    require(llr.length == dim, s"model has ${llr.length} buckets, expected $dim")
+    raw.select(col("doc_id"),
+      round(weightCol(col("text"), llr, dim), 6).as("log_weight"))
+  }
+
+  /** The in-row weight fold as a reusable Column (unrounded). */
+  private def weightCol(text: Column, llr: Array[Double], dim: Int): Column = {
+    val llrArr = array(llr.map(lit(_)): _*)
+    val toks = toksCol(text)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val grams = concat(toks,
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat(a, lit(" "), b)))
+    aggregate(grams, lit(0.0),
+      (acc, g) => acc + element_at(llrArr, (h52(g) % dim).cast("int") + 1))
   }
 
   /** Deterministic Gumbel(0,1) noise for a doc id: u ∈ (0,1) from the
@@ -134,9 +157,9 @@ object Dsir {
              dim: Int = DefaultDim): DataFrame = {
     val labeled = docs(spark, dir).select(col("doc_id"),
       col("source").isin(TargetSources: _*).as("label"), col("text"))
-    val model = fit(spark, labeled, dim)
+    val llr = fitLlr(spark, labeled, dim)
     val raw = labeled.filter(!col("label")).select("doc_id", "text")
-    logWeights(raw, model, dim)
+    logWeights(raw, llr, dim)
       .withColumn("gumbel_key", round(col("log_weight") + gumbel(col("doc_id")), 6))
       .orderBy(col("gumbel_key").desc, col("doc_id"))
       .limit(k)
@@ -148,8 +171,8 @@ object Dsir {
                    dim: Int = DefaultDim): DataFrame = {
     val labeled = docs(spark, dir).select(col("doc_id"),
       col("source").isin(TargetSources: _*).as("label"), col("text"))
-    val model = fit(spark, labeled, dim)
-    logWeights(labeled.filter(!col("label")).select("doc_id", "text"), model, dim)
+    val llr = fitLlr(spark, labeled, dim)
+    logWeights(labeled.filter(!col("label")).select("doc_id", "text"), llr, dim)
       .orderBy("doc_id")
   }
 

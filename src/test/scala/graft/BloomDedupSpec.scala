@@ -99,6 +99,32 @@ class BloomDedupSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE ${BloomDedup.filterTable(s"${tag}_torn")}")
   }
 
+  test("gate survives a join-derived text column (Catalyst HOF-pushdown corner)") {
+    // Regression pin for the Spark 4.1.2 optimizer bug positions()'s
+    // scaladoc documents: with a transform(sequence, λ) position array, a
+    // filter over the gate of a corpus whose text references BOTH sides
+    // of a join was pushed below the join onto the side that cannot
+    // resolve the text attribute (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+    // execution). The unrolled array(…) form must keep this working.
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = base
+      .crossJoin(spark.range(2).select(col("id").as("rep")))
+      .select((col("doc_id") * 2 + col("rep")).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+      .repartition(4)
+    val words = BloomDedup.build(spark, corpus, 5, 1 << 16)
+    val n = BloomDedup.gate(spark, corpus, words, 5, 1 << 16)
+      .filter(col("bloom_dup")).count()
+    assert(n == corpus.count()) // every inserted text flags duplicate
+    // the non-UDF filter shape that originally tripped the pushdown
+    val sized = corpus
+      .filter(org.apache.spark.sql.functions.size(
+        BloomDedup.positions(col("text"), 5, 1 << 16)) === 5)
+      .count()
+    assert(sized == corpus.count())
+  }
+
   test("plan shape: the gate is shuffle-free") {
     val arrivals = (1 to 100).map(i => s"arr $i").toDF("text")
     val words = BloomDedup.build(spark, arrivals, 5, 1 << 12)

@@ -28,12 +28,11 @@ class DsirSpec extends AnyFunSuite {
       (2L, false, "c d"),
       (3L, false, "e")
     ).toDF("doc_id", "label", "text")
-    val model = Dsir.fit(spark, labeled, dim = 1)
-    val llr = model.collect()(0).getDouble(1)
+    val llrArr = Dsir.fitLlr(spark, labeled, dim = 1)
     // cT=3, nT=3, cR=4, nR=4 → llr = ln(4/4) − ln(5/5) = 0
-    assert(math.abs(llr) < 1e-12)
+    assert(math.abs(llrArr(0)) < 1e-12)
     val w = Dsir.logWeights(
-      labeled.filter(!col("label")).select("doc_id", "text"), model, dim = 1)
+      labeled.filter(!col("label")).select("doc_id", "text"), llrArr, dim = 1)
       .orderBy("doc_id").collect()
     assert(w.map(_.getAs[Double]("log_weight")).forall(v => math.abs(v) < 1e-9))
   }
@@ -44,9 +43,13 @@ class DsirSpec extends AnyFunSuite {
       (1L, true, "x y"),   // target grams: x, y, "x y"
       (2L, false, "x z")   // raw grams:    x, z, "x z"
     ).toDF("doc_id", "label", "text")
-    val model = Dsir.fit(spark, labeled, dim)
-    val llrs = model.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val llrArr = Dsir.fitLlr(spark, labeled, dim)
+    val llrs = llrArr.zipWithIndex.map { case (l, f) => f -> l }.toMap
     assert(llrs.size == dim) // every bucket materializes
+    // the relational form is the same model, bucket by bucket
+    Dsir.fit(spark, labeled, dim).collect().foreach { r =>
+      assert(r.getDouble(1) == llrArr(r.getInt(0)))
+    }
     val tGrams = Seq("x", "y", "x y")
     val rGrams = Seq("x", "z", "x z")
     (0 until dim).foreach { f =>
@@ -60,7 +63,7 @@ class DsirSpec extends AnyFunSuite {
       g.size * llrs(f)
     }.sum
     val got = Dsir.logWeights(
-        labeled.filter(!col("label")).select("doc_id", "text"), model, dim)
+        labeled.filter(!col("label")).select("doc_id", "text"), llrArr, dim)
       .collect()(0).getAs[Double]("log_weight")
     assert(math.abs(got - BigDecimal(expect).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
@@ -73,9 +76,9 @@ class DsirSpec extends AnyFunSuite {
       (3L, false, "   "), // whitespace-only → zero tokens
       (4L, false, null.asInstanceOf[String])
     ).toDF("doc_id", "label", "text")
-    val model = Dsir.fit(spark, labeled, dim = 4)
+    val llrArr = Dsir.fitLlr(spark, labeled, dim = 4)
     val w = Dsir.logWeights(
-        labeled.filter(!col("label")).select("doc_id", "text"), model, dim = 4)
+        labeled.filter(!col("label")).select("doc_id", "text"), llrArr, dim = 4)
       .orderBy("doc_id").collect()
     assert(w.length == 3) // every raw doc present
     assert(w(1).getAs[Double]("log_weight") == 0.0)
@@ -85,7 +88,7 @@ class DsirSpec extends AnyFunSuite {
   test("fit is loud when a side contributes no grams") {
     val oneSided = Seq((1L, true, "a"), (2L, false, "")).toDF("doc_id", "label", "text")
     val e = intercept[IllegalArgumentException] {
-      Dsir.fit(spark, oneSided, dim = 4)
+      Dsir.fitLlr(spark, oneSided, dim = 4)
     }
     assert(e.getMessage.contains("both the target and the raw corpus"))
   }
@@ -108,20 +111,22 @@ class DsirSpec extends AnyFunSuite {
     assert(all.select("doc_id").distinct().count() == pool)
   }
 
-  test("plan shape: broadcast model join; top-k never global-sorts") {
+  test("plan shape: weighting is a narrow map; top-k never global-sorts") {
     val dir = "/root/testdata/sf0.001"
     val sel = Dsir.select(spark, dir, k = 10)
     val plan = sel.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a bounded heap, not Sort+Limit:\n$plan")
-    // the dim-row model join (on feat) must broadcast; the zero-token
-    // restoration join (on doc_id) is corpus-keyed and MAY sort-merge
-    assert(!plan.contains("SortMergeJoin [feat"),
-      s"the dim-row model must broadcast:\n$plan")
-    assert(plan.contains("BroadcastHashJoin [feat"), plan)
+    // the whole selection is scan → in-row fold → top-k: no join, no
+    // aggregation, no Exchange anywhere (TakeOrderedAndProject gathers
+    // per-partition heaps without a shuffle node)
+    assert(!plan.contains("Join"), s"no join in the selection plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"zero shuffles:\n$plan")
     val w = Dsir.weightsQuery(spark, dir)
     val wPlan = w.queryExecution.executedPlan.toString
-    assert(wPlan.contains("BroadcastHashJoin"), wPlan)
+    // ordered output pays exactly one range-partition Exchange for the
+    // final sort; the weighting itself adds none
+    assert(!wPlan.contains("Join") && !wPlan.contains("HashAggregate"), wPlan)
   }
 
   test("higher-weight docs are preferentially selected (distribution sanity)") {
@@ -133,9 +138,9 @@ class DsirSpec extends AnyFunSuite {
     val rawX = (1 to 20).map(i => (s"rx$i", false, Seq.fill(30)("x").mkString(" ")))
     val rawZ = (1 to 20).map(i => (s"rz$i", false, Seq.fill(30)("z").mkString(" ")))
     val labeled = (tgt ++ rawX ++ rawZ).toDF("doc_id", "label", "text")
-    val model = Dsir.fit(spark, labeled, dim = 64)
+    val llrArr = Dsir.fitLlr(spark, labeled, dim = 64)
     val w = Dsir.logWeights(
-      labeled.filter(!col("label")).select("doc_id", "text"), model, dim = 64)
+      labeled.filter(!col("label")).select("doc_id", "text"), llrArr, dim = 64)
     val picked = w
       .withColumn("key", col("log_weight") + lit(0.0)) // weights alone: top-20
       .orderBy(col("key").desc).limit(20).collect().map(_.getString(0))
