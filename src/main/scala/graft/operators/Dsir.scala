@@ -154,8 +154,14 @@ object Dsir {
     * weight every raw document, Gumbel-top-k resample. Output ordered by
     * the resampling key (the selection order IS the result's meaning). */
   def select(spark: SparkSession, dir: String, k: Int = DefaultK,
-             dim: Int = DefaultDim): DataFrame = {
-    val labeled = docs(spark, dir).select(col("doc_id"),
+             dim: Int = DefaultDim): DataFrame =
+    selectOn(spark, docs(spark, dir).select("doc_id", "source", "text"), k, dim)
+
+  /** [[select]] over an arbitrary (doc_id, source, text) relation — the
+    * composed-curation hook ([[Sampling.curationDsir]]). */
+  def selectOn(spark: SparkSession, corpus: DataFrame, k: Int,
+               dim: Int): DataFrame = {
+    val labeled = corpus.select(col("doc_id"),
       col("source").isin(TargetSources: _*).as("label"), col("text"))
     val llr = fitLlr(spark, labeled, dim)
     val raw = labeled.filter(!col("label")).select("doc_id", "text")
@@ -185,14 +191,14 @@ object Dsir {
       hi -> (strpos('0123456789abcdef', substr(md5($e), hi, 1)) - 1)
            * (1::BIGINT << (4 * (13 - hi))))) AS BIGINT)"""
 
-  private def fitCtes(dim: Int): String = {
+  private def fitCtes(dim: Int, rel: String): String = {
     val tgt = TargetSources.map(s => s"'$s'").mkString(", ")
     s"""
 d AS (
   SELECT doc_id, (source IN ($tgt)) AS label,
     list_filter(string_split(lower(coalesce(text, '')), ' '),
                 t -> len(t) > 0) AS toks
-  FROM documents
+  FROM $rel
 ), grams AS (
   SELECT doc_id, label,
     unnest(list_concat(toks,
@@ -230,8 +236,13 @@ d AS (
 )"""
   }
 
-  def selectSql(k: Int = DefaultK, dim: Int = DefaultDim): String = s"""
-WITH ${fitCtes(dim)}
+  /** `prefixCtes` (each ending with a comma) and `rel` retarget the
+    * whole chain at a prepared relation — the composed-curation hook
+    * ([[Sampling.curationDsirSql]]), mirroring
+    * [[Sampling.curationLearnedSql]]'s parameterization. */
+  def selectSql(k: Int = DefaultK, dim: Int = DefaultDim,
+                prefixCtes: String = "", rel: String = "documents"): String = s"""
+WITH $prefixCtes${fitCtes(dim, rel)}
 SELECT doc_id, log_weight,
   round(log_weight
     - ln(-ln((${h52Sql("'dsir:' || doc_id::VARCHAR")} + 0.5)
@@ -242,7 +253,7 @@ LIMIT $k
 """
 
   def weightsSql(dim: Int = DefaultDim): String = s"""
-WITH ${fitCtes(dim)}
+WITH ${fitCtes(dim, "documents")}
 SELECT doc_id, log_weight FROM w ORDER BY doc_id
 """
 }

@@ -239,6 +239,28 @@ ORDER BY d.doc_id
       spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "source", "text"))), quota, dim)
 
+  /** Curation v4 variant — rule gates → exact dedup → DSIR importance
+    * RESAMPLING ([[Dsir]], Xie 2023) in place of the threshold-gate
+    * tail: where [[curationRules]] gates on a classifier median and a
+    * perplexity band (drop everything below the bar), the DSIR tail
+    * SAMPLES k documents in proportion to exp(log-importance), keeping
+    * tail diversity — the published trade between the two recipes. The
+    * DSIR model is fitted on the rule-gate SURVIVORS (target = curated
+    * sources among survivors), so selection pressure reflects the
+    * post-rules distribution a deployment would actually resample.
+    *
+    * Scale shape: narrow rule gates cut the corpus before the one
+    * fingerprint-partition dedup shuffle; the DSIR tail adds ZERO
+    * further shuffles (dim-bounded fit aggregate + in-row weight fold +
+    * TakeOrderedAndProject). */
+  def curationDsir(spark: SparkSession, dir: String, k: Int = 50,
+                   dim: Int = Dsir.DefaultDim): DataFrame = {
+    val deduped = exactDedupOn(ruleGates(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text")))
+    Dsir.selectOn(spark, deduped, k, dim)
+  }
+
   /** The v3 rule-gate prefix over a (doc_id, source, text) relation —
     * ONE definition shared by [[curationRules]], the scale probe, and
     * the funnel spec, so a change here cannot de-sync what SCALING.md
@@ -290,20 +312,25 @@ ORDER BY predicted_lang, sample_rank
     * corpus), the median gate, the reference-trained bigram LM with
     * left-join Laplace smoothing ([[LanguageModel.scoreOn]]'s disjoint
     * form), the 2/3-quantile band, then langid + quota. */
-  def curationLearnedSql(quota: Int = 100,
-                         dim: Int = QualityClassifier.DefaultDim,
-                         prefixCtes: String = "",
-                         rel: String = "documents"): String = {
-    val pos = QualityClassifier.PositiveSources.map(s => s"'$s'").mkString(", ")
-    s"""
-WITH ${prefixCtes}dd AS (
+  /** The shared exact-dedup CTE (`dd`) over a (doc_id, source, text)
+    * relation — ONE definition for [[curationLearnedSql]] and
+    * [[curationDsirSql]] (the shared-rule-definitions discipline). */
+  private[graft] def dedupCteSql(rel: String): String = s"""dd AS (
   SELECT doc_id, source, text FROM (
     SELECT doc_id, source, text,
       row_number() OVER (
         PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
         ORDER BY doc_id) AS rn
     FROM $rel) t WHERE rn = 1
-), d AS (
+)"""
+
+  def curationLearnedSql(quota: Int = 100,
+                         dim: Int = QualityClassifier.DefaultDim,
+                         prefixCtes: String = "",
+                         rel: String = "documents"): String = {
+    val pos = QualityClassifier.PositiveSources.map(s => s"'$s'").mkString(", ")
+    s"""
+WITH ${prefixCtes}${dedupCteSql(rel)}, d AS (
   SELECT doc_id, (source IN ($pos)) AS label, coalesce(text, '') AS text FROM dd
 ), toks AS (
   SELECT doc_id, label, unnest(string_split(text, ' ')) AS tok FROM d
@@ -412,7 +439,14 @@ ORDER BY predicted_lang, sample_rank
     // gopherArraysSql / gopherMetricSqlCols / gopherVerdictSql) — the
     // rule expressions cannot de-sync between the standalone oracles
     // and this composed one
-    val prefix = s"""pages AS (
+    curationLearnedSql(quota, dim, rulesPrefixSql, "rules")
+  }
+
+  /** The v3 rule-gate CTE chain (pages → c4 → c4kept → gw → gm → rules),
+    * ending with a trailing comma — shared by [[curationRulesSql]] and
+    * [[curationDsirSql]] so the rule expressions cannot de-sync between
+    * the two composed oracles. */
+  private[graft] def rulesPrefixSql: String = s"""pages AS (
   SELECT doc_id, source,
     ${TextAnalysis.c4PageSqlExpr}
     || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'and that have with of to be the.' ELSE '' END
@@ -438,6 +472,10 @@ ORDER BY predicted_lang, sample_rank
   WHERE ${TextAnalysis.gopherVerdictSql}
 ),
 """
-    curationLearnedSql(quota, dim, prefix, "rules")
-  }
+
+  /** DuckDB mirror of [[curationDsir]]: the shared rule CTEs + the
+    * shared dedup CTE feeding [[Dsir.selectSql]]'s chain retargeted at
+    * the deduplicated survivors. */
+  def curationDsirSql(k: Int = 50, dim: Int = Dsir.DefaultDim): String =
+    Dsir.selectSql(k, dim, rulesPrefixSql + dedupCteSql("rules") + ",\n", "dd")
 }

@@ -143,6 +143,34 @@ class CurationSpec extends AnyFunSuite {
       s"rule gates grew the shuffle count: v2=$v2 v3=$v3 — they must stay narrow projections")
   }
 
+  test("curation v4 (DSIR tail): selects only rule+dedup survivors; tail adds only the dedup shuffles") {
+    import graft.operators.Dsir
+    // every selected doc must be a non-target rule survivor
+    val survivors = Sampling.ruleGates(spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "source", "text"))
+      .filter(!col("source").isin(Dsir.TargetSources: _*))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Sampling.curationDsir(spark, sf).collect()
+    assert(out.nonEmpty && out.forall(r => survivors.contains(r.getLong(0))))
+    // deterministic resampling: same inputs, same selection
+    val again = Sampling.curationDsir(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the DSIR tail itself is shuffle-free: the composed plan carries no
+    // MORE Exchanges than the rules+dedup prefix alone requires (the
+    // fingerprint window). TakeOrderedAndProject adds none.
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    val prefixOnly = Sampling.ruleGates(spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text"))
+      .withColumn("fp", graft.operators.Dedup.canonicalFp(col("text")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    assert(exchanges(Sampling.curationDsir(spark, sf)) <= exchanges(prefixOnly) + 0,
+      "the DSIR tail must add zero Exchanges over the dedup prefix")
+  }
+
   test("sequence packing: plan is partition-count-invariant and conserves the corpus") {
     val budget = 500L
     val p3 = Packing.packSequences(spark, sf, budget, numPartitions = 3).collect()
