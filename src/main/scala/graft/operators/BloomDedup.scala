@@ -15,10 +15,11 @@ import org.apache.spark.sql.Encoders
   * shuffle, at the price of a tunable false-positive rate and no
   * deletions.
   *
-  * Hash family: bit position i of a text is `md5("i:" || text) % m` —
-  * the repo's engine-portable 52-bit md5 hash with a distinct prefix per
-  * probe, so the DuckDB oracle replays every bit exactly and the
-  * false-positive SET (not just its rate) is deterministic and checked.
+  * Hash family: Kirsch–Mitzenmacher double hashing from ONE md5 digest
+  * per text — `pos_i = (h1 + i·h2) % m` with h1/h2 the digest's two
+  * 52-bit hex halves (see [[positions]]) — engine-portable, so the
+  * DuckDB oracle replays every bit exactly and the false-positive SET
+  * (not just its rate) is deterministic and checked.
   *
   * Scale shape (100 TB): the build is one narrow scan aggregated into an
   * `m/64`-long bit array — the typed [[BloomDedup.BitsetAgg]] partials
@@ -56,9 +57,16 @@ object BloomDedup {
   private def h52(c: Column): Column =
     conv(substring(md5(c), 1, 13), 16, 10).cast("long")
 
-  /** The k bit positions of a text: `md5("i:" || text) % m` for
-    * i ∈ [0, k). Null texts hash as the empty string (the repo-wide
-    * coalesce convention).
+  /** The k bit positions of a text by Kirsch–Mitzenmacher double hashing
+    * (Kirsch & Mitzenmacher 2006, "Less hashing, same performance"):
+    * ONE md5 digest per document yields two independent 52-bit halves
+    * h1 (hex chars 1–13) and h2 (chars 14–26), and
+    * `pos_i = (h1 + i·h2) % m` for i ∈ [0, k) — asymptotically the same
+    * false-positive rate as k independent hashes at a fifth of the
+    * hashing cost (md5 over the full text is the dominant per-doc work;
+    * the probe's FPR-vs-fill^k table re-verifies the family empirically).
+    * No overflow: h1 + k·h2 < 2^52 + 16·2^52 < 2^57. Null texts hash as
+    * the empty string (the repo-wide coalesce convention).
     *
     * Deliberately an explicit `array(...)` of k expressions, NOT a
     * `transform(sequence(0, k−1), i → …)` lambda: k is a driver-side Int
@@ -71,9 +79,12 @@ object BloomDedup {
     * resolve it, and execution dies with INTERNAL_ERROR_ATTRIBUTE_NOT_
     * FOUND (pinned by BloomDedupSpec's join-derived-text case). */
   def positions(text: Column, k: Int = DefaultHashes,
-                m: Int = DefaultBits): Column =
-    array((0 until k).map(i =>
-      h52(concat(lit(s"$i:"), coalesce(text, lit("")))) % m): _*)
+                m: Int = DefaultBits): Column = {
+    val hex = md5(coalesce(text, lit("")))
+    val h1 = conv(substring(hex, 1, 13), 16, 10).cast("long")
+    val h2 = conv(substring(hex, 14, 13), 16, 10).cast("long")
+    array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % m): _*)
+  }
 
   case class BloomWords(words: Array[Long])
 
@@ -113,16 +124,36 @@ object BloomDedup {
 
   /** Gate `arrivals` against a built filter: adds `bloom_dup` — true iff
     * ALL k probed bits are set (possibly-seen; definite-new otherwise).
-    * The filter ships as a broadcast variable and the probe is one UDF
-    * over the in-stage position array — zero shuffle (the UDF is the one
-    * non-codegen boundary; it touches k array cells per row). */
+    * The filter ships as a broadcast variable; the columnar side computes
+    * ONE md5 per document and the UDF parses the two 52-bit halves and
+    * runs the k-probe loop in JVM — zero shuffle.
+    *
+    * Why the UDF takes the hex digest and not the [[positions]] array:
+    * UDF input projections are evaluated WITHOUT common-subexpression
+    * elimination, so handing the UDF the position-array expression
+    * re-evaluates the md5 under every array element (measured 8–9 s vs
+    * 5 s for k independent hashes vs 2 s for this form, at 500k docs —
+    * `tools/BloomHashAB`). Rule: feed UDFs pre-reduced scalars; CSE does
+    * not reach what a UDF consumes. The K-M arithmetic is duplicated
+    * here in JVM form — a divergence from [[positions]] would surface as
+    * false NEGATIVES, which the spec and the scale probe both pin. */
   def gate(spark: SparkSession, arrivals: DataFrame, filter: Array[Long],
            k: Int = DefaultHashes, m: Int = DefaultBits): DataFrame = {
     val bc = spark.sparkContext.broadcast(filter)
-    val allSet = udf { ps: Seq[Long] =>
-      ps.forall(p => (bc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0)
+    val allSetHex = udf { hex: String =>
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+      var i = 0
+      var all = true
+      while (all && i < k) {
+        val p = (h1 + i * h2) % m
+        all = (bc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0
+        i += 1
+      }
+      all
     }
-    arrivals.withColumn("bloom_dup", allSet(positions(col("text"), k, m)))
+    arrivals.withColumn("bloom_dup",
+      allSetHex(md5(coalesce(col("text"), lit("")))))
   }
 
   /** Oracled end-to-end corpus query: build the filter on the md5-fold-0
@@ -159,6 +190,14 @@ object BloomDedup {
       hi -> (strpos('0123456789abcdef', substr(md5($e), hi, 1)) - 1)
            * (1::BIGINT << (4 * (13 - hi))))) AS BIGINT)"""
 
+  /** A 52-bit slice of an already-computed md5 hex column, starting at
+    * 1-based hex offset `off` — the SQL mirror of the double-hashing
+    * halves. Inner lambda variable `hi` (see [[h52Sql]]). */
+  private def hexSliceSql(hexCol: String, off: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 13),
+      hi -> (strpos('0123456789abcdef', substr($hexCol, ${off - 1} + hi, 1)) - 1)
+           * (1::BIGINT << (4 * (13 - hi))))) AS BIGINT)"""
+
   /** DuckDB mirror of [[query]]: the filter relation is the DISTINCT set
     * of fold-0 bit positions; `bloom_dup` = every probed position found
     * (exactly the semantics of the packed bit array, including the
@@ -168,11 +207,16 @@ WITH d AS (
   SELECT doc_id, coalesce(text, '') AS text,
     ${h52Sql("doc_id::VARCHAR")} % 2 AS fold
   FROM documents
+), dh AS (
+  SELECT fold, doc_id,
+    ${hexSliceSql("hex", 1)} AS h1,
+    ${hexSliceSql("hex", 14)} AS h2
+  FROM (SELECT fold, doc_id, md5(text) AS hex FROM d) hx
 ), pos AS (
   SELECT fold, doc_id,
     unnest(list_transform(generate_series(0, ${k - 1}),
-      i -> ${h52Sql("i::VARCHAR || ':' || text")} % $m)) AS p
-  FROM d
+      i -> (h1 + i * h2) % $m)) AS p
+  FROM dh
 ), seen_bits AS (
   SELECT DISTINCT p FROM pos WHERE fold = 0
 ), hit AS (

@@ -55,7 +55,9 @@ object DsirBloomScaleProbe {
       val n = replicate.count()
       println(s"[dsirbloom] ===== factor $k ($n docs) =====")
 
-      // ---- DSIR ----
+      // ---- DSIR ---- (SPARK_GRAFT_BLOOM_ONLY=1 skips, for clean
+      // bloom-tier A/Bs on a noisy host)
+      if (!sys.env.get("SPARK_GRAFT_BLOOM_ONLY").contains("1")) {
       val model = timed(s"dsir fit (gram scan, dim=${Dsir.DefaultDim})") {
         Dsir.fitLlr(spark, replicate, Dsir.DefaultDim)
       }
@@ -65,6 +67,7 @@ object DsirBloomScaleProbe {
           .withColumn("key", col("log_weight"))
           .orderBy(col("key").desc).limit(1000)
         sel.queryExecution.toRdd.count()
+      }
       }
 
       // ---- Bloom ----

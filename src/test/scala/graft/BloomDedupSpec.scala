@@ -14,10 +14,13 @@ class BloomDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // independent replica of the Kirsch–Mitzenmacher position family
   private def posOf(text: String, i: Int, m: Int): Long = {
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$i:$text".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(h.substring(0, 13), 16) % m
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h1 = java.lang.Long.parseLong(h.substring(0, 13), 16)
+    val h2 = java.lang.Long.parseLong(h.substring(13, 26), 16)
+    (h1 + i * h2) % m
   }
 
   test("packed bit array == distinct position set (hand-replicated hashes)") {
