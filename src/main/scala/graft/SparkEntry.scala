@@ -77,6 +77,8 @@ object SparkEntry {
     "q_curation_rules" -> ((s, dir) => Sampling.curationRules(s, dir)),
     // curation v4 variant: rules -> dedup -> DSIR resampling tail
     "q_curation_dsir" -> ((s, dir) => Sampling.curationDsir(s, dir)),
+    // hybrid retrieval: RRF fusion of BM25 + dense cosine (Cormack 2009)
+    "q_hybrid_rrf" -> ((s, dir) => Search.hybridRrf(s, dir)),
     "q_gopher_repetition" -> ((s, dir) => TextAnalysis.gopherRepetition(s, dir)),
     "q_bm25" -> ((s, dir) => Search.bm25(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
@@ -450,6 +452,7 @@ object SparkEntry {
     "q_dsir_select" -> Dsir.selectSql(),
     "q_bloom_dedup" -> BloomDedup.querySql(),
     "q_curation_dsir" -> Sampling.curationDsirSql(),
+    "q_hybrid_rrf" -> Search.hybridRrfSql(),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),
     "q_ivf_pq_rerank" -> Pq.ivfSearchPqRerankSql(widen = 2, m = 4, kSub = 8),
     "q_ivf_pq_res" -> Pq.ivfSearchPqResSql(m = 4, kSub = 8),

@@ -81,11 +81,20 @@ object Search {
     * round-after-sum policy (ln is IEEE libm on both engines; the final
     * round absorbs summation-order ulps). */
   def bm25Sql(queryTerms: Seq[String] = DefaultTerms,
-              k: Int = DefaultK): String = {
+              k: Int = DefaultK): String = s"""
+WITH ${bm25Ctes(queryTerms)}
+SELECT doc_id, round(SUM(w), 6) AS score, COUNT(*) AS terms_hit
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT $k
+""".trim
+
+  /** The BM25 CTE chain through `scored` — ONE definition shared by
+    * [[bm25Sql]] and [[hybridRrfSql]] (the shared-definitions
+    * discipline). */
+  private def bm25Ctes(queryTerms: Seq[String]): String = {
     val q = queryTerms.map(_.toLowerCase).distinct
       .map(t => s"'${t.replace("'", "''")}'").mkString(", ")
-    s"""
-WITH toks AS (
+    s"""toks AS (
   SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS term
   FROM documents
 ), tf AS (
@@ -107,10 +116,74 @@ WITH toks AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
   WHERE tf.term IN ($q)
-)
-SELECT doc_id, round(SUM(w), 6) AS score, COUNT(*) AS terms_hit
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id ASC LIMIT $k
-""".trim
+)""".trim
   }
+
+  /** RRF constant — Cormack et al. 2009's k=60, the value every hybrid
+    * stack ships. */
+  val RrfK = 60
+
+  /** Hybrid retrieval — Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher 2009) of the sparse BM25 leg and a dense cosine leg:
+    * `rrf(d) = Σ_legs 1/(60 + rank_leg(d))`, summed over the legs that
+    * retrieved d in their top-`n`. The dense leg is the exact top-n of
+    * the query document's embedding (vec_id = doc_id alignment of the
+    * corpus tables); the published deployment swaps in the IVF/PQ index
+    * search for the same relation shape.
+    *
+    * Scale shape: both legs end k-bounded (BM25's postings-only scoring
+    * + limit; the dense leg is one broadcast-corpus pass), so fusion
+    * joins two n-row relations — driver-scale work after two scans.
+    * Ranks are computed on each leg's rounded/tie-broken order (the
+    * exact orders the standalone oracles pin), so fusion is
+    * deterministic. */
+  def hybridRrf(spark: SparkSession, dir: String,
+                queryTerms: Seq[String] = DefaultTerms,
+                n: Int = 50, k: Int = DefaultK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // n-row relation: the global window is a single tiny partition
+    val sparse = bm25(spark, dir, queryTerms, n)
+      .withColumn("rank_s",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank_s")
+    val dense = Similarity.topK(spark, dir, k = n, nQueries = 1)
+      .select(col("neighbor_id").as("doc_id"), col("rk").as("rank_d"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("rank_s")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_d")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "rrf", "rank_s", "rank_d")
+  }
+
+  /** Oracle: the shared BM25 CTEs + the exact dense top-n (the
+    * q_ann_topk chain at nQueries=1), ranked and fused identically. */
+  def hybridRrfSql(queryTerms: Seq[String] = DefaultTerms,
+                   n: Int = 50, k: Int = DefaultK): String = s"""
+WITH ${bm25Ctes(queryTerms)}, bm AS (
+  SELECT doc_id, round(SUM(w), 6) AS score
+  FROM scored GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT $n
+), sparse AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_s
+  FROM bm
+), dsims AS (
+  SELECT b.vec_id AS doc_id, ${Similarity.CosineSqlExpr} AS cos
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < 1 AND a.vec_id <> b.vec_id
+), dense AS (
+  SELECT doc_id, CAST(rk AS INTEGER) AS rank_d FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rk
+    FROM dsims) t
+  WHERE rk <= $n
+)
+SELECT doc_id,
+  round(coalesce(1.0 / ($RrfK + rank_s), 0)
+      + coalesce(1.0 / ($RrfK + rank_d), 0), 6) AS rrf,
+  rank_s, rank_d
+FROM sparse FULL OUTER JOIN dense USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT $k
+""".trim
 }
