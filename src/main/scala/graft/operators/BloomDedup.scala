@@ -90,7 +90,9 @@ object BloomDedup {
 
   /** Bit positions → packed bit array, as a typed aggregate: partials are
     * fixed at m/64 longs and merge by bitwise OR, so the build is ONE
-    * map-side-combinable pass whatever the corpus size. */
+    * map-side-combinable pass whatever the corpus size. Kept as the
+    * position-level EXECUTABLE REFERENCE for [[HexBitsetAgg]] (the
+    * shipped build) — BloomDedupSpec pins the two builds bit-identical. */
   class BitsetAgg(m: Int) extends Aggregator[Long, BloomWords, BloomWords] {
     private val words = (m + 63) >>> 6
     override def zero: BloomWords = BloomWords(new Array[Long](words))
@@ -108,16 +110,46 @@ object BloomDedup {
     override def outputEncoder = Encoders.product[BloomWords]
   }
 
+  /** [[BitsetAgg]] over the md5 hex digest directly: each reduce call
+    * parses the two 52-bit halves and sets all k K-M bits — one input
+    * row per DOCUMENT instead of k exploded position rows, and no conv
+    * expressions on the columnar side (the gate's hex-scalar discipline
+    * applied to the build). */
+  class HexBitsetAgg(m: Int, k: Int) extends Aggregator[String, BloomWords, BloomWords] {
+    private val words = (m + 63) >>> 6
+    override def zero: BloomWords = BloomWords(new Array[Long](words))
+    override def reduce(b: BloomWords, hex: String): BloomWords = {
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(13, 26), 16)
+      var i = 0
+      while (i < k) {
+        val p = (h1 + i * h2) % m
+        b.words((p >>> 6).toInt) |= 1L << (p & 63)
+        i += 1
+      }
+      b
+    }
+    override def merge(a: BloomWords, b: BloomWords): BloomWords = {
+      var i = 0
+      while (i < words) { a.words(i) |= b.words(i); i += 1 }
+      a
+    }
+    override def finish(r: BloomWords): BloomWords = r
+    override def bufferEncoder = Encoders.product[BloomWords]
+    override def outputEncoder = Encoders.product[BloomWords]
+  }
+
   /** Build the filter over `corpus.text`: returns the packed bit array
     * (driver-side, m/8 bytes — model-sized, like the centroid and NB
-    * models; broadcast it to gate). */
+    * models; broadcast it to gate). One md5 per document on the columnar
+    * side; position arithmetic inside the aggregate. */
   def build(spark: SparkSession, corpus: DataFrame, k: Int = DefaultHashes,
             m: Int = DefaultBits): Array[Long] = {
     import spark.implicits._
-    val agg = new BitsetAgg(m).toColumn.name("bloom")
+    val agg = new HexBitsetAgg(m, k).toColumn.name("bloom")
     corpus
-      .select(explode(positions(col("text"), k, m)).as("pos"))
-      .as[Long]
+      .select(md5(coalesce(col("text"), lit(""))).as("hex"))
+      .as[String]
       .select(agg)
       .collect()(0).words
   }

@@ -34,6 +34,20 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(setBits == want)
   }
 
+  test("hex-digest build == exploded-positions reference build, bit for bit") {
+    import spark.implicits._
+    val m = 1 << 12
+    val k = 4
+    val corpus = (1 to 300).map(i => s"ref text $i").toDF("text")
+    val shipped = BloomDedup.build(spark, corpus, k, m)
+    val reference = corpus
+      .select(explode(BloomDedup.positions(col("text"), k, m)).as("pos"))
+      .as[Long]
+      .select(new BloomDedup.BitsetAgg(m).toColumn.name("bloom"))
+      .collect()(0).words
+    assert(shipped.toSeq == reference.toSeq)
+  }
+
   test("no false negatives: every seen text gates as bloom_dup") {
     val m = 1 << 12
     val seen = (1 to 200).map(i => s"document number $i").toDF("text")
