@@ -273,8 +273,16 @@ ORDER BY d.doc_id
 
   def filterTable(tag: String): String = s"${tag}_bloom"
 
-  /** Persist a filter: the m/64 words land as DATA rows of ONE
-    * `saveAsTable` together with the geometry (kind ∈ {word, m, k}) — a
+  /** Longs per persisted chunk — 8192 longs = 64 KiB of bits per row, so
+    * a 16 MiB (m=2^27) filter is ~256 rows. The row-per-word layout this
+    * replaced made every load/absorb an O(m)-ROW job: at m=2^27 the
+    * 2M-row collect + rewrite dominated the streaming gate's batch wall
+    * (16–19 s/batch measured at the 5M-doc corpus — StreamBench
+    * bloomgate tier), for what is physically a 16 MiB read/write. */
+  private val ChunkLongs = 8192
+
+  /** Persist a filter: the bit words land as chunked BINARY rows of ONE
+    * `saveAsTable` together with the geometry (kind ∈ {chunk, m, k}) — a
     * filter can never exist without its geometry (the torn-model
     * discipline of [[QualityClassifier.persist]]). Writers serialize on
     * the index lease. */
@@ -282,9 +290,15 @@ ORDER BY d.doc_id
               m: Int, k: Int): Unit =
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
-      val rows = filter.zipWithIndex.map { case (w, i) => ("word", i, w) } ++
-        Seq(("m", -1, m.toLong), ("k", -1, k.toLong))
-      rows.toSeq.toDF("kind", "idx", "value")
+      val chunks = filter.grouped(ChunkLongs).zipWithIndex.map { case (ws, i) =>
+        val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
+        bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        ws.foreach(bb.putLong)
+        ("chunk", i, 0L, bb.array())
+      }.toSeq
+      val meta = Seq(("m", -1, m.toLong, Array.empty[Byte]),
+        ("k", -1, k.toLong, Array.empty[Byte]))
+      (chunks ++ meta).toDF("kind", "idx", "num", "bytes")
         .write.mode("overwrite").saveAsTable(filterTable(tag))
     }
 
@@ -292,19 +306,26 @@ ORDER BY d.doc_id
   def load(spark: SparkSession, tag: String): (Array[Long], Int, Int) = {
     val t = spark.table(filterTable(tag))
     def meta(kind: String): Long = {
-      val rows = t.filter(col("kind") === kind).select("value").collect()
+      val rows = t.filter(col("kind") === kind).select("num").collect()
       require(rows.length == 1,
         s"${filterTable(tag)}: expected exactly one $kind row, found ${rows.length}")
       rows(0).getLong(0)
     }
     val m = meta("m").toInt
     val k = meta("k").toInt
-    val words = t.filter(col("kind") === "word")
-      .select("idx", "value").collect()
-    require(words.length == (m + 63) >>> 6,
-      s"${filterTable(tag)}: ${words.length} word rows for m=$m — torn filter table")
-    val arr = new Array[Long]((m + 63) >>> 6)
-    words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    val nWords = (m + 63) >>> 6
+    val chunks = t.filter(col("kind") === "chunk")
+      .select("idx", "bytes").collect()
+    require(chunks.length == (nWords + ChunkLongs - 1) / ChunkLongs,
+      s"${filterTable(tag)}: ${chunks.length} chunk rows for m=$m — torn filter table")
+    val arr = new Array[Long](nWords)
+    chunks.foreach { r =>
+      val base = r.getInt(0) * ChunkLongs
+      val bb = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1))
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = base
+      while (bb.remaining() >= 8) { arr(i) = bb.getLong; i += 1 }
+    }
     (arr, m, k)
   }
 

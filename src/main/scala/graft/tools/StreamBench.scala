@@ -31,7 +31,8 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     streamed past grows.
   *
   * Usage: runMain graft.tools.StreamBench [sfDir] [batchSize] [nBatches] [tiers]
-  * tiers: `all` (default), `indexed` (only the indexed document gate — the
+  * tiers: `all` (default), `bloomgate` (only the constant-memory Bloom
+  * dedup gate), `indexed` (only the indexed document gate — the
   * corpus-size-invariance check at big scale factors, where the recompute
   * gate's O(corpus)-per-batch cost is precisely what we're NOT measuring),
   * or `vecgate` (only the embedding gate — run with enough batches for the
@@ -140,7 +141,7 @@ object StreamBench {
 
     // ---- 1b. IngestGate, indexed (same arrivals, pre-built ShingleIndex) ----
     val gateIxTimes = ArrayBuffer[(Int, Int, Double)]()
-    if (tiers != "vecgate") {
+    if (tiers == "all" || tiers == "indexed") {
     val ixBuild0 = System.nanoTime()
     graft.operators.ShingleIndex.build(
       spark.read.parquet(s"$corpusDir/documents.parquet"), s"$root/index", "sbix")
@@ -194,6 +195,50 @@ object StreamBench {
 
     if (tiers == "indexed") {
       summary(trig, gateTimes, gateIxTimes, ArrayBuffer.empty)
+      spark.stop(); return
+    }
+
+    // ---- 1d. BloomIngestGate (constant-memory bloom dedup gate) ----
+    // Same arrival composition as the document gates (90% fresh / 10%
+    // exact corpus copies), gated against a filter pre-seeded with the
+    // corpus and sized for corpus + arrivals. Per-batch state: m/8 bytes.
+    if (tiers == "bloomgate") {
+      import graft.operators.BloomDedup
+      import graft.streaming.BloomIngestGate
+      val corpusDf = spark.read.parquet(s"$corpusDir/documents.parquet")
+      val corpusN = corpusDf.count()
+      val inserts = (corpusN + batchSize.toLong * nBatches) * BloomDedup.DefaultHashes
+      var m = 1 << 16
+      while (m < inserts * 3 && m < (1 << 30)) m <<= 1
+      val tSeed = System.nanoTime()
+      val words = BloomDedup.build(spark, corpusDf, BloomDedup.DefaultHashes, m)
+      BloomDedup.persist(spark, "sbbloom", words, m, BloomDedup.DefaultHashes)
+      println(f"[streambench] bloom seed (once): ${(System.nanoTime() - tSeed) / 1e9}%.2f s " +
+        s"(m=$m = ${m / 8 / 1024 / 1024} MiB, corpus=$corpusN)")
+      val memB = MemoryStream[(Long, String)]
+      val streamB = memB.toDF.toDF("doc_id", "text")
+      var nextIdB = 300000000L
+      val gateBloomTimes = ArrayBuffer[(Int, Int, Double)]()
+      for (b <- 0 until nBatches) {
+        val batch = (0 until batchSize).map { i =>
+          val src = corpusRows((b * batchSize + i) % corpusRows.length)
+          val id = nextIdB; nextIdB += 1
+          if (i % 10 == 9) (id, src._2)
+          else (id, src._2.split("\\s+").map(t => s"${t}_bg${b}_$i").mkString(" "))
+        }
+        memB.addData(batch: _*)
+        val t0 = System.nanoTime()
+        BloomIngestGate.start(streamB, "sbbloom", s"$root/landing_bloom",
+          s"$root/receipts_bloom", s"$root/ckpt_bloom").awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        gateBloomTimes += ((b, batchSize, sec))
+        println(f"[streambench] bloom batch $b: $sec%.2f s wall (${batchSize / sec}%.0f docs/s)")
+      }
+      val landedB = spark.read.parquet(s"$root/landing_bloom").count()
+      val receiptsB = spark.read.parquet(s"$root/receipts_bloom").count()
+      println(s"[streambench] bloom landing=$landedB receipts=$receiptsB " +
+        s"(expected landing=${nBatches * batchSize * 9 / 10}, " +
+        s"receipts=${nBatches * batchSize})")
       spark.stop(); return
     }
     // arrival-synthesis pool: the driver only needs batchSize × nBatches
