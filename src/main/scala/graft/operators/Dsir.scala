@@ -182,6 +182,28 @@ object Dsir {
       .orderBy("doc_id")
   }
 
+  /** KL(target ‖ other) over the hashed-gram bucket distributions —
+    * the paper's own acceptance metric (Xie 2023 §4 measures selection
+    * quality as reduced feature-distribution divergence to the target).
+    * Both distributions are add-one smoothed over all `dim` buckets; the
+    * two count aggregates are dim-bounded and the division happens on
+    * the driver. Used by the scale probe and the spec; selection is DONE
+    * when KL(target ‖ selected) < KL(target ‖ raw). */
+  def featureKl(spark: SparkSession, target: DataFrame, other: DataFrame,
+                dim: Int): Double = {
+    def dist(d: DataFrame): Array[Double] = {
+      val counts = gramRows(d.select(lit(true).as("label"), col("text")),
+          dim, Seq("label"))
+        .groupBy("feat").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum.toDouble
+      (0 until dim).map(f => (counts.getOrElse(f, 0L) + 1.0) / (n + dim)).toArray
+    }
+    val p = dist(target)
+    val q = dist(other)
+    p.zip(q).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
+  }
+
   /** The md5-52 hash in DuckDB — shared with the classifier oracle. The
     * inner lambda variable is `hi`, not `i`, so splicing this hash inside
     * a `list_transform(…, i -> …)` can never shadow the outer `i` (the

@@ -68,6 +68,23 @@ object DsirBloomScaleProbe {
           .orderBy(col("key").desc).limit(1000)
         sel.queryExecution.toRdd.count()
       }
+      // the paper's acceptance metric: does selection move the hashed-
+      // feature distribution toward the target? (On this corpus the
+      // source labels are near-unlearnable from token distributions —
+      // the classifier hold-out verdict — so small deltas are the honest
+      // expectation here; the decisive case lives in DsirSpec's
+      // constructed corpus.)
+      val srcd = replicate.withColumn("source",
+        when(col("label"), lit(Dsir.TargetSources.head)).otherwise(lit("srcX")))
+      val selIds = Dsir.selectOn(spark,
+        srcd.select("doc_id", "source", "text"), 1000, Dsir.DefaultDim)
+        .select("doc_id")
+      val target = replicate.filter(col("label")).select("text")
+      val rawTexts = replicate.filter(!col("label")).select("doc_id", "text")
+      val klRaw = Dsir.featureKl(spark, target, rawTexts, Dsir.DefaultDim)
+      val klSel = Dsir.featureKl(spark, target,
+        rawTexts.join(selIds, "doc_id"), Dsir.DefaultDim)
+      println(f"[dsirbloom] KL(target||raw)=$klRaw%.5f  KL(target||selected)=$klSel%.5f")
       }
 
       // ---- Bloom ----

@@ -129,6 +129,30 @@ class DsirSpec extends AnyFunSuite {
     assert(!wPlan.contains("Join") && !wPlan.contains("HashAggregate"), wPlan)
   }
 
+  test("selection reduces feature KL to the target on a separable corpus") {
+    // the paper's acceptance metric (Xie 2023 §4): selected docs'
+    // hashed-gram distribution diverges LESS from the target than the
+    // raw pool does. Decisive on a constructed separable corpus (the sf
+    // corpus's source labels are near-unlearnable — the classifier
+    // hold-out verdict — so this is the corpus where the property is
+    // measurable, the QualityClassifierSpec discipline).
+    val dim = 64
+    val tgt = (1 to 20).map(i => (100L + i, "src0", Seq.fill(25)("alpha").mkString(" ")))
+    val rawA = (1 to 30).map(i => (200L + i, "srcX", Seq.fill(25)("alpha").mkString(" ")))
+    val rawZ = (1 to 30).map(i => (300L + i, "srcX", Seq.fill(25)("zeta").mkString(" ")))
+    val corpus = (tgt ++ rawA ++ rawZ).toDF("doc_id", "source", "text")
+    val selected = Dsir.selectOn(spark, corpus, k = 20, dim = dim)
+    val target = corpus.filter(col("source") === "src0").select("text")
+    val raw = corpus.filter(col("source") =!= "src0").select("doc_id", "text")
+    val klRaw = Dsir.featureKl(spark, target, raw, dim)
+    val klSel = Dsir.featureKl(spark, target,
+      raw.join(selected.select("doc_id"), "doc_id"), dim)
+    assert(klSel < klRaw,
+      f"selection must move the distribution toward the target: raw=$klRaw%.4f sel=$klSel%.4f")
+    // and decisively so on a corpus this separable
+    assert(klSel < klRaw / 2)
+  }
+
   test("higher-weight docs are preferentially selected (distribution sanity)") {
     // Construct a raw pool where half the docs are verbatim target-like
     // ("x"-heavy) and half are not; the x-heavy docs must dominate the
