@@ -70,6 +70,10 @@ object SparkEntry {
     // membership over md5 bit positions; the false-positive SET is
     // deterministic and part of the checked relation
     "q_bloom_dedup" -> ((s, dir) => BloomDedup.query(s, dir)),
+    // the past-broadcast tier: membership by bucketable equi-join against
+    // the stored words — same verdicts, same oracle SQL (tier equivalence
+    // pinned cross-engine)
+    "q_bloom_relational" -> ((s, dir) => BloomDedup.queryRelational(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(s, dir)),
@@ -451,6 +455,7 @@ object SparkEntry {
     "q_dsir_weights" -> Dsir.weightsSql(),
     "q_dsir_select" -> Dsir.selectSql(),
     "q_bloom_dedup" -> BloomDedup.querySql(),
+    "q_bloom_relational" -> BloomDedup.querySql(),
     "q_curation_dsir" -> Sampling.curationDsirSql(),
     "q_hybrid_rrf" -> Search.hybridRrfSql(),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),

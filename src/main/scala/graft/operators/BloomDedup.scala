@@ -329,6 +329,90 @@ ORDER BY d.doc_id
     (arr, m, k)
   }
 
+  /** Load only the geometry of a persisted filter — no chunk collect. */
+  def loadGeometry(spark: SparkSession, tag: String): (Int, Int) = {
+    val t = spark.table(filterTable(tag))
+    def meta(kind: String): Long = {
+      val rows = t.filter(col("kind") === kind).select("num").collect()
+      require(rows.length == 1,
+        s"${filterTable(tag)}: expected exactly one $kind row, found ${rows.length}")
+      rows(0).getLong(0)
+    }
+    (meta("m").toInt, meta("k").toInt)
+  }
+
+  /** The persisted filter as a (word_idx, bits) relation, derived on the
+    * fly from the chunked storage — the distributed view of the bit
+    * array for [[gateRelational]]. */
+  def wordsRelation(spark: SparkSession, tag: String): DataFrame = {
+    val toLongs = udf { bytes: Array[Byte] =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getLong; i += 1 }
+      out
+    }
+    spark.table(filterTable(tag)).filter(col("kind") === "chunk")
+      .select(col("idx"), posexplode(toLongs(col("bytes"))))
+      .select((col("idx").cast("long") * ChunkLongs + col("pos")).as("word_idx"),
+        col("col").as("bits"))
+      .filter(col("bits") =!= 0L) // absent words are misses either way
+  }
+
+  /** The PAST-BROADCAST gate tier: membership as an equi-join of the
+    * arrivals' (position → word, mask) rows against [[wordsRelation]] —
+    * executors never hold the filter, so this is the tier for filters
+    * past comfortable broadcast range (the scaladoc's 17 GB-at-10^10-keys
+    * boundary, closed relationally: "sharding" the filter is exactly
+    * Spark partitioning of the words relation, and bucketing the stored
+    * table by word_idx would remove the filter-side shuffle). Cost per
+    * gate: an O(batch·k)-row shuffle instead of [[gate]]'s zero — pay it
+    * only when m/8 bytes can't broadcast. Identical verdicts to [[gate]]
+    * (same K-M family; spec-pinned row-for-row, and the oracle replays
+    * this tier against the same SQL as the broadcast tier). */
+  def gateRelational(spark: SparkSession, tag: String,
+                     arrivals: DataFrame): DataFrame = {
+    val (m, k) = loadGeometry(spark, tag)
+    require(!arrivals.columns.contains("__rowid"),
+      "gateRelational reserves the column name __rowid")
+    val withId = arrivals.withColumn("__rowid",
+      md5(concat_ws(" ", arrivals.columns.map(col): _*)))
+    val pos = withId
+      .select(col("__rowid"), explode(positions(col("text"), k, m)).as("p"))
+      .select(col("__rowid"), shiftright(col("p"), 6).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
+    val hits = pos
+      .join(wordsRelation(spark, tag), Seq("word_idx"), "left")
+      .groupBy("__rowid")
+      .agg(min(when((col("bits").bitwiseAND(col("mask"))) =!= 0L, 1)
+        .otherwise(0)).as("allhit"))
+    withId.join(hits, "__rowid")
+      .withColumn("bloom_dup", col("allhit") === 1)
+      .drop("__rowid", "allhit")
+  }
+
+  /** [[query]] routed through the relational tier — same oracle SQL as
+    * the broadcast tier's query (the tiers are verdict-identical by
+    * construction; this pins it cross-engine). */
+  def queryRelational(spark: SparkSession, dir: String,
+                      k: Int = DefaultHashes, m: Int = DefaultBits): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        (h52(col("doc_id").cast("string")) % 2).as("fold"))
+    val seen = d.filter(col("fold") === 0)
+    val tag = s"qbloomrel_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    persist(spark, tag, build(spark, seen, k, m), m, k)
+    val seenTexts = seen.select(col("text")).distinct()
+      .withColumn("seen_exact", lit(true))
+    gateRelational(spark, tag, d.select("doc_id", "text"))
+      .join(seenTexts, Seq("text"), "left")
+      .select(col("doc_id"), col("bloom_dup"),
+        coalesce(col("seen_exact"), lit(false)).as("exact_dup"))
+      .withColumn("false_positive", col("bloom_dup") && !col("exact_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Fold a new corpus into a persisted filter (the streaming-ingestion
     * shape: gate, then admit + absorb): build over `corpus` with the
     * STORED geometry, OR into the stored words, rewrite under the lease.

@@ -142,6 +142,34 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(sized == corpus.count())
   }
 
+  test("relational tier: verdicts identical to the broadcast gate; no m-sized broadcast") {
+    import spark.implicits._
+    val m = 1 << 12
+    val k = 4
+    val tag = s"bloomrel_${System.nanoTime()}"
+    val seen = (1 to 200).map(i => s"seen text $i").toDF("text")
+    BloomDedup.persist(spark, tag, BloomDedup.build(spark, seen, k, m), m, k)
+    // arrivals: half seen (dup), half fresh — plus doc ids to compare on
+    val arrivals = ((1 to 100).map(i => (i.toLong, s"seen text $i")) ++
+      (1 to 100).map(i => (1000L + i, s"fresh text $i"))).toDF("doc_id", "text")
+    val (words, _, _) = BloomDedup.load(spark, tag)
+    val viaBroadcast = BloomDedup.gate(spark, arrivals, words, k, m)
+      .select("doc_id", "bloom_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val rel = BloomDedup.gateRelational(spark, tag, arrivals)
+    val viaJoin = rel.select("doc_id", "bloom_dup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaJoin == viaBroadcast)
+    assert(viaJoin.count(_._2) == 100) // the seen half flags, fresh may fp-add
+    // the plan must carry NO broadcast of the words relation (the whole
+    // point of this tier) — the membership is an equi-join; broadcasts
+    // of the tiny arrival side are AQE's business, the FILTER side is not
+    // collected anywhere (no broadcast variable, no literal array)
+    val plan = rel.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan)
+    spark.sql(s"DROP TABLE ${BloomDedup.filterTable(tag)}")
+  }
+
   test("plan shape: the gate is shuffle-free") {
     val arrivals = (1 to 100).map(i => s"arr $i").toDF("text")
     val words = BloomDedup.build(spark, arrivals, 5, 1 << 12)
