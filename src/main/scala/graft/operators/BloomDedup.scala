@@ -30,12 +30,12 @@ import org.apache.spark.sql.Encoders
   * so admission scales linearly with executors. Sizing: for n inserted
   * keys and target false-positive rate p, m ≈ −n·ln p / (ln 2)² and
   * k ≈ (m/n)·ln 2; at web scale (10¹⁰ documents, p=10⁻³) that is a
-  * ~17 GB filter — past comfortable broadcast range, where the
-  * published remedy is sharding the key space into b independent
-  * filters (hash-prefix shards) probed per-partition; the single-filter
-  * path here is the b=1 member of that family and states the boundary
-  * rather than hiding it. No false negatives ever: a true duplicate is
-  * always caught (spec-pinned).
+  * ~17 GB filter — past comfortable broadcast range, where
+  * [[gateRelational]] takes over: membership as an equi-join against
+  * the stored (word_idx, bits) relation, executors never holding the
+  * filter (an O(batch·k)-row shuffle is the price; the broadcast gate
+  * stays the default below the boundary). No false negatives ever: a
+  * true duplicate is always caught (spec-pinned).
   *
   * Reference framing: the reference pipeline has no dedup stage at all
   * (SURVEY §2); this sits beside [[Dedup]] as the streaming-friendly,
@@ -377,7 +377,7 @@ ORDER BY d.doc_id
     require(!arrivals.columns.contains("__rowid"),
       "gateRelational reserves the column name __rowid")
     val withId = arrivals.withColumn("__rowid",
-      md5(concat_ws(" ", arrivals.columns.map(col): _*)))
+      md5(concat_ws("\u0000", arrivals.columns.map(col): _*)))
     val pos = withId
       .select(col("__rowid"), explode(positions(col("text"), k, m)).as("p"))
       .select(col("__rowid"), shiftright(col("p"), 6).as("word_idx"),
