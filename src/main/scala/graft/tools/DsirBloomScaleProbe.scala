@@ -130,6 +130,18 @@ object DsirBloomScaleProbe {
       }
       println(f"[dsirbloom] fresh-text false positives: $fp of $n " +
         f"(rate ${fp.toDouble / n}%.2e)")
+      // SPARK_GRAFT_BLOOM_REL=1: time the past-broadcast relational tier
+      // on the same filter + corpus (the join-price-vs-broadcast number)
+      if (sys.env.get("SPARK_GRAFT_BLOOM_REL").contains("1")) {
+        val tag = "dbrel_probe"
+        BloomDedup.persist(spark, tag, words, m, BloomDedup.DefaultHashes)
+        val dupsRel = timed("bloom gate RELATIONAL (full corpus)") {
+          BloomDedup.gateRelational(spark, tag, bloomCorpus)
+            .filter(col("bloom_dup")).count()
+        }
+        require(dupsRel == n, s"relational tier false negatives: $dupsRel of $n")
+        spark.sql(s"DROP TABLE ${BloomDedup.filterTable(tag)}")
+      }
     }
     spark.stop()
   }
