@@ -290,6 +290,21 @@ ORDER BY d.doc_id
               m: Int, k: Int): Unit =
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
+      // fresh-catalog/stale-warehouse reconciliation: the in-memory
+      // catalog restarts empty while a managed table's directory survives
+      // the JVM, and saveAsTable then refuses with
+      // LOCATION_ALREADY_EXISTS (hit live by the bench harness — its
+      // second run found the first run's directory). A location with no
+      // catalog entry is unreferenced by construction: delete it, under
+      // the same lease every writer of this tag holds.
+      val t = filterTable(tag)
+      if (!spark.catalog.tableExists(t)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(t)))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       val chunks = filter.grouped(ChunkLongs).zipWithIndex.map { case (ws, i) =>
         val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
         bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -299,7 +314,7 @@ ORDER BY d.doc_id
       val meta = Seq(("m", -1, m.toLong, Array.empty[Byte]),
         ("k", -1, k.toLong, Array.empty[Byte]))
       (chunks ++ meta).toDF("kind", "idx", "num", "bytes")
-        .write.mode("overwrite").saveAsTable(filterTable(tag))
+        .write.mode("overwrite").saveAsTable(t)
     }
 
   /** Load a persisted filter: (words, m, k). Loud on torn state. */
