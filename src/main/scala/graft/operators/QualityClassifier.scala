@@ -135,6 +135,17 @@ object QualityClassifier {
               totals: DataFrame, dim: Int): Unit =
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
+      // fresh-catalog/stale-warehouse reconciliation (the BloomDedup
+      // lesson): an in-memory catalog restarts empty while the managed
+      // location survives the JVM — delete the orphan dir, under the
+      // same lease every writer of this tag holds
+      if (!spark.catalog.tableExists(modelTable(tag))) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(modelTable(tag))))
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       val rows = model.select(lit("llr").as("kind"), col("feat"),
           col("llr").as("value"))
         .unionAll(totals.select(lit("prior").as("kind"), lit(-1).as("feat"),
