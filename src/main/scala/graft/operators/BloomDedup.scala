@@ -30,12 +30,14 @@ import org.apache.spark.sql.Encoders
   * so admission scales linearly with executors. Sizing: for n inserted
   * keys and target false-positive rate p, m ≈ −n·ln p / (ln 2)² and
   * k ≈ (m/n)·ln 2; at web scale (10¹⁰ documents, p=10⁻³) that is a
-  * ~17 GB filter — past comfortable broadcast range, where
-  * [[gateRelational]] takes over: membership as an equi-join against
-  * the stored (word_idx, bits) relation, executors never holding the
-  * filter (an O(batch·k)-row shuffle is the price; the broadcast gate
-  * stays the default below the boundary). No false negatives ever: a
-  * true duplicate is always caught (spec-pinned).
+  * ~17 GB filter — past comfortable broadcast range. [[gateRelational]]
+  * is the memory-flat gate for that direction (equi-join against the
+  * stored words, executors never hold the filter), with the honest
+  * bound stated on the method: the position family is Int-m (≤ 2^31
+  * bits) and the build is driver-sided, so the full 17 GB regime still
+  * needs the Long-m distributed build named there. The broadcast gate
+  * stays the default wherever m/8 bytes broadcast comfortably. No false
+  * negatives ever: a true duplicate is always caught (spec-pinned).
   *
   * Reference framing: the reference pipeline has no dedup stage at all
   * (SURVEY §2); this sits beside [[Dedup]] as the streaming-friendly,
@@ -53,9 +55,8 @@ object BloomDedup {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** 52-bit md5 hash — identical to [[QualityClassifier]]'s. */
-  private def h52(c: Column): Column =
-    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+  /** 52-bit md5 hash — the shared [[EngineHash]] definition. */
+  private def h52(c: Column): Column = EngineHash.h52(c)
 
   /** The k bit positions of a text by Kirsch–Mitzenmacher double hashing
     * (Kirsch & Mitzenmacher 2006, "Less hashing, same performance"):
@@ -213,14 +214,8 @@ object BloomDedup {
       .orderBy("doc_id")
   }
 
-  /** The md5-52 hash in DuckDB. The inner lambda variable is `hi`, NOT
-    * `i` — this hash is spliced inside list_transform(…, i -> …) lambdas
-    * whose `i` it must not shadow (a shadowing bug here collapsed all k
-    * probe positions to one value, caught by the python cross-check). */
-  private def h52Sql(e: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(1, 13),
-      hi -> (strpos('0123456789abcdef', substr(md5($e), hi, 1)) - 1)
-           * (1::BIGINT << (4 * (13 - hi))))) AS BIGINT)"""
+  /** The md5-52 hash in DuckDB — the shared [[EngineHash]] mirror. */
+  private def h52Sql(e: String): String = EngineHash.h52Sql(e)
 
   /** A 52-bit slice of an already-computed md5 hex column, starting at
     * 1-based hex offset `off` — the SQL mirror of the double-hashing
@@ -331,8 +326,12 @@ ORDER BY d.doc_id
     val nWords = (m + 63) >>> 6
     val chunks = t.filter(col("kind") === "chunk")
       .select("idx", "bytes").collect()
-    require(chunks.length == (nWords + ChunkLongs - 1) / ChunkLongs,
-      s"${filterTable(tag)}: ${chunks.length} chunk rows for m=$m — torn filter table")
+    val nChunks = (nWords + ChunkLongs - 1) / ChunkLongs
+    // the idx SET must be exactly 0..n-1 — a count-only check would let a
+    // duplicated idx plus a missing one load a silently zeroed region
+    // (false negatives), the opposite of "loud on torn state"
+    require(chunks.map(_.getInt(0)).toSet == (0 until nChunks).toSet,
+      s"${filterTable(tag)}: chunk idx set is not 0..${nChunks - 1} for m=$m — torn filter table")
     val arr = new Array[Long](nWords)
     chunks.foreach { r =>
       val base = r.getInt(0) * ChunkLongs
@@ -375,36 +374,47 @@ ORDER BY d.doc_id
       .filter(col("bits") =!= 0L) // absent words are misses either way
   }
 
-  /** The PAST-BROADCAST gate tier: membership as an equi-join of the
+  /** The MEMORY-FLAT gate tier: membership as an equi-join of the
     * arrivals' (position → word, mask) rows against [[wordsRelation]] —
-    * executors never hold the filter, so this is the tier for filters
-    * past comfortable broadcast range (the scaladoc's 17 GB-at-10^10-keys
-    * boundary, closed relationally: "sharding" the filter is exactly
+    * executors never hold the filter ("sharding" the filter is exactly
     * Spark partitioning of the words relation, and bucketing the stored
     * table by word_idx would remove the filter-side shuffle). Cost per
     * gate: an O(batch·k)-row shuffle instead of [[gate]]'s zero — pay it
-    * only when m/8 bytes can't broadcast. Identical verdicts to [[gate]]
-    * (same K-M family; spec-pinned row-for-row, and the oracle replays
-    * this tier against the same SQL as the broadcast tier). */
+    * when per-executor copies of the m/8-byte broadcast are real memory
+    * pressure. Identical verdicts to [[gate]] (same K-M family;
+    * spec-pinned row-for-row, and the oracle replays this tier against
+    * the same SQL as the broadcast tier).
+    *
+    * Honest implementation bound: m is Int across the family (≤ 2^31
+    * bits = 256 MiB), and [[build]]/[[absorb]] still materialize the
+    * array on the driver — so the 17 GB-at-10^10-keys example in the
+    * object scaladoc needs, in addition to this gate, a Long-m position
+    * family and a distributed build (groupBy(word_idx).agg(bit_or) into
+    * sparse chunks). The GATE side of that path is what this method
+    * already is; the build side is stated future work, not shipped. */
   def gateRelational(spark: SparkSession, tag: String,
                      arrivals: DataFrame): DataFrame = {
     val (m, k) = loadGeometry(spark, tag)
-    require(!arrivals.columns.contains("__rowid"),
-      "gateRelational reserves the column name __rowid")
-    val withId = arrivals.withColumn("__rowid",
-      md5(concat_ws("\u0000", arrivals.columns.map(col): _*)))
-    val pos = withId
-      .select(col("__rowid"), explode(positions(col("text"), k, m)).as("p"))
-      .select(col("__rowid"), shiftright(col("p"), 6).as("word_idx"),
+    require(!arrivals.columns.contains("__t"),
+      "gateRelational reserves the column name __t")
+    // verdicts key on the DISTINCT text itself — the verdict is a pure
+    // function of the text, so no synthetic row identity is needed (a
+    // previous concat-hash row id could collide across rows and merge
+    // probe sets — a false-negative hazard in a module whose contract is
+    // "no false negatives ever"), and repeated texts probe once
+    val norm = arrivals.withColumn("__t", coalesce(col("text"), lit("")))
+    val pos = norm.select("__t").distinct()
+      .select(col("__t"), explode(positions(col("__t"), k, m)).as("p"))
+      .select(col("__t"), shiftright(col("p"), 6).as("word_idx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
     val hits = pos
       .join(wordsRelation(spark, tag), Seq("word_idx"), "left")
-      .groupBy("__rowid")
+      .groupBy("__t")
       .agg(min(when((col("bits").bitwiseAND(col("mask"))) =!= 0L, 1)
         .otherwise(0)).as("allhit"))
-    withId.join(hits, "__rowid")
+    norm.join(hits, "__t")
       .withColumn("bloom_dup", col("allhit") === 1)
-      .drop("__rowid", "allhit")
+      .drop("__t", "allhit")
   }
 
   /** [[query]] routed through the relational tier — same oracle SQL as

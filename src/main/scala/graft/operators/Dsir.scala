@@ -56,9 +56,8 @@ object Dsir {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** 52-bit md5 hash — identical to [[QualityClassifier]]'s. */
-  private def h52(c: Column): Column =
-    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+  /** 52-bit md5 hash — the shared [[EngineHash]] definition. */
+  private def h52(c: Column): Column = EngineHash.h52(c)
 
   private def toksCol(text: Column): Column =
     filter(split(lower(coalesce(text, lit(""))), " ", -1), t => length(t) > 0)
@@ -119,10 +118,11 @@ object Dsir {
     * empty array to exactly 0 with no restoration join (the first
     * relational form paid a corpus-sized groupBy(doc, feat) shuffle
     * PLUS a doc_id join, measured 26 µs/doc at 5M docs — this form is a
-    * pure narrow map). `round(·, 6)` pins the cross-engine double (the
-    * [[LanguageModel]] / [[QualityClassifier]] precedent; both engines
-    * fold the gram list left-to-right, so even the summation ORDER
-    * matches). */
+    * pure narrow map). `round(·, 6)` pins the cross-engine double — the
+    * [[LanguageModel]] / [[QualityClassifier]] round-after-sum policy:
+    * the DuckDB oracle sums per-feature groups in its own order, so the
+    * final round is what absorbs summation-order ulps, exactly as it
+    * does for every other ln-sum oracle in the repo. */
   def logWeights(raw: DataFrame, llr: Array[Double], dim: Int): DataFrame = {
     require(llr.length == dim, s"model has ${llr.length} buckets, expected $dim")
     raw.select(col("doc_id"),
@@ -204,14 +204,8 @@ object Dsir {
     p.zip(q).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
   }
 
-  /** The md5-52 hash in DuckDB — shared with the classifier oracle. The
-    * inner lambda variable is `hi`, not `i`, so splicing this hash inside
-    * a `list_transform(…, i -> …)` can never shadow the outer `i` (the
-    * [[BloomDedup]] position-collapse lesson). */
-  private def h52Sql(e: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(1, 13),
-      hi -> (strpos('0123456789abcdef', substr(md5($e), hi, 1)) - 1)
-           * (1::BIGINT << (4 * (13 - hi))))) AS BIGINT)"""
+  /** The md5-52 hash in DuckDB — the shared [[EngineHash]] mirror. */
+  private def h52Sql(e: String): String = EngineHash.h52Sql(e)
 
   private def fitCtes(dim: Int, rel: String): String = {
     val tgt = TargetSources.map(s => s"'$s'").mkString(", ")

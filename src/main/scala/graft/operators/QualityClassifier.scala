@@ -39,10 +39,10 @@ object QualityClassifier {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** 52-bit md5 token hash — identical to [[TextAnalysis.hashedFeatures]]
-    * and its DuckDB mirror. */
-  private def h52(c: Column): Column =
-    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+  /** 52-bit md5 token hash — the shared [[EngineHash]] definition
+    * (identical to [[TextAnalysis.hashedFeatures]] and its DuckDB
+    * mirror). */
+  private def h52(c: Column): Column = EngineHash.h52(c)
 
   /** (carry…, feat) rows: whitespace tokens hashed into [0, dim). Split
     * keeps empty tokens (`-1` limit) exactly like the hashed-features

@@ -190,7 +190,7 @@ object StreamBench {
     }
     val landedIx = spark.read.parquet(s"$root/landing_ix").count()
     println(s"[streambench] indexed landing=$landedIx " +
-      s"(expected ${nBatches * batchSize * 9 / 10})")
+      s"(expected ${nBatches * (batchSize - batchSize / 10)})")
     }
 
     if (tiers == "indexed") {
@@ -237,7 +237,7 @@ object StreamBench {
       val landedB = spark.read.parquet(s"$root/landing_bloom").count()
       val receiptsB = spark.read.parquet(s"$root/receipts_bloom").count()
       println(s"[streambench] bloom landing=$landedB receipts=$receiptsB " +
-        s"(expected landing=${nBatches * batchSize * 9 / 10}, " +
+        s"(expected landing=${nBatches * (batchSize - batchSize / 10)}, " +
         s"receipts=${nBatches * batchSize})")
       spark.stop(); return
     }

@@ -161,6 +161,14 @@ class BloomDedupSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(viaJoin == viaBroadcast)
     assert(viaJoin.count(_._2) == 100) // the seen half flags, fresh may fp-add
+    // duplicate texts across DIFFERENT rows keep per-row verdicts (the
+    // text-keyed probe must fan back out, never merge distinct rows)
+    val dups = ((1 to 5).map(i => (2000L + i, "seen text 1")) ++
+      Seq((3000L, "fresh text 1"))).toDF("doc_id", "text")
+    val dupOut = BloomDedup.gateRelational(spark, tag, dups)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("bloom_dup")).toMap
+    assert(dupOut.size == 6 && (1 to 5).forall(i => dupOut(2000L + i)))
+    assert(dupOut(3000L) == viaBroadcast(1001L)) // same text, same verdict
     // the plan must carry NO broadcast of the words relation (the whole
     // point of this tier) — the membership is an equi-join; broadcasts
     // of the tiny arrival side are AQE's business, the FILTER side is not
