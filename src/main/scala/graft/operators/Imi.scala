@@ -280,23 +280,40 @@ object Imi {
       .toDF("vec_id", "embedding")
   }
 
-  /** SQL mirror of [[rotated]] as a CTE (default: named `rot`, over
-    * `embeddings`). `src`/`name` generalize it to rotate any
-    * (vec_id, embedding) relation — the residual-PQ oracle rotates the
-    * residual relation with the SAME transform the corpus gets. */
+  /** SQL mirror of [[rotated]] as a CTE PAIR (default: named `rot`, over
+    * `embeddings`; a `<name>_hm` helper carries the matrix literal).
+    * `src`/`name` generalize it to rotate any (vec_id, embedding)
+    * relation — the residual-PQ oracle rotates the residual relation with
+    * the SAME transform the corpus gets.
+    *
+    * Oracle-cost discipline (round 12): the first form computed
+    * H[i][j]·D[j] per element with nested `list_transform` lambdas —
+    * ~12 µs/element in DuckDB, 25 s for 500×64² at sf0.01, and the CTE was
+    * re-INLINED at every reference (the Lloyd chains reference their
+    * source ~20×), which made the three `*_rot` oracles 75% of the whole
+    * 101-query replay. Now the ±1 matrix H·D is emitted as a LITERAL
+    * (seed-resolved in Scala, dim² one-element terms) and each output
+    * element is one `list_dot_product` — measured 260× faster and
+    * bit-identical on every element (in-order double accumulation, ±1
+    * factors exact, /√dim an exact power of two), plus `MATERIALIZED` so
+    * the rotation runs once regardless of reference count. */
   def rotCteSql(seed: Long, dim: Int = Similarity.Dim,
                 src: String = "embeddings", name: String = "rot"): String = {
     requireHadamardDim(dim)
     val signs = rotSigns(seed, dim)
-    val signList = signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
     val root = math.sqrt(dim.toDouble).toInt
-    s"""$name AS (
+    val mat = (0 until dim).map { i =>
+      (0 until dim).map { j =>
+        val h = if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+        if (h * signs(j) > 0) "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+    }.mkString("[", ", ", "]")
+    s"""${name}_hm AS (SELECT $mat AS hm),
+$name AS MATERIALIZED (
   SELECT vec_id, list_transform(generate_series(1, $dim), i ->
-    CAST(list_sum(list_transform(generate_series(1, $dim), j ->
-      (CASE WHEN bit_count(CAST((i - 1) AS BIGINT) & CAST((j - 1) AS BIGINT)) % 2 = 0
-            THEN 1.0 ELSE -1.0 END)
-      * ($signList)[j] * CAST(embedding[j] AS DOUBLE))) / $root AS FLOAT)) AS embedding
-  FROM $src
+    CAST(list_dot_product(m.hm[i],
+      list_transform(embedding, x -> CAST(x AS DOUBLE))) / $root AS FLOAT)) AS embedding
+  FROM $src, ${name}_hm m
 )"""
   }
 

@@ -311,11 +311,11 @@ ${Similarity.centroidCtes(nCentroids, dim, iters)}, dist AS (
 )"""
     rotSeed match {
       case Some(seed) =>
+        // rotCteSql emits MATERIALIZED itself (and the literal-matrix
+        // list_dot_product form — see its scaladoc for the measured costs)
         val rr = Imi.rotCteSql(seed, dim, "res", "rotres")
-          .replaceFirst("^rotres AS \\(", "rotres AS MATERIALIZED (")
         val qr = Imi.rotCteSql(seed, dim,
             s"(SELECT vec_id, embedding FROM embeddings WHERE vec_id < $nQueries)", "qrot")
-          .replaceFirst("^qrot AS \\(", "qrot AS MATERIALIZED (")
         (s"$res,\n$rr,\n$qr", "rotres", "qrot")
       case None => (res, "res", "embeddings")
     }
@@ -412,12 +412,11 @@ FROM ranked WHERE rk <= $k ORDER BY query_id, rk
   private def withRot(rotSeed: Option[Long], body: String): (String, String) =
     rotSeed match {
       case Some(seed) =>
-        // MATERIALIZED: the m codebook chains + code/table CTEs reference
-        // `rot` ~20×, and DuckDB's default inlining re-rotates the corpus
-        // per reference — measured 134 s → 25 s at sf0.01 with identical
-        // results (the hint changes evaluation, never semantics)
+        // rotCteSql emits MATERIALIZED + the literal-matrix
+        // list_dot_product form itself (its scaladoc carries the measured
+        // history: inlined lambdas 134 s → materialized 25 s → matrix
+        // literal ~1 s at sf0.01, identical results at every step)
         val rot = Imi.rotCteSql(seed)
-          .replaceFirst("^rot AS \\(", "rot AS MATERIALIZED (")
         (s"WITH $rot,\n", "rot")
       case None => ("WITH ", "embeddings")
     }

@@ -66,12 +66,28 @@ object DocumentSource {
     def extract(path: String, bytes: Array[Byte]): ExtractedDoc = {
       val b = if (bytes == null) Array.empty[Byte] else bytes
       if (isPdf(b)) {
-        PdfTextCodec.extractPages(b) match {
+        PdfTextCodec.extractPagesDetailed(b) match {
           case Some(pages) =>
             // reference semantics (pdf_reader.py:29-55): pages joined with
             // \n; size_bytes = UTF-8 length of the EXTRACTED TEXT (not the
             // file); encoding utf-8 unless the text can't round-trip
-            val text = pages.mkString("\n")
+            val text = pages.map(_.text).mkString("\n")
+            // extration_method ∈ {embedded, ocr, mixed} (pdf_reader.py:17):
+            // classified from PDF structure — a page that draws images
+            // (Do-invoked /Subtype /Image XObjects or inline BI…EI) and
+            // shows no text anywhere in the doc is a scan ⇒ "ocr"; image
+            // pages alongside embedded text ⇒ "mixed"; text only ⇒
+            // "embedded". No OCR engine ships in this sandbox, so an
+            // "ocr"-classified doc carries empty text — the honest
+            // declaration (the previous behavior reported a scanned PDF as
+            // "embedded" with empty text, indistinguishable from a blank
+            // text document).
+            val anyText = pages.exists(_.text.trim.nonEmpty)
+            val anyImage = pages.exists(_.hasImage)
+            val method =
+              if (!anyImage) "embedded"
+              else if (!anyText) "ocr"
+              else "mixed"
             ExtractedDoc(path,
               text = text,
               page_count = pages.length,
@@ -79,7 +95,7 @@ object DocumentSource {
               encoding =
                 if (java.nio.charset.StandardCharsets.UTF_8.newEncoder()
                   .canEncode(text)) "utf-8" else "unknown",
-              extration_method = "embedded",
+              extration_method = method,
               size_bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
               file_size_kb = b.length / 1024.0)
           case None =>

@@ -45,9 +45,24 @@ object PdfTextCodec {
 
   private case class PdfObj(dict: String, stream: Option[Array[Byte]])
 
+  /** One parsed page: its extracted text plus whether the page DRAWS an
+    * image — an image XObject actually invoked by a `Do` operator (resolved
+    * through the page's `/Resources /XObject` name map to an object whose
+    * dict declares `/Subtype /Image`), or an inline `BI…ID…EI` image. Used
+    * by [[graft.sources.DocumentSource]] to classify the reference's
+    * `extration_method ∈ {embedded, ocr, mixed}` contract
+    * (robot/pdf_reader.py:4-20) from PDF structure alone: no OCR engine
+    * ships here, but a scanned page IS detectable — it draws images and
+    * shows no text. */
+  case class Page(text: String, hasImage: Boolean)
+
   /** Extract per-page text. `None` when the bytes hold no parseable page
     * structure at all. */
   def extractPages(bytes: Array[Byte]): Option[Seq[String]] =
+    extractPagesDetailed(bytes).map(_.map(_.text))
+
+  /** Per-page text + image-drawing flag (see [[Page]]). */
+  def extractPagesDetailed(bytes: Array[Byte]): Option[Seq[Page]] =
     try {
       // latin-1 mirror: 1:1 char↔byte, so string offsets ARE byte offsets
       val s = new String(bytes, StandardCharsets.ISO_8859_1)
@@ -71,9 +86,59 @@ object PdfTextCodec {
         }
         val content = contentIds.flatMap(id => objects.get(id).flatMap(decodedStream))
           .map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n")
-        pageText(content)
+        val scan = scanContent(content)
+        val imageXObjects = imageXObjectNames(dict, objects)
+        val drawsImage = scan.hasInlineImage ||
+          scan.drawnNames.exists(imageXObjects.contains)
+        Page(scan.text, drawsImage)
       })
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Names in the page's `/Resources /XObject` dict that resolve to
+    * `/Subtype /Image` objects. `/Resources` may be inline (`<< … >>`) or
+    * an indirect reference; inheritance from ancestor `/Pages` nodes is
+    * NOT walked (documented scope limit — a page relying on inherited
+    * resources under-reports to `hasImage = false`, degrading the method
+    * classification toward `embedded`, never crashing). */
+  private def imageXObjectNames(pageDict: String, objects: Map[Int, PdfObj]): Set[String] = {
+    val resources = dictValue(pageDict, "/Resources", objects)
+    val xobj = resources.flatMap(r => dictValue(r, "/XObject", objects))
+    xobj match {
+      case None => Set.empty
+      case Some(x) =>
+        NameRefRe.findAllMatchIn(x).collect {
+          case m if objects.get(m.group(2).toInt)
+            .exists(o => SubtypeImageRe.findFirstIn(o.dict).isDefined) => m.group(1)
+        }.toSet
+    }
+  }
+
+  /** Value of `key` in `dict`: a balanced inline `<< … >>` sub-dict, or an
+    * indirect reference resolved through `objects`. */
+  private def dictValue(dict: String, key: String, objects: Map[Int, PdfObj]): Option[String] = {
+    val k = dict.indexOf(key)
+    if (k < 0) return None
+    var i = k + key.length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    if (dict.startsWith("<<", i)) {
+      // balanced << >> scan
+      var depth = 0
+      val start = i
+      while (i < dict.length) {
+        if (dict.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (dict.startsWith(">>", i)) {
+          depth -= 1; i += 2
+          if (depth == 0) return Some(dict.substring(start, i))
+        } else i += 1
+      }
+      None
+    } else
+      RefRe.findPrefixMatchOf(dict.substring(i))
+        .flatMap(m => objects.get(m.group(1).toInt)).map(_.dict)
+  }
+
+  private val NameRefRe: Regex = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+  private val SubtypeImageRe: Regex = """/Subtype\s*/Image(?![a-zA-Z])""".r
 
   // --- file structure ----------------------------------------------------
 
@@ -195,12 +260,27 @@ object PdfTextCodec {
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '{' || c == '}' || c == '/' || c == '%'
 
+  /** One content-stream walk's yield: the page text, the XObject names the
+    * stream invoked with `Do`, and whether an inline `BI…ID…EI` image
+    * appeared. */
+  private[sources] case class ContentScan(
+      text: String, drawnNames: Set[String], hasInlineImage: Boolean)
+
   /** Walk one page's (possibly concatenated) content stream and emit its
     * text lines, each terminated with `\n`. */
-  private[sources] def pageText(content: String): String = {
+  private[sources] def pageText(content: String): String = scanContent(content).text
+
+  /** Single-pass tokenizer behind [[pageText]]: text operators accumulate
+    * lines; `/Name … Do` records a drawn XObject; `BI … ID <binary> EI`
+    * skips the inline image's raw payload (which could otherwise spell
+    * `(`/`<` bytes and corrupt the string parse) and flags it. */
+  private[sources] def scanContent(content: String): ContentScan = {
     val lines = new StringBuilder
     val line = new StringBuilder
     val pending = ArrayBuffer.empty[String]
+    val drawn = scala.collection.mutable.Set.empty[String]
+    var lastName: String = null
+    var inlineImage = false
     def flushLine(): Unit =
       if (line.nonEmpty) { lines.append(line).append('\n'); line.clear() }
     def show(): Unit = { pending.foreach(line ++= _); pending.clear() }
@@ -215,7 +295,12 @@ object PdfTextCodec {
       else if (c == '>' && i + 1 < n && content.charAt(i + 1) == '>') i += 2
       else if (c == '%') { while (i < n && content.charAt(i) != '\n' && content.charAt(i) != '\r') i += 1 }
       else if (c == '[' || c == ']' || c == '{' || c == '}' || c == '>' || c == ')') i += 1
-      else if (c == '/') { i += 1; while (i < n && !content.charAt(i).isWhitespace && !isDelimiter(content.charAt(i))) i += 1 }
+      else if (c == '/') {
+        val start = i + 1
+        i += 1
+        while (i < n && !content.charAt(i).isWhitespace && !isDelimiter(content.charAt(i))) i += 1
+        lastName = content.substring(start, i)
+      }
       else {
         val start = i
         while (i < n && !content.charAt(i).isWhitespace && !isDelimiter(content.charAt(i))) i += 1
@@ -225,12 +310,24 @@ object PdfTextCodec {
           case "'" | "\""   => flushLine(); show()
           case "Td" | "TD" | "T*" => flushLine()
           case "BT" | "ET"  => flushLine(); pending.clear()
+          case "Do" => if (lastName != null) drawn += lastName
+          case "BI" =>
+            inlineImage = true
+            // skip to after the image payload: find `EI` preceded by
+            // whitespace (the spec's end marker); if absent, the rest of
+            // the stream is image data — stop the walk there
+            val id = content.indexOf("ID", i)
+            val from = if (id >= 0) id + 2 else i
+            var e = content.indexOf("EI", from)
+            while (e > 0 && !content.charAt(e - 1).isWhitespace &&
+              content.indexOf("EI", e + 1) >= 0) e = content.indexOf("EI", e + 1)
+            i = if (e >= 0) e + 2 else n
           case _ => // operand (number) or unrelated operator: leave pending
         }
       }
     }
     flushLine()
-    lines.toString
+    ContentScan(lines.toString, drawn.toSet, inlineImage)
   }
 
   /** `(…)` literal string: nesting, all escapes, octal, line continuation.
