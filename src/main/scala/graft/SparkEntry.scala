@@ -118,6 +118,9 @@ object SparkEntry {
     // -> reference-trained LM perplexity band (CCNet head+middle) ->
     // langid -> quota, one declarative plan, scalar broadcast thresholds
     "q_curation_learned" -> ((s, dir) => Sampling.curationLearned(s, dir)),
+    // the persisted-model deployment shape: models cross catalog tables,
+    // result pinned IDENTICAL to q_curation_learned (same oracle SQL)
+    "q_curation_served" -> ((s, dir) => Sampling.curationServed(s, dir)),
     // α=0.5 mixture re-weighting (accept-prob k/√n_lang, md5-uniform coin)
     "q_temperature_sample" -> ((s, dir) => Sampling.temperatureSample(s, dir)),
     // deterministic global shuffle → shard manifest (md5 order, running totals)
@@ -421,6 +424,9 @@ object SparkEntry {
     "q_pack_sequences" -> Packing.packSequencesSql(),
     "q_curation_pipeline" -> Sampling.curationPipelineSql(),
     "q_curation_learned" -> Sampling.curationLearnedSql(),
+    // stored path pinned to the recompute path's exact SQL (the
+    // q_dedup_indexed discipline)
+    "q_curation_served" -> Sampling.curationLearnedSql(),
     "q_temperature_sample" -> Sampling.temperatureSampleSql(),
     "q_shard_manifest" -> Sharding.shardManifestSql(),
     "q_dedup_exact" -> Dedup.exactSql,

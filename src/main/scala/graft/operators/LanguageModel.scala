@@ -87,6 +87,14 @@ object LanguageModel {
     * NULL for documents with fewer than two tokens). */
   def scoreOn(documents: DataFrame, trainDocs: DataFrame): DataFrame = {
     val (c12, c1, v) = trainOn(trainDocs)
+    scoreWith(documents, c12, c1, v)
+  }
+
+  /** [[scoreOn]]'s scoring half against an already-trained model — the
+    * deployment shape ([[load]]-ed counts score a batch without touching
+    * the training corpus; [[Sampling.curationServed]]'s LM leg). */
+  def scoreWith(documents: DataFrame, c12: DataFrame, c1: DataFrame,
+                v: DataFrame): DataFrame = {
     val scored = bigrams(documents)
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
@@ -101,6 +109,41 @@ object LanguageModel {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(exp(-col("mean_lnp")), 3).as("ppl"))
+  }
+
+  def modelTable(tag: String): String = s"${tag}_lmmodel"
+
+  /** Persist a trained bigram model: c12/c1/vs rows all land as DATA rows
+    * of ONE `saveAsTable` (kind ∈ {c12, c1, vs}) — the torn-model
+    * discipline of [[QualityClassifier.persist]]. Writers serialize on
+    * the table lease; orphan reconciliation is marker-gated
+    * ([[WarehouseTables]]). */
+  def persist(spark: SparkSession, tag: String, c12: DataFrame,
+              c1: DataFrame, v: DataFrame): Unit =
+    LeaseLock.withTableLock(spark, tag) {
+      WarehouseTables.reconcileOrphan(spark, modelTable(tag))
+      val rows = c12.select(lit("c12").as("kind"), col("w1"), col("w2"),
+          col("c12").as("n"))
+        .unionAll(c1.select(lit("c1").as("kind"), col("w1"),
+          lit(null).cast("string").as("w2"), col("c1").as("n")))
+        .unionAll(v.select(lit("vs").as("kind"),
+          lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2"),
+          col("vs").as("n")))
+      rows.write.mode("overwrite").saveAsTable(modelTable(tag))
+      WarehouseTables.mark(spark, modelTable(tag))
+    }
+
+  /** Load a persisted bigram model: (c12, c1, v) in [[scoreWith]]'s
+    * shapes. Loud on torn state — a missing/duplicated vs row means the
+    * table was not written by [[persist]]. */
+  def load(spark: SparkSession, tag: String): (DataFrame, DataFrame, DataFrame) = {
+    val t = spark.table(modelTable(tag))
+    val v = t.filter(col("kind") === "vs").select(col("n").as("vs"))
+    require(v.count() == 1,
+      s"${modelTable(tag)}: expected exactly one vs row — torn model table")
+    (t.filter(col("kind") === "c12").select(col("w1"), col("w2"), col("n").as("c12")),
+      t.filter(col("kind") === "c1").select(col("w1"), col("n").as("c1")),
+      v)
   }
 
   /** The oracled query: self-trained scoring of the documents table (the

@@ -135,23 +135,16 @@ object QualityClassifier {
               totals: DataFrame, dim: Int): Unit =
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
-      // fresh-catalog/stale-warehouse reconciliation (the BloomDedup
-      // lesson): an in-memory catalog restarts empty while the managed
-      // location survives the JVM — delete the orphan dir, under the
-      // same lease every writer of this tag holds
-      if (!spark.catalog.tableExists(modelTable(tag))) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.sessionState.catalog.defaultTablePath(
-            org.apache.spark.sql.catalyst.TableIdentifier(modelTable(tag))))
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      // fresh-catalog/stale-warehouse reconciliation — marker-gated, see
+      // [[WarehouseTables]] for the mechanism and its assumption boundary
+      WarehouseTables.reconcileOrphan(spark, modelTable(tag))
       val rows = model.select(lit("llr").as("kind"), col("feat"),
           col("llr").as("value"))
         .unionAll(totals.select(lit("prior").as("kind"), lit(-1).as("feat"),
           col("log_prior").as("value")))
         .unionAll(Seq(("dim", -1, dim.toDouble)).toDF("kind", "feat", "value"))
       rows.write.mode("overwrite").saveAsTable(modelTable(tag))
+      WarehouseTables.mark(spark, modelTable(tag))
     }
 
   /** Load a persisted model: returns (model, totals-shaped prior, dim).

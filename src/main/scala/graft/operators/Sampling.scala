@@ -261,6 +261,118 @@ ORDER BY d.doc_id
     Dsir.selectOn(spark, deduped, k, dim)
   }
 
+  def calibTable(tag: String): String = s"${tag}_curcal"
+
+  /** BUILD phase of the persisted-model curation deployment: train the NB
+    * classifier and the reference bigram LM on `deduped` (the same
+    * relations [[curationLearned]] trains in-query), persist both as
+    * catalog tables, then CALIBRATE the two thresholds — classifier
+    * median and perplexity 2/3-quantile — by scoring the training corpus
+    * THROUGH THE PERSISTED TABLES (so serving's arithmetic path is the
+    * one being calibrated) and persist them as a third table. Runs once
+    * per model generation; [[serveCuration]] is the per-batch side.
+    *
+    * The thresholds are each ONE scalar (a percentile aggregate
+    * collected driver-side — model-sized by construction); CCNet itself
+    * calibrates on a sample, and the exact `percentile` here carries the
+    * same deployment substitution note as [[curationLearned]]. */
+  def buildCurationModels(spark: SparkSession, deduped: DataFrame,
+                          tag: String, dim: Int = QualityClassifier.DefaultDim): Unit = {
+    val labeled = deduped.select(col("doc_id"),
+      col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
+      col("text"))
+    val (model, totals) = QualityClassifier.train(spark, labeled, dim)
+    QualityClassifier.persist(spark, tag, model, totals, dim)
+    val ref = deduped.filter(col("source").isin(QualityClassifier.PositiveSources: _*))
+      .select("doc_id", "text")
+    val (c12, c1, v) = LanguageModel.trainOn(ref)
+    LanguageModel.persist(spark, tag, c12, c1, v)
+    // calibrate through the persisted tables (serving's exact path)
+    val (lm, lp, ldim) = QualityClassifier.load(spark, tag)
+    val (sc12, sc1, sv) = LanguageModel.load(spark, tag)
+    val scored = deduped.join(
+      QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), lm, lp, ldim)
+        .select("doc_id", "score"), "doc_id")
+    val tauC = scored.agg(round(expr("percentile(score, 0.5)"), 6))
+      .collect()(0).getDouble(0)
+    val gated = scored.filter(col("score") >= tauC)
+    val withPpl = gated.join(
+      LanguageModel.scoreWith(gated.select("doc_id", "text"), sc12, sc1, sv), "doc_id")
+      .filter(col("n_bigrams") > 0)
+    val tauP = withPpl.agg(round(expr("percentile(ppl, 2.0/3)"), 6))
+      .collect()(0).getDouble(0)
+    LeaseLock.withTableLock(spark, tag) {
+      import spark.implicits._
+      WarehouseTables.reconcileOrphan(spark, calibTable(tag))
+      Seq(("tau_c", tauC), ("tau_p", tauP)).toDF("kind", "value")
+        .write.mode("overwrite").saveAsTable(calibTable(tag))
+      WarehouseTables.mark(spark, calibTable(tag))
+    }
+  }
+
+  /** SERVE phase: curate ONE BATCH from the persisted tables alone — no
+    * training, no threshold aggregation, no reference-corpus scan. Per
+    * batch this is: NB scoring against the broadcast llr table, the
+    * stored tau_c gate, LM perplexity against the stored bigram counts,
+    * the stored tau_p band, langid, per-language quota — the
+    * build-once/score-per-batch shape a 100 TB deployment actually runs
+    * ([[curationLearned]] is its self-contained-oracle twin, which must
+    * train in-query and is therefore dominated by training cost; the
+    * SCALING r12 rows quantify the decoupling). */
+  def serveCuration(spark: SparkSession, batch: DataFrame, tag: String,
+                    quota: Int = 100): DataFrame = {
+    val (model, prior, dim) = QualityClassifier.load(spark, tag)
+    val (c12, c1, v) = LanguageModel.load(spark, tag)
+    val cal = spark.table(calibTable(tag))
+    val tauC = cal.filter(col("kind") === "tau_c").select(col("value").as("tau_c"))
+    val tauP = cal.filter(col("kind") === "tau_p").select(col("value").as("tau_p"))
+    val scored = batch.join(
+      QualityClassifier.scoreDocs(batch.select("doc_id", "text"), model, prior, dim)
+        .select("doc_id", "score"), "doc_id")
+    val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
+    val withPpl = gated.join(
+      LanguageModel.scoreWith(gated.select("doc_id", "text"), c12, c1, v), "doc_id")
+      .filter(col("n_bigrams") > 0)
+    val banded = withPpl.crossJoin(broadcast(tauP)).filter(col("ppl") <= col("tau_p"))
+    val rankWin = Window.partitionBy("predicted_lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    banded
+      .withColumn("predicted_lang", TextAnalysis.predictedLang(col("text"))._1)
+      .withColumn("sample_rank", row_number().over(rankWin).cast("long"))
+      .filter(col("sample_rank") <= quota)
+      .select("doc_id", "predicted_lang", "score", "ppl", "sample_rank")
+      .orderBy("predicted_lang", "sample_rank")
+  }
+
+  /** The oracled end-to-end form of the persisted-model deployment:
+    * build the models from the deduped corpus, serve the SAME corpus as
+    * the batch — which makes the result identical to [[curationLearned]]
+    * by construction (same training relations, same thresholds, same
+    * gates; the only difference is that every model crosses a catalog
+    * table on the way). Oracled by the LITERAL [[curationLearnedSql]] —
+    * the `q_dedup_indexed` discipline: stored path pinned to the
+    * recompute path's exact SQL.
+    *
+    * Idempotence: a read-only oracle query must not leave warehouse
+    * state (ADVICE r11 on q_bloom_relational), so the quota-bounded
+    * result is materialized and the three model tables are dropped
+    * before returning. Deployments call [[buildCurationModels]] /
+    * [[serveCuration]] directly and keep the tables. */
+  def curationServed(spark: SparkSession, dir: String, quota: Int = 100,
+                     dim: Int = QualityClassifier.DefaultDim): DataFrame = {
+    val tag = s"qcurserved_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val deduped = exactDedupOn(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text"))
+    buildCurationModels(spark, deduped, tag, dim)
+    val out = serveCuration(spark, deduped, tag, quota)
+    val rows = out.collect().toSeq // quota-bounded: ≤ quota × languages
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    Seq(QualityClassifier.modelTable(tag), LanguageModel.modelTable(tag),
+      calibTable(tag)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    local
+  }
+
   /** The v3 rule-gate prefix over a (doc_id, source, text) relation —
     * ONE definition shared by [[curationRules]], the scale probe, and
     * the funnel spec, so a change here cannot de-sync what SCALING.md
