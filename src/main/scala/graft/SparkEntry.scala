@@ -109,6 +109,9 @@ object SparkEntry {
     // the trained tokenizer applied back: per-doc BPE token counts,
     // distinct words segmented once (vocab-factored encode)
     "q_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncodeCounts(s, dir)),
+    // the OTHER tokenizer family (Kudo 2018 unigram LM, hard-EM trained)
+    "q_unigram_lm" -> ((s, dir) => UnigramLm.query(s, dir)),
+    "q_unigram_encode" -> ((s, dir) => UnigramLm.encodeCounts(s, dir)),
     // training-data pipeline: corpus curation (PII scrub, sampling, packing)
     "q_pii_redact" -> ((s, dir) => Privacy.piiRedact(s, dir)),
     "q_sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
@@ -419,6 +422,8 @@ object SparkEntry {
     "q_bpe_merges_batched" -> TextAnalysis.bpeMergesSql(),
     "q_bpe_merges_local" -> TextAnalysis.bpeMergesSql(),
     "q_bpe_encode" -> TextAnalysis.bpeEncodeCountsSql(),
+    "q_unigram_lm" -> UnigramLm.querySql(),
+    "q_unigram_encode" -> UnigramLm.encodeCountsSql(),
     "q_pii_redact" -> Privacy.piiRedactSql,
     "q_sample_stratified" -> Sampling.stratifiedSampleSql(),
     "q_pack_sequences" -> Packing.packSequencesSql(),

@@ -504,14 +504,26 @@ object IvfIndex {
     * differences must not flip a termination verdict between engines
     * (the q_ivf_adaptive oracle unrolls the same rounds + rule).
     *
-    * MEASURED honesty (SCALING.md r11, exact truth): on the synthetic
-    * corpus the policy lands ON the fixed recall-per-probed-cell
-    * frontier — query difficulty there is homogeneous, so per-query
-    * reallocation buys no recall — and each round is a driver barrier
-    * that fixed budgets pay once. Reach for this operator when query
-    * difficulty is genuinely heterogeneous and per-chunk candidate work
-    * dominates the round barrier; otherwise a fixed budget at the same
-    * mean is simpler and faster. */
+    * DEMOTED FROM DEPLOYMENT GUIDANCE (r12) — appendix status. The
+    * measured record, in full (SCALING.md r11 + r12, exact truth):
+    * on HOMOGENEOUS query panels (r11, 2M and 20M) the policy is
+    * frontier-NEUTRAL on recall-per-probed-cell and 3–7× wall-worse; on
+    * the explicitly HETEROGENEOUS panel (r12 — 25 gate-band planted
+    * queries + 25 natural-band corpus queries in one batch, the
+    * operator's claimed regime) the reallocation is real (the easy half
+    * terminates after the stability window; round histograms in
+    * SCALING r12) and slightly frontier-POSITIVE — matching fixed
+    * 4·rule's recall at 3.82·rule mean budget, a ~4.5% candidate-I/O
+    * saving — but the wall is still 2–3.4× WORSE at every configuration,
+    * because each chunk round is a driver-synchronized job barrier that
+    * fixed budgets pay once. The verdict: at every scale measurable here
+    * a fixed budget at the same mean is faster, and the I/O saving is
+    * too small to buy the rounds. Use a fixed budget
+    * ([[search]]/[[searchInt8]]/[[searchPq]]). This operator remains
+    * correct (oracled: q_ivf_adaptive) and would only earn its rounds on
+    * a cluster whose candidate scans are so I/O-bound that a few percent
+    * of scan volume outweighs per-round scheduling — measure there
+    * before reaching for it. */
   def searchAdaptive(spark: SparkSession, tag: String, queries: DataFrame,
                      k: Int = 5, chunk: Int = 0, maxChunks: Int = 4,
                      excludeSelf: Boolean = true,

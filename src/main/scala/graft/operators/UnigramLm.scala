@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer (Kudo 2018, arXiv:1804.10959 — the
+  * SentencePiece unigram algorithm), the OTHER tokenizer family a
+  * training-data pipeline meets beside BPE ([[TextAnalysis]]'s merge
+  * loop): instead of greedily composing merges, fit piece probabilities
+  * with EM over the corpus's words and segment each word by the
+  * most-probable piece sequence (Viterbi DP).
+  *
+  * Published-algorithm scope, stated honestly:
+  *   - the E-step here is HARD (Viterbi) EM — expected counts come from
+  *     each word's single best segmentation rather than the
+  *     forward–backward posterior over all segmentations. Hard EM is the
+  *     published approximation (Kudo §3.2 trains with EM but *encodes*
+  *     with Viterbi; hard EM makes the oracle's DP exactly the encoder's
+  *     DP), and it is what an unrolled cross-engine oracle can pin
+  *     bit-for-bit — a posterior-weighted E-step sums exp() terms whose
+  *     cross-engine ulp drift nothing can round away.
+  *   - seeding: all substrings of length ≤ [[MaxPieceLen]] ranked by
+  *     occurrence-weighted frequency, top [[SeedMulti]] multi-char pieces
+  *     plus EVERY single character (Kudo seeds from the suffix-array top;
+  *     frequency-ranked substrings are the same idea at this scale).
+  *   - pruning: one final cut to [[FinalMulti]] multi-char pieces by
+  *     expected count (Kudo prunes by likelihood loss per piece each
+  *     round; count pruning is the cheap published variant). Single
+  *     characters are NEVER pruned and carry +1 keep-alive counts, so
+  *     every word stays segmentable — totality.
+  *
+  * Determinism discipline (the Lloyd-CTE rules, applied to a DP):
+  * piece costs are `round(−ln(n/total), 6)` on both engines; the DP
+  * accumulates `round(cost + nlp, 6)` left-to-right, so every comparison
+  * sees identical 1e-6-grid doubles; ties break on (cost ASC, path ASC)
+  * where path is the '␟'-joined piece string — both engines compare the
+  * same strings (BMP text; the BPE oracles' charset caveat applies).
+  * Words longer than [[MaxWordLen]] are excluded from training and
+  * fall back to single-character token counts in the encoder (the same
+  * cap SentencePiece applies to trainer sentences).
+  *
+  * Scale shape: the model is vocab-bounded ([[SeedMulti]] + alphabet
+  * rows — a broadcast, never a shuffle); each EM round is one
+  * distributed flatMap over the DISTINCT-WORD relation (the same
+  * relation BPE trains on) followed by a piece-count aggregate collected
+  * at model size; the driver loop holds [[EmIters]] rounds (the
+  * off-engine-loop pattern of [[TextAnalysis.bpeMergesLocalOn]]). At
+  * 100 TB the distinct-word relation shards by word and the DP is
+  * embarrassingly parallel per word. */
+object UnigramLm {
+
+  val MaxPieceLen = 4
+  val MaxWordLen = 12
+  val SeedMulti = 80
+  val FinalMulti = 40
+  val EmIters = 2
+  val Sep: String = TextAnalysis.BpeSep
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def codepoints(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Best (min Σ nlp) segmentation of `w` under the model; ties break on
+    * the '␟'-joined path string ascending — the oracle's exact tie-break.
+    * Falls back to single characters when the model cannot reach the end
+    * (impossible while every char is in the vocab; kept for totality). */
+  private[graft] def viterbi(w: String, nlp: collection.Map[String, Double]): Seq[String] = {
+    val c = codepoints(w)
+    val n = c.length
+    val dp = new Array[(Double, String)](n + 1)
+    dp(0) = (0.0, "")
+    var j = 1
+    while (j <= n) {
+      var best: (Double, String) = null
+      var i = math.max(0, j - MaxPieceLen)
+      while (i < j) {
+        if (dp(i) != null) {
+          val piece = c.slice(i, j).mkString
+          val v = nlp.get(piece)
+          if (v.isDefined) {
+            val cost = round6(dp(i)._1 + v.get)
+            val path = dp(i)._2 + Sep + piece
+            if (best == null || cost < best._1 ||
+              (cost == best._1 && path < best._2)) best = (cost, path)
+          }
+        }
+        i += 1
+      }
+      dp(j) = best
+      j += 1
+    }
+    if (dp(n) == null) c.toSeq
+    else dp(n)._2.split(Sep).filter(_.nonEmpty).toSeq
+  }
+
+  /** Distinct-word relation (w, freq) under the trainer cap. */
+  private def wordsOf(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+      .filter(length(col("w")) >= 1 && length(col("w")) <= MaxWordLen &&
+        !col("w").contains(Sep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Train the model: returns the final vocab as (piece, n, nlp) rows,
+    * (n DESC, piece ASC)-ordered — `q_unigram_lm`'s relation. */
+  def trainOn(documents: DataFrame): Seq[(String, Long, Double)] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val words = wordsOf(documents)
+    // occurrence-weighted substring frequencies, one distributed pass
+    val subs = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("freq"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("w")) - col("i") + 1))).as("l"))
+      .select(expr("substring(w, i, l)").as("piece"), col("l"), col("freq"))
+      .groupBy("piece", "l").agg(sum("freq").as("n"))
+    val chars = subs.filter(col("l") === 1).select("piece", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = subs.filter(col("l") >= 2)
+      .orderBy(col("n").desc, col("piece")).limit(SeedMulti)
+      .select("piece", "n").collect().map(r => (r.getString(0), r.getLong(1)))
+    def normalize(counts: Seq[(String, Long)]): Map[String, Double] = {
+      val t = counts.map(_._2).sum.toDouble
+      counts.map { case (p, n) => p -> round6(-math.log(n / t)) }.toMap
+    }
+    var model: Map[String, Double] = normalize((chars ++ multi).toSeq)
+    var counts: Seq[(String, Long)] = Seq.empty
+    for (_ <- 1 to EmIters) {
+      val bc = spark.sparkContext.broadcast(model)
+      // E-step: Viterbi counts over the distinct-word relation (hard EM)
+      val c = words.as[(String, Long)]
+        .flatMap { case (w, f) => viterbi(w, bc.value).map(p => (p, f)) }
+        .toDF("piece", "f").groupBy("piece").agg(sum("f").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // M-step with single-char keep-alive (+1), zero-count pieces drop
+      counts = model.keysIterator.map { p =>
+        val keep = if (codepoints(p).length == 1) 1L else 0L
+        p -> (c.getOrElse(p, 0L) + keep)
+      }.filter(_._2 > 0).toSeq
+      model = normalize(counts)
+    }
+    // prune: every char + top FinalMulti multi-char by (count, piece)
+    val (cs, ms) = counts.partition(p => codepoints(p._1).length == 1)
+    val kept = cs ++ ms.sortBy { case (p, n) => (-n, p) }.take(FinalMulti)
+    val fm = normalize(kept)
+    kept.map { case (p, n) => (p, n, fm(p)) }
+      .sortBy { case (p, n, _) => (-n, p) }
+  }
+
+  /** `q_unigram_lm`: the trained model as a DataFrame. */
+  def query(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainOn(spark.read.parquet(s"$dir/documents.parquet"))
+      .toDF("piece", "n", "nlp")
+  }
+
+  /** `q_unigram_encode`: per-document token counts under the trained
+    * model (beside `q_bpe_encode`): whitespace tokens vs unigram pieces;
+    * words outside the trainer cap fall back to their character count
+    * (empty tokens count 1 — the BPE query's convention). */
+  def encodeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val documents = spark.read.parquet(s"$dir/documents.parquet")
+    val model = trainOn(documents).map { case (p, _, nlp) => p -> nlp }.toMap
+    val bc = spark.sparkContext.broadcast(model)
+    val nTok = wordsOf(documents).select("w").as[String]
+      .map(w => (w, viterbi(w, bc.value).length.toLong))
+      .toDF("w", "n_tok")
+    documents
+      .select(col("doc_id"),
+        explode(split(coalesce(col("text"), lit("")), " ", -1)).as("w"))
+      .join(nTok, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("n_tok"), greatest(length(col("w")), lit(1)).cast("long")))
+        .as("n_unigram_tokens"),
+        count(lit(1)).as("n_ws_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // --- DuckDB oracle -------------------------------------------------
+
+  /** One DP stage: position `j` rows appended to the carried relation —
+    * the min-(cost, path) candidate per word arriving from positions
+    * j−MaxPieceLen .. j−1 through vocab relation `v` (piece, nlp).
+    * MATERIALIZED: each stage references its predecessor twice (carry +
+    * candidates); default inlining would re-derive the whole chain
+    * 2^stages times (the r12 rotation lesson). */
+  private def dpStageSql(prev: String, name: String, j: Int, v: String): String = s"""$name AS MATERIALIZED (
+  SELECT w, freq, pos, cost, path FROM $prev
+  UNION ALL
+  SELECT w, freq, pos, cost, path FROM (
+    SELECT d.w, d.freq, $j AS pos, round(d.cost + v.nlp, 6) AS cost,
+      d.path || '$Sep' || v.piece AS path,
+      row_number() OVER (PARTITION BY d.w
+        ORDER BY round(d.cost + v.nlp, 6) ASC, d.path || '$Sep' || v.piece ASC) AS r
+    FROM $prev d
+    JOIN $v v ON d.pos >= ${math.max(0, j - MaxPieceLen)} AND d.pos <= ${j - 1}
+      AND v.piece = substr(d.w, CAST(d.pos + 1 AS INTEGER), ${j} - d.pos)
+    WHERE length(d.w) >= $j
+  ) WHERE r = 1
+)"""
+
+  /** A full Viterbi chain over `words` under vocab `v`: stages 1..
+    * [[MaxWordLen]], ending in `<p>best(w, freq, path)`. */
+  private def dpChainSql(p: String, v: String): String = {
+    val stages = (1 to MaxWordLen).map { j =>
+      dpStageSql(if (j == 1) s"${p}dp0" else s"${p}dp${j - 1}", s"${p}dp$j", j, v)
+    }.mkString(",\n")
+    s"""${p}dp0 AS (
+  SELECT w, freq, 0 AS pos, CAST(0.0 AS DOUBLE) AS cost, '' AS path FROM words
+),
+$stages,
+${p}best AS (
+  SELECT w, freq, path FROM ${p}dp$MaxWordLen WHERE pos = length(w)
+),
+${p}cnt AS (
+  SELECT piece, sum(freq) AS c FROM (
+    SELECT unnest(string_split(path, '$Sep')) AS piece, freq FROM ${p}best)
+  WHERE piece <> '' GROUP BY piece
+)"""
+  }
+
+  /** E+M step: counts under model `v` → keep-alive counts `<p>m` →
+    * normalized next model `<p>v`. */
+  private def emStepSql(p: String, v: String): String = s"""${dpChainSql(p, v)},
+${p}m AS MATERIALIZED (
+  SELECT v.piece,
+    coalesce(c.c, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS n
+  FROM $v v LEFT JOIN ${p}cnt c USING (piece)
+  WHERE coalesce(c.c, 0) + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END > 0
+),
+${p}tot AS (SELECT sum(n) AS t FROM ${p}m),
+${p}v AS MATERIALIZED (
+  SELECT piece, round(-ln(n / t), 6) AS nlp FROM ${p}m, ${p}tot
+)"""
+
+  /** Shared training prefix: words → seed vocab `v0` → EmIters EM rounds
+    * → pruned final vocab `vf(piece, n, nlp)`. */
+  private def trainCtesSql: String = {
+    val em = (1 to EmIters).map { k =>
+      emStepSql(s"e$k", if (k == 1) "v0" else s"e${k - 1}v")
+    }.mkString(",\n")
+    s"""words AS MATERIALIZED (
+  SELECT tok AS w, count(*) AS freq FROM (
+    SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents)
+  WHERE length(tok) >= 1 AND length(tok) <= $MaxWordLen
+    AND NOT contains(tok, '$Sep')
+  GROUP BY tok
+), subs AS MATERIALIZED (
+  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+    CAST(l AS INTEGER) AS l, sum(freq) AS n
+  FROM words,
+    LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) ti,
+    LATERAL (SELECT unnest(range(1, least($MaxPieceLen, length(w) - i + 1) + 1)) AS l) tl
+  GROUP BY 1, 2
+), seed AS MATERIALIZED (
+  SELECT piece, n FROM subs WHERE l = 1
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n FROM subs WHERE l >= 2 ORDER BY n DESC, piece LIMIT $SeedMulti)
+), tot0 AS (SELECT sum(n) AS t FROM seed),
+v0 AS MATERIALIZED (
+  SELECT piece, round(-ln(n / t), 6) AS nlp FROM seed, tot0
+),
+$em,
+kept AS MATERIALIZED (
+  SELECT piece, n FROM e${EmIters}m WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, n FROM (
+    SELECT piece, n FROM e${EmIters}m WHERE length(piece) >= 2
+    ORDER BY n DESC, piece LIMIT $FinalMulti)
+), ftot AS (SELECT sum(n) AS t FROM kept),
+vf AS MATERIALIZED (
+  SELECT k.piece, k.n, round(-ln(k.n / t), 6) AS nlp FROM kept k, ftot
+)"""
+  }
+
+  def querySql(): String = s"""
+WITH $trainCtesSql
+SELECT piece, CAST(n AS BIGINT) AS n, nlp FROM vf ORDER BY n DESC, piece
+""".trim
+
+  def encodeCountsSql(): String = s"""
+WITH $trainCtesSql,
+${dpChainSql("f", "vf")},
+enc AS (
+  SELECT w, (length(path) - length(replace(path, '$Sep', ''))) AS n_tok FROM fbest
+), toks AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w FROM documents
+)
+SELECT doc_id,
+  CAST(sum(coalesce(n_tok, greatest(length(w), 1))) AS BIGINT) AS n_unigram_tokens,
+  CAST(count(*) AS BIGINT) AS n_ws_tokens
+FROM toks LEFT JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+""".trim
+}

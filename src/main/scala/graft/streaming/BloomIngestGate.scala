@@ -42,7 +42,18 @@ object BloomIngestGate {
     * arrival — (doc_id, text, bloom_dup, dup_of, admitted). `dup_of` is
     * set only for within-batch copies; `admitted` = representative AND
     * definite-new. Pure (no reconciliation, no writes) — exposed for
-    * direct batch use and for the spec. */
+    * direct batch use and for the spec.
+    *
+    * `dup_of` contract (ADVICE r11): it names the WITHIN-BATCH
+    * representative (the batch's min doc_id for that text) — a receipt
+    * pointer into the batch's arrival set, NOT into the landing zone.
+    * The representative itself may be dropped as a cross-batch Bloom
+    * duplicate (its own `admitted` = false), in which case resolving
+    * `dup_of` against the landing zone finds nothing; the duplicate's
+    * canonical landed copy is in some EARLIER batch, which the filter —
+    * which stores bits, not ids — cannot name. Consumers wanting a
+    * landed pointer must join `dup_of` → that doc's receipt row and
+    * follow `admitted` (spec-pinned in BloomIngestGateSpec). */
   def gateBatch(batch: DataFrame, filter: Array[Long], k: Int, m: Int): DataFrame = {
     val spark = batch.sparkSession
     require(!batch.columns.contains("keep_id"),

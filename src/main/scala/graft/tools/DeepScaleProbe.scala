@@ -217,7 +217,7 @@ object DeepScaleProbe {
       }
     }
     if (tiers("natural") || tiers("naturalimi") || tiers("naturalpq") ||
-        tiers("naturaladaptive") || tiers("plantpq")) {
+        tiers("naturaladaptive") || tiers("plantpq") || tiers("heteroadaptive")) {
       import graft.operators.RecallEstimator
       // NATURAL-BAND recall (r8 verdict item 3, carried through r9): the
       // planted panel measures the cos 0.86–0.98 gate band; the semantic-
@@ -393,6 +393,89 @@ object DeepScaleProbe {
             (1 to cap).map(r => s"r$r=${bought.getOrElse(r, 0L)}").mkString(" ") +
             f" → mean budget ${total.toDouble / math.max(1L, bought.getOrElse(1, 0L))}%.2f·rule" +
             s" (fixed 4·rule pays 4.00)")
+        }
+        Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
+          .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))
+      }
+      if (tiers("heteroadaptive")) {
+        // THE HETEROGENEOUS-DIFFICULTY PANEL (r11 verdict item 5): the
+        // adaptive budget's claimed regime is a batch whose queries need
+        // genuinely different budgets. Build it explicitly: 25 GATE-BAND
+        // queries (planted neighbors at cos 0.86–0.98 — the dup-gate
+        // regime, trivially stable after round 1) mixed with 25
+        // NATURAL-BAND corpus queries (top-5 at cos ≈ 0.4–0.5, the hard
+        // end) in ONE batch. Fixed budgets must pay the hard queries'
+        // nprobe for everyone; stability termination should stop the easy
+        // half after the stability window. Measured: does that ever win
+        // on WALL (not just mean budget)?
+        import graft.operators.RecallEstimator
+        val p25 = RecallEstimator.panel(nQueries = 25)
+        val pc = RecallEstimator.plantedCorpus(emb, p25)
+        val hardIds = (0L until 25L).toSet
+        val truthHard = truthSet.filter { case (q, _) => hardIds(q) }
+        // contamination audit: planted rows are sign-vector constructions
+        // ~orthogonal to natural queries; verify they cannot displace any
+        // hard query's true top-5 (else the natural truth above — computed
+        // over the UNPLANTED corpus — would be wrong for the planted one)
+        val hardVecs = emb.filter(col("vec_id") < 25)
+          .select("vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val maxPlantedCos = (for {
+          (_, hv) <- hardVecs
+          (_, pv) <- p25.plantedRows
+        } yield Similarity.dotP(hv, pv) /
+          (Similarity.normP(hv) * Similarity.normP(pv))).max
+        println(f"[hetero] max planted×natural-query cos $maxPlantedCos%.3f " +
+          f"(natural k-th band min ${kth.head}%.3f — planted rows cannot enter hard top-5)")
+        require(maxPlantedCos < kth.head,
+          "planted rows contaminate the natural truth — widen the band check")
+        val tag = "deephet"
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-deephet").toString
+        val tb = System.nanoTime()
+        IvfIndex.build(pc, idxDir, tag, buckets = 32)
+        println(f"[hetero] IvfIndex.build ${(System.nanoTime() - tb) / 1e9}%.1f s")
+        drop()
+        val hetQueries = emb.filter(col("vec_id") < 25)
+          .select("vec_id", "embedding")
+          .unionAll(p25.queries(spark))
+        val plantedWant = p25.plantedSet
+        def score(got: Set[(Long, Long)]): (Double, Double) =
+          ((got & plantedWant).size.toDouble / plantedWant.size,
+            (got & truthHard).size.toDouble / truthHard.size)
+        println(s"\n| policy (50 mixed queries) | planted recall@5 | natural recall@5 | mean budget (·rule) | warm s |")
+        println("|---|---|---|---|---|")
+        for (np <- Seq(rule, 2 * rule, 3 * rule, 4 * rule)) {
+          def once(): (Double, Set[(Long, Long)]) = {
+            val t0 = System.nanoTime()
+            val got = IvfIndex.search(spark, tag, hetQueries, nprobe = np)
+              .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+            ((System.nanoTime() - t0) / 1e9, got)
+          }
+          once(); drop()
+          val (warm, got) = once(); drop()
+          val (pr, nr) = score(got)
+          println(f"| fixed ${np / rule}·rule | $pr%.3f | $nr%.3f | ${np.toDouble / rule}%.2f | $warm%.2f |")
+        }
+        for ((cap, win) <- Seq((4, 1), (4, 2), (8, 1), (8, 2))) {
+          val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+          def once(): (Double, Set[(Long, Long)]) = {
+            rounds.clear()
+            val t0 = System.nanoTime()
+            val got = IvfIndex.searchAdaptive(spark, tag, hetQueries,
+              chunk = rule, maxChunks = cap,
+              onRound = (r, nq) => rounds += ((r, nq)), window = win)
+              .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+            ((System.nanoTime() - t0) / 1e9, got)
+          }
+          once(); drop()
+          val (warm, got) = once(); drop()
+          val (pr, nr) = score(got)
+          val bought = rounds.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+          val total = (1 to cap).map(r => bought.getOrElse(r, 0L)).sum
+          val meanBudget = total.toDouble / math.max(1L, bought.getOrElse(1, 0L))
+          println(f"| adaptive cap$cap w$win | $pr%.3f | $nr%.3f | $meanBudget%.2f | $warm%.2f |")
+          println(s"[hetero] cap=$cap w=$win active per round: " +
+            (1 to cap).map(r => s"r$r=${bought.getOrElse(r, 0L)}").mkString(" "))
         }
         Seq(IvfIndex.modelTable(tag), IvfIndex.assignTable(tag))
           .foreach(t => graft.operators.BucketedMaintenance.dropWithFiles(spark, t))

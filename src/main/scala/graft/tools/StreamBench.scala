@@ -236,9 +236,19 @@ object StreamBench {
       }
       val landedB = spark.read.parquet(s"$root/landing_bloom").count()
       val receiptsB = spark.read.parquet(s"$root/receipts_bloom").count()
-      println(s"[streambench] bloom landing=$landedB receipts=$receiptsB " +
-        s"(expected landing=${nBatches * (batchSize - batchSize / 10)}, " +
-        s"receipts=${nBatches * batchSize})")
+      // the fresh-doc count is an UPPER bound on landings, not an equality:
+      // the gate's false positives over-drop fresh docs at ~fill^k (ADVICE
+      // r11 — the 5M run landed 10,797/10,800). Print the bound and the
+      // fill^k-predicted drop beside the observed number so a shortfall
+      // reads as the filter's stated FPR, not as lost data.
+      val freshUpper = nBatches * (batchSize - batchSize / 10)
+      val (wordsB, mB, kB) = graft.operators.BloomDedup.load(spark, "sbbloom")
+      val fill = wordsB.map(java.lang.Long.bitCount).sum.toDouble / mB
+      val predictedFpDrop = freshUpper * math.pow(fill, kB)
+      println(f"[streambench] bloom landing=$landedB receipts=$receiptsB " +
+        f"(fresh upper bound=$freshUpper, final fill=$fill%.3f → " +
+        f"predicted FP over-drop ≈ ${predictedFpDrop}%.1f, " +
+        f"receipts=${nBatches * batchSize})")
       spark.stop(); return
     }
     // arrival-synthesis pool: the driver only needs batchSize × nBatches

@@ -63,6 +63,39 @@ class BloomIngestGateSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE ${BloomDedup.filterTable(tag)}")
   }
 
+  test("dup_of names the within-batch representative even when that representative is itself dropped") {
+    // batch 1 lands X; batch 2 carries two copies of X: the in-batch
+    // representative (min doc_id) is ALSO a cross-batch Bloom dup, so it
+    // is not admitted — dup_of still points at it (the documented
+    // contract: dup_of is a batch-arrival pointer, not a landing pointer;
+    // the consumer follows the representative's receipt to learn it was
+    // dropped too)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-bloomgate-rep").toString
+    val tag = freshTag()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    mem.addData((1L, "x text"))
+    BloomIngestGate.start(stream, tag, s"$root/landing", s"$root/receipts",
+      s"$root/ckpt").awaitTermination()
+    mem.addData((10L, "x text"), (11L, "x text"))
+    BloomIngestGate.start(stream, tag, s"$root/landing", s"$root/receipts",
+      s"$root/ckpt").awaitTermination()
+    val receipts = spark.read.parquet(s"$root/receipts").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("bloom_dup"), Option(r.getAs[java.lang.Long]("dup_of")),
+          r.getAs[Boolean]("admitted")))).toMap
+    // representative 10: flagged by the filter, no dup_of, NOT admitted
+    assert(receipts(10L) == ((true, None, false)))
+    // copy 11: dup_of → 10, whose own receipt says dropped — resolving
+    // dup_of against the LANDING finds nothing, by contract
+    assert(receipts(11L)._2.contains(10L) && !receipts(11L)._3)
+    val landed = spark.read.parquet(s"$root/landing")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L))
+    spark.sql(s"DROP TABLE ${BloomDedup.filterTable(tag)}")
+  }
+
   test("replay of an absorbed batch reconciles to the first attempt") {
     val root = java.nio.file.Files.createTempDirectory("graft-bloomgate2").toString
     val tag = freshTag()
