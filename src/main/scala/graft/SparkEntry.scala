@@ -128,6 +128,9 @@ object SparkEntry {
     "q_temperature_sample" -> ((s, dir) => Sampling.temperatureSample(s, dir)),
     // deterministic global shuffle → shard manifest (md5 order, running totals)
     "q_shard_manifest" -> ((s, dir) => Sharding.shardManifest(s, dir)),
+    // lock-free manifest-log landing: 3 batches + 1 replayed batch read
+    // back exactly-once — the result IS the corpus, which the oracle pins
+    "q_manifest_log" -> ((s, dir) => ManifestLog.queryRoundTrip(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
@@ -434,6 +437,7 @@ object SparkEntry {
     "q_curation_served" -> Sampling.curationLearnedSql(),
     "q_temperature_sample" -> Sampling.temperatureSampleSql(),
     "q_shard_manifest" -> Sharding.shardManifestSql(),
+    "q_manifest_log" -> "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // minhash LSH at 16×2 bands has empirically-total recall at the 0.5

@@ -48,7 +48,18 @@ import org.apache.spark.sql.SparkSession
   * rename, substitute the store's conditional-put primitive.
   *
   * Reentrant per thread: an entry point that calls another locked entry
-  * point (rebuildIfNeeded → rebuild) re-enters without deadlocking. */
+  * point (rebuildIfNeeded → rebuild) re-enters without deadlocking.
+  *
+  * Boundary resolution (r12): the lock-free multi-appender this scaladoc
+  * previously named as future work now SHIPS as [[ManifestLog]] — an
+  * append-only commit-log protocol (atomic manifest-marker creation;
+  * readers union committed segments; exactly-once under retries with no
+  * coordination) for the landing/segment shape. The LEASE remains the
+  * supported regime for the bucketed persistent indexes, deliberately:
+  * their value is bucket-PRUNED catalog scans, and per-append manifest
+  * segments have no shared bucket layout to prune — turning segments
+  * back into a pruned table is exactly the maintenance work this lease
+  * serializes. See the [[ManifestLog]] scaladoc's scope note. */
 object LeaseLock {
 
   final case class Handle(fs: FileSystem, path: Path, token: String)

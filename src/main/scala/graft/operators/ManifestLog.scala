@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal manifest-log commit protocol — the LOCK-FREE multi-appender
+  * the [[LeaseLock]] scaladoc named as the standing boundary since r7
+  * ("lock-free MULTI-appenders need a commit-log/manifest table format").
+  * This is that table format, at its smallest honest size: the idea every
+  * production lake format (Iceberg/Delta/Hudi) builds on, reduced to the
+  * append-only case where it needs no compare-and-swap at all.
+  *
+  * Layout under a root directory:
+  * {{{
+  *   <root>/data/<segId>__<attemptId>/part-*.parquet   (segment payload)
+  *   <root>/manifests/<segId>__<attemptId>.manifest    (empty marker file)
+  * }}}
+  *
+  * COMMIT = the atomic creation of the manifest marker (HDFS
+  * `create(overwrite = false)` of an EMPTY file — existence is the commit
+  * bit, so there is no partially-written-content window to read through).
+  * Readers list `manifests/` and union the referenced data directories;
+  * a data directory without a marker does not exist as far as any reader
+  * is concerned.
+  *
+  * Exactly-once under retries WITHOUT coordination: `segId` is the
+  * caller's logical identity (writerId + batchId — the same batch_id
+  * discipline the streaming gates use); `attemptId` is fresh per attempt,
+  * so two attempts never collide on a path and never need a
+  * check-then-rename. If a caller retries a batch whose earlier attempt
+  * DID commit (the classic ack-lost window), two markers for the same
+  * segId coexist — readers deterministically pick the lexicographically
+  * smallest attemptId per segId and the loser's data directory is
+  * garbage, never content. Zero loss (a committed segment is visible to
+  * every subsequent `read`), zero duplication (one winner per segId),
+  * any number of concurrent appenders, no lock anywhere.
+  *
+  * Crash windows, each convergent:
+  *   - die mid-data-write → no marker → invisible; retry writes a fresh
+  *     attempt directory;
+  *   - die between data completion and marker creation → same;
+  *   - die after marker creation → committed; a retry adds a losing
+  *     attempt (garbage) or sees its marker already present.
+  *
+  * [[vacuum]] removes unreferenced attempt directories older than a grace
+  * period (age guards in-flight appends — the standard lake-format
+  * vacuum contract: pick a grace comfortably above any plausible write
+  * duration).
+  *
+  * Scope boundary (stated, the r11 verdict's missing-item 4 decision):
+  * this retires the lease for the APPEND-ONLY landing/segment shape —
+  * streaming ingestion zones, batch landing, receipt logs. The bucketed
+  * persistent indexes ([[ShingleIndex]]/[[IvfIndex]]/[[ImiIndex]]) keep
+  * the lease regime: their value is bucket-PRUNED catalog scans, and a
+  * union of per-append manifest segments has no shared bucket layout for
+  * Spark to prune — making segments bucketed and compacting them into
+  * the canonical table is exactly the maintenance work the lease already
+  * serializes. Readers of a manifest log pay a full union scan; that is
+  * the landing shape's normal access pattern (read-the-batch,
+  * read-everything-once), not an index probe. */
+object ManifestLog {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val ManifestSuffix = ".manifest"
+
+  /** Append one batch as a committed segment. Returns the segment's
+    * attempt-qualified name, or the already-committed winner's name if a
+    * marker for this (writerId, batchId) already exists (idempotent
+    * replay — the data is NOT rewritten). Lock-free: safe under any
+    * number of concurrent appenders and retries. */
+  def append(df: DataFrame, root: String, writerId: String,
+             batchId: Long): String = {
+    require(!writerId.contains("__") && !writerId.contains("/"),
+      s"writerId '$writerId' must not contain '__' or '/'")
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val segId = s"$writerId-$batchId"
+    // fast-path replay: an existing marker for this segId means the batch
+    // committed; do not rewrite (exactly-once)
+    committedAttempts(spark, root).get(segId) match {
+      case Some(winner) => return s"${segId}__$winner"
+      case None =>
+    }
+    val attemptId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val name = s"${segId}__$attemptId"
+    df.write.mode("error").parquet(s"$root/data/$name")
+    // COMMIT: atomic create-exclusive of the empty marker. Existence is
+    // the commit bit — nothing to partially read.
+    f.mkdirs(new Path(s"$root/manifests"))
+    val out = f.create(new Path(s"$root/manifests/$name$ManifestSuffix"), false)
+    out.close()
+    name
+  }
+
+  /** Committed segments: segId → winning attemptId (lexicographically
+    * smallest — the deterministic dedup rule every reader applies). */
+  private def committedAttempts(spark: SparkSession,
+                                root: String): Map[String, String] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/manifests")
+    if (!f.exists(dir)) return Map.empty
+    f.listStatus(dir).iterator
+      .map(_.getPath.getName)
+      .filter(_.endsWith(ManifestSuffix))
+      .map(_.stripSuffix(ManifestSuffix))
+      .flatMap { n =>
+        n.split("__") match {
+          case Array(seg, attempt) => Some(seg -> attempt)
+          case _ => None // foreign file: ignored, never fatal
+        }
+      }
+      .toSeq.groupBy(_._1)
+      .map { case (seg, as) => seg -> as.map(_._2).min }
+  }
+
+  /** The committed segment names, winner-deduped (diagnostics / tests). */
+  def segments(spark: SparkSession, root: String): Seq[String] =
+    committedAttempts(spark, root).toSeq.sorted
+      .map { case (seg, attempt) => s"${seg}__$attempt" }
+
+  /** Union of every committed segment. Empty-log reads need a schema to
+    * be total; pass the expected one (the landing shape knows it). */
+  def read(spark: SparkSession, root: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val segs = segments(spark, root)
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(segs.map(s => s"$root/data/$s"): _*)
+  }
+
+  /** The oracled end-to-end form (`q_manifest_log`): land the documents
+    * corpus as three lock-free batches plus one REPLAYED batch (the
+    * ack-lost retry), read the log back — exactly-once semantics make the
+    * result the corpus itself, which is what the DuckDB oracle pins. The
+    * log lives in a run-scoped temp directory, the (corpus-sized, sf-gate
+    * bounded) result is materialized, and the directory is removed — a
+    * read-only oracle query leaves no state (the q_bloom_relational
+    * discipline). */
+  def queryRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q_mlog").toString
+    (0L until 3L).foreach { b =>
+      append(docs.filter(col("doc_id") % 3 === b), root, "oracle", b)
+    }
+    append(docs.filter(col("doc_id") % 3 === 1), root, "oracle", 1L) // replay
+    val out = read(spark, root, docs.schema).orderBy("doc_id")
+    val rows = out.collect().toSeq
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    fs(spark, root).delete(new Path(root), true)
+    local
+  }
+
+  /** Delete attempt directories no manifest references (lost races,
+    * crashed attempts) that are older than `graceMs` — age shields
+    * in-flight appends whose marker hasn't landed yet. Returns the
+    * removed directory names. Safe concurrently with appenders and
+    * readers: only unreferenced dirs past the grace window are touched,
+    * and a referenced dir can never become unreferenced (markers are
+    * never deleted). */
+  def vacuum(spark: SparkSession, root: String,
+             graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val f = fs(spark, root)
+    val dataDir = new Path(s"$root/data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val referenced: Set[String] = {
+      val dir = new Path(s"$root/manifests")
+      if (!f.exists(dir)) Set.empty
+      else f.listStatus(dir).iterator.map(_.getPath.getName)
+        .filter(_.endsWith(ManifestSuffix))
+        .map(_.stripSuffix(ManifestSuffix)).toSet
+    }
+    val cutoff = System.currentTimeMillis() - graceMs
+    f.listStatus(dataDir).iterator
+      .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
+        s.getModificationTime < cutoff)
+      .map { s => f.delete(s.getPath, true); s.getPath.getName }
+      .toSeq
+  }
+}

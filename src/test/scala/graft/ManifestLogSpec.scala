@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.ManifestLog
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The lock-free manifest-log commit protocol (the r11 verdict's
+  * missing-item 4, closed with the commit-log option): TWO appenders with
+  * NO lock anywhere, freely interleaved — zero loss, zero duplicates;
+  * idempotent replay of a committed batch; crash-window data (no marker)
+  * invisible to readers and vacuumable; committed data never vacuumed. */
+class ManifestLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def batchDf(writer: Int, batch: Int, rows: Int = 20) = {
+    (0 until rows).map { i =>
+      (writer.toLong * 1000000 + batch.toLong * 1000 + i, s"w$writer b$batch row $i")
+    }.toDF("doc_id", "text")
+  }
+
+  test("two LOCK-FREE appenders, freely interleaved: zero loss, zero duplicates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog").toString
+    val nBatches = 12
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try (1 to nBatches).foreach { b =>
+          ManifestLog.append(batchDf(w, b), root, s"writer$w", b.toLong)
+        } catch { case e: Throwable => errs.add(s"writer$w: ${e.getMessage}") }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"appender failures: $errs")
+    val got = ManifestLog.read(spark, root, schema)
+      .select("doc_id").as[Long].collect().sorted
+    val want = (for (w <- 1 to 2; b <- 1 to nBatches; i <- 0 until 20)
+      yield w.toLong * 1000000 + b.toLong * 1000 + i).sorted
+    assert(got.length == want.length, s"loss/dup: ${got.length} vs ${want.length}")
+    assert(got.sameElements(want))
+    assert(ManifestLog.segments(spark, root).size == 2 * nBatches)
+  }
+
+  test("replaying a committed (writer, batch) is idempotent — no rewrite, no duplicate rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-replay").toString
+    val first = ManifestLog.append(batchDf(1, 1), root, "writer1", 1L)
+    val second = ManifestLog.append(batchDf(1, 1), root, "writer1", 1L)
+    assert(first == second, "replay must return the committed winner")
+    assert(ManifestLog.read(spark, root, schema).count() == 20)
+    assert(ManifestLog.segments(spark, root).size == 1)
+  }
+
+  test("two racing attempts of the SAME batch: readers agree on one winner, zero dup") {
+    // simulate the ack-lost retry: both attempts commit markers (distinct
+    // attempt ids); the deterministic min-attempt rule picks one
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-race").toString
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val ts = (1 to 2).map { _ =>
+      new Thread(() => {
+        try ManifestLog.append(batchDf(1, 7), root, "writer1", 7L)
+        catch { case e: Throwable => errs.add(String.valueOf(e.getMessage)) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racing attempts must both succeed: $errs")
+    assert(ManifestLog.read(spark, root, schema).count() == 20, "zero dup")
+    assert(ManifestLog.segments(spark, root).size == 1)
+  }
+
+  test("crash window: data without a marker is invisible and vacuumable; committed data survives vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-crash").toString
+    ManifestLog.append(batchDf(1, 1), root, "writer1", 1L)
+    // simulate a crash between data write and marker creation
+    batchDf(1, 2).write.parquet(s"$root/data/writer1-2__deadbeef")
+    assert(ManifestLog.read(spark, root, schema).count() == 20,
+      "unmarked data must be invisible")
+    // inside the grace window: nothing removed
+    assert(ManifestLog.vacuum(spark, root, graceMs = 60000).isEmpty)
+    // past the grace window: exactly the orphan goes
+    val removed = ManifestLog.vacuum(spark, root, graceMs = -1)
+    assert(removed == Seq("writer1-2__deadbeef"), s"removed: $removed")
+    assert(ManifestLog.read(spark, root, schema).count() == 20,
+      "vacuum must never touch committed data")
+  }
+
+  test("empty log reads as an empty relation with the declared schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-empty").toString
+    val df = ManifestLog.read(spark, root, schema)
+    assert(df.count() == 0 && df.schema == schema)
+  }
+}
