@@ -74,6 +74,9 @@ object SparkEntry {
     // the stored words — same verdicts, same oracle SQL (tier equivalence
     // pinned cross-engine)
     "q_bloom_relational" -> ((s, dir) => BloomDedup.queryRelational(s, dir)),
+    // the Long-m tier: filter built DISTRIBUTED (bit_or aggregate, never
+    // materialized) at m = 2^33 — past any Int-position build
+    "q_bloom_distributed" -> ((s, dir) => BloomDedup.queryDistributed(s, dir)),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCount(s, dir)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(s, dir)),
@@ -471,6 +474,7 @@ object SparkEntry {
     "q_dsir_select" -> Dsir.selectSql(),
     "q_bloom_dedup" -> BloomDedup.querySql(),
     "q_bloom_relational" -> BloomDedup.querySql(),
+    "q_bloom_distributed" -> BloomDedup.querySql(m = 1L << 33),
     "q_curation_dsir" -> Sampling.curationDsirSql(),
     "q_hybrid_rrf" -> Search.hybridRrfSql(),
     "q_ivf_pq" -> Pq.ivfSearchPqSql(m = 4, kSub = 8),

@@ -80,10 +80,13 @@ object BloomDedup {
     * resolve it, and execution dies with INTERNAL_ERROR_ATTRIBUTE_NOT_
     * FOUND (pinned by BloomDedupSpec's join-derived-text case). */
   def positions(text: Column, k: Int = DefaultHashes,
-                m: Int = DefaultBits): Column = {
+                m: Long = DefaultBits.toLong): Column = {
     val hex = md5(coalesce(text, lit("")))
     val h1 = conv(substring(hex, 1, 13), 16, 10).cast("long")
     val h2 = conv(substring(hex, 14, 13), 16, 10).cast("long")
+    // m is a Long (round 12): the relational tier's filters legitimately
+    // exceed 2^31 bits — position arithmetic was always Long-typed, only
+    // the modulus parameter was narrower than the design
     array((0 until k).map(i => (h1 + lit(i.toLong) * h2) % m): _*)
   }
 
@@ -229,7 +232,7 @@ object BloomDedup {
     * of fold-0 bit positions; `bloom_dup` = every probed position found
     * (exactly the semantics of the packed bit array, including the
     * deterministic false positives). */
-  def querySql(k: Int = DefaultHashes, m: Int = DefaultBits): String = s"""
+  def querySql(k: Int = DefaultHashes, m: Long = DefaultBits.toLong): String = s"""
 WITH d AS (
   SELECT doc_id, coalesce(text, '') AS text,
     ${h52Sql("doc_id::VARCHAR")} % 2 AS fold
@@ -393,7 +396,7 @@ ORDER BY d.doc_id
     * local relation ([[queryRelational]], which must not leave warehouse
     * state behind). */
   def gateRelationalOn(arrivals: DataFrame, words: DataFrame,
-                       m: Int, k: Int): DataFrame = {
+                       m: Long, k: Int): DataFrame = {
     require(!arrivals.columns.contains("__t"),
       "gateRelational reserves the column name __t")
     // verdicts key on the DISTINCT text itself — the verdict is a pure
@@ -458,4 +461,112 @@ ORDER BY d.doc_id
       while (i < words.length) { words(i) |= add(i); i += 1 }
       persist(spark, tag, words, m, k)
     }
+
+  // ---- Long-m distributed tier (round 12) -------------------------------
+  //
+  // The SCALING r11 boundary, closed: the broadcast tier's build/absorb
+  // materialize the m/8-byte array on the driver, capping m at Int bit
+  // positions and the driver's memory. The 10^10-key / 1e-3-FPR regime
+  // (~17 GB of bits) needs a build that never materializes anywhere:
+  // positions → (word_idx, set-bit mask) rows → groupBy(word_idx) with a
+  // bit_or partial aggregate → the SPARSE (word_idx, bits) relation the
+  // relational gate already consumes. Map-side combine makes the shuffle
+  // at most min(corpus·k, m/64) rows; the filter never exists as one
+  // object. Persisted BUCKETED by word_idx so the gate-side join prunes
+  // its Exchange to the probe side only.
+
+  def relTable(tag: String): String = s"${tag}_bloomrel"
+
+  /** Distributed build: the filter as a sparse (word_idx, bits) relation —
+    * no driver materialization, any m up to 2^57 (the K–M arithmetic's
+    * 52-bit-halves overflow bound). */
+  def buildRelational(corpus: DataFrame, k: Int = DefaultHashes,
+                      m: Long = DefaultBits.toLong): DataFrame = {
+    require(m > 0 && m < (1L << 57), s"m=$m outside the K-M family's bound")
+    corpus
+      .select(explode(positions(col("text"), k, m)).as("p"))
+      .select(shiftright(col("p"), 6).as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("mask"))
+      .groupBy("word_idx").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Persist a relational filter as a word_idx-BUCKETED managed table
+    * (geometry rides as sentinel rows word_idx −1 → m, −2 → k — the
+    * one-write torn-proof discipline; data rows are always ≥ 0). */
+  def persistRelational(spark: SparkSession, tag: String, words: DataFrame,
+                        m: Long, k: Int, buckets: Int = 32): Unit =
+    LeaseLock.withTableLock(spark, tag) {
+      import spark.implicits._
+      WarehouseTables.reconcileOrphan(spark, relTable(tag))
+      val meta = Seq((-1L, m), (-2L, k.toLong)).toDF("word_idx", "bits")
+      words.select(col("word_idx").cast("long"), col("bits").cast("long"))
+        .unionAll(meta)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "word_idx").sortBy("word_idx")
+        .saveAsTable(relTable(tag))
+      WarehouseTables.mark(spark, relTable(tag))
+    }
+
+  /** Load a relational filter: (words relation, m, k). Loud on torn
+    * state. The words relation is the live bucketed table — candidates
+    * join against it with the filter-side Exchange pruned. */
+  def loadRelational(spark: SparkSession, tag: String): (DataFrame, Long, Int) = {
+    val t = spark.table(relTable(tag))
+    def meta(idx: Long, name: String): Long = {
+      val rows = t.filter(col("word_idx") === idx).select("bits").collect()
+      require(rows.length == 1,
+        s"${relTable(tag)}: expected exactly one $name row, found ${rows.length}")
+      rows(0).getLong(0)
+    }
+    (t.filter(col("word_idx") >= 0), meta(-1L, "m"), meta(-2L, "k").toInt)
+  }
+
+  /** Gate arrivals against a PERSISTED relational filter (the stored
+    * Long-m deployment shape). */
+  def gateRelationalStored(spark: SparkSession, tag: String,
+                           arrivals: DataFrame): DataFrame = {
+    val (words, m, k) = loadRelational(spark, tag)
+    gateRelationalOn(arrivals, words, m, k)
+  }
+
+  /** Fold a new corpus into a persisted relational filter: sparse OR by
+    * word_idx union + re-aggregate, rewrite under the lease — the same
+    * lossless-union property as [[absorb]], never materialized. Rewrites
+    * through a staging relation because the overwrite reads its own
+    * table. */
+  def absorbRelational(spark: SparkSession, tag: String,
+                       corpus: DataFrame): Unit =
+    LeaseLock.withTableLock(spark, tag) {
+      val (words, m, k) = loadRelational(spark, tag)
+      val merged = words.unionAll(buildRelational(corpus, k, m))
+        .groupBy("word_idx").agg(expr("bit_or(bits)").as("bits"))
+      // materialize before the overwrite drops the source files
+      val staged = merged.localCheckpoint(true)
+      persistRelational(spark, tag, staged, m, k)
+      staged.unpersist()
+    }
+
+  /** Oracled Long-m query (`q_bloom_distributed`): the exact
+    * [[queryRelational]] protocol with the filter built DISTRIBUTED at
+    * m = 2^33 — a modulus no Int-position build can represent, so the
+    * Long arithmetic is what the oracle hashes. Same relation shape,
+    * same SQL template with the Long m. No persistence: the words
+    * relation flows straight into the gate (read-only oracle query). */
+  def queryDistributed(spark: SparkSession, dir: String,
+                       k: Int = DefaultHashes,
+                       m: Long = 1L << 33): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        (h52(col("doc_id").cast("string")) % 2).as("fold"))
+    val seen = d.filter(col("fold") === 0)
+    val words = buildRelational(seen.select("text"), k, m)
+    val seenTexts = seen.select(col("text")).distinct()
+      .withColumn("seen_exact", lit(true))
+    gateRelationalOn(d.select("doc_id", "text"), words, m, k)
+      .join(seenTexts, Seq("text"), "left")
+      .select(col("doc_id"), col("bloom_dup"),
+        coalesce(col("seen_exact"), lit(false)).as("exact_dup"))
+      .withColumn("false_positive", col("bloom_dup") && !col("exact_dup"))
+      .orderBy("doc_id")
+  }
 }
