@@ -130,6 +130,23 @@ object DsirBloomScaleProbe {
       }
       println(f"[dsirbloom] fresh-text false positives: $fp of $n " +
         f"(rate ${fp.toDouble / n}%.2e)")
+      // SPARK_GRAFT_BLOOM_DIST=1: time the r12 DISTRIBUTED build (sparse
+      // bit_or aggregate, never on the driver) at the same geometry and
+      // at a Long m past Int positions — the driver-build-vs-distributed
+      // price, and proof the Long regime runs at corpus scale
+      if (sys.env.get("SPARK_GRAFT_BLOOM_DIST").contains("1")) {
+        val distRows = timed(s"bloom buildRelational (same m=$m)") {
+          BloomDedup.buildRelational(bloomCorpus, BloomDedup.DefaultHashes, m.toLong).count()
+        }
+        println(f"[dsirbloom] distributed filter: $distRows%,d sparse words " +
+          f"(driver array would be ${(m + 63) / 64}%,d longs)")
+        val mL = 1L << 33
+        val distRowsL = timed(f"bloom buildRelational (Long m=2^33)") {
+          BloomDedup.buildRelational(bloomCorpus, BloomDedup.DefaultHashes, mL).count()
+        }
+        println(f"[dsirbloom] Long-m filter: $distRowsL%,d sparse words " +
+          f"(array form would need 1 GiB + Long positions — unreachable before r12)")
+      }
       // SPARK_GRAFT_BLOOM_REL=1: time the past-broadcast relational tier
       // on the same filter + corpus (the join-price-vs-broadcast number)
       if (sys.env.get("SPARK_GRAFT_BLOOM_REL").contains("1")) {
