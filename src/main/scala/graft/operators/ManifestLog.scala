@@ -156,6 +156,27 @@ object ManifestLog {
     local
   }
 
+  /** Streaming sink through the commit protocol: lands each micro-batch
+    * as one committed segment keyed by (writerId, batchId) — Structured
+    * Streaming replays a failed batch with the SAME batchId, which the
+    * protocol absorbs as the idempotent-replay case, so landing is
+    * exactly-once per stream. Because appends are lock-free, ANY number
+    * of concurrent streams (distinct writerIds) can land into one log —
+    * the multi-writer landing zone the partition-overwrite discipline
+    * (one directory per query) cannot offer. AvailableNow trigger —
+    * drain what's there, then stop (the repo's testable batch-boundary
+    * convention; drop the trigger line for continuous). */
+  def sink(stream: DataFrame, root: String, writerId: String,
+           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, root, writerId, batchId)
+        ()
+      }
+      .start()
+
   /** Delete attempt directories no manifest references (lost races,
     * crashed attempts) that are older than `graceMs` — age shields
     * in-flight appends whose marker hasn't landed yet. Returns the

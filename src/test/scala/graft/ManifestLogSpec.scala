@@ -86,6 +86,32 @@ class ManifestLogSpec extends AnyFunSuite {
       "vacuum must never touch committed data")
   }
 
+  test("streaming sink: exactly-once landing per stream, two concurrent streams share one log") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mlog-ckpt").toString
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    memA.addData((1L, "a one"), (2L, "a two"))
+    memB.addData((100L, "b one"))
+    val qa = ManifestLog.sink(memA.toDF.toDF("doc_id", "text"), root, "streamA", s"$ckpt/a")
+    val qb = ManifestLog.sink(memB.toDF.toDF("doc_id", "text"), root, "streamB", s"$ckpt/b")
+    qa.awaitTermination(); qb.awaitTermination()
+    // second micro-batch on stream A; stream B idle
+    memA.addData((3L, "a three"))
+    ManifestLog.sink(memA.toDF.toDF("doc_id", "text"), root, "streamA", s"$ckpt/a")
+      .awaitTermination()
+    val got = ManifestLog.read(spark, root, schema)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L, 100L), s"got $got")
+    // a replayed batch (same writer, same batchId, fresh checkpoint
+    // simulating a recovery replay) lands nothing new
+    ManifestLog.append(Seq((1L, "a one"), (2L, "a two")).toDF("doc_id", "text"),
+      root, "streamA", 0L)
+    assert(ManifestLog.read(spark, root, schema).count() == 4, "replay duplicated rows")
+  }
+
   test("empty log reads as an empty relation with the declared schema") {
     val root = java.nio.file.Files.createTempDirectory("graft-mlog-empty").toString
     val df = ManifestLog.read(spark, root, schema)
