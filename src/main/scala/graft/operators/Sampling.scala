@@ -180,9 +180,22 @@ ORDER BY d.doc_id
 
   /** The learned tail shared by [[curationLearned]] and
     * [[curationRules]]: classifier gate → LM band → langid → quota over
-    * an already-deduplicated (doc_id, source, text) relation. */
-  private def learnedTail(spark: SparkSession, deduped: DataFrame, quota: Int,
+    * an already-deduplicated (doc_id, source, text) relation.
+    *
+    * The input is MATERIALIZED (stats-honest local checkpoint) before the
+    * tail consumes it: Spark re-evaluates a referenced subtree per
+    * reference (the same re-inlining economics the r12 DuckDB
+    * MATERIALIZED fix addressed on the oracle side), and this tail
+    * references `deduped` five ways (NB training, score join, reference
+    * corpus, and transitively the gated chain) — for [[curationRules]]
+    * that meant re-running the regex-heavy C4+Gopher prefix per
+    * reference. Measured: q_curation_rules 16–18 → ~5 s at sf0.1.
+    * Downstream joins that need size stats use explicit `broadcast()`
+    * already, and the shim keeps stats honest for the rest. */
+  private def learnedTail(spark: SparkSession, dedupedIn: DataFrame, quota: Int,
                           dim: Int): DataFrame = {
+    val deduped = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(dedupedIn)
     val labeled = deduped.select(col("doc_id"),
       col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
       col("text"))
@@ -255,9 +268,12 @@ ORDER BY d.doc_id
     * TakeOrderedAndProject). */
   def curationDsir(spark: SparkSession, dir: String, k: Int = 50,
                    dim: Int = Dsir.DefaultDim): DataFrame = {
-    val deduped = exactDedupOn(ruleGates(
-      spark.read.parquet(s"$dir/documents.parquet")
-        .select("doc_id", "source", "text")))
+    // materialized for the same multi-reference economics as learnedTail
+    // (the DSIR fit + weighting + selection each re-reference the prefix)
+    val deduped = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(exactDedupOn(ruleGates(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text"))))
     Dsir.selectOn(spark, deduped, k, dim)
   }
 
@@ -361,8 +377,12 @@ ORDER BY d.doc_id
   def curationServed(spark: SparkSession, dir: String, quota: Int = 100,
                      dim: Int = QualityClassifier.DefaultDim): DataFrame = {
     val tag = s"qcurserved_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val deduped = exactDedupOn(spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "source", "text"))
+    // materialized: build (train ×2 models + calibrate) and serve both
+    // re-reference the dedup prefix repeatedly
+    val deduped = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(
+        exactDedupOn(spark.read.parquet(s"$dir/documents.parquet")
+          .select("doc_id", "source", "text")))
     buildCurationModels(spark, deduped, tag, dim)
     val out = serveCuration(spark, deduped, tag, quota)
     val rows = out.collect().toSeq // quota-bounded: ≤ quota × languages
