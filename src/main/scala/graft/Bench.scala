@@ -230,8 +230,10 @@ object Bench {
     val anchors = Seq(calibPre, calibMid, calibPost)
     val anchorSpreadPct = (anchors.max - anchors.min) / anchors.min * 100.0
     val anchorVerdict = if (anchorSpreadPct > 15.0) "DISCARD" else "OK"
+    // rint, not %.1f: %-formatting follows the JVM default locale and a
+    // comma-decimal locale would break the JSON line
     val anchorJson =
-      f""""anchor_spread_pct":$anchorSpreadPct%.1f,"anchor_verdict":"$anchorVerdict""""
+      s""""anchor_spread_pct":${math.rint(anchorSpreadPct * 10) / 10},"anchor_verdict":"$anchorVerdict""""
     // The artifact self-describes its measurement basis (judge r10 item 1:
     // the outer wrapper's "cpus" records the MACHINE's CPU count, which
     // silently diverged from the local[4] the timings actually ran on —

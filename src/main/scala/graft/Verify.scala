@@ -57,9 +57,13 @@ object Verify {
       s"""{"commit": ${q(Bench.headCommit())}, "ran_at": ${q(java.time.Instant.now().toString)}, "sf_dir": ${q(sfDir)}, "queries": ${selected.size}}""")
     val resultsLog = Paths.get(s"$outDir/results.jsonl")
     Files.deleteIfExists(resultsLog)
+    // math.rint/toString, NOT an f-interpolator: %-formatting follows the
+    // JVM default locale, and a comma-decimal locale would make every
+    // line unparseable JSON — the exact silent-zero failure q() defends
+    // against
     def logResult(name: String, ok: Boolean, sec: Double, err: String): Unit =
       Files.writeString(resultsLog,
-        s"""{"query": ${q(name)}, "dumped": $ok, "sec": ${f"$sec%.3f"}, "error": ${q(err)}}""" + "\n",
+        s"""{"query": ${q(name)}, "dumped": $ok, "sec": ${math.rint(sec * 1000) / 1000}, "error": ${q(err)}}""" + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()

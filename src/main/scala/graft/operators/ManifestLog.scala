@@ -78,11 +78,13 @@ object ManifestLog {
     val f = fs(spark, root)
     val segId = s"$writerId-$batchId"
     // fast-path replay: an existing marker for this segId means the batch
-    // committed; do not rewrite (exactly-once)
-    committedAttempts(spark, root).get(segId) match {
-      case Some(winner) => return s"${segId}__$winner"
-      case None =>
-    }
+    // committed; do not rewrite (exactly-once). Prefix glob, NOT a full
+    // directory listing — a long-lived log would otherwise pay O(segments)
+    // per append (review r12).
+    val mine = f.globStatus(
+      new Path(s"$root/manifests/${segId}__*$ManifestSuffix"))
+    if (mine != null && mine.nonEmpty)
+      return mine.map(_.getPath.getName.stripSuffix(ManifestSuffix)).min
     val attemptId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"${segId}__$attemptId"
     df.write.mode("error").parquet(s"$root/data/$name")
@@ -177,30 +179,45 @@ object ManifestLog {
       }
       .start()
 
-  /** Delete attempt directories no manifest references (lost races,
-    * crashed attempts) that are older than `graceMs` — age shields
-    * in-flight appends whose marker hasn't landed yet. Returns the
-    * removed directory names. Safe concurrently with appenders and
-    * readers: only unreferenced dirs past the grace window are touched,
-    * and a referenced dir can never become unreferenced (markers are
-    * never deleted). */
+  /** Reclaim garbage older than `graceMs`: (a) attempt directories no
+    * manifest references (crashed mid-append), and (b) LOSING attempts of
+    * raced/replayed batches — their data directory AND their marker (the
+    * review-r12 fix: losers carry markers, so a marker-is-referenced rule
+    * shielded them forever and retries leaked unboundedly). Deleting a
+    * loser's marker is safe concurrently with readers: the winner —
+    * the lexicographic MIN attempt — is never deleted, and the min of any
+    * subset that contains the winner is still the winner, so no reader's
+    * dedup verdict can change mid-list. Age shields in-flight appends
+    * whose marker hasn't landed; returns the removed names. */
   def vacuum(spark: SparkSession, root: String,
              graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, root)
     val dataDir = new Path(s"$root/data")
     if (!f.exists(dataDir)) return Seq.empty
-    val referenced: Set[String] = {
-      val dir = new Path(s"$root/manifests")
-      if (!f.exists(dir)) Set.empty
-      else f.listStatus(dir).iterator.map(_.getPath.getName)
-        .filter(_.endsWith(ManifestSuffix))
-        .map(_.stripSuffix(ManifestSuffix)).toSet
-    }
     val cutoff = System.currentTimeMillis() - graceMs
-    f.listStatus(dataDir).iterator
-      .filter(s => s.isDirectory && !referenced(s.getPath.getName) &&
-        s.getModificationTime < cutoff)
-      .map { s => f.delete(s.getPath, true); s.getPath.getName }
-      .toSeq
+    val winners: Set[String] = committedAttempts(spark, root)
+      .map { case (seg, attempt) => s"${seg}__$attempt" }.toSet
+    val removed = Seq.newBuilder[String]
+    // losing markers first: once a loser's marker is gone its data dir is
+    // plain unreferenced garbage for this (or any later) sweep
+    val mDir = new Path(s"$root/manifests")
+    if (f.exists(mDir)) f.listStatus(mDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.endsWith(ManifestSuffix) &&
+        !winners(name.stripSuffix(ManifestSuffix)) &&
+        name.stripSuffix(ManifestSuffix).split("__").length == 2 &&
+        st.getModificationTime < cutoff) {
+        f.delete(st.getPath, true)
+        removed += name
+      }
+    }
+    f.listStatus(dataDir).foreach { st =>
+      if (st.isDirectory && !winners(st.getPath.getName) &&
+        st.getModificationTime < cutoff) {
+        f.delete(st.getPath, true)
+        removed += st.getPath.getName
+      }
+    }
+    removed.result()
   }
 }

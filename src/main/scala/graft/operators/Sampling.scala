@@ -169,7 +169,7 @@ ORDER BY d.doc_id
 
   /** Keep the smallest doc_id per canonical fingerprint — the pipelines'
     * shared exact-dedup stage over a (doc_id, source, text) relation. */
-  private def exactDedupOn(df: DataFrame): DataFrame = {
+  private[graft] def exactDedupOn(df: DataFrame): DataFrame = {
     val dedupWin = Window.partitionBy("fp").orderBy("doc_id")
     df
       .withColumn("fp", Dedup.canonicalFp(col("text")))
@@ -204,13 +204,30 @@ ORDER BY d.doc_id
       QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), model, totals, dim)
         .select("doc_id", "score"), "doc_id")
     val tauC = scored.agg(round(expr("percentile(score, 0.5)"), 6).as("tau_c"))
-    val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
     val ref = deduped.filter(col("source").isin(QualityClassifier.PositiveSources: _*))
       .select("doc_id", "text")
-    val withPpl = gated.join(
-      LanguageModel.scoreOn(gated.select("doc_id", "text"), ref), "doc_id")
+    gateBandQuota(scored, tauC,
+      d => LanguageModel.scoreOn(d, ref),
+      wp => wp.agg(round(expr("percentile(ppl, 2.0/3)"), 6).as("tau_p")),
+      quota)
+  }
+
+  /** The gate → band → langid → quota tail, ONE definition shared by
+    * [[learnedTail]] (thresholds computed in-plan) and [[serveCuration]]
+    * (thresholds loaded from the calibration table) — the oracle pins
+    * `q_curation_served` row-identical to `q_curation_learned`, and a
+    * tail change applied to one copy would silently break that identity.
+    * `pplOf` scores a (doc_id, text) relation under whichever LM form the
+    * caller holds; `tauPOf` maps the banded-input relation to its one-row
+    * tau_p frame (computed for learned, ignored-input/loaded for served). */
+  private def gateBandQuota(scored: DataFrame, tauC: DataFrame,
+                            pplOf: DataFrame => DataFrame,
+                            tauPOf: DataFrame => DataFrame,
+                            quota: Int): DataFrame = {
+    val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
+    val withPpl = gated.join(pplOf(gated.select("doc_id", "text")), "doc_id")
       .filter(col("n_bigrams") > 0)
-    val tauP = withPpl.agg(round(expr("percentile(ppl, 2.0/3)"), 6).as("tau_p"))
+    val tauP = tauPOf(withPpl)
     val banded = withPpl.crossJoin(broadcast(tauP)).filter(col("ppl") <= col("tau_p"))
     val rankWin = Window.partitionBy("predicted_lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -340,24 +357,24 @@ ORDER BY d.doc_id
     val (model, prior, dim) = QualityClassifier.load(spark, tag)
     val (c12, c1, v) = LanguageModel.load(spark, tag)
     val cal = spark.table(calibTable(tag))
-    val tauC = cal.filter(col("kind") === "tau_c").select(col("value").as("tau_c"))
-    val tauP = cal.filter(col("kind") === "tau_p").select(col("value").as("tau_p"))
+    // torn-calib loudness (the LanguageModel.load discipline): a missing
+    // tau row would otherwise cross-join a ZERO-row frame and silently
+    // curate the batch to nothing; a duplicated row would double every
+    // row ahead of the quota window
+    def tau(kind: String, as: String): DataFrame = {
+      val rows = cal.filter(col("kind") === kind).select(col("value").as(as))
+      require(rows.count() == 1,
+        s"${calibTable(tag)}: expected exactly one $kind row — torn calibration table")
+      rows
+    }
+    val tauP = tau("tau_p", "tau_p")
     val scored = batch.join(
       QualityClassifier.scoreDocs(batch.select("doc_id", "text"), model, prior, dim)
         .select("doc_id", "score"), "doc_id")
-    val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
-    val withPpl = gated.join(
-      LanguageModel.scoreWith(gated.select("doc_id", "text"), c12, c1, v), "doc_id")
-      .filter(col("n_bigrams") > 0)
-    val banded = withPpl.crossJoin(broadcast(tauP)).filter(col("ppl") <= col("tau_p"))
-    val rankWin = Window.partitionBy("predicted_lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    banded
-      .withColumn("predicted_lang", TextAnalysis.predictedLang(col("text"))._1)
-      .withColumn("sample_rank", row_number().over(rankWin).cast("long"))
-      .filter(col("sample_rank") <= quota)
-      .select("doc_id", "predicted_lang", "score", "ppl", "sample_rank")
-      .orderBy("predicted_lang", "sample_rank")
+    gateBandQuota(scored, tau("tau_c", "tau_c"),
+      d => LanguageModel.scoreWith(d, c12, c1, v),
+      _ => tauP,
+      quota)
   }
 
   /** The oracled end-to-end form of the persisted-model deployment:

@@ -63,10 +63,17 @@ object WarehouseTables {
       if (fs.exists(loc)) {
         val marker = new org.apache.hadoop.fs.Path(loc, MarkerFile)
         val empty = fs.listStatus(loc).isEmpty
+        // Deliberate trade (stated): a crash in the window between
+        // saveAsTable and mark() leaves a graft-written but markerless
+        // directory this refusal will NOT self-heal — the price of never
+        // deleting data nothing proves graft wrote (ADVICE r11). The
+        // error names both possibilities and the remedy.
         require(empty || fs.exists(marker),
-          s"orphan table location $loc exists without a $MarkerFile marker — " +
-            "not graft-written (or written by a pre-marker version); refusing " +
-            "to delete. Remove it manually if it is scratch state.")
+          s"orphan table location $loc exists without a $MarkerFile marker. " +
+            "Either it is foreign/pre-marker data (do not let graft delete " +
+            "it), or a graft persist crashed between its table write and " +
+            "its marker write. If the content is a graft model/filter you " +
+            s"are about to rewrite, remove the directory manually: $loc")
         fs.delete(loc, true)
       }
     }

@@ -313,14 +313,22 @@ object PdfTextCodec {
           case "Do" => if (lastName != null) drawn += lastName
           case "BI" =>
             inlineImage = true
-            // skip to after the image payload: find `EI` preceded by
-            // whitespace (the spec's end marker); if absent, the rest of
-            // the stream is image data — stop the walk there
+            // Skip past the image payload: the spec's end marker is `EI`
+            // delimited by whitespace, so accept a candidate only when it
+            // is BOTH whitespace-preceded AND whitespace/EOS-followed —
+            // a bare 0x20'E''I' inside binary data still false-ends the
+            // skip (probability ~2^-25 per byte with this check vs 2^-17
+            // with the preceded-only form). Documented residual of a
+            // codec that does not decode /W /H /BPC to compute the true
+            // payload length: an early end leaks trailing image bytes
+            // into the tokenizer, degrading to garbage TEXT (and an
+            // ocr→mixed classification), never a crash.
             val id = content.indexOf("ID", i)
-            val from = if (id >= 0) id + 2 else i
-            var e = content.indexOf("EI", from)
-            while (e > 0 && !content.charAt(e - 1).isWhitespace &&
-              content.indexOf("EI", e + 1) >= 0) e = content.indexOf("EI", e + 1)
+            var e = content.indexOf("EI", if (id >= 0) id + 2 else i)
+            while (e >= 0 &&
+              !(e > 0 && content.charAt(e - 1).isWhitespace &&
+                (e + 2 >= n || content.charAt(e + 2).isWhitespace)))
+              e = content.indexOf("EI", e + 1)
             i = if (e >= 0) e + 2 else n
           case _ => // operand (number) or unrelated operator: leave pending
         }

@@ -2,7 +2,6 @@ package graft.tools
 
 import graft.operators.{LanguageModel, QualityClassifier, Sampling}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Measures the build-once/serve-per-batch decoupling of the persisted-
@@ -50,12 +49,10 @@ object CurationServedProbe {
       .select("doc_id", "source", "text")
     println(s"[curserved] corpus: ${docs.count()} docs from $dir")
 
-    // the learned pipeline's shared exact-dedup prefix
-    val w = Window.partitionBy("fp").orderBy("doc_id")
-    val deduped = docs
-      .withColumn("fp", graft.operators.Dedup.canonicalFp(col("text")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("doc_id", "source", "text")
+    // the learned pipeline's shared exact-dedup prefix — the SAME helper
+    // buildCurationModels/curationLearned consume, so the probe's input
+    // cannot silently diverge from what it claims to measure
+    val deduped = Sampling.exactDedupOn(docs)
 
     timed("learned in-query (oracle)") {
       Sampling.curationLearned(spark, dir).queryExecution.toRdd.count()

@@ -72,22 +72,31 @@ class BloomDistributedSpec extends AnyFunSuite {
     BloomDedup.persistRelational(spark, "bloomrel_p",
       BloomDedup.buildRelational(corpus(200), K, m), m, K)
     try {
-      val plan = BloomDedup.gateRelationalStored(spark, "bloomrel_p", corpus(50))
-        .queryExecution.executedPlan.toString
-      // the stored scan appears with bucket metadata and no Exchange
-      // between it and the join: every Exchange in the plan sits on the
-      // probe/arrival side (SelectedBucketsCount proves bucket pruning
-      // machinery engaged on the filter side)
-      assert(plan.contains("Bucketed: true"),
-        s"stored filter not read as bucketed:\n$plan")
-      val joinIdx = plan.indexOf("SortMergeJoin")
-      if (joinIdx >= 0) {
-        // between the join and the bucketed scan there must be no Exchange
-        val scanIdx = plan.indexOf("bloomrel_p_bloomrel")
-        val between = plan.substring(joinIdx, math.max(scanIdx, joinIdx))
-        assert(!between.split("\n").exists(l =>
-          l.contains("Exchange") && l.contains("word_idx") && plan.indexOf(l) > scanIdx))
-      }
+      // DIFFERENTIAL Exchange count (a positional substring check here was
+      // vacuous — review r12): with broadcast joins pinned off so both
+      // forms sort-merge, the same gate over the same words as a plain
+      // non-bucketed relation must need exactly one MORE word_idx
+      // Exchange — the filter-side shuffle the bucketed layout removes
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (stored, plain) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val s = BloomDedup.gateRelationalStored(spark, "bloomrel_p", corpus(50))
+          .queryExecution.executedPlan.toString
+        val (words, m, k) = BloomDedup.loadRelational(spark, "bloomrel_p")
+        val rows = words.collect().toSeq
+        val plainWords = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 4), words.schema)
+        val p = BloomDedup.gateRelationalOn(corpus(50), plainWords, m, k)
+          .queryExecution.executedPlan.toString
+        (s, p)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      assert(stored.contains("Bucketed: true"),
+        s"stored filter not read as bucketed:\n$stored")
+      def exchanges(p: String): Int = p.split("\n")
+        .count(l => l.contains("Exchange hashpartitioning(word_idx"))
+      assert(exchanges(plain) == exchanges(stored) + 1,
+        s"bucketing no longer prunes the filter-side Exchange: " +
+          s"stored=${exchanges(stored)} plain=${exchanges(plain)}\n$stored\n---\n$plain")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${BloomDedup.relTable("bloomrel_p")}")
   }
 

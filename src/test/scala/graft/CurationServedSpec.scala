@@ -101,7 +101,7 @@ class CurationServedSpec extends AnyFunSuite {
     fs.create(payload, true).close()
     val e = intercept[IllegalArgumentException](
       WarehouseTables.reconcileOrphan(spark, "orphan_foreign"))
-    assert(e.getMessage.contains("refusing"))
+    assert(e.getMessage.contains("remove the directory manually"))
     assert(fs.exists(payload))
     fs.delete(foreign, true)
   }

@@ -68,6 +68,15 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(errs.isEmpty, s"racing attempts must both succeed: $errs")
     assert(ManifestLog.read(spark, root, schema).count() == 20, "zero dup")
     assert(ManifestLog.segments(spark, root).size == 1)
+    // the losing attempt (marker + data) is reclaimable — and reclaiming
+    // it never touches the winner or changes what readers see
+    val removed = ManifestLog.vacuum(spark, root, graceMs = -1)
+    if (removed.nonEmpty) { // empty when the two attempts collapsed to one
+      assert(removed.size == 2, s"loser = one marker + one data dir: $removed")
+      assert(ManifestLog.read(spark, root, schema).count() == 20)
+      assert(ManifestLog.segments(spark, root).size == 1)
+      assert(ManifestLog.vacuum(spark, root, graceMs = -1).isEmpty, "idempotent")
+    }
   }
 
   test("crash window: data without a marker is invisible and vacuumable; committed data survives vacuum") {

@@ -49,13 +49,18 @@ class PdfMethodSpec extends AnyFunSuite {
   }
 
   test("an image XObject merely present in resources but never drawn does not flag the page") {
-    // take the mixed fixture's TEXT page and graft an /XObject resource
-    // onto it without a Do: hasImage must stay false (classification keys
-    // on DRAWN images, not dictionary clutter)
+    // a REAL fixture for the case (review r12 — the first version only
+    // re-asserted the scanned/text-only fixtures): a text page whose
+    // /Resources carry /Im1 → /Subtype /Image but whose content stream
+    // has no Do — classification keys on DRAWN images, not dictionary
+    // clutter, so the page stays imageless and the doc embedded
+    val pages = PdfTextCodec.extractPagesDetailed(PdfFixtures.textWithUndrawnImage).get
+    assert(pages.map(_.hasImage) == Seq(false))
+    assert(pages.head.text.contains("Texto sem figura"))
+    assert(method(PdfFixtures.textWithUndrawnImage) == "embedded")
+    // and the same resource DRAWN flips it (the scanned fixture)
     val scan = PdfTextCodec.extractPagesDetailed(PdfFixtures.scanned(pages = 1)).get
     assert(scan.map(_.hasImage) == Seq(true))
-    val textOnly = PdfTextCodec.extractPagesDetailed(PdfFixtures.twoPage).get
-    assert(textOnly.forall(!_.hasImage))
   }
 
   test("plain-text (non-PDF) payloads keep reporting embedded") {
