@@ -72,19 +72,27 @@ object ManifestLog {
     * number of concurrent appenders and retries. */
   def append(df: DataFrame, root: String, writerId: String,
              batchId: Long): String = {
-    require(!writerId.contains("__") && !writerId.contains("/"),
-      s"writerId '$writerId' must not contain '__' or '/'")
+    // strict charset, not a denylist: writerId is interpolated into a
+    // Hadoop GLOB below — a '*'/'['/'{' would match other writers' markers
+    // (append would falsely conclude "already committed" and silently
+    // drop the batch) or throw on every call (review r12)
+    require(writerId.matches("[A-Za-z0-9._-]+") && !writerId.contains("__"),
+      s"writerId '$writerId' must match [A-Za-z0-9._-]+ without '__'")
     val spark = df.sparkSession
     val f = fs(spark, root)
     val segId = s"$writerId-$batchId"
     // fast-path replay: an existing marker for this segId means the batch
     // committed; do not rewrite (exactly-once). Prefix glob, NOT a full
     // directory listing — a long-lived log would otherwise pay O(segments)
-    // per append (review r12).
-    val mine = f.globStatus(
-      new Path(s"$root/manifests/${segId}__*$ManifestSuffix"))
-    if (mine != null && mine.nonEmpty)
-      return mine.map(_.getPath.getName.stripSuffix(ManifestSuffix)).min
+    // per append. Results re-checked against the readers' exact parse
+    // rule so a foreign lax-matching file (`seg__a__b.manifest`) cannot
+    // suppress a commit no reader would ever surface.
+    val mine = Option(f.globStatus(
+      new Path(s"$root/manifests/${segId}__*$ManifestSuffix")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripSuffix(ManifestSuffix))
+      .filter(n => n.startsWith(segId + "__") && n.split("__").length == 2)
+    if (mine.nonEmpty) return mine.min
     val attemptId = java.util.UUID.randomUUID().toString.replace("-", "")
     val name = s"${segId}__$attemptId"
     df.write.mode("error").parquet(s"$root/data/$name")
@@ -183,32 +191,45 @@ object ManifestLog {
     * manifest references (crashed mid-append), and (b) LOSING attempts of
     * raced/replayed batches — their data directory AND their marker (the
     * review-r12 fix: losers carry markers, so a marker-is-referenced rule
-    * shielded them forever and retries leaked unboundedly). Deleting a
-    * loser's marker is safe concurrently with readers: the winner —
-    * the lexicographic MIN attempt — is never deleted, and the min of any
-    * subset that contains the winner is still the winner, so no reader's
-    * dedup verdict can change mid-list. Age shields in-flight appends
-    * whose marker hasn't landed; returns the removed names. */
+    * shielded them forever and retries leaked unboundedly). One manifests
+    * listing feeds both the winners computation and the loser sweep (no
+    * second-listing inconsistency window).
+    *
+    * Reader contract (the standard lake-format vacuum caveat, stated):
+    * winner identity per segId is min(attemptId) OVER THE MARKERS
+    * PRESENT, and a raced replay landing a smaller attemptId AFTER a
+    * reader resolved the earlier one retroactively demotes what that
+    * reader is scanning — so `graceMs` must exceed the longest reader
+    * scan plus any landing skew (exactly Delta's "don't VACUUM below
+    * your readers' retention"). The default 15 min is sized for
+    * micro-batch readers; long analytical scans over a log under
+    * concurrent replays need a larger grace. */
   def vacuum(spark: SparkSession, root: String,
              graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, root)
     val dataDir = new Path(s"$root/data")
     if (!f.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - graceMs
-    val winners: Set[String] = committedAttempts(spark, root)
-      .map { case (seg, attempt) => s"${seg}__$attempt" }.toSet
+    val mDir = new Path(s"$root/manifests")
+    val markers = if (f.exists(mDir)) f.listStatus(mDir).toSeq else Seq.empty
+    val parsed = markers.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(ManifestSuffix)) None
+      else n.stripSuffix(ManifestSuffix).split("__") match {
+        case Array(seg, attempt) => Some((seg, attempt, st))
+        case _ => None
+      }
+    }
+    val winners: Set[String] = parsed.groupBy(_._1)
+      .map { case (seg, as) => s"${seg}__${as.map(_._2).min}" }.toSet
     val removed = Seq.newBuilder[String]
     // losing markers first: once a loser's marker is gone its data dir is
     // plain unreferenced garbage for this (or any later) sweep
-    val mDir = new Path(s"$root/manifests")
-    if (f.exists(mDir)) f.listStatus(mDir).foreach { st =>
-      val name = st.getPath.getName
-      if (name.endsWith(ManifestSuffix) &&
-        !winners(name.stripSuffix(ManifestSuffix)) &&
-        name.stripSuffix(ManifestSuffix).split("__").length == 2 &&
-        st.getModificationTime < cutoff) {
+    parsed.foreach { case (seg, attempt, st) =>
+      val name = s"${seg}__$attempt"
+      if (!winners(name) && st.getModificationTime < cutoff) {
         f.delete(st.getPath, true)
-        removed += name
+        removed += st.getPath.getName
       }
     }
     f.listStatus(dataDir).foreach { st =>

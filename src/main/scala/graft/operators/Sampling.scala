@@ -356,16 +356,20 @@ ORDER BY d.doc_id
                     quota: Int = 100): DataFrame = {
     val (model, prior, dim) = QualityClassifier.load(spark, tag)
     val (c12, c1, v) = LanguageModel.load(spark, tag)
-    val cal = spark.table(calibTable(tag))
-    // torn-calib loudness (the LanguageModel.load discipline): a missing
-    // tau row would otherwise cross-join a ZERO-row frame and silently
-    // curate the batch to nothing; a duplicated row would double every
-    // row ahead of the quota window
+    // ONE driver-side collect of the (two-row, model-sized) calibration
+    // table validates both thresholds — torn-calib loudness (the
+    // LanguageModel.load discipline: a missing tau row would otherwise
+    // cross-join a ZERO-row frame and silently curate the batch to
+    // nothing; a duplicated one would double every row ahead of the quota
+    // window) without launching an eager count job per threshold on the
+    // per-batch hot path
+    val cal = spark.table(calibTable(tag)).collect()
+      .groupBy(_.getString(0))
     def tau(kind: String, as: String): DataFrame = {
-      val rows = cal.filter(col("kind") === kind).select(col("value").as(as))
-      require(rows.count() == 1,
+      val rows = cal.getOrElse(kind, Array.empty)
+      require(rows.length == 1,
         s"${calibTable(tag)}: expected exactly one $kind row — torn calibration table")
-      rows
+      spark.range(1).select(lit(rows(0).getDouble(1)).as(as))
     }
     val tauP = tau("tau_p", "tau_p")
     val scored = batch.join(

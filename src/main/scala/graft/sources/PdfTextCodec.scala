@@ -324,11 +324,23 @@ object PdfTextCodec {
             // into the tokenizer, degrading to garbage TEXT (and an
             // ocr→mixed classification), never a crash.
             val id = content.indexOf("ID", i)
-            var e = content.indexOf("EI", if (id >= 0) id + 2 else i)
-            while (e >= 0 &&
-              !(e > 0 && content.charAt(e - 1).isWhitespace &&
-                (e + 2 >= n || content.charAt(e + 2).isWhitespace)))
-              e = content.indexOf("EI", e + 1)
+            val from = if (id >= 0) id + 2 else i
+            def scan(ok: Int => Boolean): Int = {
+              var e = content.indexOf("EI", from)
+              while (e >= 0 && !ok(e)) e = content.indexOf("EI", e + 1)
+              e
+            }
+            def wsBefore(e: Int) = e > 0 && content.charAt(e - 1).isWhitespace
+            def wsAfter(e: Int) = e + 2 >= n || content.charAt(e + 2).isWhitespace
+            // preference ladder: both-sides-whitespace (the spec's
+            // delimited form — immune to bare 'EI' bytes in the payload),
+            // else either-side (real writers legally abut binary data
+            // against EI, so `<binary>EI\n` must still end the image —
+            // dropping the rest of the page here was a review-r12
+            // regression), else the payload runs to end-of-stream
+            val strict = scan(e => wsBefore(e) && wsAfter(e))
+            val e = if (strict >= 0) strict
+              else scan(e => wsBefore(e) || wsAfter(e))
             i = if (e >= 0) e + 2 else n
           case _ => // operand (number) or unrelated operator: leave pending
         }
