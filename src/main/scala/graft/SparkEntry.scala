@@ -174,6 +174,14 @@ object SparkEntry {
       ShingleIndex.probe(s, "q_shindex_app", d.filter(col("doc_id") % 13 === 0))
         .drop("shared").orderBy("doc_id")
     }),
+    // landing-zone -> index-maintenance composition (r13): three lock-free
+    // writers + one replay land the incremental corpus, absorb compacts the
+    // committed segments into the bucketed index (twice - the second pass
+    // must no-op), retire cleans the log; the probe answers over the
+    // composed path and is pinned to the SAME recompute SQL as
+    // q_dedup_index_append, so any lost segment or duplicated absorb
+    // breaks the hash.
+    "q_landing_absorb" -> ((s, dir) => LandingZone.queryAbsorb(s, dir)),
     // training-data pipeline: similarity search
     // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
     // top out near cos 0.51 — the low-threshold exact baseline.
@@ -459,6 +467,7 @@ object SparkEntry {
     // recompute path bit-for-bit
     "q_dedup_indexed" -> Dedup.incrementalDedupSql(),
     "q_dedup_index_append" -> Dedup.incrementalDedupSql(),
+    "q_landing_absorb" -> Dedup.incrementalDedupSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),

@@ -81,6 +81,14 @@ object BloomDedup {
     * FOUND (pinned by BloomDedupSpec's join-derived-text case). */
   def positions(text: Column, k: Int = DefaultHashes,
                 m: Long = DefaultBits.toLong): Column = {
+    // Overflow bound on the K-M arithmetic (ADVICE r12): h1 + i*h2 with
+    // 52-bit halves needs k*2^52 < 2^63, i.e. k < 2^11 — beyond that the
+    // sum wraps negative and the % yields negative positions, whose
+    // word_idx rows would collide with persistRelational's -1/-2 geometry
+    // sentinels. 1024 (= 2^62 headroom) is far past any useful k (the
+    // FPR optimum is k = m/n·ln2, single digits in every shipped regime).
+    require(k >= 1 && k <= 1024,
+      s"k=$k outside [1, 1024] (k*2^52 must not overflow Long)")
     val hex = md5(coalesce(text, lit("")))
     val h1 = conv(substring(hex, 1, 13), 16, 10).cast("long")
     val h2 = conv(substring(hex, 14, 13), 16, 10).cast("long")

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The landing-zone → index-maintenance composition — where the two
+  * coordination regimes meet (the r12 verdict's missing-item 3; the
+  * [[ManifestLog]] scope note named this as exactly the lease's remaining
+  * job). N concurrent writers land batches LOCK-FREE through
+  * [[ManifestLog.append]]/[[ManifestLog.sink]]; this operator, UNDER the
+  * index lease, compacts the committed segments into the bucketed
+  * [[ShingleIndex]] and retires what it has absorbed:
+  *
+  * {{{
+  *   writers ──append──▶ manifest log ──absorb──▶ ShingleIndex ──probe──▶
+  *                            └────────retire (after grace)
+  * }}}
+  *
+  * Exactly-once END-TO-END, each leg by a different mechanism:
+  *   - land: the manifest protocol (atomic marker create; one winner per
+  *     (writerId, batchId); replays are absorbed, never duplicated);
+  *   - absorb: lease-serialized; consumed segments are tracked as marker
+  *     files under `<root>/consumed/`, so each committed segment feeds
+  *     the index once;
+  *   - crash in the append→consume-mark window: the next absorb re-reads
+  *     the segment but anti-joins the batch against the index's sizes
+  *     table (`corpus_id` — one row per absorbed doc), so already-
+  *     absorbed docs drop out and the replay is a no-op instead of the
+  *     loud disjointness rejection [[ShingleIndex.append]] would raise;
+  *   - a LATE lower-attempt replay that retroactively changes a segment's
+  *     winner after absorb surfaces as a "new" pending segment whose docs
+  *     the same anti-join drops — zero-dup holds under the manifest
+  *     protocol's one documented race.
+  *
+  * Scale shape: absorb cost is O(pending segments + touched index keys) —
+  * [[ShingleIndex.append]]'s contract — independent of both corpus size
+  * and log history; the anti-join's index side is a bucketed catalog scan.
+  * At 100 TB the cadence is: land continuously, absorb per maintenance
+  * cycle, [[ShingleIndex.compact]] when file counts accrete,
+  * [[ShingleIndex.rebuildIfNeeded]] when the overshoot census trips, and
+  * [[retireConsumed]] keeps the landing zone from growing without bound.
+  *
+  * Caller contract (same as append's): distinct writers land distinct
+  * doc_ids — the protocol dedups REPLAYS (same writer+batch, or the same
+  * docs re-read after a crash), not two writers legitimately landing the
+  * same logical document; that is near-dup detection's job, downstream. */
+object LandingZone {
+
+  /** Consumed-segment markers live beside the log's own directories. */
+  def consumedDir(root: String): String = s"$root/consumed"
+
+  private val ConsumedSuffix = ".consumed"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def consumed(spark: SparkSession, root: String): Set[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(consumedDir(root))
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(ConsumedSuffix))
+      .map(_.stripSuffix(ConsumedSuffix)).toSet
+  }
+
+  /** Committed segments not yet absorbed into the index. */
+  def pendingSegments(spark: SparkSession, root: String): Seq[String] = {
+    val done = consumed(spark, root)
+    ManifestLog.segments(spark, root).filterNot(done)
+  }
+
+  /** What one absorb pass did: the segments it consumed, how many docs
+    * they carried, and how many were NEW to the index (the difference is
+    * crash-replay / late-winner overlap the anti-join dropped). */
+  final case class AbsorbReport(segments: Seq[String], landedDocs: Long,
+                                freshDocs: Long)
+
+  /** Compact every pending committed segment into the shingle index.
+    * Requires a built index (`tag`); runs under its lease (re-entrant
+    * with [[ShingleIndex.append]]'s own acquisition). `schema` is the
+    * landing shape — (doc_id, text) for the dedup index.
+    *
+    * Stated corner: the anti-join's "already absorbed" set is the sizes
+    * table, which has one row per doc WITH ≥1 admitted shingle. A doc
+    * whose every shingle was df-cap-rejected on admission has no sizes
+    * row, so a crash-window replay re-reads it as fresh — its re-append
+    * admits zero rows again (same cap) and the pass consume-marks its
+    * segment, so the corner is a bounded no-op, never a loop or a dup. */
+  def absorbIntoShingleIndex(spark: SparkSession, root: String,
+                             schema: StructType, tag: String, path: String,
+                             buckets: Int = 8,
+                             maxShingleDf: Int = Dedup.DefaultMaxShingleDf): AbsorbReport =
+      LeaseLock.withTableLock(spark, tag) {
+    require(spark.catalog.tableExists(ShingleIndex.sizesTable(tag)),
+      s"index '$tag' must be built before absorbing a landing zone into it")
+    val pending = pendingSegments(spark, root)
+    if (pending.isEmpty) AbsorbReport(Seq.empty, 0L, 0L)
+    else {
+      val batch = spark.read.schema(schema)
+        .parquet(pending.map(s => s"$root/data/$s"): _*)
+      spark.catalog.refreshTable(ShingleIndex.sizesTable(tag))
+      val already = spark.table(ShingleIndex.sizesTable(tag))
+        .select(col("corpus_id").as("doc_id"))
+      // materialized once: append re-references the batch (shingling +
+      // fingerprints), and the anti-join result must be frozen BEFORE
+      // append mutates the very sizes table it reads (self-referential
+      // otherwise — the same discipline as append's own sat anti-join)
+      val fresh = org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(batch.join(already, Seq("doc_id"), "left_anti"))
+      val freshDocs = fresh.count()
+      if (freshDocs > 0)
+        ShingleIndex.append(spark, tag, path, fresh, buckets, maxShingleDf)
+      // consume-mark AFTER the append is durable: a crash anywhere above
+      // re-runs this pass; the anti-join makes the re-run a no-op
+      val f = fs(spark, root)
+      f.mkdirs(new Path(consumedDir(root)))
+      pending.foreach { s =>
+        f.create(new Path(consumedDir(root), s + ConsumedSuffix), true).close()
+      }
+      AbsorbReport(pending, batch.count(), freshDocs)
+    }
+  }
+
+  /** Retire absorbed segments older than `graceMs`: delete the manifest
+    * marker first (readers stop surfacing the segment), then the data
+    * directory, then the consumed marker — so a crash mid-retire leaves a
+    * state the next retire finishes (the consumed marker is the driving
+    * list and goes last). Grace carries the same reader contract as
+    * [[ManifestLog.vacuum]]: exceed the longest reader scan. */
+  def retireConsumed(spark: SparkSession, root: String,
+                     graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(consumedDir(root))
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val cutoff = System.currentTimeMillis() - graceMs
+      f.listStatus(dir).toSeq
+        .filter(st => st.getPath.getName.endsWith(ConsumedSuffix) &&
+          st.getModificationTime < cutoff)
+        .map { st =>
+          val name = st.getPath.getName.stripSuffix(ConsumedSuffix)
+          f.delete(new Path(s"$root/manifests/$name${ManifestLog.ManifestSuffix}"), false)
+          f.delete(new Path(s"$root/data/$name"), true)
+          f.delete(st.getPath, false)
+          name
+        }
+    }
+  }
+
+  /** The oracled end-to-end form (`q_landing_absorb`): the incremental
+    * corpus lands as three lock-free writer segments plus one REPLAYED
+    * batch, absorbs into a fresh index (twice — the second pass must
+    * no-op), and the probe answers over the composed path. The oracle is
+    * LITERALLY `q_dedup_index_append`'s recompute SQL
+    * ([[Dedup.incrementalDedupSql]]) — the `q_dedup_indexed` discipline:
+    * any lost segment, duplicated absorb, or double-counted sizes row
+    * changes nc and therefore the jaccard hash. Log root is run-scoped
+    * temp state, retired (grace 0) and removed before returning. */
+  def queryAbsorb(spark: SparkSession, dir: String): DataFrame = {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q_shindex_land").getAbsolutePath
+    val corpus = d.filter(col("doc_id") % 13 =!= 0)
+    ShingleIndex.build(corpus.filter(col("doc_id") % 3 =!= 0), idxDir, "q_shindex_land")
+    val landing = corpus.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q_landing").toString
+    (0 until 3).foreach { w =>
+      ManifestLog.append(landing.filter(col("doc_id") % 3000 >= w * 1000
+        && col("doc_id") % 3000 < (w + 1) * 1000), root, s"writer$w", 0L)
+    }
+    ManifestLog.append(landing.filter(col("doc_id") % 3000 >= 1000
+      && col("doc_id") % 3000 < 2000), root, "writer1", 0L) // ack-lost replay
+    val first = absorbIntoShingleIndex(spark, root, landing.schema,
+      "q_shindex_land", idxDir)
+    val second = absorbIntoShingleIndex(spark, root, landing.schema,
+      "q_shindex_land", idxDir)
+    require(second.freshDocs == 0L,
+      s"second absorb must no-op, saw ${second.freshDocs} fresh docs after $first")
+    retireConsumed(spark, root, graceMs = 0L)
+    fs(spark, root).delete(new Path(root), true)
+    ShingleIndex.probe(spark, "q_shindex_land", d.filter(col("doc_id") % 13 === 0))
+      .drop("shared").orderBy("doc_id")
+  }
+}

@@ -63,7 +63,7 @@ object ManifestLog {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val ManifestSuffix = ".manifest"
+  private[operators] val ManifestSuffix = ".manifest"
 
   /** Append one batch as a committed segment. Returns the segment's
     * attempt-qualified name, or the already-committed winner's name if a
@@ -78,6 +78,15 @@ object ManifestLog {
     // drop the batch) or throw on every call (review r12)
     require(writerId.matches("[A-Za-z0-9._-]+") && !writerId.contains("__"),
       s"writerId '$writerId' must match [A-Za-z0-9._-]+ without '__'")
+    // segId = "$writerId-$batchId" must be injective: a writerId ending in
+    // '-' plus a negative batchId makes ('a-', 5) and ('a', -5) both read
+    // 'a--5', and the idempotent-replay fast path would treat one writer's
+    // batch as another's already-committed segment and silently drop it
+    // (ADVICE r12). Streaming batchIds are non-negative, so reject the
+    // negative half; the '-'-suffix writerId stays legal and unambiguous.
+    require(batchId >= 0L,
+      s"batchId $batchId must be non-negative (a negative id makes the " +
+        s"segId '$writerId-$batchId' collide with other writers' segments)")
     val spark = df.sparkSession
     val f = fs(spark, root)
     val segId = s"$writerId-$batchId"
@@ -158,12 +167,14 @@ object ManifestLog {
       append(docs.filter(col("doc_id") % 3 === b), root, "oracle", b)
     }
     append(docs.filter(col("doc_id") % 3 === 1), root, "oracle", 1L) // replay
-    val out = read(spark, root, docs.schema).orderBy("doc_id")
-    val rows = out.collect().toSeq
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
+    // freeze with a stats-honest local checkpoint (executor blocks) so the
+    // returned relation no longer reads the directory we are about to
+    // delete — zero collect() of row data (r12 verdict task 4 normalized
+    // the old collect/parallelize round-trip)
+    val frozen = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(read(spark, root, docs.schema).orderBy("doc_id"))
     fs(spark, root).delete(new Path(root), true)
-    local
+    frozen
   }
 
   /** Streaming sink through the commit protocol: lands each micro-batch

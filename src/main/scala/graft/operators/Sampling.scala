@@ -405,13 +405,15 @@ ORDER BY d.doc_id
         exactDedupOn(spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source", "text")))
     buildCurationModels(spark, deduped, tag, dim)
-    val out = serveCuration(spark, deduped, tag, quota)
-    val rows = out.collect().toSeq // quota-bounded: ≤ quota × languages
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
+    // freeze with a stats-honest local checkpoint (executor blocks) so the
+    // returned relation no longer reads the model tables we drop below —
+    // zero collect() of row data (r12 verdict task 4 normalized the old
+    // collect/parallelize round-trip)
+    val frozen = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(serveCuration(spark, deduped, tag, quota))
     Seq(QualityClassifier.modelTable(tag), LanguageModel.modelTable(tag),
       calibTable(tag)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    local
+    frozen
   }
 
   /** The v3 rule-gate prefix over a (doc_id, source, text) relation —

@@ -36,45 +36,63 @@ object WarehouseTables {
 
   val MarkerFile = "_graft_table"
 
+  /** Pre-write INTENT marker (ADVICE r12): a SIBLING file
+    * `<table>._graft_writing` next to the managed location — it cannot
+    * live inside it, because `saveAsTable` refuses a non-empty
+    * pre-existing location (the CTAS LOCATION_ALREADY_EXISTS check).
+    * [[reconcileOrphan]] stamps it before the caller's `saveAsTable`;
+    * [[mark]] clears it after the post-write marker lands. A crash in the
+    * saveAsTable→mark window therefore leaves a markerless directory
+    * WITH a live intent sibling — proven graft-initiated, so the next
+    * reconcile self-heals (deletes and rewrites) instead of demanding a
+    * human, closing the r12 ADVICE gap where a transient crash turned
+    * into a permanent manual-intervention failure for retrying
+    * streaming/bench harnesses. Foreign data never carries the sibling
+    * and is still refused loudly. */
+  private def intentPath(loc: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + "._graft_writing")
+
   private def location(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(table)))
 
-  /** Stamp the graft marker into `table`'s managed location. Call
-    * immediately after the `saveAsTable` that creates it, inside the same
-    * lease. */
+  /** Stamp the graft marker into `table`'s managed location and clear the
+    * pre-write intent sibling. Call immediately after the `saveAsTable`
+    * that creates it, inside the same lease. */
   def mark(spark: SparkSession, table: String): Unit = {
     val loc = location(spark, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(loc, MarkerFile), true)
     try out.write("graft".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(intentPath(loc), false)
   }
 
   /** If the session catalog lacks `table` but its default managed location
-    * exists on disk: delete the orphan when it carries the graft marker
-    * (or is an empty directory), error loudly when it doesn't. Call under
-    * the table's lease, before `saveAsTable`. */
-  def reconcileOrphan(spark: SparkSession, table: String): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val loc = location(spark, table)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) {
-        val marker = new org.apache.hadoop.fs.Path(loc, MarkerFile)
-        val empty = fs.listStatus(loc).isEmpty
-        // Deliberate trade (stated): a crash in the window between
-        // saveAsTable and mark() leaves a graft-written but markerless
-        // directory this refusal will NOT self-heal — the price of never
-        // deleting data nothing proves graft wrote (ADVICE r11). The
-        // error names both possibilities and the remedy.
-        require(empty || fs.exists(marker),
-          s"orphan table location $loc exists without a $MarkerFile marker. " +
-            "Either it is foreign/pre-marker data (do not let graft delete " +
-            "it), or a graft persist crashed between its table write and " +
-            "its marker write. If the content is a graft model/filter you " +
-            s"are about to rewrite, remove the directory manually: $loc")
-        fs.delete(loc, true)
-      }
+    * exists on disk: delete the orphan when something proves graft wrote
+    * it — the in-location graft marker, a live pre-write intent sibling
+    * (crash between saveAsTable and mark), or an empty directory — and
+    * error loudly when nothing does. Then stamp the intent sibling for
+    * the `saveAsTable` the caller is about to run. Call under the table's
+    * lease, before `saveAsTable`. */
+  def reconcileOrphan(spark: SparkSession, table: String): Unit = {
+    val loc = location(spark, table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!spark.catalog.tableExists(table) && fs.exists(loc)) {
+      val marker = new org.apache.hadoop.fs.Path(loc, MarkerFile)
+      val empty = fs.listStatus(loc).isEmpty
+      require(empty || fs.exists(marker) || fs.exists(intentPath(loc)),
+        s"orphan table location $loc exists without a $MarkerFile marker " +
+          "or a pre-write intent sibling. Nothing proves graft wrote it " +
+          "(foreign or pre-marker data) - graft will not delete it. If " +
+          "the content is a graft model/filter you are about to rewrite, " +
+          s"remove the directory manually: $loc")
+      fs.delete(loc, true)
     }
+    // declare the write that follows this reconcile (same lease): create
+    // the sibling even when the location did not exist, so ANY crash
+    // before mark() leaves a self-healable trace, never a refusal
+    fs.create(intentPath(loc), true).close()
+  }
 }

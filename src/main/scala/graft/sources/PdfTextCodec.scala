@@ -96,12 +96,14 @@ object PdfTextCodec {
 
   /** Names in the page's `/Resources /XObject` dict that resolve to
     * `/Subtype /Image` objects. `/Resources` may be inline (`<< … >>`) or
-    * an indirect reference; inheritance from ancestor `/Pages` nodes is
-    * NOT walked (documented scope limit — a page relying on inherited
-    * resources under-reports to `hasImage = false`, degrading the method
-    * classification toward `embedded`, never crashing). */
+    * an indirect reference; when the page carries none, it is INHERITED
+    * from the nearest ancestor `/Pages` node via the `/Parent` chain
+    * (PDF 32000-1 §7.7.3.4 — /Resources is an inheritable attribute;
+    * round 13, closing the stated degrades-toward-`embedded` gap).
+    * Cycle-guarded and total: a broken chain yields no resources, so the
+    * page under-reports to `hasImage = false`, never crashes. */
   private def imageXObjectNames(pageDict: String, objects: Map[Int, PdfObj]): Set[String] = {
-    val resources = dictValue(pageDict, "/Resources", objects)
+    val resources = inheritedResources(pageDict, objects)
     val xobj = resources.flatMap(r => dictValue(r, "/XObject", objects))
     xobj match {
       case None => Set.empty
@@ -112,6 +114,24 @@ object PdfTextCodec {
         }.toSet
     }
   }
+
+  /** `/Resources` of a page, walking the `/Parent` chain (nearest ancestor
+    * wins, per the PDF inheritable-attributes rule). `seen` guards against
+    * a malformed circular parent chain. */
+  @scala.annotation.tailrec
+  private def inheritedResources(dict: String, objects: Map[Int, PdfObj],
+                                 seen: Set[Int] = Set.empty): Option[String] =
+    dictValue(dict, "/Resources", objects) match {
+      case found @ Some(_) => found
+      case None =>
+        ParentRefRe.findFirstMatchIn(dict).map(_.group(1).toInt) match {
+          case Some(pid) if !seen(pid) && objects.contains(pid) =>
+            inheritedResources(objects(pid).dict, objects, seen + pid)
+          case _ => None
+        }
+    }
+
+  private val ParentRefRe: Regex = """/Parent\s+(\d+)\s+\d+\s+R""".r
 
   /** Value of `key` in `dict`: a balanced inline `<< … >>` sub-dict, or an
     * indirect reference resolved through `objects`. */

@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{Dedup, LandingZone, ManifestLog, ShingleIndex}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Landing-zone → index-maintenance composition (r12 verdict task 3):
+  * N CONCURRENT lock-free writers land through the manifest protocol,
+  * absorb compacts committed segments into the bucketed ShingleIndex
+  * under the lease, and the composed index answers probes identically to
+  * an index built directly on the union corpus — zero loss, zero dup,
+  * crash-window replays and late-winner races absorbed as no-ops, retire
+  * reclaiming the log afterwards. */
+class LandingZoneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(ids: Range, salt: String) = ids.map { i =>
+    (i.toLong, s"alpha bravo charlie $salt token$i delta echo foxtrot golf hotel india")
+  }.toDF("doc_id", "text")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("concurrent land -> absorb -> probe equals an index built directly on the union") {
+    val root = tmp("graft-land")
+    val idxDirA = tmp("graft-land-idxa")
+    val idxDirB = tmp("graft-land-idxb")
+    val base = docs(0 until 40, "base")
+    val landedA = docs(100 until 120, "w0")
+    val landedB = docs(200 until 220, "w1")
+    val landedC = docs(300 until 320, "w2")
+    // three CONCURRENT lock-free writers, plus an ack-lost replay of one
+    val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val ts = Seq(("w0", landedA), ("w1", landedB), ("w2", landedC)).map {
+      case (w, df) => new Thread(() => {
+        try ManifestLog.append(df, root, w, 0L)
+        catch { case e: Throwable => errs.add(s"$w: ${e.getMessage}") }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"writer failures: $errs")
+    ManifestLog.append(landedB, root, "w1", 0L) // replay
+
+    ShingleIndex.build(base, idxDirA, "lz_composed")
+    val report = LandingZone.absorbIntoShingleIndex(
+      spark, root, landedA.schema, "lz_composed", idxDirA)
+    assert(report.segments.size == 3, s"three committed segments: $report")
+    assert(report.landedDocs == 60 && report.freshDocs == 60,
+      s"zero loss, replay deduped by the manifest protocol: $report")
+
+    // zero loss the strong way: the composed index answers probes
+    // identically to one built directly on the union corpus
+    val union = base.union(landedA).union(landedB).union(landedC)
+    ShingleIndex.build(union, idxDirB, "lz_direct")
+    val batch = docs(900 until 910, "w0") // overlaps landedA's vocabulary
+    val viaComposed = ShingleIndex.probe(spark, "lz_composed", batch)
+      .orderBy("doc_id").collect().toSeq
+    val viaDirect = ShingleIndex.probe(spark, "lz_direct", batch)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaComposed == viaDirect,
+      "composed (land->absorb) index must answer exactly like build-on-union")
+
+    // zero dup: a second absorb pass is a no-op and the stored index is unchanged
+    val occBefore = spark.table(ShingleIndex.occTable("lz_composed")).count()
+    val again = LandingZone.absorbIntoShingleIndex(
+      spark, root, landedA.schema, "lz_composed", idxDirA)
+    assert(again.segments.isEmpty && again.freshDocs == 0, s"must no-op: $again")
+    assert(spark.table(ShingleIndex.occTable("lz_composed")).count() == occBefore)
+  }
+
+  test("crash between append and consume-mark replays as a no-op (anti-join guard)") {
+    val root = tmp("graft-land-crash")
+    val idxDir = tmp("graft-land-crash-idx")
+    ShingleIndex.build(docs(0 until 30, "base"), idxDir, "lz_crash")
+    ManifestLog.append(docs(500 until 520, "w0"), root, "w0", 0L)
+    val first = LandingZone.absorbIntoShingleIndex(
+      spark, root, docs(0 until 1, "x").schema, "lz_crash", idxDir)
+    assert(first.freshDocs == 20)
+    // simulate the crash window: the append committed but the consume
+    // marker never landed — delete it and re-absorb
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = f.listStatus(new org.apache.hadoop.fs.Path(
+      LandingZone.consumedDir(root)))
+    assert(markers.length == 1)
+    f.delete(markers.head.getPath, false)
+    assert(LandingZone.pendingSegments(spark, root).size == 1)
+    val sizesBefore = spark.table(ShingleIndex.sizesTable("lz_crash")).count()
+    val replay = LandingZone.absorbIntoShingleIndex(
+      spark, root, docs(0 until 1, "x").schema, "lz_crash", idxDir)
+    assert(replay.segments.size == 1 && replay.landedDocs == 20 &&
+      replay.freshDocs == 0, s"replayed segment must anti-join away: $replay")
+    assert(spark.table(ShingleIndex.sizesTable("lz_crash")).count() == sizesBefore,
+      "zero dup after the crash-window replay")
+    assert(LandingZone.pendingSegments(spark, root).isEmpty, "re-consume-marked")
+  }
+
+  test("retire reclaims absorbed segments; the index keeps answering without the log") {
+    val root = tmp("graft-land-retire")
+    val idxDir = tmp("graft-land-retire-idx")
+    ShingleIndex.build(docs(0 until 30, "base"), idxDir, "lz_retire")
+    ManifestLog.append(docs(600 until 620, "w0"), root, "w0", 0L)
+    ManifestLog.append(docs(700 until 720, "w1"), root, "w1", 0L)
+    LandingZone.absorbIntoShingleIndex(
+      spark, root, docs(0 until 1, "x").schema, "lz_retire", idxDir)
+    // grace guards in-flight readers: nothing young retires
+    assert(LandingZone.retireConsumed(spark, root, graceMs = 60000L).isEmpty)
+    val retired = LandingZone.retireConsumed(spark, root, graceMs = -1L)
+    assert(retired.size == 2, s"both absorbed segments retire: $retired")
+    assert(ManifestLog.segments(spark, root).isEmpty, "log is empty after retire")
+    assert(LandingZone.retireConsumed(spark, root, graceMs = -1L).isEmpty, "idempotent")
+    // the index answers without the log: absorbed docs are exact dups
+    val probe = ShingleIndex.probe(spark, "lz_retire", docs(600 until 605, "w0"))
+    assert(probe.filter(col("exact_dup")).count() == 5)
+  }
+
+  test("absorb refuses an unbuilt index loudly") {
+    val root = tmp("graft-land-unbuilt")
+    ManifestLog.append(docs(0 until 5, "x"), root, "w0", 0L)
+    val e = intercept[IllegalArgumentException] {
+      LandingZone.absorbIntoShingleIndex(
+        spark, root, docs(0 until 1, "x").schema, "lz_never_built", "/tmp/nope")
+    }
+    assert(e.getMessage.contains("lz_never_built"))
+  }
+}

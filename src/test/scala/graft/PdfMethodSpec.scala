@@ -63,6 +63,24 @@ class PdfMethodSpec extends AnyFunSuite {
     assert(scan.map(_.hasImage) == Seq(true))
   }
 
+  test("image resources inherited from the parent /Pages node classify ocr (round 13)") {
+    // pre-r13 the classifier read page-local /Resources only, and this
+    // shape — the PDF inheritable-attributes form — degraded to embedded
+    val doc = DocumentSource.PdfTextExtractor.extract("scan.pdf", PdfFixtures.scannedInherited)
+    assert(doc.extration_method == "ocr")
+    assert(doc.text.trim.isEmpty)
+  }
+
+  test("inheritance walk crosses a two-level /Pages chain and classifies mixed") {
+    val pages = PdfTextCodec.extractPagesDetailed(PdfFixtures.mixedInherited).get
+    // the text page inherits the SAME resources but draws nothing: the
+    // drawn-images rule must keep it imageless even under inheritance
+    assert(pages.map(_.hasImage) == Seq(false, true))
+    val doc = DocumentSource.PdfTextExtractor.extract("mix.pdf", PdfFixtures.mixedInherited)
+    assert(doc.extration_method == "mixed")
+    assert(doc.text.contains("Relatorio com pagina digitalizada"))
+  }
+
   test("plain-text (non-PDF) payloads keep reporting embedded") {
     assert(DocumentSource.PdfTextExtractor
       .extract("a.txt", "hello world".getBytes).extration_method == "embedded")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.WarehouseTables
+
+/** The managed-table hygiene regime: graft marker, fresh-catalog/
+  * stale-warehouse reconciliation, and the round-13 pre-write INTENT
+  * sibling (ADVICE r12) that lets a crash in the saveAsTable→mark window
+  * self-heal instead of demanding a human, while foreign data keeps
+  * being refused loudly. */
+class WarehouseTablesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fs = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def loc(table: String): Path = new Path(
+    spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)))
+
+  test("happy path: reconcile stamps intent, mark stamps marker and clears intent") {
+    val t = "wht_happy"
+    WarehouseTables.reconcileOrphan(spark, t)
+    val intent = new Path(loc(t).getParent, loc(t).getName + "._graft_writing")
+    assert(fs.exists(intent), "reconcile must declare the coming write")
+    Seq(1, 2).toDF("x").write.saveAsTable(t)
+    WarehouseTables.mark(spark, t)
+    assert(fs.exists(new Path(loc(t), WarehouseTables.MarkerFile)))
+    assert(!fs.exists(intent), "mark must clear the intent sibling")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("crash between saveAsTable and mark self-heals on the next reconcile (ADVICE r12)") {
+    val t = "wht_crashwindow"
+    // simulate the crash window: intent stamped, the table's FILES landed
+    // at the managed location, mark() never ran, and the JVM died — so the
+    // next session's in-memory catalog has no entry while the markerless
+    // directory survives (parquet written straight to the path: the disk
+    // state saveAsTable leaves, without the catalog entry a crash loses)
+    WarehouseTables.reconcileOrphan(spark, t)
+    Seq(1, 2, 3).toDF("x").write.parquet(loc(t).toString)
+    assert(fs.exists(loc(t)) && !spark.catalog.tableExists(t))
+    // pre-r13 this threw (markerless non-empty orphan); the live intent
+    // sibling now proves graft initiated the write, so it self-heals
+    WarehouseTables.reconcileOrphan(spark, t)
+    Seq(9).toDF("x").write.saveAsTable(t)
+    WarehouseTables.mark(spark, t)
+    assert(spark.table(t).as[Int].collect().toSeq == Seq(9))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("foreign markerless data without an intent sibling is still refused loudly") {
+    val t = "wht_foreign"
+    val l = loc(t)
+    fs.mkdirs(l)
+    val out = fs.create(new Path(l, "somebody-elses.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val e = intercept[IllegalArgumentException] {
+      WarehouseTables.reconcileOrphan(spark, t)
+    }
+    assert(e.getMessage.contains(l.toString), "error must name the path")
+    assert(fs.exists(new Path(l, "somebody-elses.parquet")),
+      "foreign data must survive the refusal")
+    // and the refusal must NOT have stamped an intent that would launder
+    // the same foreign directory into deletable on a retry
+    assert(!fs.exists(new Path(l.getParent, l.getName + "._graft_writing")))
+    fs.delete(l, true)
+  }
+}
