@@ -620,8 +620,28 @@ ORDER BY f.doc_id
     * slice) — 8-byte shuffle rows instead of ~40-byte strings; a band-key
     * collision can only ADD a candidate pair, and every candidate passes
     * exact-Jaccard verification, so collisions cost a verify row, never
-    * correctness. */
-  def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    * correctness.
+    *
+    * Mega-bucket cap (round 13 — found LIVE by the 5M-doc composed
+    * pipeline, PipelineEndToEnd): a band bucket's size tracks TRUE
+    * near-duplication, and true duplication can be corpus-scale — a
+    * boilerplate-dominated corpus (shared page skeleton, tiny per-doc
+    * payload) put ~132k signature-similar docs into single band buckets
+    * and the all-pairs enumeration went quadratic (~10^10 candidate
+    * tuples in one task, 50 GB heap, single-core). A duplicate CLUSTER of
+    * size D needs D−1 edges to dedup, not D²/2: buckets larger than
+    * `maxBandBucket` emit HUB-STAR candidates (min id → every other id)
+    * instead of all pairs — O(D) work, keep-one dedup semantics preserved
+    * through the same exact verification, and the deliberate boundary
+    * that the full pairwise list INSIDE a mega-cluster is not enumerated
+    * (it is quadratic in a quantity that scales with the corpus). The
+    * default cap is inert at oracle scale (1000 > any sf≤0.1 bucket), so
+    * `q_minhash_dedup` is unchanged — the [[DefaultMaxShingleDf]]
+    * discipline. */
+  val DefaultMaxBandBucket = 1000
+
+  def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                   maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
     import spark.implicits._
     val shingled = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
@@ -641,8 +661,11 @@ ORDER BY f.doc_id
     }
     val pairs = banded.groupByKey(_._1).flatMapGroups { (_, it) =>
       val ids = it.map(_._2).toArray.sorted
-      for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
-        yield (ids(i), ids(j))
+      if (ids.length <= maxBandBucket)
+        for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
+          yield (ids(i), ids(j))
+      else // mega-bucket: hub-star, O(D) — see the scaladoc cap note
+        Iterator.range(1, ids.length).map(j => (ids(0), ids(j)))
     }.distinct().toDF("id_a", "id_b")
     // stats-honest view for the verify joins: sh carries the full shingle
     // arrays (the heaviest relation here) — a static broadcast of it off

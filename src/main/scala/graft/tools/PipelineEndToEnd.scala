@@ -1,0 +1,166 @@
+package graft.tools
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE composed pass of the full training-data pipeline at corpus scale —
+  * the "is the system a system" number (r12 verdict task 7). Every stage
+  * probe exists separately (CurationServedProbe, DsirBloomScaleProbe,
+  * C4ScaleProbe, IndexBench); this runs them COMPOSED, each stage
+  * consuming the previous stage's output, with per-stage walls and the
+  * end-to-end docs/s:
+  *
+  *   land (lock-free manifest log, 4 writers)
+  *   → rule gates (C4 line cleaning + Gopher quality)
+  *   → exact dedup → served curation (persisted NB + LM + calibrated
+  *     thresholds — the build-once/serve-per-batch deployment split)
+  *   → Bloom gate (distributed sparse filter; fold-split: half the batch
+  *     plays the already-ingested corpus)
+  *   → MinHash+LSH near-dup verify (drop the higher id of each pair)
+  *   → sequence packing (distributed prefix sum)
+  *   → shard manifest.
+  *
+  * Stage boundaries are MATERIALIZED to parquet (ruled/curated/final) —
+  * what a real deployment does between stages, and the cost is charged to
+  * the stage that writes. The replicated corpus (ScaleProbe.generateDocs:
+  * block-suffixed tokens, re-keyed ids) keeps each block's internal
+  * near-dup structure, so the verify stage does real work, while exact
+  * cross-block dups stay zero — funnel counts are printed, not assumed.
+  *
+  * Usage: PipelineEndToEnd [srcDir] [factor] [workDir]
+  *   (defaults /root/testdata/sf0.1 × 10 ≈ 5M docs under /tmp/graft_pipe_e2e;
+  *    generated corpus is reused when complete — row-count checked). */
+object PipelineEndToEnd {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val work = if (args.length > 2) args(2) else "/tmp/graft_pipe_e2e"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val shim = org.apache.spark.sql.graft.CheckpointShim
+
+    val walls = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val t = (System.nanoTime() - t0) / 1e9
+      walls += label -> t
+      println(f"[pipe] $label%-38s $t%8.2f s")
+      r
+    }
+    def fs(p: String) = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // corpus: generated once, reused when complete (row-count checked)
+    val corpusDir = s"$work/corpus"
+    val baseCount = spark.read.parquet(s"$src/documents.parquet").count()
+    val expected = baseCount * factor
+    val haveCorpus = try {
+      spark.read.parquet(s"$corpusDir/documents.parquet").count() == expected
+    } catch { case _: Throwable => false }
+    if (!haveCorpus) {
+      println(s"[pipe] generating ${factor}x corpus ($expected docs) at $corpusDir")
+      ScaleProbe.generateDocs(spark, src, factor, corpusDir)
+    }
+    val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+    println(s"[pipe] corpus: $expected docs (${src} x$factor)")
+
+    // 1. LAND — four lock-free writers through the manifest protocol
+    val logRoot = s"$work/log"
+    fs(logRoot).delete(new org.apache.hadoop.fs.Path(logRoot), true)
+    timed("land: 4 manifest-log writers") {
+      (0 until 4).foreach { w =>
+        ManifestLog.append(corpus.filter(col("doc_id") % 4 === w),
+          logRoot, s"w$w", 0L)
+      }
+    }
+    val landed = ManifestLog.read(spark, logRoot, corpus.schema)
+    val n0 = timed("land: read-back count")(landed.count())
+    require(n0 == expected, s"landing lost rows: $n0 != $expected")
+
+    // 2. RULE GATES — C4 line cleaning + Gopher verdict, boundary written
+    timed("rules: C4+Gopher gate + write") {
+      Sampling.ruleGates(landed.select("doc_id", "source", "text"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$work/ruled/documents.parquet")
+    }
+    val ruled = spark.read.parquet(s"$work/ruled/documents.parquet")
+    val n1 = ruled.count()
+
+    // 3. CURATION — exact dedup, then the persisted-model build (once)
+    val tag = "pipe_e2e"
+    val deduped = timed("curation: exact dedup") {
+      val d = shim.statsHonestLocalCheckpoint(
+        Sampling.exactDedupOn(ruled.select("doc_id", "source", "text")))
+      d.count(); d
+    }
+    timed("curation: build models (NB+LM+calib)") {
+      Sampling.buildCurationModels(spark, deduped, tag)
+    }
+
+    // 4. CURATION SERVE — per-batch deployment path; quota wide open so the
+    // calibrated thresholds (not the quota window) decide the funnel
+    timed("curation: serve + join text + write") {
+      Sampling.serveCuration(spark, deduped, tag, quota = Int.MaxValue)
+        .select("doc_id", "predicted_lang")
+        .join(ruled.select("doc_id", "text", "n_chars"), "doc_id")
+        .write.mode("overwrite").parquet(s"$work/curated/documents.parquet")
+    }
+    val curated = spark.read.parquet(s"$work/curated/documents.parquet")
+    val n2 = curated.count()
+
+    // 5. BLOOM GATE — distributed sparse filter; the even fold plays the
+    // already-ingested corpus, the odd fold is the arriving batch
+    val m = 1L << 30
+    val k = BloomDedup.DefaultHashes
+    val seen = curated.filter(col("doc_id") % 2 === 0)
+    val arrivals = curated.filter(col("doc_id") % 2 =!= 0)
+    val words = timed("bloom: distributed build (m=2^30)") {
+      val w = shim.statsHonestLocalCheckpoint(
+        BloomDedup.buildRelational(seen.select("text"), k, m))
+      w.count(); w
+    }
+    val bloomCandidates = timed("bloom: gate the arriving fold") {
+      BloomDedup.gateRelationalOn(arrivals.select("doc_id", "text"), words, m, k)
+        .filter(col("bloom_dup")).count()
+    }
+
+    // 6. MINHASH VERIFY — near-dup pairs over the curated corpus; drop the
+    // higher id of each verified pair, write the final boundary
+    val n3 = timed("minhash: LSH verify + drop + write") {
+      val pairs = shim.statsHonestLocalCheckpoint(
+        Dedup.minhashDedup(spark, s"$work/curated"))
+      val drops = pairs.select(col("id_b").as("doc_id")).distinct()
+      curated.join(drops, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$work/final/documents.parquet")
+      spark.read.parquet(s"$work/final/documents.parquet").count()
+    }
+
+    // 7. PACK — distributed prefix sum over the final corpus
+    val bins = timed("pack: sequences (budget 1024)") {
+      val p = Packing.packSequences(spark, s"$work/final")
+      p.queryExecution.toRdd.count()
+    }
+
+    // 8. SHARD MANIFEST
+    val shardRows = timed("shard: manifest (16 shards)") {
+      Sharding.shardManifest(spark, s"$work/final").queryExecution.toRdd.count()
+    }
+
+    val total = walls.map(_._2).sum
+    println(f"[pipe] funnel: landed $n0 -> rules $n1 -> curated $n2 " +
+      f"(bloom candidates $bloomCandidates) -> final $n3 -> $bins packed bins, $shardRows manifest rows")
+    println(f"[pipe] TOTAL $total%.1f s end-to-end = ${n0 / total}%.0f docs/s ingested")
+    // leave no warehouse state behind
+    Seq(QualityClassifier.modelTable(tag), LanguageModel.modelTable(tag),
+      Sampling.calibTable(tag)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
+  }
+}
