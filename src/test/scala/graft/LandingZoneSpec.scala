@@ -115,6 +115,42 @@ class LandingZoneSpec extends AnyFunSuite {
     assert(probe.filter(col("exact_dup")).count() == 5)
   }
 
+  test("streaming landing: two concurrent streams -> absorb cycles -> probe-correct index") {
+    // the end-to-end deployment shape: STREAMS land via ManifestLog.sink
+    // (exactly-once per stream), the maintenance cycle absorbs whatever
+    // has committed since the last cycle, and the index answers
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft-land-stream")
+    val ckpt = tmp("graft-land-stream-ckpt")
+    val idxDir = tmp("graft-land-stream-idx")
+    ShingleIndex.build(docs(0 until 30, "base"), idxDir, "lz_stream")
+    val schema = docs(0 until 1, "x").schema
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    memA.addData((800L, "alpha bravo charlie streamA token800 delta echo foxtrot"))
+    memB.addData((810L, "alpha bravo charlie streamB token810 delta echo foxtrot"))
+    val qa = ManifestLog.sink(memA.toDF.toDF("doc_id", "text"), root, "sA", s"$ckpt/a")
+    val qb = ManifestLog.sink(memB.toDF.toDF("doc_id", "text"), root, "sB", s"$ckpt/b")
+    qa.awaitTermination(); qb.awaitTermination()
+    val cycle1 = LandingZone.absorbIntoShingleIndex(spark, root, schema, "lz_stream", idxDir)
+    assert(cycle1.freshDocs == 2, s"$cycle1")
+    // more micro-batches land between maintenance cycles
+    memA.addData((801L, "alpha bravo charlie streamA token801 delta echo foxtrot"))
+    ManifestLog.sink(memA.toDF.toDF("doc_id", "text"), root, "sA", s"$ckpt/a")
+      .awaitTermination()
+    val cycle2 = LandingZone.absorbIntoShingleIndex(spark, root, schema, "lz_stream", idxDir)
+    assert(cycle2.segments.size == 1 && cycle2.freshDocs == 1,
+      s"cycle 2 absorbs only the new segment: $cycle2")
+    // all streamed docs are now exact dups to the index
+    val probe = ShingleIndex.probe(spark, "lz_stream",
+      Seq((800L, "alpha bravo charlie streamA token800 delta echo foxtrot"),
+        (801L, "alpha bravo charlie streamA token801 delta echo foxtrot"),
+        (810L, "alpha bravo charlie streamB token810 delta echo foxtrot"))
+        .toDF("doc_id", "text"))
+    assert(probe.filter(col("exact_dup")).count() == 3)
+  }
+
   test("absorb refuses an unbuilt index loudly") {
     val root = tmp("graft-land-unbuilt")
     ManifestLog.append(docs(0 until 5, "x"), root, "w0", 0L)

@@ -78,4 +78,85 @@ class UnigramLmSpec extends AnyFunSuite {
     val sorted = model.sortBy(_._2)
     assert(sorted.head._3 >= sorted.last._3 - 1e-9)
   }
+
+  // --- soft EM (round 13): the spec-only pins for trainSoftOn ----------
+
+  test("forward-backward Z and expected counts are exact vs brute-force enumeration") {
+    val nlp = Map("a" -> 2.0, "b" -> 2.0, "ab" -> 1.5, "ba" -> 3.9, "aba" -> 3.4)
+    for (w <- Seq("a", "ab", "aba", "abab", "ababa", "bb", "baba")) {
+      val segs = allSegs(w, nlp.keySet)
+      val probs = segs.map(s => s -> math.exp(-s.map(nlp).sum))
+      val z = probs.map(_._2).sum
+      val expect = probs.flatMap { case (s, pr) => s.map(p => p -> pr / z) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val (got, lz) = UnigramLm.forwardBackward(w, nlp)
+      assert(math.abs(lz - math.log(z)) < 1e-12, s"$w: ll $lz vs ${math.log(z)}")
+      assert(got.keySet == expect.keySet, s"$w: ${got.keySet} vs ${expect.keySet}")
+      expect.foreach { case (p, e) =>
+        assert(math.abs(got(p) - e) < 1e-12, s"$w piece $p: ${got(p)} vs $e") }
+      // posterior sanity: expected piece count per word = expected parse
+      // length, which lies between 1 and the word's length
+      val totalPieces = got.values.sum
+      assert(totalPieces >= 1.0 - 1e-12 && totalPieces <= w.length + 1e-12)
+    }
+  }
+
+  test("posterior concentrates on a dominant parse (soft recovers hard at the limit)") {
+    val nlp = Map("a" -> 10.0, "b" -> 10.0, "ab" -> 0.1)
+    val (cnt, _) = UnigramLm.forwardBackward("abab", nlp)
+    // best parse ab|ab costs 0.2; every alternative uses >= 2 single chars
+    // (cost >= 20), so its posterior mass is ~e^-20
+    assert(math.abs(cnt("ab") - 2.0) < 1e-6, s"$cnt")
+    assert(cnt.getOrElse("a", 0.0) < 1e-6 && cnt.getOrElse("b", 0.0) < 1e-6)
+    assert(UnigramLm.viterbi("abab", nlp) == Seq("ab", "ab"))
+  }
+
+  test("soft-EM corpus log-likelihood is non-decreasing across rounds") {
+    // real repeated structure; every char frequent, so the +1 keep-alive
+    // perturbation is negligible against true counts
+    val docs = mkDocs(Seq.fill(30)("abab abba baab abab") ++
+      Seq.fill(10)("bbbb aaaa abab") ++ Seq.fill(5)("ba ab aa bb"))
+    val wordsDf = UnigramLm.wordsOf(docs)
+    val words = wordsDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seed = UnigramLm.seedCounts(wordsDf)
+    val (_, lls) = UnigramLm.trainSoftLocal(words, seed, iters = 5)
+    assert(lls.size == 5)
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"EM log-likelihood decreased: $lls")
+    }
+    // and the rounds genuinely move (not a fixed point from the start)
+    assert(lls.last > lls.head, s"EM never improved: $lls")
+  }
+
+  test("distributed soft trainer equals the driver-local reference (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist = UnigramLm.trainSoftOn(docs, iters = UnigramLm.EmIters)
+    val wordsDf = UnigramLm.wordsOf(docs)
+    val words = wordsDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seed = UnigramLm.seedCounts(wordsDf)
+    val (local, _) = UnigramLm.trainSoftLocal(words, seed, UnigramLm.EmIters)
+    // maps with tolerance, not sequences: distributed double-sum order
+    // differs from the local accumulation order by ulps
+    val dm = dist.map { case (p, n, c) => p -> (n, c) }.toMap
+    val lm = local.map { case (p, n, c) => p -> (n, c) }.toMap
+    assert(dm.keySet == lm.keySet,
+      s"only dist: ${dm.keySet -- lm.keySet}; only local: ${lm.keySet -- dm.keySet}")
+    dm.foreach { case (p, (n, c)) =>
+      assert(math.abs(n - lm(p)._1) <= 1e-6 * math.max(1.0, lm(p)._1), s"count $p")
+      assert(math.abs(c - lm(p)._2) <= 2e-6, s"nlp $p")
+    }
+  }
+
+  test("soft and hard training agree on vocabulary and ranking on the sf corpus") {
+    // not bit-identical (different E-steps) but the same corpus structure:
+    // the final kept piece set should substantially overlap and single
+    // chars are never pruned by either
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hard = UnigramLm.trainOn(docs).map(_._1).toSet
+    val soft = UnigramLm.trainSoftOn(docs).map(_._1).toSet
+    val chars = hard.filter(p => p.codePointCount(0, p.length) == 1)
+    assert(chars.subsetOf(soft), "soft must keep every single char hard kept")
+    val overlap = (hard & soft).size.toDouble / (hard | soft).size
+    assert(overlap >= 0.6, f"piece-set Jaccard $overlap%.2f too low: soft and hard diverged")
+  }
 }
