@@ -420,15 +420,28 @@ ORDER BY d.doc_id
     * ONE definition shared by [[curationRules]], the scale probe, and
     * the funnel spec, so a change here cannot de-sync what SCALING.md
     * measures from what ships: synthetic page + %3 stop trigger →
-    * C4 clean (downstream consumes clean_text) → Gopher verdict. */
+    * C4 clean (downstream consumes clean_text) → Gopher verdict.
+    *
+    * The C4-survivor boundary is MATERIALIZED (round 13; profiled by
+    * tools/RulesProfile at 5M docs): C4's line pipeline is built from
+    * higher-order-function lambdas, which get NO common-subexpression
+    * elimination — the keep predicate and the clean_text projection each
+    * re-ran the whole lambda chain (19.4 s of clean → 48.6 s once
+    * filtered+projected), and Gopher's metric columns re-ran it again
+    * (→ 104–111 s). Checkpointing the ~8% survivors runs C4 exactly once
+    * and Gopher reads stored rows — the Spark twin of the r12
+    * `q_curation_rules` learnedTail fix, one stage earlier. Semantics
+    * unchanged (materialization barrier); every rules-path oracle stays
+    * hash-exact. */
   private[graft] def ruleGates(docs: DataFrame): DataFrame = {
     val paged = docs
       .withColumn("__page", concat(TextAnalysis.c4SyntheticPage,
         when(col("doc_id") % 3 === 0,
           lit("\nand that have with of to be the.")).otherwise(lit(""))))
-    val afterC4 = TextAnalysis.c4CleanOn(paged, col("__page"))
-      .filter(col("kept"))
-      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+    val afterC4 = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(TextAnalysis.c4CleanOn(paged, col("__page"))
+        .filter(col("kept"))
+        .select(col("doc_id"), col("source"), col("clean_text").as("text")))
     TextAnalysis.gopherQualityOn(afterC4, col("text"))
       .filter(col("kept"))
       .select("doc_id", "source", "text")

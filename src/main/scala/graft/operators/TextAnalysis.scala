@@ -525,6 +525,39 @@ FROM m ORDER BY doc_id
     * common-subexpression elimination, so a flat tree re-evaluates the
     * line-split and the kept-lines filter once per derived column. */
   def c4CleanOn(df: DataFrame, textCol: Column, badWords: Seq[String] = Nil): DataFrame = {
+    val badRegex =
+      if (badWords.isEmpty) None
+      else Some(badWords.map(w => java.util.regex.Pattern.quote(w.toLowerCase))
+        .mkString("\\b(", "|", ")\\b"))
+    // ONE struct-returning native expression (round 13 — see the
+    // C4Kernel/C4CleanExpr scaladocs): the column-algebra form below is
+    // kept verbatim as the executable specification, and the kernel is
+    // differential-pinned to it (C4CleanSpec). Fields are extracted from
+    // the single __c4 alias — CollapseProject refuses to inline a
+    // non-cheap expression referenced 7 ways, so the kernel runs once per
+    // evaluation site instead of once per derived column.
+    val c4 = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.C4CleanExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(textCol), badRegex))
+    df.withColumn("__c4", c4)
+      .withColumn("has_lorem", col("__c4.has_lorem"))
+      .withColumn("has_brace", col("__c4.has_brace"))
+      .withColumn("n_lines", col("__c4.n_lines"))
+      .withColumn("n_lines_kept", col("__c4.n_lines_kept"))
+      .withColumn("clean_text", col("__c4.clean_text"))
+      .withColumn("n_sentences", col("__c4.n_sentences"))
+      .withColumn("kept", col("__c4.kept"))
+      .drop("__c4")
+  }
+
+  /** The pre-r13 column-algebra form of [[c4CleanOn]] — kept verbatim as
+    * the EXECUTABLE SPECIFICATION the fused kernel is differential-pinned
+    * against (the normalizeTextReference discipline). Not on any hot
+    * path: its HOF lambdas get no common-subexpression elimination, so a
+    * filter+projection consumer re-runs the whole chain per site
+    * (RulesProfile, docs/PERF.md r13). */
+  private[graft] def c4CleanOnAlgebra(df: DataFrame, textCol: Column,
+                                      badWords: Seq[String] = Nil): DataFrame = {
     // NULL behaves like '' (the repo-wide convention — see [[repetition]]):
     // without this, kept would be NULL and the row would vanish from BOTH
     // the keep filter and the !kept audit filter

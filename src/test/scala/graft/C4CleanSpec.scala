@@ -138,4 +138,69 @@ class C4CleanSpec extends AnyFunSuite {
     assert(keptN > 0 && keptN < got.size,
       s"degenerate corpus: $keptN/${got.size} kept")
   }
+
+  // --- round 13: the fused kernel vs the executable specification -------
+
+  test("fused kernel == column algebra on adversarial pages (all 7 columns)") {
+    val pages = Seq(
+      "",                                     // empty text
+      "\n", "\n\n",                           // empty lines, trailing split semantics
+      "only one line that ends well.",
+      "a.\nb!\nc?",                            // short lines, all punct
+      "ends with tab\t.\nends with space . ",  // whitespace before/after punct
+      "line with\ttab inside counts words.",   // \t is \s+ but not trim()'d
+      "\tleading tab line ends fine here.",    // leading \t -> empty first token
+      "a b c.\r\nwindows line endings here.", // \r survives the \n split, rtrim vs trim
+      "Please enable JavaScript to proceed.\nplain good line stays right here.",
+      "xjavascriptx is not word-bounded ok.",  // \b must NOT fire inside a word
+      "javascript: at line start bounded.",    // \b fires at punctuation
+      "lorem ipsum dolor sit amet etc.\n" + ("good line number one stays here.\n" * 6),
+      "int main() { return 0; }\n" + ("good line number one stays here.\n" * 6),
+      ("good line number one stays here.\n" * 4).stripSuffix("\n"), // 4 sentences: kept=false
+      ("good line number one stays here.\n" * 5).stripSuffix("\n"), // 5 sentences: kept=true
+      "multi...!!!???sentence punctuation runs here.\n" +
+        "second proper line for the count.",
+      "unicode \u00c7\u00e3o l\u00edngua \u03a3\u03bf\u03c2 ends properly.\n" +
+        "\u0130stanbul dotted capital I line.",  // sigma/dotted-I lower corners
+      "emoji \ud83d\ude00 astral chars count fine.",
+      "ends with closing quote \"inside.\"",
+      "null-ish   \n   \nblank-ish lines drop silently."
+    )
+    val docs = pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id", "has_lorem", "has_brace", "n_lines",
+      "n_lines_kept", "clean_text", "n_sentences", "kept")
+    val fused = TextAnalysis.c4CleanOn(docs, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val ref = TextAnalysis.c4CleanOnAlgebra(docs, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(fused == ref)
+    // and under a badWords list (the external block-list leg)
+    val bw = Seq("astral", "D\u00edA")
+    val fusedB = TextAnalysis.c4CleanOn(docs, col("text"), bw)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val refB = TextAnalysis.c4CleanOnAlgebra(docs, col("text"), bw)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(fusedB == refB)
+  }
+
+  test("fused kernel == column algebra over the real synthetic-page corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("__p", TextAnalysis.c4SyntheticPage)
+    val cols = Seq("doc_id", "has_lorem", "has_brace", "n_lines",
+      "n_lines_kept", "clean_text", "n_sentences", "kept")
+    val fused = TextAnalysis.c4CleanOn(d, col("__p"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val ref = TextAnalysis.c4CleanOnAlgebra(d, col("__p"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(fused == ref)
+  }
+
+  test("fused kernel: NULL text behaves like empty (coalesce semantics)") {
+    val d = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4CleanOn(d, col("text")).orderBy("doc_id").collect()
+    val ref = TextAnalysis.c4CleanOnAlgebra(d, col("text")).orderBy("doc_id").collect()
+    assert(out.toSeq == ref.toSeq)
+    assert(!out(0).getAs[Boolean]("kept") && out(0).getAs[String]("clean_text") == "")
+  }
 }
