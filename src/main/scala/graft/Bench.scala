@@ -188,10 +188,12 @@ object Bench {
     val gateMaxAttempts = sys.env.getOrElse("GRAFT_BENCH_GATE_ATTEMPTS", "5").toInt
     var gateAttempts = 0
     var gateSpreadPct = Double.PositiveInfinity
+    var gateLastPoint = 0.0
     while (gateAttempts < gateMaxAttempts && gateSpreadPct > gatePct) {
       gateAttempts += 1
       val a = calibrate(spark)
       val b = calibrate(spark)
+      gateLastPoint = b
       gateSpreadPct = math.abs(a - b) / math.min(a, b) * 100.0
       if (gateSpreadPct > gatePct && gateAttempts < gateMaxAttempts) {
         val backoffMs = 15000L * gateAttempts
@@ -220,7 +222,10 @@ object Bench {
         } finally dropCheckpointBlocks()
       }
     val loadStart = loadavg()
-    val calibPre = calibrate(spark)
+    // calibPre = the gate's final point (review r13): it IS the same
+    // min-of-3 estimator measured this instant — re-running it would be
+    // three redundant anchor executions on an already-agreed-quiet host
+    val calibPre = gateLastPoint
     val cold = pass()
     val calibMid = calibrate(spark)
     val warm = pass()

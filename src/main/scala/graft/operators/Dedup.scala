@@ -630,11 +630,17 @@ ORDER BY f.doc_id
     * and the all-pairs enumeration went quadratic (~10^10 candidate
     * tuples in one task, 50 GB heap, single-core). A duplicate CLUSTER of
     * size D needs D−1 edges to dedup, not D²/2: buckets larger than
-    * `maxBandBucket` emit HUB-STAR candidates (min id → every other id)
+    * `maxBandBucket` emit a CONSECUTIVE-ID CHAIN (ids(k−1), ids(k))
     * instead of all pairs — O(D) work, keep-one dedup semantics preserved
     * through the same exact verification, and the deliberate boundary
     * that the full pairwise list INSIDE a mega-cluster is not enumerated
-    * (it is quadratic in a quantity that scales with the corpus). The
+    * (it is quadratic in a quantity that scales with the corpus). A chain,
+    * NOT a hub star (review r13): a band bucket can contain sub-threshold
+    * hangers-on (band match probability is j^rows, not a hash collision),
+    * and a star through an outlier MINIMUM id would fail verification on
+    * every edge and lose the true cluster's dedup entirely — a chain
+    * loses only the edges adjacent to outliers, and a genuine duplicate
+    * run keeps its within-run adjacency whatever ids surround it. The
     * default cap is inert at oracle scale (1000 > any sf≤0.1 bucket), so
     * `q_minhash_dedup` is unchanged — the [[DefaultMaxShingleDf]]
     * discipline. */
@@ -664,8 +670,8 @@ ORDER BY f.doc_id
       if (ids.length <= maxBandBucket)
         for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
           yield (ids(i), ids(j))
-      else // mega-bucket: hub-star, O(D) — see the scaladoc cap note
-        Iterator.range(1, ids.length).map(j => (ids(0), ids(j)))
+      else // mega-bucket: consecutive-id chain, O(D) — see the cap note
+        Iterator.range(1, ids.length).map(j => (ids(j - 1), ids(j)))
     }.distinct().toDF("id_a", "id_b")
     // stats-honest view for the verify joins: sh carries the full shingle
     // arrays (the heaviest relation here) — a static broadcast of it off

@@ -98,8 +98,16 @@ object LandingZone {
     val pending = pendingSegments(spark, root)
     if (pending.isEmpty) AbsorbReport(Seq.empty, 0L, 0L)
     else {
-      val batch = spark.read.schema(schema)
-        .parquet(pending.map(s => s"$root/data/$s"): _*)
+      // ONE read of the pending segments (review r13: a second
+      // parquet read for the report would both double the scan and race
+      // a concurrent low-grace retire after the consume-marking below):
+      // frozen to executor blocks, both counts and the anti-join derive
+      // from the stored rows, and nothing touches the segment files after
+      // this point
+      val batch = org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(spark.read.schema(schema)
+          .parquet(pending.map(s => s"$root/data/$s"): _*))
+      val landedDocs = batch.count()
       spark.catalog.refreshTable(ShingleIndex.sizesTable(tag))
       val already = spark.table(ShingleIndex.sizesTable(tag))
         .select(col("corpus_id").as("doc_id"))
@@ -119,7 +127,7 @@ object LandingZone {
       pending.foreach { s =>
         f.create(new Path(consumedDir(root), s + ConsumedSuffix), true).close()
       }
-      AbsorbReport(pending, batch.count(), freshDocs)
+      AbsorbReport(pending, landedDocs, freshDocs)
     }
   }
 

@@ -48,9 +48,28 @@ object WarehouseTables {
     * human, closing the r12 ADVICE gap where a transient crash turned
     * into a permanent manual-intervention failure for retrying
     * streaming/bench harnesses. Foreign data never carries the sibling
-    * and is still refused loudly. */
+    * and is still refused loudly.
+    *
+    * The intent EXPIRES after [[IntentTtlMs]] (review r13): a failure
+    * between reconcile and the caller's `saveAsTable` (exception, abort)
+    * leaves the sibling with nothing to clear it, and a permanent token
+    * would eventually launder genuinely foreign data written at the same
+    * location weeks later into "graft-initiated" — the exact deletion
+    * the marker regime exists to prevent. A stale intent therefore
+    * counts as absent (the loud pre-r13 refusal returns), bounding the
+    * self-heal window to the retry-loop timescale it was built for —
+    * the same honesty trade as the lease's mtime expiry. */
+  val IntentTtlMs: Long = LeaseLock.DefaultLeaseMs
+
   private def intentPath(loc: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(loc.getParent, loc.getName + "._graft_writing")
+
+  private def intentLive(fs: org.apache.hadoop.fs.FileSystem,
+                         loc: org.apache.hadoop.fs.Path): Boolean = {
+    val p = intentPath(loc)
+    fs.exists(p) &&
+      fs.getFileStatus(p).getModificationTime > System.currentTimeMillis() - IntentTtlMs
+  }
 
   private def location(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
@@ -82,12 +101,13 @@ object WarehouseTables {
     if (!spark.catalog.tableExists(table) && fs.exists(loc)) {
       val marker = new org.apache.hadoop.fs.Path(loc, MarkerFile)
       val empty = fs.listStatus(loc).isEmpty
-      require(empty || fs.exists(marker) || fs.exists(intentPath(loc)),
+      require(empty || fs.exists(marker) || intentLive(fs, loc),
         s"orphan table location $loc exists without a $MarkerFile marker " +
-          "or a pre-write intent sibling. Nothing proves graft wrote it " +
-          "(foreign or pre-marker data) - graft will not delete it. If " +
-          "the content is a graft model/filter you are about to rewrite, " +
-          s"remove the directory manually: $loc")
+          "or a LIVE pre-write intent sibling. Nothing proves graft wrote " +
+          "it (foreign data, pre-marker data, or a graft crash older than " +
+          s"the ${IntentTtlMs / 60000} min intent TTL) - graft will not " +
+          "delete it. If the content is a graft model/filter you are " +
+          s"about to rewrite, remove the directory manually: $loc")
       fs.delete(loc, true)
     }
     // declare the write that follows this reconcile (same lease): create

@@ -96,12 +96,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mh == exact, s"minhash=${mh.size} exact=${exact.size} missing=${(exact -- mh).take(5)}")
   }
 
-  test("minhash mega-bucket cap: hub-star candidates, same keep-one drop set") {
+  test("minhash mega-bucket cap: consecutive-id chain, same keep-one drop set") {
     // a 5-doc identical-text cluster (the boilerplate shape that went
     // quadratic at 5M docs — see the minhashDedup cap scaladoc) plus one
-    // unrelated doc; under a tiny cap the cluster emits a hub star
-    // (min id -> others, D-1 pairs) instead of all D*(D-1)/2 pairs, and
-    // the dedup outcome (drop everything but the hub) is identical
+    // unrelated doc; under a tiny cap the cluster emits a consecutive-id
+    // CHAIN (D-1 pairs) instead of all D*(D-1)/2 — a chain, not a hub
+    // star, so a sub-threshold outlier holding the bucket's minimum id
+    // can only cost its own adjacent edges, never the whole cluster's
+    // (review r13) — and the dedup outcome (drop all but the first) is
+    // identical
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mhcap").toString
     val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
@@ -112,7 +115,7 @@ class OperatorsSpec extends AnyFunSuite {
     val capped = Dedup.minhashDedup(spark, dir, maxBandBucket = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toSet)
-    assert(capped == (2L to 5L).map(j => (1L, j)).toSet, s"hub star: $capped")
+    assert(capped == (2L to 5L).map(j => (j - 1, j)).toSet, s"chain: $capped")
     assert(full.map(_._2) == capped.map(_._2), "identical keep-one drop set")
   }
 

@@ -51,6 +51,25 @@ class WarehouseTablesSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("a STALE intent sibling no longer launders a markerless directory (review r13)") {
+    // failure between reconcile and saveAsTable leaves an intent with
+    // nothing to clear it; weeks later, data at the same location must
+    // NOT become deletable on the strength of that old token
+    val t = "wht_staleintent"
+    WarehouseTables.reconcileOrphan(spark, t) // stamps the intent
+    Seq(1).toDF("x").write.parquet(loc(t).toString) // markerless data appears later
+    val intent = new Path(loc(t).getParent, loc(t).getName + "._graft_writing")
+    // age the intent past the TTL
+    fs.setTimes(intent,
+      System.currentTimeMillis() - WarehouseTables.IntentTtlMs - 1000, -1)
+    val e = intercept[IllegalArgumentException] {
+      WarehouseTables.reconcileOrphan(spark, t)
+    }
+    assert(e.getMessage.contains("intent"), e.getMessage)
+    assert(fs.exists(loc(t)), "data must survive the stale-intent refusal")
+    fs.delete(loc(t), true); fs.delete(intent, false)
+  }
+
   test("foreign markerless data without an intent sibling is still refused loudly") {
     val t = "wht_foreign"
     val l = loc(t)
