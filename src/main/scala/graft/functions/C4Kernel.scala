@@ -50,7 +50,7 @@ object C4Kernel {
     * and otherwise delegates to the JDK — replicated here exactly (the
     * non-ASCII branch still goes THROUGH UTF8String so any locale/sigma
     * corner matches Spark bit-for-bit). */
-  private def lowerLikeSpark(s: String): String = {
+  private[functions] def lowerLikeSpark(s: String): String = {
     var i = 0
     var hasUpper = false
     while (i < s.length) {

@@ -674,6 +674,25 @@ FROM c ORDER BY doc_id
     * `array_intersect` pass (distinct-presence count), not one
     * `array_contains` scan per list word. */
   def gopherQualityOn(df: DataFrame, textCol: Column): DataFrame = {
+    // ONE struct-returning native expression (round 13 — the C4CleanExpr
+    // pattern; see GopherKernel): the column-algebra form below stays
+    // verbatim as the executable specification, differential-pinned by
+    // GopherQualitySpec. One fused pass per evaluation site instead of a
+    // per-derived-column HOF cascade re-run by the kept predicate.
+    val g = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.GopherQualityExpr(
+        org.apache.spark.sql.graft.ColumnShim.expression(textCol)))
+    graft.functions.GopherKernel.schema.fieldNames
+      .foldLeft(df.withColumn("__g", g)) { (d, f) =>
+        d.withColumn(f, col(s"__g.$f"))
+      }
+      .drop("__g")
+  }
+
+  /** The pre-r13 column-algebra form of [[gopherQualityOn]] — kept
+    * verbatim as the EXECUTABLE SPECIFICATION the fused kernel is
+    * differential-pinned against (the c4CleanOnAlgebra discipline). */
+  private[graft] def gopherQualityOnAlgebra(df: DataFrame, textCol: Column): DataFrame = {
     // NULL behaves like '' (the repo-wide convention — see [[repetition]])
     val text = coalesce(textCol, lit(""))
     // stage 1: the two arrays + raw char counts — each computed ONCE

@@ -96,4 +96,53 @@ class GopherQualitySpec extends AnyFunSuite {
     val kept = out.count(identity)
     assert(kept > 0 && kept < out.length, s"degenerate: $kept/${out.length}")
   }
+
+  // --- round 13: the fused kernel vs the executable specification -------
+
+  test("fused kernel == column algebra on adversarial pages (all 9 columns)") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => s"word$i the be").mkString(" ")
+    val pages = Seq(
+      "",
+      " \t \n  ",
+      good,                                            // kept=true shape
+      good + " ####################",                  // hash ratio
+      good + " " + ("..." * 30),                       // ellipsis ratio (non-overlap count)
+      "......",                                        // 2 non-overlapping "..."
+      (1 to 60).map(_ => "\u2022 bullet line").mkString("\n"),  // bullet lines
+      (1 to 10).map(_ => "trailing ellipsis line...").mkString("\n"),
+      (1 to 10).map(_ => "unicode ellipsis line\u2026").mkString("\n"),
+      "  - dash bullet\n  * star bullet\n\u2023 tri bullet\nplain line",
+      "THE BE TO OF AND THAT HAVE WITH uppercase stopwords " + good,
+      (1 to 60).map(_ => "\u00e7\u00e3\u00f5").mkString(" "),  // no-alpha words
+      (1 to 60).map(i => "w" * 11).mkString(" "),       // mean len > 10
+      "short doc.",
+      "tab\tseparated\ttokens count distinctly " + good,
+      "astral \ud83d\ude00 token " + good,
+      good + "\n" + "line ending in spaces...   ",
+      "null-free \u0130stanbul \u03a3\u03bf\u03c2 unicode " + good
+    )
+    val docs = pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val cols = Seq("doc_id") ++ graft.functions.GopherKernel.schema.fieldNames
+    val fused = TextAnalysis.gopherQualityOn(docs, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val ref = TextAnalysis.gopherQualityOnAlgebra(docs, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(fused == ref)
+  }
+
+  test("fused kernel == column algebra over the real corpus and on NULL text") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cols = Seq("doc_id") ++ graft.functions.GopherKernel.schema.fieldNames
+    val fused = TextAnalysis.gopherQualityOn(d, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val ref = TextAnalysis.gopherQualityOnAlgebra(d, col("text"))
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(fused == ref)
+    val n = Seq((1L, null: String)).toDF("doc_id", "text")
+    assert(TextAnalysis.gopherQualityOn(n, col("text")).collect().toSeq ==
+      TextAnalysis.gopherQualityOnAlgebra(n, col("text")).collect().toSeq)
+  }
 }
