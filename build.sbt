@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain graft.Bench"`
+// as JSON. sbt's default LoggedOutput strategy wraps every forked-process
+// line as `[info] {...}` and appends `[success] Total time: ...` — both of
+// which defeated the parse for three rounds (BENCH_r11–r13 "parsed": null).
+// StdoutOutput passes the program's stdout through bare; showSuccess drops
+// the trailing [success] banner so the compact JSON line IS the tail.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by another setting —
+// lintUnused can't see that (verified live: the [success] banner is gone).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

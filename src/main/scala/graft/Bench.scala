@@ -186,24 +186,27 @@ object Bench {
     val warmupRuns = calibrateWarmup(spark)
     val gatePct = sys.env.getOrElse("GRAFT_BENCH_GATE_PCT", "8.0").toDouble
     val gateMaxAttempts = sys.env.getOrElse("GRAFT_BENCH_GATE_ATTEMPTS", "5").toInt
-    var gateAttempts = 0
-    var gateSpreadPct = Double.PositiveInfinity
-    var gateLastPoint = 0.0
-    while (gateAttempts < gateMaxAttempts && gateSpreadPct > gatePct) {
-      gateAttempts += 1
-      val a = calibrate(spark)
-      val b = calibrate(spark)
-      gateLastPoint = b
-      gateSpreadPct = math.abs(a - b) / math.min(a, b) * 100.0
-      if (gateSpreadPct > gatePct && gateAttempts < gateMaxAttempts) {
-        val backoffMs = 15000L * gateAttempts
-        System.err.println(f"[bench] pre-flight anchors $a%.3f/$b%.3f s disagree " +
-          f"$gateSpreadPct%.1f%% (gate $gatePct%.0f%%) - host noisy, backing off " +
-          f"${backoffMs / 1000} s (attempt $gateAttempts/$gateMaxAttempts)")
-        Thread.sleep(backoffMs)
+    def runGate(): (Int, Double, Double, String) = {
+      var gateAttempts = 0
+      var gateSpreadPct = Double.PositiveInfinity
+      var gateLastPoint = 0.0
+      while (gateAttempts < gateMaxAttempts && gateSpreadPct > gatePct) {
+        gateAttempts += 1
+        val a = calibrate(spark)
+        val b = calibrate(spark)
+        gateLastPoint = b
+        gateSpreadPct = math.abs(a - b) / math.min(a, b) * 100.0
+        if (gateSpreadPct > gatePct && gateAttempts < gateMaxAttempts) {
+          val backoffMs = 15000L * gateAttempts
+          System.err.println(f"[bench] pre-flight anchors $a%.3f/$b%.3f s disagree " +
+            f"$gateSpreadPct%.1f%% (gate $gatePct%.0f%%) - host noisy, backing off " +
+            f"${backoffMs / 1000} s (attempt $gateAttempts/$gateMaxAttempts)")
+          Thread.sleep(backoffMs)
+        }
       }
+      val verdict = if (gateSpreadPct <= gatePct) "OK" else "EXHAUSTED"
+      (gateAttempts, gateSpreadPct, gateLastPoint, verdict)
     }
-    val gateVerdict = if (gateSpreadPct <= gatePct) "OK" else "EXHAUSTED"
     // A failed query reports -1 (not a fast-looking elapsed time) and is
     // excluded from the total, so a regression can't read as a speedup.
     def pass(): Seq[(String, Double)] =
@@ -221,16 +224,56 @@ object Bench {
           // harness state, not query cost
         } finally dropCheckpointBlocks()
       }
-    val loadStart = loadavg()
-    // calibPre = the gate's final point (review r13): it IS the same
-    // min-of-3 estimator measured this instant — re-running it would be
-    // three redundant anchor executions on an already-agreed-quiet host
-    val calibPre = gateLastPoint
-    val cold = pass()
-    val calibMid = calibrate(spark)
-    val warm = pass()
-    val calibPost = calibrate(spark)
-    val loadEnd = loadavg()
+    // One full measurement attempt: gate → cold pass → warm pass, with the
+    // anchor triple (pre = the gate's final point — it IS the same min-of-3
+    // estimator measured this instant; re-running it would be three
+    // redundant anchor executions on an already-agreed-quiet host) and the
+    // loadavg bracket. Everything a verdict needs travels together so the
+    // retry loop below can compare attempts whole.
+    case class Attempt(gateAttempts: Int, gateSpreadPct: Double,
+        gateVerdict: String, loadStart: String, loadEnd: String,
+        calibPre: Double, calibMid: Double, calibPost: Double,
+        cold: Seq[(String, Double)], warm: Seq[(String, Double)]) {
+      def anchorSpreadPct: Double = {
+        val a = Seq(calibPre, calibMid, calibPost)
+        (a.max - a.min) / a.min * 100.0
+      }
+      def anchorVerdict: String = if (anchorSpreadPct > 15.0) "DISCARD" else "OK"
+    }
+    def runAttempt(): Attempt = {
+      val (gateAttempts, gateSpreadPct, gateLastPoint, gateVerdict) = runGate()
+      val loadStart = loadavg()
+      val calibPre = gateLastPoint
+      val cold = pass()
+      val calibMid = calibrate(spark)
+      val warm = pass()
+      val calibPost = calibrate(spark)
+      val loadEnd = loadavg()
+      Attempt(gateAttempts, gateSpreadPct, gateVerdict, loadStart, loadEnd,
+        calibPre, calibMid, calibPost, cold, warm)
+    }
+    // Auto-retry on end-of-run anchor DISCARD (r13 verdict task 2): the
+    // gate catches a noisy START but not a mid-run load burst — exactly
+    // what hit r13 (gate passed at 1.5%, triple spread 47%). When the
+    // triple verdict is DISCARD and retry budget remains, re-run the whole
+    // attempt (gate + cold + warm) in the SAME JVM: warm-up and codegen are
+    // already paid, so a retry costs ~5 min against a 9-minute run already
+    // burned. Emit the best-spread attempt; the artifact records
+    // attempts_run / attempt chosen / every attempt's verdict so a
+    // retried run can never pose as a first-try clean one.
+    val maxBenchAttempts = sys.env.getOrElse("GRAFT_BENCH_RETRIES", "1").toInt + 1
+    var attempts = List(runAttempt())
+    while (attempts.head.anchorVerdict == "DISCARD" && attempts.length < maxBenchAttempts) {
+      System.err.println(f"[bench] end-of-run anchor triple spread " +
+        f"${attempts.head.anchorSpreadPct}%.1f%% > 15%% - DISCARD; retrying in-JVM " +
+        s"(attempt ${attempts.length + 1}/$maxBenchAttempts)")
+      attempts = runAttempt() :: attempts
+    }
+    val attemptsOldestFirst = attempts.reverse
+    val chosenIdx = attemptsOldestFirst.zipWithIndex.minBy(_._1.anchorSpreadPct)._2
+    val chosen = attemptsOldestFirst(chosenIdx)
+    val Attempt(gateAttempts, gateSpreadPct, gateVerdict, loadStart, loadEnd,
+      calibPre, calibMid, calibPost, cold, warm) = chosen
     // q_dedup_indexed's scoreboard number times build+probe together (the
     // oracle query must be self-contained), which overstates the operator's
     // deployment cost — its whole point is build ONCE, probe per batch.
@@ -306,13 +349,19 @@ object Bench {
     // so). Spread = (max-min)/min over the triple; >15% violates the
     // protocol → the artifact labels ITSELF a discard so a contaminated
     // driver run can never silently pose as a clean measurement.
-    val anchors = Seq(calibPre, calibMid, calibPost)
-    val anchorSpreadPct = (anchors.max - anchors.min) / anchors.min * 100.0
-    val anchorVerdict = if (anchorSpreadPct > 15.0) "DISCARD" else "OK"
+    val anchorSpreadPct = chosen.anchorSpreadPct
+    val anchorVerdict = chosen.anchorVerdict
     // rint, not %.1f: %-formatting follows the JVM default locale and a
     // comma-decimal locale would break the JSON line
     val anchorJson =
       s""""anchor_spread_pct":${math.rint(anchorSpreadPct * 10) / 10},"anchor_verdict":"$anchorVerdict""""
+    // Retry provenance: every attempt's spread+verdict, and which one the
+    // emitted numbers came from (1-based, oldest first).
+    val attemptsJson = {
+      val rows = attemptsOldestFirst.map(a =>
+        s"""{"anchor_spread_pct":${math.rint(a.anchorSpreadPct * 10) / 10},"anchor_verdict":"${a.anchorVerdict}"}""")
+      s""""attempts_run":${attemptsOldestFirst.length},"chosen_attempt":${chosenIdx + 1},"attempts":[${rows.mkString(",")}]"""
+    }
     // The artifact self-describes its measurement basis (judge r10 item 1:
     // the outer wrapper's "cpus" records the MACHINE's CPU count, which
     // silently diverged from the local[4] the timings actually ran on —
@@ -326,7 +375,7 @@ object Bench {
         else math.rint(gateSpreadPct * 10) / 10
       s""""gate":{"attempts":$gateAttempts,"spread_pct":$spread,"verdict":"$gateVerdict"}"""
     }
-    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec",$basis,"queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"calib":$calib,$anchorJson,$gateJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec",$basis,"queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"calib":$calib,$anchorJson,$attemptsJson,$gateJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
     println(line)
     // Compact summary line AFTER the full one (r12 verdict task 2): the
     // driver captures only the last ~2,000 chars of stdout, and the full
@@ -336,7 +385,7 @@ object Bench {
     // capture and parses even as the per-query map keeps growing. Same
     // totals, anchor verdict, and provenance; per-query detail stays in
     // the full line / bench_out.json.
-    val compact = s"""{"metric":"total","value":${total(cold)},"unit":"sec","n_queries":${cold.count(_._2 >= 0)},"total_warm":${total(warm)},$basis,"calib":$calib,$anchorJson,$gateJson,"commit":"$commit","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${total(cold)},"unit":"sec","n_queries":${cold.count(_._2 >= 0)},"total_warm":${total(warm)},$basis,"calib":$calib,$anchorJson,$attemptsJson,$gateJson,"commit":"$commit","sf":"$sfDir"}"""
     println(compact)
     // Also land the JSON in a file: the driver reconstructed r2+r3 results
     // from a truncated stdout tail ("parsed": null in both BENCH files).

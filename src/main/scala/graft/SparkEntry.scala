@@ -182,6 +182,13 @@ object SparkEntry {
     // q_dedup_index_append, so any lost segment or duplicated absorb
     // breaks the hash.
     "q_landing_absorb" -> ((s, dir) => LandingZone.queryAbsorb(s, dir)),
+    // the same landing lifecycle for the VECTOR index (r14): writers land
+    // embedding batches, absorb assigns them into the persistent IVF
+    // index under its lease (second pass must no-op), and the
+    // q_ivf_indexed search answers over the composed path; oracle trains
+    // Lloyd on the base 2/3 and assigns ALL vectors to that frozen model
+    // — exactly what build + assignInto store
+    "q_landing_vec_absorb" -> ((s, dir) => LandingZone.queryVecAbsorb(s, dir)),
     // training-data pipeline: similarity search
     // q_cosine_pairs: threshold 0.45 because the RAW synthetic embeddings
     // top out near cos 0.51 — the low-threshold exact baseline.
@@ -468,6 +475,7 @@ object SparkEntry {
     "q_dedup_indexed" -> Dedup.incrementalDedupSql(),
     "q_dedup_index_append" -> Dedup.incrementalDedupSql(),
     "q_landing_absorb" -> Dedup.incrementalDedupSql(),
+    "q_landing_vec_absorb" -> Similarity.ivfLandingAbsorbSql(),
     "q_cosine_pairs" -> Similarity.cosinePairsSql(threshold = 0.45),
     "q_cosine_pairs_hi" -> Similarity.cosinePairsHiSql(threshold = 0.8),
     "q_ann_topk" -> Similarity.topKSql(),

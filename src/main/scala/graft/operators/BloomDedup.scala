@@ -299,18 +299,17 @@ ORDER BY d.doc_id
       // fresh-catalog/stale-warehouse reconciliation — marker-gated, see
       // [[WarehouseTables]] for the mechanism and its assumption boundary
       val t = filterTable(tag)
-      WarehouseTables.reconcileOrphan(spark, t)
-      val chunks = filter.grouped(ChunkLongs).zipWithIndex.map { case (ws, i) =>
-        val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
-        bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        ws.foreach(bb.putLong)
-        ("chunk", i, 0L, bb.array())
-      }.toSeq
-      val meta = Seq(("m", -1, m.toLong, Array.empty[Byte]),
-        ("k", -1, k.toLong, Array.empty[Byte]))
-      (chunks ++ meta).toDF("kind", "idx", "num", "bytes")
-        .write.mode("overwrite").saveAsTable(t)
-      WarehouseTables.mark(spark, t)
+      WarehouseTables.writeManaged(spark, t)({
+        val chunks = filter.grouped(ChunkLongs).zipWithIndex.map { case (ws, i) =>
+          val bb = java.nio.ByteBuffer.allocate(ws.length * 8)
+          bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          ws.foreach(bb.putLong)
+          ("chunk", i, 0L, bb.array())
+        }.toSeq
+        val meta = Seq(("m", -1, m.toLong, Array.empty[Byte]),
+          ("k", -1, k.toLong, Array.empty[Byte]))
+        (chunks ++ meta).toDF("kind", "idx", "num", "bytes")
+      })(_.write.mode("overwrite").saveAsTable(t))
     }
 
   /** Load a persisted filter: (words, m, k). Loud on torn state. */
@@ -505,14 +504,13 @@ ORDER BY d.doc_id
                         m: Long, k: Int, buckets: Int = 32): Unit =
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
-      WarehouseTables.reconcileOrphan(spark, relTable(tag))
-      val meta = Seq((-1L, m), (-2L, k.toLong)).toDF("word_idx", "bits")
-      words.select(col("word_idx").cast("long"), col("bits").cast("long"))
-        .unionAll(meta)
-        .write.mode("overwrite").format("parquet")
+      WarehouseTables.writeManaged(spark, relTable(tag))({
+        val meta = Seq((-1L, m), (-2L, k.toLong)).toDF("word_idx", "bits")
+        words.select(col("word_idx").cast("long"), col("bits").cast("long"))
+          .unionAll(meta)
+      })(_.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "word_idx").sortBy("word_idx")
-        .saveAsTable(relTable(tag))
-      WarehouseTables.mark(spark, relTable(tag))
+        .saveAsTable(relTable(tag)))
     }
 
   /** Load a relational filter: (words relation, m, k). Loud on torn

@@ -630,24 +630,48 @@ ORDER BY f.doc_id
     * and the all-pairs enumeration went quadratic (~10^10 candidate
     * tuples in one task, 50 GB heap, single-core). A duplicate CLUSTER of
     * size D needs D−1 edges to dedup, not D²/2: buckets larger than
-    * `maxBandBucket` emit a CONSECUTIVE-ID CHAIN (ids(k−1), ids(k))
-    * instead of all pairs — O(D) work, keep-one dedup semantics preserved
-    * through the same exact verification, and the deliberate boundary
-    * that the full pairwise list INSIDE a mega-cluster is not enumerated
-    * (it is quadratic in a quantity that scales with the corpus). A chain,
-    * NOT a hub star (review r13): a band bucket can contain sub-threshold
+    * `maxBandBucket` emit a sorted-id CHAIN at strides 1 AND 2
+    * ((ids(k−1), ids(k)) and (ids(k−2), ids(k)) — 2D−3 pairs, still O(D))
+    * instead of all pairs — keep-one dedup semantics preserved through
+    * the same exact verification, and the deliberate boundary that the
+    * full pairwise list INSIDE a mega-cluster is not enumerated (it is
+    * quadratic in a quantity that scales with the corpus). A chain, NOT
+    * a hub star (review r13): a band bucket can contain sub-threshold
     * hangers-on (band match probability is j^rows, not a hash collision),
     * and a star through an outlier MINIMUM id would fail verification on
-    * every edge and lose the true cluster's dedup entirely — a chain
-    * loses only the edges adjacent to outliers, and a genuine duplicate
-    * run keeps its within-run adjacency whatever ids surround it. The
-    * default cap is inert at oracle scale (1000 > any sf≤0.1 bucket), so
-    * `q_minhash_dedup` is unchanged — the [[DefaultMaxShingleDf]]
-    * discipline. */
+    * every edge and lose the true cluster's dedup entirely. Stride 2 on
+    * top of the chain (review r14): duplicates need not be ADJACENT in id
+    * order — a single sub-threshold hanger-on whose id falls BETWEEN two
+    * cluster members kills both its incident stride-1 edges, and because
+    * every band sorts the same ids the same way, a stride-1-only chain
+    * loses that connection in EVERY band the mega-bucket recurs in
+    * (systematic, not per-band noise). The stride-2 edge skips over any
+    * single interleaved outlier, so disconnecting two true duplicates now
+    * needs ≥2 CONSECUTIVE outliers between them in sorted-id order —
+    * [[cappedBucketEdges]]' connectivity property, pinned in
+    * OperatorsSpec and measured on a constructed just-over-cap bucket in
+    * tools/ChainRecallProbe. The default cap is inert at oracle scale
+    * (1000 > any sf≤0.1 bucket), so `q_minhash_dedup` is unchanged — the
+    * [[DefaultMaxShingleDf]] discipline. */
   val DefaultMaxBandBucket = 1000
 
+  /** Candidate edges for a capped (mega) band bucket: sorted-id chain at
+    * strides 1..maxStride — maxStride·D − (1+…+maxStride) pairs, O(D) for
+    * constant maxStride (default 2 → 2D−3). Connectivity contract: the
+    * graph restricted to any subset S of `ids` stays connected as long as
+    * no `maxStride` CONSECUTIVE ids of the sorted array are all outside S
+    * (i.e. runs of < maxStride interleaved non-members never disconnect
+    * members). `ids` must be sorted ascending. maxStride=1 is the r13
+    * chain, kept reachable so ChainRecallProbe can measure what stride 2
+    * buys. */
+  private[graft] def cappedBucketEdges(ids: Array[Long],
+      maxStride: Int = 2): Iterator[(Long, Long)] =
+    Iterator.range(1, maxStride + 1).flatMap(s =>
+      Iterator.range(s, ids.length).map(j => (ids(j - s), ids(j))))
+
   def minhashDedup(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                   maxBandBucket: Int = DefaultMaxBandBucket): DataFrame = {
+                   maxBandBucket: Int = DefaultMaxBandBucket,
+                   chainMaxStride: Int = 2): DataFrame = {
     import spark.implicits._
     val shingled = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
@@ -670,8 +694,8 @@ ORDER BY f.doc_id
       if (ids.length <= maxBandBucket)
         for (i <- ids.indices.iterator; j <- Iterator.range(i + 1, ids.length))
           yield (ids(i), ids(j))
-      else // mega-bucket: consecutive-id chain, O(D) — see the cap note
-        Iterator.range(1, ids.length).map(j => (ids(j - 1), ids(j)))
+      else // mega-bucket: stride-1+2 chain, 2D−3 pairs — see the cap note
+        cappedBucketEdges(ids, chainMaxStride)
     }.distinct().toDF("id_a", "id_b")
     // stats-honest view for the verify joins: sh carries the full shingle
     // arrays (the heaviest relation here) — a static broadcast of it off

@@ -77,6 +77,48 @@ object LandingZone {
   final case class AbsorbReport(segments: Seq[String], landedDocs: Long,
                                 freshDocs: Long)
 
+  /** The absorb core both index families share (r13 verdict task 4 asked
+    * for exactly this generalization): read the pending segments ONCE,
+    * anti-join against the index's membership relation on `keyCol`, feed
+    * the survivors to the index's `append`, consume-mark. Callers hold
+    * the index lease and have validated the index exists.
+    *
+    * The single read matters twice over (review r13): a second parquet
+    * read for the report would both double the scan and race a concurrent
+    * low-grace retire after the consume-marking below — so the batch is
+    * frozen to executor blocks, both counts and the anti-join derive from
+    * the stored rows, and nothing touches the segment files after that
+    * point. The anti-join result is likewise frozen BEFORE `append`
+    * mutates the very membership relation it was computed from
+    * (self-referential otherwise — the same discipline as
+    * [[ShingleIndex.append]]'s own sat anti-join). Consume-marking comes
+    * AFTER the append is durable: a crash anywhere earlier re-runs the
+    * pass and the anti-join makes the re-run a no-op. */
+  private def absorbPending(spark: SparkSession, root: String,
+                            schema: StructType, keyCol: String,
+                            membership: () => DataFrame,
+                            append: DataFrame => Unit): AbsorbReport = {
+    val pending = pendingSegments(spark, root)
+    if (pending.isEmpty) AbsorbReport(Seq.empty, 0L, 0L)
+    else {
+      val batch = org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(spark.read.schema(schema)
+          .parquet(pending.map(s => s"$root/data/$s"): _*))
+      val landedDocs = batch.count()
+      val fresh = org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(
+          batch.join(membership(), Seq(keyCol), "left_anti"))
+      val freshDocs = fresh.count()
+      if (freshDocs > 0) append(fresh)
+      val f = fs(spark, root)
+      f.mkdirs(new Path(consumedDir(root)))
+      pending.foreach { s =>
+        f.create(new Path(consumedDir(root), s + ConsumedSuffix), true).close()
+      }
+      AbsorbReport(pending, landedDocs, freshDocs)
+    }
+  }
+
   /** Compact every pending committed segment into the shingle index.
     * Requires a built index (`tag`); runs under its lease (re-entrant
     * with [[ShingleIndex.append]]'s own acquisition). `schema` is the
@@ -95,40 +137,45 @@ object LandingZone {
       LeaseLock.withTableLock(spark, tag) {
     require(spark.catalog.tableExists(ShingleIndex.sizesTable(tag)),
       s"index '$tag' must be built before absorbing a landing zone into it")
-    val pending = pendingSegments(spark, root)
-    if (pending.isEmpty) AbsorbReport(Seq.empty, 0L, 0L)
-    else {
-      // ONE read of the pending segments (review r13: a second
-      // parquet read for the report would both double the scan and race
-      // a concurrent low-grace retire after the consume-marking below):
-      // frozen to executor blocks, both counts and the anti-join derive
-      // from the stored rows, and nothing touches the segment files after
-      // this point
-      val batch = org.apache.spark.sql.graft.CheckpointShim
-        .statsHonestLocalCheckpoint(spark.read.schema(schema)
-          .parquet(pending.map(s => s"$root/data/$s"): _*))
-      val landedDocs = batch.count()
-      spark.catalog.refreshTable(ShingleIndex.sizesTable(tag))
-      val already = spark.table(ShingleIndex.sizesTable(tag))
-        .select(col("corpus_id").as("doc_id"))
-      // materialized once: append re-references the batch (shingling +
-      // fingerprints), and the anti-join result must be frozen BEFORE
-      // append mutates the very sizes table it reads (self-referential
-      // otherwise — the same discipline as append's own sat anti-join)
-      val fresh = org.apache.spark.sql.graft.CheckpointShim
-        .statsHonestLocalCheckpoint(batch.join(already, Seq("doc_id"), "left_anti"))
-      val freshDocs = fresh.count()
-      if (freshDocs > 0)
-        ShingleIndex.append(spark, tag, path, fresh, buckets, maxShingleDf)
-      // consume-mark AFTER the append is durable: a crash anywhere above
-      // re-runs this pass; the anti-join makes the re-run a no-op
-      val f = fs(spark, root)
-      f.mkdirs(new Path(consumedDir(root)))
-      pending.foreach { s =>
-        f.create(new Path(consumedDir(root), s + ConsumedSuffix), true).close()
-      }
-      AbsorbReport(pending, landedDocs, freshDocs)
-    }
+    absorbPending(spark, root, schema, "doc_id",
+      membership = () => {
+        spark.catalog.refreshTable(ShingleIndex.sizesTable(tag))
+        spark.table(ShingleIndex.sizesTable(tag))
+          .select(col("corpus_id").as("doc_id"))
+      },
+      append = fresh =>
+        ShingleIndex.append(spark, tag, path, fresh, buckets, maxShingleDf))
+  }
+
+  /** The same lifecycle for the VECTOR side (r13 verdict task 4 /
+    * missing-item 3): landed embedding batches compact into the
+    * persistent [[IvfIndex]] under its lease. Membership is the
+    * assignment relation itself (one row per absorbed vec_id — no
+    * df-cap corner here: every absorbed vector gets exactly one
+    * assignment row, so a crash-window replay's anti-join is exact);
+    * append is [[IvfIndex.assignInto]] — landed vectors get cells from
+    * the STORED model (no retrain, standard IVF maintenance), so an
+    * absorb never changes the centroids a concurrent search is probing.
+    * `schema` is the landing shape — (vec_id, embedding).
+    *
+    * Same exactly-once contract as the shingle side, leg by leg: land
+    * via the manifest protocol, absorb lease-serialized with consumed
+    * markers, crash in the append→consume-mark window replays into the
+    * anti-join (no-op), and a late lower-attempt winner surfaces as a
+    * "new" segment whose vectors the anti-join drops. When the absorbed
+    * volume outgrows the model, [[IvfIndex.rebuildIfNeeded]] is the
+    * maintenance tick's next call — same cadence note as the class doc. */
+  def absorbIntoIvfIndex(spark: SparkSession, root: String,
+                         schema: StructType, tag: String): AbsorbReport =
+      LeaseLock.withTableLock(spark, tag) {
+    require(spark.catalog.tableExists(IvfIndex.assignTable(tag)),
+      s"IVF index '$tag' must be built before absorbing a landing zone into it")
+    absorbPending(spark, root, schema, "vec_id",
+      membership = () => {
+        spark.catalog.refreshTable(IvfIndex.assignTable(tag))
+        spark.table(IvfIndex.assignTable(tag)).select(col("vec_id"))
+      },
+      append = fresh => IvfIndex.assignInto(spark, tag, fresh))
   }
 
   /** Retire absorbed segments older than `graceMs`: delete the manifest
@@ -191,5 +238,42 @@ object LandingZone {
     fs(spark, root).delete(new Path(root), true)
     ShingleIndex.probe(spark, "q_shindex_land", d.filter(col("doc_id") % 13 === 0))
       .drop("shared").orderBy("doc_id")
+  }
+
+  /** The vector side's oracled end-to-end form (`q_landing_vec_absorb`):
+    * the IVF index builds on 2/3 of the embeddings corpus (vec_id % 3 ≠ 0,
+    * residue seed — the oracle-parity training mode), the remaining third
+    * lands as three lock-free writer segments plus one REPLAYED batch,
+    * absorbs into the index (twice — the second pass must no-op), and the
+    * q_ivf_indexed search answers over the composed path. The oracle is
+    * [[Similarity.ivfLandingAbsorbSql]] — Lloyd on the base subset, every
+    * vector assigned to that frozen model, the byte-shared search tail —
+    * so a lost segment, double absorb, or mis-assigned landed vector
+    * changes the candidate set and breaks the hash. Log root is
+    * run-scoped temp state, retired (grace 0) and removed before
+    * returning. */
+  def queryVecAbsorb(spark: SparkSession, dir: String): DataFrame = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_q_ivfindex_land").getAbsolutePath
+    IvfIndex.build(e.filter(col("vec_id") % 3 =!= 0), idxDir, "q_ivfidx_land",
+      nCentroids = 8, seed = Similarity.ResidueSeed)
+    val landing = e.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q_vec_landing").toString
+    // landing ids are ≡0 (mod 3); three writers split them by vec_id mod 9
+    (0 until 3).foreach { w =>
+      ManifestLog.append(landing.filter(col("vec_id") % 9 === w * 3), root,
+        s"writer$w", 0L)
+    }
+    ManifestLog.append(landing.filter(col("vec_id") % 9 === 3), root,
+      "writer1", 0L) // ack-lost replay
+    val first = absorbIntoIvfIndex(spark, root, landing.schema, "q_ivfidx_land")
+    val second = absorbIntoIvfIndex(spark, root, landing.schema, "q_ivfidx_land")
+    require(second.freshDocs == 0L,
+      s"second absorb must no-op, saw ${second.freshDocs} fresh vecs after $first")
+    retireConsumed(spark, root, graceMs = 0L)
+    fs(spark, root).delete(new Path(root), true)
+    IvfIndex.search(spark, "q_ivfidx_land", e.filter(col("vec_id") < 50), nprobe = 2)
   }
 }

@@ -121,16 +121,15 @@ object LanguageModel {
   def persist(spark: SparkSession, tag: String, c12: DataFrame,
               c1: DataFrame, v: DataFrame): Unit =
     LeaseLock.withTableLock(spark, tag) {
-      WarehouseTables.reconcileOrphan(spark, modelTable(tag))
-      val rows = c12.select(lit("c12").as("kind"), col("w1"), col("w2"),
-          col("c12").as("n"))
-        .unionAll(c1.select(lit("c1").as("kind"), col("w1"),
-          lit(null).cast("string").as("w2"), col("c1").as("n")))
-        .unionAll(v.select(lit("vs").as("kind"),
-          lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2"),
-          col("vs").as("n")))
-      rows.write.mode("overwrite").saveAsTable(modelTable(tag))
-      WarehouseTables.mark(spark, modelTable(tag))
+      WarehouseTables.writeManaged(spark, modelTable(tag))(
+        c12.select(lit("c12").as("kind"), col("w1"), col("w2"),
+            col("c12").as("n"))
+          .unionAll(c1.select(lit("c1").as("kind"), col("w1"),
+            lit(null).cast("string").as("w2"), col("c1").as("n")))
+          .unionAll(v.select(lit("vs").as("kind"),
+            lit(null).cast("string").as("w1"), lit(null).cast("string").as("w2"),
+            col("vs").as("n"))))(
+        _.write.mode("overwrite").saveAsTable(modelTable(tag)))
     }
 
   /** Load a persisted bigram model: (c12, c1, v) in [[scoreWith]]'s

@@ -137,14 +137,13 @@ object QualityClassifier {
       import spark.implicits._
       // fresh-catalog/stale-warehouse reconciliation — marker-gated, see
       // [[WarehouseTables]] for the mechanism and its assumption boundary
-      WarehouseTables.reconcileOrphan(spark, modelTable(tag))
-      val rows = model.select(lit("llr").as("kind"), col("feat"),
-          col("llr").as("value"))
-        .unionAll(totals.select(lit("prior").as("kind"), lit(-1).as("feat"),
-          col("log_prior").as("value")))
-        .unionAll(Seq(("dim", -1, dim.toDouble)).toDF("kind", "feat", "value"))
-      rows.write.mode("overwrite").saveAsTable(modelTable(tag))
-      WarehouseTables.mark(spark, modelTable(tag))
+      WarehouseTables.writeManaged(spark, modelTable(tag))(
+        model.select(lit("llr").as("kind"), col("feat"),
+            col("llr").as("value"))
+          .unionAll(totals.select(lit("prior").as("kind"), lit(-1).as("feat"),
+            col("log_prior").as("value")))
+          .unionAll(Seq(("dim", -1, dim.toDouble)).toDF("kind", "feat", "value")))(
+        _.write.mode("overwrite").saveAsTable(modelTable(tag)))
     }
 
   /** Load a persisted model: returns (model, totals-shaped prior, dim).

@@ -336,10 +336,9 @@ ORDER BY d.doc_id
       .collect()(0).getDouble(0)
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
-      WarehouseTables.reconcileOrphan(spark, calibTable(tag))
-      Seq(("tau_c", tauC), ("tau_p", tauP)).toDF("kind", "value")
-        .write.mode("overwrite").saveAsTable(calibTable(tag))
-      WarehouseTables.mark(spark, calibTable(tag))
+      WarehouseTables.writeManaged(spark, calibTable(tag))(
+        Seq(("tau_c", tauC), ("tau_p", tauP)).toDF("kind", "value"))(
+        _.write.mode("overwrite").saveAsTable(calibTable(tag)))
     }
   }
 

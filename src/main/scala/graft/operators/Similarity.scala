@@ -890,13 +890,14 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     sb.toString
   }
 
-  /** Full relational oracle for [[ivfSearch]] — same trained centroids and
-    * distance arithmetic as [[ivfAssignSql]], same probe/assign tie-breaks,
-    * same cosine expression as the pair/top-k oracles. */
-  def ivfSearchSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
-                   nQueries: Int = 50, dim: Int = Dim,
-                   iters: Int = LloydIters): String = s"""
-WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
+  /** The probe/assign/score tail every IVF search oracle shares: assign
+    * ALL vectors to the final `cent` model, probe the query vectors'
+    * top-`nprobe` cells, exact-cosine the cell-mates, top-k per query.
+    * Factored so [[ivfSearchSql]] (full-corpus training) and
+    * [[ivfLandingAbsorbSql]] (base-subset training, the assignInto
+    * lifecycle) cannot drift tie-breaks or rounding. */
+  private def ivfSearchTailSql(nprobe: Int, k: Int, nQueries: Int,
+                               dim: Int): String = s"""dist AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(generate_series(1, $dim),
       i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) *
@@ -924,7 +925,34 @@ WITH ${centroidCtes(nCentroids, dim, iters)}, dist AS (
   FROM sims
 )
 SELECT query_id, CAST(rk AS INTEGER) AS rk, neighbor_id, round(cos, 6) AS cos
-FROM ranked WHERE rk <= $k ORDER BY query_id, rk
+FROM ranked WHERE rk <= $k ORDER BY query_id, rk"""
+
+  /** Full relational oracle for [[ivfSearch]] — same trained centroids and
+    * distance arithmetic as [[ivfAssignSql]], same probe/assign tie-breaks,
+    * same cosine expression as the pair/top-k oracles. */
+  def ivfSearchSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                   nQueries: Int = 50, dim: Int = Dim,
+                   iters: Int = LloydIters): String = s"""
+WITH ${centroidCtes(nCentroids, dim, iters)}, ${ivfSearchTailSql(nprobe, k, nQueries, dim)}
+""".trim
+
+  /** Oracle for the landing-zone → IVF absorb lifecycle
+    * ([[graft.operators.LandingZone.queryVecAbsorb]]): Lloyd trains on the
+    * BASE subset only (what the index held at build time — vec_id %
+    * `baseMod` ≠ 0), then every vector — base AND landed — is assigned to
+    * that frozen model, which is exactly what build +
+    * [[IvfIndex.assignInto]] store. The search tail is byte-shared with
+    * [[ivfSearchSql]], so a lost segment, a double absorb (duplicate
+    * assignment rows would duplicate `cand` rows), or a drifted
+    * tie-break breaks the hash. `base` is MATERIALIZED: centroidCtes
+    * references it 1 + 2·iters times and DuckDB re-inlines CTEs per
+    * reference. */
+  def ivfLandingAbsorbSql(nCentroids: Int = 8, nprobe: Int = 2, k: Int = 5,
+                          nQueries: Int = 50, dim: Int = Dim,
+                          iters: Int = LloydIters, baseMod: Int = 3): String = s"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % $baseMod <> 0
+), ${centroidCtes(nCentroids, dim, iters, src = "base")}, ${ivfSearchTailSql(nprobe, k, nQueries, dim)}
 """.trim
 
   /** Width-wise centroid mean: one codegen'd `avg` aggregate per dimension

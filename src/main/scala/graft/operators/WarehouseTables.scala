@@ -112,7 +112,45 @@ object WarehouseTables {
     }
     // declare the write that follows this reconcile (same lease): create
     // the sibling even when the location did not exist, so ANY crash
-    // before mark() leaves a self-healable trace, never a refusal
-    fs.create(intentPath(loc), true).close()
+    // before mark() leaves a self-healable trace, never a refusal.
+    // SKIPPED when the catalog already holds the table (review r14): the
+    // in-memory catalog dies with the JVM, so after any crash the restart
+    // sees no entry and the location's previous successful write already
+    // carries the in-location marker — an intent here would only add a
+    // live 15-minute token during which markerless data appearing at the
+    // location gets deleted, a laundering window with no self-heal case
+    // left to buy.
+    if (!spark.catalog.tableExists(table))
+      fs.create(intentPath(loc), true).close()
+  }
+
+  /** Remove the pre-write intent sibling without writing. For callers
+    * that abort BETWEEN [[reconcileOrphan]] and their `saveAsTable`
+    * (review r14): an intent with no write behind it is a live token
+    * that would launder markerless foreign data at the location for the
+    * TTL — clear it when the write is not going to be attempted. */
+  def clearIntent(spark: SparkSession, table: String): Unit = {
+    val loc = location(spark, table)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(intentPath(loc), false)
+  }
+
+  /** The full managed-write lifecycle the persist paths share:
+    * reconcile (+ intent stamp), evaluate `rows` (plan construction /
+    * analysis — if THIS throws, the write was never attempted, so the
+    * intent is cleared and a live token cannot outlive an aborted
+    * caller), run `write` (if this throws the intent STAYS: files may
+    * already be at the location, which is exactly the graft-initiated
+    * crash the intent self-heals), then [[mark]]. Call under the
+    * table's lease. */
+  def writeManaged(spark: SparkSession, table: String)
+                  (rows: => org.apache.spark.sql.DataFrame)
+                  (write: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    reconcileOrphan(spark, table)
+    val df =
+      try rows
+      catch { case e: Throwable => clearIntent(spark, table); throw e }
+    write(df)
+    mark(spark, table)
   }
 }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.operators.{LandingZone, ManifestLog, ShingleIndex}
+import graft.operators.{IvfIndex, LandingZone, ManifestLog, ShingleIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,52 @@ object LandingAbsorbProbe {
     }
     timed("retire consumed segments") {
       LandingZone.retireConsumed(spark, logRoot, graceMs = -1L)
+    }
+
+    // the VECTOR side of the same lifecycle (r13 verdict task 4): landed
+    // embedding batches absorbed into the persistent IVF index — build
+    // once on 80%, land 20% as 8 lock-free segments, absorb under the
+    // lease, idle tick, post-absorb search batch, retire
+    val vecDir = s"$work/vec_corpus"
+    val vExpected = spark.read.parquet(s"$src/embeddings.parquet").count() * factor
+    val vHave = try {
+      spark.read.parquet(s"$vecDir/embeddings.parquet").count() == vExpected
+    } catch { case _: Throwable => false }
+    if (!vHave) ScaleProbe.generateEmbeddings(spark, src, factor, vecDir)
+    val vecs = spark.read.parquet(s"$vecDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    println(s"[absorb] vector corpus: $vExpected vecs ($src x$factor)")
+    val vTag = s"lzv_probe_${factor}x"
+    val vIdxDir = s"$work/vec_index"
+    val vBase = vecs.filter(col("vec_id") % 5 =!= 0)
+    val vIncoming = vecs.filter(col("vec_id") % 5 === 0)
+    timed(s"IVF build (80% = ${vExpected * 4 / 5} vecs, auto cells)") {
+      IvfIndex.build(vBase, vIdxDir, vTag)
+    }
+    val vLogRoot = s"$work/vec_log"
+    new org.apache.hadoop.fs.Path(vLogRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(vLogRoot), true)
+    timed("land 20% as 8 segments") {
+      (0 until 8).foreach { w =>
+        ManifestLog.append(vIncoming.filter((col("vec_id") / 5) % 8 === w),
+          vLogRoot, s"w$w", 0L)
+      }
+    }
+    val vReport = timed(s"VECTOR ABSORB (20% = ${vExpected / 5} vecs)") {
+      LandingZone.absorbIntoIvfIndex(spark, vLogRoot, vIncoming.schema, vTag)
+    }
+    println(s"[absorb] vector report: $vReport")
+    val vIdle = timed("vector absorb again (idle maintenance tick)") {
+      LandingZone.absorbIntoIvfIndex(spark, vLogRoot, vIncoming.schema, vTag)
+    }
+    require(vIdle.freshDocs == 0, s"idle tick must no-op: $vIdle")
+    timed("search 100-query batch post-absorb") {
+      IvfIndex.search(spark, vTag, vecs.filter(col("vec_id") < 100))
+        .queryExecution.toRdd.count()
+    }
+    timed("retire consumed segments (vector)") {
+      LandingZone.retireConsumed(spark, vLogRoot, graceMs = -1L)
     }
     spark.stop()
   }

@@ -160,4 +160,154 @@ class LandingZoneSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("lz_never_built"))
   }
+
+  // --- the vector side (r13 verdict task 4) -----------------------------
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def dropIvf(tag: String): Unit =
+    Seq(graft.operators.IvfIndex.modelTable(tag),
+      graft.operators.IvfIndex.assignTable(tag))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  test("vector landing: concurrent land -> absorb -> search ≡ direct assignInto") {
+    import graft.operators.{IvfIndex, Similarity}
+    val root = tmp("graft-vland")
+    val idxA = tmp("graft-vland-idxa")
+    val idxB = tmp("graft-vland-idxb")
+    try {
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val landed = emb.filter(col("vec_id") % 3 === 0)
+      val landedN = landed.count()
+      // three CONCURRENT lock-free writers (vec_id % 9 ∈ {0,3,6}), plus an
+      // ack-lost replay of one — the same protocol exercise as the shingle
+      // side's composed test
+      val errs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val ts = (0 until 3).map { w =>
+        new Thread(() => {
+          try ManifestLog.append(landed.filter(col("vec_id") % 9 === w * 3),
+            root, s"w$w", 0L)
+          catch { case e: Throwable => errs.add(s"w$w: ${e.getMessage}") }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"writer failures: $errs")
+      ManifestLog.append(landed.filter(col("vec_id") % 9 === 3), root, "w1", 0L)
+
+      IvfIndex.build(base, idxA, "lzv_composed", nCentroids = 8,
+        seed = Similarity.ResidueSeed)
+      val report = LandingZone.absorbIntoIvfIndex(
+        spark, root, landed.schema, "lzv_composed")
+      assert(report.segments.size == 3, s"three committed segments: $report")
+      assert(report.landedDocs == landedN && report.freshDocs == landedN,
+        s"zero loss, replay deduped by the manifest protocol: $report")
+
+      // zero loss the strong way: the composed index answers searches
+      // identically to build-on-base + direct assignInto of the batch
+      IvfIndex.build(base, idxB, "lzv_direct", nCentroids = 8,
+        seed = Similarity.ResidueSeed)
+      IvfIndex.assignInto(spark, "lzv_direct", landed)
+      val q = emb.filter(col("vec_id") < 20)
+      val viaComposed = IvfIndex.search(spark, "lzv_composed", q, nprobe = 2)
+        .collect().toSeq
+      val viaDirect = IvfIndex.search(spark, "lzv_direct", q, nprobe = 2)
+        .collect().toSeq
+      assert(viaComposed == viaDirect && viaComposed.nonEmpty,
+        "composed (land->absorb) IVF index must answer exactly like direct assignInto")
+
+      // zero dup: a second absorb no-ops and the assignment relation is unchanged
+      val nBefore = spark.table(IvfIndex.assignTable("lzv_composed")).count()
+      val again = LandingZone.absorbIntoIvfIndex(
+        spark, root, landed.schema, "lzv_composed")
+      assert(again.segments.isEmpty && again.freshDocs == 0, s"must no-op: $again")
+      assert(spark.table(IvfIndex.assignTable("lzv_composed")).count() == nBefore)
+    } finally { dropIvf("lzv_composed"); dropIvf("lzv_direct") }
+  }
+
+  test("vector crash between assignInto and consume-mark replays as a no-op") {
+    import graft.operators.{IvfIndex, Similarity}
+    val root = tmp("graft-vland-crash")
+    val idxDir = tmp("graft-vland-crash-idx")
+    try {
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val landed = emb.filter(col("vec_id") % 3 === 0)
+      IvfIndex.build(base, idxDir, "lzv_crash", nCentroids = 8,
+        seed = Similarity.ResidueSeed)
+      ManifestLog.append(landed, root, "w0", 0L)
+      val first = LandingZone.absorbIntoIvfIndex(
+        spark, root, landed.schema, "lzv_crash")
+      assert(first.freshDocs == landed.count())
+      // simulate the crash window: assignInto committed but the consume
+      // marker never landed — delete it and re-absorb
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val markers = f.listStatus(new org.apache.hadoop.fs.Path(
+        LandingZone.consumedDir(root)))
+      assert(markers.length == 1)
+      f.delete(markers.head.getPath, false)
+      assert(LandingZone.pendingSegments(spark, root).size == 1)
+      val nBefore = spark.table(IvfIndex.assignTable("lzv_crash")).count()
+      val replay = LandingZone.absorbIntoIvfIndex(
+        spark, root, landed.schema, "lzv_crash")
+      assert(replay.segments.size == 1 && replay.freshDocs == 0,
+        s"replayed segment must anti-join away: $replay")
+      assert(spark.table(IvfIndex.assignTable("lzv_crash")).count() == nBefore,
+        "zero dup after the crash-window replay")
+      assert(LandingZone.pendingSegments(spark, root).isEmpty, "re-consume-marked")
+    } finally dropIvf("lzv_crash")
+  }
+
+  test("vector absorb refuses an unbuilt index loudly") {
+    val root = tmp("graft-vland-unbuilt")
+    ManifestLog.append(emb.limit(5), root, "w0", 0L)
+    val e = intercept[IllegalArgumentException] {
+      LandingZone.absorbIntoIvfIndex(spark, root, emb.schema, "lzv_never_built")
+    }
+    assert(e.getMessage.contains("lzv_never_built"))
+  }
+
+  test("absorb ticks racing live streams: zero loss, zero dup (r13 verdict task 7)") {
+    // the streaming deployment shape under CONCURRENCY: two streams land
+    // micro-batches through ManifestLog.sink while a maintenance thread
+    // fires absorb ticks MID-STREAM. Absorb only reads COMMITTED segments
+    // and consume-marks after the append is durable, so however the ticks
+    // interleave with the stream commits, the final absorb leaves exactly
+    // the union absorbed once.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmp("graft-land-race")
+    val ckpt = tmp("graft-land-race-ckpt")
+    val idxDir = tmp("graft-land-race-idx")
+    ShingleIndex.build(docs(0 until 30, "base"), idxDir, "lz_race")
+    val schema = docs(0 until 1, "x").schema
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    (0 until 10).foreach { i =>
+      memA.addData((850L + i, s"alpha bravo charlie streamA token${850 + i} delta echo"))
+      memB.addData((870L + i, s"alpha bravo charlie streamB token${870 + i} delta echo"))
+    }
+    val qa = ManifestLog.sink(memA.toDF.toDF("doc_id", "text"), root, "rA", s"$ckpt/a")
+    val qb = ManifestLog.sink(memB.toDF.toDF("doc_id", "text"), root, "rB", s"$ckpt/b")
+    // maintenance ticks race the live streams
+    var ticked = 0L
+    val ticker = new Thread(() => {
+      (0 until 5).foreach { _ =>
+        ticked += LandingZone.absorbIntoShingleIndex(
+          spark, root, schema, "lz_race", idxDir).freshDocs
+        Thread.sleep(50)
+      }
+    })
+    ticker.start()
+    qa.awaitTermination(); qb.awaitTermination()
+    ticker.join()
+    // final tick: whatever committed after the last racing tick
+    val fin = LandingZone.absorbIntoShingleIndex(spark, root, schema, "lz_race", idxDir)
+    assert(ticked + fin.freshDocs == 20,
+      s"zero loss zero dup across racing ticks: ticked=$ticked final=$fin")
+    assert(spark.table(ShingleIndex.sizesTable("lz_race")).count() == 30 + 20)
+    val probe = ShingleIndex.probe(spark, "lz_race",
+      docs(850 until 860, "streamA-check"))
+    assert(probe.count() == 10)
+  }
 }

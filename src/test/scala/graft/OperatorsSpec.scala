@@ -96,15 +96,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(mh == exact, s"minhash=${mh.size} exact=${exact.size} missing=${(exact -- mh).take(5)}")
   }
 
-  test("minhash mega-bucket cap: consecutive-id chain, same keep-one drop set") {
+  test("minhash mega-bucket cap: stride-1+2 chain, same keep-one drop set") {
     // a 5-doc identical-text cluster (the boilerplate shape that went
     // quadratic at 5M docs — see the minhashDedup cap scaladoc) plus one
-    // unrelated doc; under a tiny cap the cluster emits a consecutive-id
-    // CHAIN (D-1 pairs) instead of all D*(D-1)/2 — a chain, not a hub
-    // star, so a sub-threshold outlier holding the bucket's minimum id
-    // can only cost its own adjacent edges, never the whole cluster's
-    // (review r13) — and the dedup outcome (drop all but the first) is
-    // identical
+    // unrelated doc; under a tiny cap the cluster emits the sorted-id
+    // stride-1+2 chain (2D−3 pairs) instead of all D*(D-1)/2 — a chain,
+    // not a hub star, so a sub-threshold outlier holding the bucket's
+    // minimum id can only cost its own incident edges, never the whole
+    // cluster's (review r13) — and the dedup outcome (drop all but the
+    // first) is identical
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mhcap").toString
     val boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
@@ -115,8 +115,51 @@ class OperatorsSpec extends AnyFunSuite {
     val capped = Dedup.minhashDedup(spark, dir, maxBandBucket = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)).toSet)
-    assert(capped == (2L to 5L).map(j => (j - 1, j)).toSet, s"chain: $capped")
+    val stride1 = (2L to 5L).map(j => (j - 1, j)).toSet
+    val stride2 = (3L to 5L).map(j => (j - 2, j)).toSet
+    assert(capped == stride1 ++ stride2, s"stride-1+2 chain: $capped")
     assert(full.map(_._2) == capped.map(_._2), "identical keep-one drop set")
+  }
+
+  test("cappedBucketEdges: single interleaved outliers never disconnect members") {
+    // the review-r14 failure mode the stride-2 edges close: duplicates are
+    // not adjacent in id order — a sub-threshold hanger-on BETWEEN two
+    // cluster members kills both its stride-1 edges, and the same sorted
+    // order recurs in every band, so a stride-1-only chain loses the
+    // connection systematically. Property: for every outlier subset with
+    // no two consecutive sorted positions, the member-to-member graph
+    // (edges whose endpoints are both members) stays connected.
+    def connectedMembers(ids: Array[Long], outliers: Set[Long]): Boolean = {
+      val members = ids.filterNot(outliers)
+      if (members.length <= 1) true
+      else {
+        val edges = Dedup.cappedBucketEdges(ids).filter { case (a, b) =>
+          !outliers(a) && !outliers(b) }.toSeq
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        var seen = Set(members.head)
+        var frontier = List(members.head)
+        while (frontier.nonEmpty) {
+          val next = frontier.flatMap(adj.getOrElse(_, Nil)).filterNot(seen)
+          seen ++= next
+          frontier = next
+        }
+        members.forall(seen)
+      }
+    }
+    val ids = (1L to 12L).toArray
+    // every outlier subset of {1..12} without two consecutive ids
+    val nonConsecutive = (0 until (1 << 12)).map(m =>
+      (0 until 12).filter(i => (m & (1 << i)) != 0).map(i => ids(i)).toSet)
+      .filter(s => !s.exists(x => s.contains(x + 1)))
+    nonConsecutive.foreach { out =>
+      assert(connectedMembers(ids, out), s"disconnected by outliers $out")
+    }
+    // and the boundary is honest: two CONSECUTIVE outliers CAN disconnect
+    assert(!connectedMembers(ids, Set(6L, 7L)),
+      "two consecutive outliers should split the chain (stated boundary)")
+    // edge count stays O(D): exactly 2D−3
+    assert(Dedup.cappedBucketEdges(ids).size == 2 * ids.length - 3)
   }
 
   test("simhash: identical docs at hamming 0, near-dups close, output keys sane") {

@@ -70,6 +70,40 @@ class WarehouseTablesSpec extends AnyFunSuite {
     fs.delete(loc(t), true); fs.delete(intent, false)
   }
 
+  test("no intent is stamped when the catalog already holds the table (review r14)") {
+    // the in-memory catalog dies with the JVM, so with a live catalog
+    // entry an intent token has no self-heal case left — it would only
+    // open a 15-minute window in which markerless data appearing at the
+    // managed location is silently deleted by the next reconcile
+    val t = "wht_existing"
+    WarehouseTables.reconcileOrphan(spark, t)
+    Seq(1).toDF("x").write.saveAsTable(t)
+    WarehouseTables.mark(spark, t)
+    WarehouseTables.reconcileOrphan(spark, t) // table exists in the catalog
+    val intent = new Path(loc(t).getParent, loc(t).getName + "._graft_writing")
+    assert(!fs.exists(intent), "no intent while the catalog entry is live")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("writeManaged clears the intent when the caller aborts before the write (review r14)") {
+    val t = "wht_abort"
+    val intent = new Path(loc(t).getParent, loc(t).getName + "._graft_writing")
+    intercept[RuntimeException] {
+      WarehouseTables.writeManaged(spark, t)(
+        throw new RuntimeException("prep failed"))(_ => fail("never attempted"))
+    }
+    assert(!fs.exists(intent),
+      "an aborted caller must not leave a live intent token")
+    // but a failure IN the write keeps the intent: files may already be
+    // at the location and the self-heal path needs the token
+    intercept[RuntimeException] {
+      WarehouseTables.writeManaged(spark, t)(Seq(1).toDF("x"))(
+        _ => throw new RuntimeException("write died"))
+    }
+    assert(fs.exists(intent), "a crashed WRITE must keep its intent")
+    fs.delete(intent, false)
+  }
+
   test("foreign markerless data without an intent sibling is still refused loudly") {
     val t = "wht_foreign"
     val l = loc(t)
