@@ -178,6 +178,25 @@ object LandingZone {
       append = fresh => IvfIndex.assignInto(spark, tag, fresh))
   }
 
+  /** [[absorbIntoIvfIndex]] for the past-the-broadcast-cap regime's
+    * [[ImiIndex]] — completing the family the r13 verdict named
+    * ("IvfIndex/ImiIndex"). [[ImiIndex.assignInto]] takes RAW vectors and
+    * rotates into the index's stored space itself when the model carries
+    * a seed; vec_ids are rotation-invariant, so the membership anti-join
+    * is the same one the IVF side runs. */
+  def absorbIntoImiIndex(spark: SparkSession, root: String,
+                         schema: StructType, tag: String): AbsorbReport =
+      LeaseLock.withTableLock(spark, tag) {
+    require(spark.catalog.tableExists(ImiIndex.assignTable(tag)),
+      s"IMI index '$tag' must be built before absorbing a landing zone into it")
+    absorbPending(spark, root, schema, "vec_id",
+      membership = () => {
+        spark.catalog.refreshTable(ImiIndex.assignTable(tag))
+        spark.table(ImiIndex.assignTable(tag)).select(col("vec_id"))
+      },
+      append = fresh => ImiIndex.assignInto(spark, tag, fresh))
+  }
+
   /** Retire absorbed segments older than `graceMs`: delete the manifest
     * marker first (readers stop surfacing the segment), then the data
     * directory, then the consumed marker — so a crash mid-retire leaves a

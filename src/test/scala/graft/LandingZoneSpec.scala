@@ -258,6 +258,39 @@ class LandingZoneSpec extends AnyFunSuite {
     } finally dropIvf("lzv_crash")
   }
 
+  test("IMI landing: land -> absorb -> search ≡ direct assignInto (rotated space)") {
+    import graft.operators.ImiIndex
+    val root = tmp("graft-imiland")
+    val idxA = tmp("graft-imiland-idxa")
+    val idxB = tmp("graft-imiland-idxb")
+    def dropImi(tag: String): Unit =
+      Seq(ImiIndex.modelTable(tag), ImiIndex.assignTable(tag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val base = emb.filter(col("vec_id") % 3 =!= 0)
+      val landed = emb.filter(col("vec_id") % 3 === 0)
+      // a rotation seed makes the stored space differ from the raw one —
+      // assignInto must rotate the landed batch itself, and the absorb's
+      // vec_id anti-join must be rotation-blind
+      ImiIndex.build(base, idxA, "lzimi_composed", k1 = 4, rotSeed = 7L)
+      ManifestLog.append(landed, root, "w0", 0L)
+      ManifestLog.append(landed, root, "w0", 0L) // ack-lost replay
+      val report = LandingZone.absorbIntoImiIndex(
+        spark, root, landed.schema, "lzimi_composed")
+      assert(report.landedDocs == landed.count() &&
+        report.freshDocs == landed.count(), s"$report")
+      ImiIndex.build(base, idxB, "lzimi_direct", k1 = 4, rotSeed = 7L)
+      ImiIndex.assignInto(spark, "lzimi_direct", landed)
+      val q = emb.filter(col("vec_id") < 20)
+      val viaComposed = ImiIndex.search(spark, "lzimi_composed", q).collect().toSeq
+      val viaDirect = ImiIndex.search(spark, "lzimi_direct", q).collect().toSeq
+      assert(viaComposed == viaDirect && viaComposed.nonEmpty)
+      val again = LandingZone.absorbIntoImiIndex(
+        spark, root, landed.schema, "lzimi_composed")
+      assert(again.segments.isEmpty && again.freshDocs == 0, s"must no-op: $again")
+    } finally { dropImi("lzimi_composed"); dropImi("lzimi_direct") }
+  }
+
   test("vector absorb refuses an unbuilt index loudly") {
     val root = tmp("graft-vland-unbuilt")
     ManifestLog.append(emb.limit(5), root, "w0", 0L)
