@@ -57,6 +57,31 @@ object Bench {
     * anchor_work. */
   private[graft] val AnchorRows = 4800000000L
 
+  /** The v2 anchor's quiet-host floor reference — derived r14 on an idle
+    * host (BASELINE.md: 8 consecutive min-of-3 points cluster 0.50–0.56 s,
+    * 60-run absolute floor 0.448 s, loadavg recorded). The pre-flight gate
+    * compares its point against this ABSOLUTE as well as checking pair
+    * agreement, because a steadily-contended host passes a pure
+    * stability check: the r14 session watched a gate pair agree at 2.7%
+    * with both points at 2.2 s (4× the floor — external load, constant
+    * across the pair) and the run discard at the triple anyway. A gate
+    * point above 2× this floor now counts as noisy and backs off.
+    * Override with GRAFT_BENCH_FLOOR_REF (0 disables); the artifact
+    * carries the reference so absolute anchors self-interpret.
+    *
+    * The floor is a (host, core-count) property: 0.50 s was derived at
+    * local[32], and the same host's local[4] floor reads ~2.2 s (the
+    * anchor parallelizes across whatever cores the session has — the r14
+    * session spent a diagnostic arc on exactly this: three bench runs
+    * launched WITHOUT the driver's SPARK_GRAFT_CPUS=32 ran local[4],
+    * their anchors sat a correct-for-4-cores 4.4× "above" the 32-core
+    * floor, and steal/user tick sampling acquitted the machine before
+    * the basis mismatch surfaced). The absolute check therefore engages
+    * ONLY at the derivation basis (32 cores) unless the env override
+    * supplies a floor for the basis in use. */
+  private[graft] val AnchorFloorRef = 0.50
+  private[graft] val AnchorFloorRefCores = 32
+
   private[graft] def anchorOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(AnchorRows).selectExpr("sum(id % 1000007)").collect()
@@ -186,25 +211,38 @@ object Bench {
     val warmupRuns = calibrateWarmup(spark)
     val gatePct = sys.env.getOrElse("GRAFT_BENCH_GATE_PCT", "8.0").toDouble
     val gateMaxAttempts = sys.env.getOrElse("GRAFT_BENCH_GATE_ATTEMPTS", "5").toInt
+    val floorRef = sys.env.get("GRAFT_BENCH_FLOOR_REF").map(_.toDouble)
+      .getOrElse(if (cpus == AnchorFloorRefCores.toString) AnchorFloorRef else 0.0)
     def runGate(): (Int, Double, Double, String) = {
       var gateAttempts = 0
       var gateSpreadPct = Double.PositiveInfinity
       var gateLastPoint = 0.0
-      while (gateAttempts < gateMaxAttempts && gateSpreadPct > gatePct) {
+      var gateOk = false
+      while (gateAttempts < gateMaxAttempts && !gateOk) {
         gateAttempts += 1
         val a = calibrate(spark)
         val b = calibrate(spark)
         gateLastPoint = b
         gateSpreadPct = math.abs(a - b) / math.min(a, b) * 100.0
-        if (gateSpreadPct > gatePct && gateAttempts < gateMaxAttempts) {
+        // two independent noise signals: the pair DISAGREEING (bursty
+        // load) and the pair agreeing at an anchor far ABOVE the quiet
+        // floor (steady external load — the r14 failure shape: 2.7%
+        // agreement at 4× the floor, triple discarded anyway)
+        val contended = floorRef > 0 && math.min(a, b) > 2.0 * floorRef
+        gateOk = gateSpreadPct <= gatePct && !contended
+        if (!gateOk && gateAttempts < gateMaxAttempts) {
           val backoffMs = 15000L * gateAttempts
-          System.err.println(f"[bench] pre-flight anchors $a%.3f/$b%.3f s disagree " +
-            f"$gateSpreadPct%.1f%% (gate $gatePct%.0f%%) - host noisy, backing off " +
-            f"${backoffMs / 1000} s (attempt $gateAttempts/$gateMaxAttempts)")
+          val why = if (gateSpreadPct > gatePct)
+            f"disagree $gateSpreadPct%.1f%% (gate $gatePct%.0f%%)"
+          else f"agree but sit ${math.min(a, b) / floorRef}%.1fx above the " +
+            f"$floorRef%.2f s quiet floor"
+          System.err.println(f"[bench] pre-flight anchors $a%.3f/$b%.3f s $why " +
+            f"- host noisy, backing off ${backoffMs / 1000} s " +
+            f"(attempt $gateAttempts/$gateMaxAttempts)")
           Thread.sleep(backoffMs)
         }
       }
-      val verdict = if (gateSpreadPct <= gatePct) "OK" else "EXHAUSTED"
+      val verdict = if (gateOk) "OK" else "EXHAUSTED"
       (gateAttempts, gateSpreadPct, gateLastPoint, verdict)
     }
     // A failed query reports -1 (not a fast-looking elapsed time) and is
@@ -373,7 +411,7 @@ object Bench {
     val gateJson = {
       val spread = if (gateSpreadPct.isInfinite) -1.0
         else math.rint(gateSpreadPct * 10) / 10
-      s""""gate":{"attempts":$gateAttempts,"spread_pct":$spread,"verdict":"$gateVerdict"}"""
+      s""""gate":{"attempts":$gateAttempts,"spread_pct":$spread,"verdict":"$gateVerdict","floor_ref":$floorRef}"""
     }
     val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec",$basis,"queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"calib":$calib,$anchorJson,$attemptsJson,$gateJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
     println(line)
