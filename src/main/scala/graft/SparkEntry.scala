@@ -134,6 +134,11 @@ object SparkEntry {
     // lock-free manifest-log landing: 3 batches + 1 replayed batch read
     // back exactly-once — the result IS the corpus, which the oracle pins
     "q_manifest_log" -> ((s, dir) => ManifestLog.queryRoundTrip(s, dir)),
+    // log compaction (r14): the landing layout lever as a protocol
+    // feature — compact, retire originals, then a LATE replay of a
+    // superseded batch lands across the compaction boundary; segId-level
+    // supersede must keep the corpus exact
+    "q_manifest_compact" -> ((s, dir) => ManifestLog.queryCompactRoundTrip(s, dir)),
     // training-data pipeline: dedup
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_jaccard_pairs" -> ((s, dir) => Dedup.jaccardPairs(s, dir)),
@@ -456,6 +461,7 @@ object SparkEntry {
     "q_temperature_sample" -> Sampling.temperatureSampleSql(),
     "q_shard_manifest" -> Sharding.shardManifestSql(),
     "q_manifest_log" -> "SELECT doc_id, text FROM documents ORDER BY doc_id",
+    "q_manifest_compact" -> "SELECT doc_id, text FROM documents ORDER BY doc_id",
     "q_dedup_exact" -> Dedup.exactSql,
     "q_jaccard_pairs" -> Dedup.jaccardPairsSql(),
     // minhash LSH at 16×2 bands has empirically-total recall at the 0.5

@@ -197,6 +197,36 @@ object LandingZone {
       append = fresh => ImiIndex.assignInto(spark, tag, fresh))
   }
 
+  /** Compact the landing zone's committed view ([[ManifestLog.compact]] —
+    * `targetPartitions` zstd files) under the index lease, inheriting
+    * consumed status: when EVERY compacted-in segment was already
+    * absorbed, the compacted segment is consume-marked too, so an idle
+    * maintenance tick stays free instead of re-scanning fully-absorbed
+    * content for a guaranteed-no-op anti-join. With any unabsorbed input
+    * the compacted segment stays pending and the next absorb feeds
+    * exactly the not-yet-absorbed docs (the anti-join's job — the
+    * re-scan of absorbed neighbors is the price of the swap, paid once).
+    * Motivation is the r14 layout finding: the as-landed log's thousands
+    * of sub-MB writer files cost the downstream scan 5× cold
+    * (SCALING r14) — compaction is where that lever lives in the
+    * landing lifecycle. */
+  def compactLanding(spark: SparkSession, root: String, schema: StructType,
+                     tag: String, targetPartitions: Int = 32,
+                     codec: String = "zstd"): Option[String] =
+      LeaseLock.withTableLock(spark, tag) {
+    val before = ManifestLog.segments(spark, root)
+    val done = consumed(spark, root)
+    val allConsumed = before.nonEmpty && before.forall(done)
+    ManifestLog.compact(spark, root, schema, targetPartitions, codec).map { name =>
+      if (allConsumed) {
+        val f = fs(spark, root)
+        f.mkdirs(new Path(consumedDir(root)))
+        f.create(new Path(consumedDir(root), name + ConsumedSuffix), true).close()
+      }
+      name
+    }
+  }
+
   /** Retire absorbed segments older than `graceMs`: delete the manifest
     * marker first (readers stop surfacing the segment), then the data
     * directory, then the consumed marker — so a crash mid-retire leaves a

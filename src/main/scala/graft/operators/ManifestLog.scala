@@ -78,6 +78,11 @@ object ManifestLog {
     // drop the batch) or throw on every call (review r12)
     require(writerId.matches("[A-Za-z0-9._-]+") && !writerId.contains("__"),
       s"writerId '$writerId' must match [A-Za-z0-9._-]+ without '__'")
+    // reserved for [[compact]]'s synthetic segments: a user batch named
+    // compacted-<n> could collide with a compaction's segId and be
+    // swallowed by its min-attempt dedup
+    require(writerId != CompactWriterId,
+      s"writerId '$CompactWriterId' is reserved for log compaction")
     // segId = "$writerId-$batchId" must be injective: a writerId ending in
     // '-' plus a negative batchId makes ('a-', 5) and ('a', -5) both read
     // 'a--5', and the idempotent-replay fast path would treat one writer's
@@ -113,16 +118,30 @@ object ManifestLog {
     name
   }
 
+  private[operators] val CompactWriterId = "compacted"
+  private[operators] val SupersedeSuffix = ".supersedes"
+
   /** Committed segments: segId → winning attemptId (lexicographically
-    * smallest — the deterministic dedup rule every reader applies). */
+    * smallest — the deterministic dedup rule every reader applies), with
+    * [[compact]]ion's supersede resolution applied: a committed compacted
+    * segment carries a sidecar list of the segIds it replaced, and those
+    * segIds are dropped from the view — by SEGID, not attempt name, so a
+    * late lower-attempt replay of a superseded original (the protocol's
+    * one documented race) cannot resurface content the compaction already
+    * carries. Sidecars are honored ONLY when their own segment's marker
+    * exists: the sidecar is written BEFORE the commit marker, so a crash
+    * mid-compaction leaves a sidecar that hides nothing (data loss
+    * otherwise — the originals would vanish with no replacement visible).
+    * Sidecar lists are honored even for compacted segments that are
+    * THEMSELVES superseded (chained compaction: C2 supersedes {C1, D};
+    * C1's list must still hide {A, B} or they would reappear). */
   private def committedAttempts(spark: SparkSession,
                                 root: String): Map[String, String] = {
     val f = fs(spark, root)
     val dir = new Path(s"$root/manifests")
     if (!f.exists(dir)) return Map.empty
-    f.listStatus(dir).iterator
-      .map(_.getPath.getName)
-      .filter(_.endsWith(ManifestSuffix))
+    val names = f.listStatus(dir).iterator.map(_.getPath.getName).toSeq
+    val committed = names.filter(_.endsWith(ManifestSuffix))
       .map(_.stripSuffix(ManifestSuffix))
       .flatMap { n =>
         n.split("__") match {
@@ -130,14 +149,128 @@ object ManifestLog {
           case _ => None // foreign file: ignored, never fatal
         }
       }
-      .toSeq.groupBy(_._1)
+    val committedNames = committed.map { case (s, a) => s"${s}__$a" }.toSet
+    val superseded: Set[String] = names
+      .filter(_.endsWith(SupersedeSuffix))
+      .map(_.stripSuffix(SupersedeSuffix))
+      .filter(committedNames) // sidecar without a marker hides nothing
+      .flatMap { n =>
+        new String(readFully(f, new Path(dir, n + SupersedeSuffix)),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").map(_.trim).filter(_.nonEmpty)
+      }.toSet
+    committed.groupBy(_._1)
+      .filter { case (seg, _) => !superseded(seg) }
       .map { case (seg, as) => seg -> as.map(_._2).min }
   }
 
-  /** The committed segment names, winner-deduped (diagnostics / tests). */
+  private def readFully(f: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** The committed segment names, winner-deduped and supersede-resolved
+    * (diagnostics / tests / [[LandingZone.pendingSegments]]). */
   def segments(spark: SparkSession, root: String): Seq[String] =
     committedAttempts(spark, root).toSeq.sorted
       .map { case (seg, attempt) => s"${seg}__$attempt" }
+
+  /** Compact the log's current committed view into ONE new segment of
+    * `targetPartitions` zstd files (the r14 layout finding: the rules
+    * scan over an as-landed log pays 4,000 sub-MB files — per-file
+    * footers, open/close, task dispatch — 5× the cold wall of the same
+    * rows compacted; SCALING r14). The compacted segment commits through
+    * the normal marker protocol; its supersede sidecar (segIds, written
+    * before the marker) hides the originals from every subsequent read.
+    * Returns the new segment name, or None when ≤1 segment exists.
+    *
+    * MUST be lease-serialized by the caller against other compactions of
+    * the same root (concurrent appends stay lock-free: an append landing
+    * mid-compaction is simply not in the compacted view and survives
+    * resolution untouched). Crash windows: before the marker → sidecar +
+    * data are invisible garbage ([[vacuum]] cleans both); after → done.
+    * A crashed-then-retried compaction re-reads the CURRENT view, so a
+    * committed first attempt is itself compacted into (and superseded
+    * by) the retry's segment — never duplicated. Readers mid-scan keep
+    * whatever view they resolved: originals' data outlives the swap
+    * until [[retireSuperseded]]'s grace, the same contract as vacuum. */
+  def compact(spark: SparkSession, root: String,
+              schema: org.apache.spark.sql.types.StructType,
+              targetPartitions: Int = 32,
+              codec: String = "zstd"): Option[String] = {
+    val current = segments(spark, root)
+    if (current.size <= 1) None
+    else {
+      val f = fs(spark, root)
+      // next compaction index: max existing compacted-<n> segId + 1 —
+      // callers hold the lease, so the read-increment is single-writer
+      val n = current.map(_.split("__")(0))
+        .filter(_.startsWith(CompactWriterId + "-"))
+        .map(_.stripPrefix(CompactWriterId + "-").toLong)
+        .foldLeft(-1L)(math.max) + 1
+      val segId = s"$CompactWriterId-$n"
+      val attemptId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val name = s"${segId}__$attemptId"
+      spark.read.schema(schema).parquet(current.map(s => s"$root/data/$s"): _*)
+        .repartition(targetPartitions)
+        .write.option("compression", codec).mode("error")
+        .parquet(s"$root/data/$name")
+      f.mkdirs(new Path(s"$root/manifests"))
+      // sidecar BEFORE the marker: a committed compaction always has its
+      // supersede list fully readable; an uncommitted one hides nothing
+      val out = f.create(new Path(s"$root/manifests/$name$SupersedeSuffix"), true)
+      try out.write(current.map(_.split("__")(0)).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      f.create(new Path(s"$root/manifests/$name$ManifestSuffix"), false).close()
+      Some(name)
+    }
+  }
+
+  /** Reclaim superseded segments older than `graceMs`: marker first
+    * (readers resolving after this see the compacted view regardless —
+    * the sidecar hides by segId, so even a marker-then-crash partial
+    * sweep never resurfaces an original), then the data directory.
+    * Sidecar files stay (tiny, and still hiding any late replay of the
+    * superseded segIds). Same reader-grace contract as [[vacuum]]. */
+  def retireSuperseded(spark: SparkSession, root: String,
+                       graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/manifests")
+    if (!f.exists(dir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    val names = f.listStatus(dir).toSeq
+    val committedNames = names.map(_.getPath.getName)
+      .filter(_.endsWith(ManifestSuffix)).map(_.stripSuffix(ManifestSuffix)).toSet
+    val superseded = names.filter(_.getPath.getName.endsWith(SupersedeSuffix))
+      .filter(st => committedNames(
+        st.getPath.getName.stripSuffix(SupersedeSuffix)))
+      .flatMap(st => new String(readFully(f, st.getPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty))
+      .toSet
+    val removed = Seq.newBuilder[String]
+    names.foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.endsWith(ManifestSuffix) && st.getModificationTime < cutoff) {
+        val full = nm.stripSuffix(ManifestSuffix)
+        val seg = full.split("__")(0)
+        if (superseded(seg)) {
+          f.delete(st.getPath, false)
+          f.delete(new Path(s"$root/data/$full"), true)
+          removed += full
+        }
+      }
+    }
+    removed.result()
+  }
 
   /** Union of every committed segment. Empty-log reads need a schema to
     * be total; pass the expected one (the landing shape knows it). */
@@ -171,6 +304,38 @@ object ManifestLog {
     // returned relation no longer reads the directory we are about to
     // delete — zero collect() of row data (r12 verdict task 4 normalized
     // the old collect/parallelize round-trip)
+    val frozen = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(read(spark, root, docs.schema).orderBy("doc_id"))
+    fs(spark, root).delete(new Path(root), true)
+    frozen
+  }
+
+  /** The compaction round-trip oracle (`q_manifest_compact`): land the
+    * corpus as three lock-free batches plus an ack-lost replay, COMPACT
+    * the log (4 zstd files, supersede sidecar), retire the superseded
+    * originals (grace 0 — the oracle's run-scoped log has no concurrent
+    * readers), then land a LATE lower-attempt replay of a superseded
+    * batch — the protocol's documented race, now crossing the compaction
+    * boundary: with the original's markers retired the replay COMMITS a
+    * fresh attempt, and only the segId-level supersede keeps its content
+    * from surfacing twice. The read-back must still be exactly the
+    * corpus, which is what the DuckDB oracle pins — a lost batch,
+    * a resurfaced replay, or a compaction that dropped/duplicated rows
+    * all break the hash. Same leave-no-state discipline as
+    * [[queryRoundTrip]]. */
+  def queryCompactRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_q_mlogc").toString
+    (0L until 3L).foreach { b =>
+      append(docs.filter(col("doc_id") % 3 === b), root, "oracle", b)
+    }
+    append(docs.filter(col("doc_id") % 3 === 1), root, "oracle", 1L) // replay
+    val compacted = compact(spark, root, docs.schema, targetPartitions = 4)
+    require(compacted.nonEmpty, "compaction must produce a segment here")
+    retireSuperseded(spark, root, graceMs = -1L)
+    append(docs.filter(col("doc_id") % 3 === 1), root, "oracle", 1L) // late replay
     val frozen = org.apache.spark.sql.graft.CheckpointShim
       .statsHonestLocalCheckpoint(read(spark, root, docs.schema).orderBy("doc_id"))
     fs(spark, root).delete(new Path(root), true)
@@ -248,6 +413,19 @@ object ManifestLog {
         st.getModificationTime < cutoff) {
         f.delete(st.getPath, true)
         removed += st.getPath.getName
+      }
+    }
+    // orphan compaction sidecars: a crash between sidecar write and
+    // marker create leaves a .supersedes file that hides nothing (no
+    // marker) — plain garbage once its data dir is gone
+    val committedNames = parsed.map { case (s, a, _) => s"${s}__$a" }.toSet
+    markers.foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.endsWith(SupersedeSuffix) &&
+        !committedNames(nm.stripSuffix(SupersedeSuffix)) &&
+        st.getModificationTime < cutoff) {
+        f.delete(st.getPath, false)
+        removed += nm
       }
     }
     removed.result()

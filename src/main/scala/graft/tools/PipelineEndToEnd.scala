@@ -81,6 +81,16 @@ object PipelineEndToEnd {
           logRoot, s"w$w", 0L)
       }
     }
+    // 1b. optional COMPACT tick (GRAFT_PIPE_COMPACT=1): the r14 layout
+    // finding applied where it lives in the lifecycle — the as-landed
+    // log's thousands of sub-MB writer files become ~core-count zstd
+    // files before the rules scan pays the per-file tax (SCALING r14).
+    // Env-gated so the default stage table keeps its r13-comparable shape.
+    if (sys.env.contains("GRAFT_PIPE_COMPACT")) timed("land: compact tick (zstd)") {
+      ManifestLog.compact(spark, logRoot, corpus.schema,
+        targetPartitions = cpus.toInt)
+      ManifestLog.retireSuperseded(spark, logRoot, graceMs = -1L)
+    }
     val landed = ManifestLog.read(spark, logRoot, corpus.schema)
     val n0 = timed("land: read-back count")(landed.count())
     require(n0 == expected, s"landing lost rows: $n0 != $expected")

@@ -151,6 +151,39 @@ class LandingZoneSpec extends AnyFunSuite {
     assert(probe.filter(col("exact_dup")).count() == 3)
   }
 
+  test("compactLanding inherits consumed status; absorb over a compacted log stays exactly-once") {
+    val root = tmp("graft-land-cpt")
+    val idxDir = tmp("graft-land-cpt-idx")
+    val schema = docs(0 until 1, "x").schema
+    ShingleIndex.build(docs(0 until 30, "base"), idxDir, "lz_cpt")
+    (0 until 4).foreach { b =>
+      ManifestLog.append(docs(1000 + b * 20 until 1020 + b * 20, s"w$b"),
+        root, s"w$b", 0L)
+    }
+    val first = LandingZone.absorbIntoShingleIndex(spark, root, schema, "lz_cpt", idxDir)
+    assert(first.freshDocs == 80)
+    // every input absorbed -> the compacted segment inherits consumed:
+    // the idle tick stays free instead of re-scanning absorbed content
+    val c0 = LandingZone.compactLanding(spark, root, schema, "lz_cpt")
+    assert(c0.exists(_.startsWith("compacted-0__")))
+    assert(LandingZone.pendingSegments(spark, root).isEmpty,
+      "all-consumed compaction must not re-pend absorbed content")
+    val idle = LandingZone.absorbIntoShingleIndex(spark, root, schema, "lz_cpt", idxDir)
+    assert(idle.segments.isEmpty && idle.freshDocs == 0)
+    // a new landing plus a MIXED compaction: the compacted segment stays
+    // pending and the absorb feeds exactly the unabsorbed docs
+    ManifestLog.append(docs(2000 until 2020, "w9"), root, "w9", 0L)
+    val c1 = LandingZone.compactLanding(spark, root, schema, "lz_cpt")
+    assert(c1.exists(_.startsWith("compacted-1__")))
+    assert(LandingZone.pendingSegments(spark, root) == Seq(c1.get))
+    val second = LandingZone.absorbIntoShingleIndex(spark, root, schema, "lz_cpt", idxDir)
+    assert(second.landedDocs == 100 && second.freshDocs == 20,
+      s"anti-join must drop the 80 absorbed neighbors: $second")
+    assert(spark.table(ShingleIndex.sizesTable("lz_cpt")).count() == 30 + 100)
+    val probe = ShingleIndex.probe(spark, "lz_cpt", docs(2000 until 2005, "w9"))
+    assert(probe.filter(col("exact_dup")).count() == 5)
+  }
+
   test("absorb refuses an unbuilt index loudly") {
     val root = tmp("graft-land-unbuilt")
     ManifestLog.append(docs(0 until 5, "x"), root, "w0", 0L)

@@ -126,4 +126,91 @@ class ManifestLogSpec extends AnyFunSuite {
     val df = ManifestLog.read(spark, root, schema)
     assert(df.count() == 0 && df.schema == schema)
   }
+
+  // --- compaction (r14: the landing-layout lever as a protocol feature) --
+
+  test("compact: read identical, one segment, fewer zstd files; late append survives") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-cpt").toString
+    (1 to 6).foreach(b => ManifestLog.append(batchDf(1, b), root, "w1", b.toLong))
+    val before = ManifestLog.read(spark, root, schema)
+      .select("doc_id").as[Long].collect().sorted
+    val name = ManifestLog.compact(spark, root, schema, targetPartitions = 2)
+    assert(name.exists(_.startsWith("compacted-0__")), s"$name")
+    assert(ManifestLog.segments(spark, root) == Seq(name.get),
+      "only the compacted segment is visible")
+    val after = ManifestLog.read(spark, root, schema)
+      .select("doc_id").as[Long].collect().sorted
+    assert(after.sameElements(before), "compaction must not lose or duplicate rows")
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = f.listStatus(new org.apache.hadoop.fs.Path(s"$root/data/${name.get}"))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(files.length == 2 && files.forall(_.contains("zstd")), files.toSeq)
+    // an append AFTER compaction is simply a new segment beside it
+    ManifestLog.append(batchDf(1, 7), root, "w1", 7L)
+    assert(ManifestLog.read(spark, root, schema).count() == before.length + 20)
+    // ...and a second compaction (chained: supersedes compacted-0 + the
+    // new batch) still reads exact
+    val name2 = ManifestLog.compact(spark, root, schema, targetPartitions = 1)
+    assert(name2.exists(_.startsWith("compacted-1__")))
+    assert(ManifestLog.segments(spark, root) == Seq(name2.get))
+    assert(ManifestLog.read(spark, root, schema).count() == before.length + 20)
+  }
+
+  test("compact: single-segment log is a no-op; reserved writerId refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-cpt1").toString
+    ManifestLog.append(batchDf(1, 1), root, "w1", 1L)
+    assert(ManifestLog.compact(spark, root, schema).isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      ManifestLog.append(batchDf(1, 2), root, "compacted", 2L)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("late replay of a superseded batch cannot resurface (segId-level supersede)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-cptlate").toString
+    (1 to 3).foreach(b => ManifestLog.append(batchDf(1, b), root, "w1", b.toLong))
+    ManifestLog.compact(spark, root, schema, targetPartitions = 1)
+    // retire the originals (grace off), THEN the ack-lost replay lands:
+    // with the original's marker gone the replay COMMITS a fresh attempt,
+    // and only the supersede-by-segId rule keeps its content hidden
+    val retired = ManifestLog.retireSuperseded(spark, root, graceMs = -1L)
+    assert(retired.size == 3, s"$retired")
+    ManifestLog.append(batchDf(1, 2), root, "w1", 2L)
+    assert(ManifestLog.read(spark, root, schema).count() == 60,
+      "late replay of a superseded segId must not duplicate")
+    assert(ManifestLog.segments(spark, root).size == 1)
+  }
+
+  test("crashed compaction (sidecar, no marker) hides nothing and vacuums clean") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-cptcrash").toString
+    (1 to 2).foreach(b => ManifestLog.append(batchDf(1, b), root, "w1", b.toLong))
+    // simulate the crash window: sidecar + data dir, no commit marker
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ghost = "compacted-0__deadbeef"
+    batchDf(9, 9).write.parquet(s"$root/data/$ghost")
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      s"$root/manifests/$ghost.supersedes"), true)
+    out.write("w1-1\nw1-2".getBytes("UTF-8")); out.close()
+    // readers: the uncommitted sidecar must hide nothing
+    assert(ManifestLog.segments(spark, root).size == 2)
+    assert(ManifestLog.read(spark, root, schema).count() == 40)
+    // vacuum reclaims both the ghost data and the orphan sidecar
+    val removed = ManifestLog.vacuum(spark, root, graceMs = -1L)
+    assert(removed.contains(ghost) && removed.contains(s"$ghost.supersedes"),
+      s"$removed")
+    assert(ManifestLog.read(spark, root, schema).count() == 40)
+  }
+
+  test("retireSuperseded is grace-guarded and idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mlog-cptret").toString
+    (1 to 3).foreach(b => ManifestLog.append(batchDf(1, b), root, "w1", b.toLong))
+    ManifestLog.compact(spark, root, schema)
+    assert(ManifestLog.retireSuperseded(spark, root, graceMs = 60000L).isEmpty,
+      "nothing young retires")
+    assert(ManifestLog.retireSuperseded(spark, root, graceMs = -1L).size == 3)
+    assert(ManifestLog.retireSuperseded(spark, root, graceMs = -1L).isEmpty)
+    assert(ManifestLog.read(spark, root, schema).count() == 60)
+  }
 }
