@@ -95,6 +95,9 @@ FROM documents GROUP BY 1 ORDER BY keep_id
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.StringType
     import org.apache.spark.unsafe.types.UTF8String
+    // corpus-sized CALLERS pre-spread their input (Partitioning.spread —
+    // r14 opt); the index batch paths (probe/append, designed around small
+    // batches) deliberately skip the extra exchange
     docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val sh = shingleSet(if (text == null) "" else text)
@@ -129,7 +132,8 @@ FROM documents GROUP BY 1 ORDER BY keep_id
     // (shingleSet dedups); the shared kernel does the df-cap, local
     // bucket pair generation, and count joins — see InvertedIndex
     InvertedIndex.parts(
-      shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key"),
+      shingleRows(Partitioning.spread(docs(spark, dir).select("doc_id", "text")))
+        .withColumnRenamed("shingle", "key"),
       maxShingleDf).pairsAgg
       .withColumn("jaccard",
         col("shared").cast("double") /
@@ -324,7 +328,8 @@ FROM reach GROUP BY s ORDER BY doc_id
     // buffer cost); both sides derive from the checkpointed buckets
     graft.plans.CappedCollectLong.ensureRegistered(spark)
     val agged = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+      shingleRows(Partitioning.spread(docs(spark, dir).select("doc_id", "text")))
+        .withColumnRenamed("shingle", "key")
         .groupBy("key")
         .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
         .filter(col("ids").isNotNull))
@@ -434,7 +439,8 @@ ORDER BY train_id, eval_id
     graft.plans.CappedCollectLong.ensureRegistered(spark)
     graft.plans.ArgMaxBest.ensureRegistered(spark)
     val agged = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      shingleRows(docs(spark, dir)).withColumnRenamed("shingle", "key")
+      shingleRows(Partitioning.spread(docs(spark, dir).select("doc_id", "text")))
+        .withColumnRenamed("shingle", "key")
         .groupBy("key")
         .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
         .filter(col("ids").isNotNull))
@@ -673,7 +679,11 @@ ORDER BY f.doc_id
                    maxBandBucket: Int = DefaultMaxBandBucket,
                    chainMaxStride: Int = 2): DataFrame = {
     import spark.implicits._
-    val shingled = docs(spark, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+    // input spread (r14 opt): shingling + 32-perm signatures otherwise run
+    // on the scan's single split; per-row kernel + count-based verify math,
+    // so partitioning cannot change any value
+    val shingled = Partitioning.spread(
+        docs(spark, dir).select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, t) => (id, shingleSet(if (t == null) "" else t)) }
       .localCheckpoint()
     val banded = shingled.flatMap { case (id, sh) =>
@@ -754,7 +764,10 @@ ORDER BY f.doc_id
     import org.apache.spark.unsafe.types.UTF8String
     require(hasher == "xxh64" || hasher == "md5", s"unknown simhash hasher: $hasher")
     val useMd5 = hasher == "md5"
-    docsDf.select(col("doc_id"), col("text")).as[(Long, String)]
+    // input spread (r14 opt): the per-doc token-hash + voting kernel
+    // otherwise runs on the scan's single split; per-row map, no
+    // aggregation — partitioning cannot change any signature
+    Partitioning.spread(docsDf.select(col("doc_id"), col("text"))).as[(Long, String)]
       .map { case (id, text) =>
         val md = if (useMd5) java.security.MessageDigest.getInstance("MD5") else null
         val toks = (if (text == null) "" else text).split(" ", -1)

@@ -162,21 +162,13 @@ object ExactSubstr {
 
   /** Confirmed duplicated positions `(doc_id, pos, g)` — steps 1–3 of the
     * scaladoc plan, shared by [[spans]] and [[cut]]. */
-  private def dupHits(documents: DataFrame, L: Int,
-                      materialize: String): DataFrame = {
+  /** Resolve the `"auto"` materialization tier (one cheap corpus-size
+    * aggregate) — factored out so [[spansOn]]/[[cutOn]] can apply the SAME
+    * tier decision to their own multi-referenced intermediates (r14 opt). */
+  private def tierOf(documents: DataFrame, materialize: String): String = {
     require(MaterializeTiers.contains(materialize),
       s"materialize must be one of $MaterializeTiers, got '$materialize'")
-    val hashUdf = udf((t: String) => gramHashArrays(t, L)).asNondeterministic()
-    // two-stage select: `g` materializes as an attribute (nondeterministic,
-    // so CollapseProject cannot inline the kernel into the two field
-    // reads); the zip+explode runs in codegen over primitive arrays
-    val raw = documents.select(col("doc_id"), hashUdf(col("text")).as("g"))
-      .select(col("doc_id"), col("g._1").as("zp"), col("g._2").as("zh"))
-      .select(col("doc_id"),
-        explode(arrays_zip(col("zp"), col("zh"))).as("p"))
-      .select(col("doc_id"), col("p.zp").as("pos"), col("p.zh").as("h"))
-    val shim = org.apache.spark.sql.graft.CheckpointShim
-    val tier = materialize match {
+    materialize match {
       case "auto" =>
         val chars = documents
           .agg(sum(length(coalesce(col("text"), lit("")))).as("n"))
@@ -186,6 +178,24 @@ object ExactSubstr {
         else "checkpoint"
       case t => t
     }
+  }
+
+  private def dupHits(documents: DataFrame, L: Int,
+                      tier: String): DataFrame = {
+    val hashUdf = udf((t: String) => gramHashArrays(t, L)).asNondeterministic()
+    // two-stage select: `g` materializes as an attribute (nondeterministic,
+    // so CollapseProject cannot inline the kernel into the two field
+    // reads); the zip+explode runs in codegen over primitive arrays.
+    // Input spread (r14 opt): the rolling-hash kernel + explode otherwise
+    // run on the scan's single split; downstream aggregates here are
+    // min/max/count over longs/strings — exact under any merge order.
+    val raw = Partitioning.spread(documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), hashUdf(col("text")).as("g"))
+      .select(col("doc_id"), col("g._1").as("zp"), col("g._2").as("zh"))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("zp"), col("zh"))).as("p"))
+      .select(col("doc_id"), col("p.zp").as("pos"), col("p.zh").as("h"))
+    val shim = org.apache.spark.sql.graft.CheckpointShim
     val pos =
       if (tier == "checkpoint") shim.statsHonestLocalCheckpoint(raw)
       else shim.honestStats(raw)
@@ -235,7 +245,18 @@ object ExactSubstr {
 
   def spansOn(documents: DataFrame, L: Int = DefaultL,
               materialize: String = "auto", ordered: Boolean = true): DataFrame = {
-    val grams = dupHits(documents, L, materialize)
+    val tier = tierOf(documents, materialize)
+    // `grams` is referenced twice (the dup-gram aggregate + the semi-join
+    // probe side); on the checkpoint tier materialize it once instead of
+    // re-running the candidate semi-join + literal-gram extraction per
+    // reference (r14 opt). The recompute tier keeps its zero-pinning
+    // contract (candidate rows are dup-content-sized, which on a
+    // dup-heavy 100 TB corpus is data-sized).
+    val gramsRaw = dupHits(documents, L, tier)
+    val grams =
+      if (tier == "checkpoint")
+        org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(gramsRaw)
+      else gramsRaw
     val hits = grams.join(dupGramFilter(grams).select("g"), Seq("g"), "left_semi")
       .select("doc_id", "pos")
     val out = mergeSpans(hits, L)
@@ -281,14 +302,29 @@ ORDER BY doc_id, start_pos
 
   def cutOn(documents: DataFrame, L: Int = DefaultL,
             materialize: String = "auto", ordered: Boolean = true): DataFrame = {
-    val grams = dupHits(documents, L, materialize)
+    val tier = tierOf(documents, materialize)
+    // same two-reference economics as spansOn (r14 opt): owners aggregates
+    // over grams AND cutHits probes it — checkpoint once on the small tier
+    val gramsRaw = dupHits(documents, L, tier)
+    val grams =
+      if (tier == "checkpoint")
+        org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(gramsRaw)
+      else gramsRaw
     // owner = smallest doc_id containing the gram: it keeps its copies
     val owners = dupGramFilter(grams).select(col("g"), col("dmin").as("own"))
     val cutHits = grams.join(owners, "g")
       .filter(col("doc_id") > col("own"))
       .select("doc_id", "pos").distinct()
-    val cuts = mergeSpans(cutHits, L)
+    // `cuts` is referenced THREE times below (pre, tail, cstat) — on the
+    // checkpoint tier materialize it (one row per cut span) instead of
+    // re-running the distinct + double-window island merge per reference;
+    // the recompute tier keeps its zero-pinning contract (r14 opt)
+    val cutsRaw = mergeSpans(cutHits, L)
       .select(col("doc_id"), col("start_pos").as("s"), col("end_pos").as("e"))
+    val cuts =
+      if (tier == "checkpoint")
+        org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(cutsRaw)
+      else cutsRaw
     // complement segments: before each cut (from the previous cut's end+1,
     // clipped by the island invariant), plus the tail after the last cut
     val w = Window.partitionBy("doc_id").orderBy("s")

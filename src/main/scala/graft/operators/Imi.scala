@@ -50,8 +50,17 @@ object Imi {
   : (Array[Array[Double]], Array[Array[Double]]) = {
     val left = base.select(col("vec_id"), slice(col("embedding"), 1, HalfDim).as("embedding"))
     val right = base.select(col("vec_id"), slice(col("embedding"), HalfDim + 1, HalfDim).as("embedding"))
-    (Similarity.trainedCentroidArrays(left, k1, iters, Similarity.ResidueSeed, HalfDim),
-      Similarity.trainedCentroidArrays(right, k1, iters, Similarity.ResidueSeed, HalfDim))
+    // the two half-chains are independent Lloyd job sequences — submit
+    // them concurrently (guide §2.6; same jobs, same arithmetic — the
+    // Pq.train discipline, r14 opt)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fl = Future(Similarity.trainedCentroidArrays(left, k1, iters,
+      Similarity.ResidueSeed, HalfDim))
+    val fr = Future(Similarity.trainedCentroidArrays(right, k1, iters,
+      Similarity.ResidueSeed, HalfDim))
+    (Await.result(fl, Duration.Inf), Await.result(fr, Duration.Inf))
   }
 
   /** Product-cell id of `v` under the two half-models:

@@ -93,12 +93,33 @@ object Pq {
     require(spec.k >= 1 && spec.k <= 256,
       s"PQ: k=${spec.k} outside [1, 256] — codes are single bytes")
     val dsub = dim / spec.m
-    val src = spec.rotSeed.map(Imi.rotated(base, _)).getOrElse(base)
-    Array.tabulate(spec.m) { mi =>
-      val sl = src.select(col("vec_id"),
-        slice(col("embedding"), mi * dsub + 1, dsub).as("embedding"))
-      Similarity.trainedCentroidArrays(sl, spec.k, iters, Similarity.ResidueSeed, dsub)
-    }
+    // The training frame is read by every subspace's seed + Lloyd-round
+    // jobs (m·(1+iters) of them) — materialize it once instead of
+    // re-running the rotation/residual map per job. Sample-sized on the
+    // deployment (auto) path, corpus-sized only for the explicit-cells
+    // oracles, whose full-corpus Lloyd is oracle-scale by construction.
+    val src = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(
+        spec.rotSeed.map(Imi.rotated(base, _)).getOrElse(base))
+    try {
+      // The m subspace codebooks are INDEPENDENT Lloyd chains (each a
+      // seed aggregate + `iters` round jobs); submit them concurrently so
+      // the small jobs overlap (guide §2.6 — actions are only sequential
+      // because the driver calls them sequentially). Each chain's jobs,
+      // plans, and double arithmetic are exactly the sequential ones.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futs = (0 until spec.m).map { mi =>
+        Future {
+          val sl = src.select(col("vec_id"),
+            slice(col("embedding"), mi * dsub + 1, dsub).as("embedding"))
+          Similarity.trainedCentroidArrays(sl, spec.k, iters, Similarity.ResidueSeed, dsub)
+        }
+      }
+      futs.map(Await.result(_, Duration.Inf)).toArray
+    } finally
+      org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(src)
   }
 
   /** The residual a cell leaves unexplained: `(v_i − c_i)` in double,

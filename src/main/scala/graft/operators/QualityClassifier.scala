@@ -49,7 +49,12 @@ object QualityClassifier {
     * oracle: an empty text contributes one "" token. */
   private def featRows(d: DataFrame, dim: Int,
                        carry: Seq[String] = Seq("doc_id", "label")): DataFrame =
-    d.select(carry.map(col) :+
+    // input spread (r14 opt): the md5-per-token explode otherwise runs on
+    // the source's single split/partition; safe here — the train counts
+    // are longs (exact) and the scoring double-sum sits BEHIND its own
+    // (doc, feat) shuffle either way, so its merge structure is unchanged
+    Partitioning.spread(d)
+      .select(carry.map(col) :+
         explode(split(coalesce(col("text"), lit("")), " ", -1)).as("tok"): _*)
       .select(carry.map(col) :+ (h52(col("tok")) % dim).cast("int").as("feat"): _*)
 

@@ -200,9 +200,15 @@ ORDER BY d.doc_id
       col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
       col("text"))
     val (model, totals) = QualityClassifier.train(spark, labeled, dim)
-    val scored = deduped.join(
-      QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), model, totals, dim)
-        .select("doc_id", "score"), "doc_id")
+    // scored is referenced by the tauC aggregate AND (via the gated chain)
+    // by every downstream stage — without a barrier each reference re-runs
+    // the NB feature-hash scoring pass (r14 opt: the q_curation_learned
+    // plan held 184 Exchanges of re-inlined subtrees; same economics as
+    // the deduped checkpoint above, one stage later)
+    val scored = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(deduped.join(
+        QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), model, totals, dim)
+          .select("doc_id", "score"), "doc_id"))
     val tauC = scored.agg(round(expr("percentile(score, 0.5)"), 6).as("tau_c"))
     val ref = deduped.filter(col("source").isin(QualityClassifier.PositiveSources: _*))
       .select("doc_id", "text")
@@ -225,8 +231,15 @@ ORDER BY d.doc_id
                             tauPOf: DataFrame => DataFrame,
                             quota: Int): DataFrame = {
     val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
-    val withPpl = gated.join(pplOf(gated.select("doc_id", "text")), "doc_id")
-      .filter(col("n_bigrams") > 0)
+    // withPpl is referenced by the tauP aggregate AND the banded chain; for
+    // the learned path pplOf additionally TRAINS the reference bigram LM
+    // in-plan, so each re-inlined reference re-ran training + scoring.
+    // Barrier it once (r14 opt — results identical, materialization only;
+    // callers pass `scored` already checkpointed for the same reason).
+    val withPpl = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(
+        gated.join(pplOf(gated.select("doc_id", "text")), "doc_id")
+          .filter(col("n_bigrams") > 0))
     val tauP = tauPOf(withPpl)
     val banded = withPpl.crossJoin(broadcast(tauP)).filter(col("ppl") <= col("tau_p"))
     val rankWin = Window.partitionBy("predicted_lang")
@@ -323,9 +336,13 @@ ORDER BY d.doc_id
     // calibrate through the persisted tables (serving's exact path)
     val (lm, lp, ldim) = QualityClassifier.load(spark, tag)
     val (sc12, sc1, sv) = LanguageModel.load(spark, tag)
-    val scored = deduped.join(
-      QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), lm, lp, ldim)
-        .select("doc_id", "score"), "doc_id")
+    // referenced by the tauC collect AND the tauP chain — barrier so the
+    // persisted-table NB scoring runs once per calibration, not per
+    // threshold (r14 opt)
+    val scored = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(deduped.join(
+        QualityClassifier.scoreDocs(deduped.select("doc_id", "text"), lm, lp, ldim)
+          .select("doc_id", "score"), "doc_id"))
     val tauC = scored.agg(round(expr("percentile(score, 0.5)"), 6))
       .collect()(0).getDouble(0)
     val gated = scored.filter(col("score") >= tauC)
@@ -371,9 +388,14 @@ ORDER BY d.doc_id
       spark.range(1).select(lit(rows(0).getDouble(1)).as(as))
     }
     val tauP = tau("tau_p", "tau_p")
-    val scored = batch.join(
-      QualityClassifier.scoreDocs(batch.select("doc_id", "text"), model, prior, dim)
-        .select("doc_id", "score"), "doc_id")
+    // same multi-reference economics as learnedTail's scored checkpoint:
+    // the gated chain references this twice (join left side + LM-scoring
+    // input), and without a barrier each reference re-runs the NB scoring
+    // of the whole batch (r14 opt)
+    val scored = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(batch.join(
+        QualityClassifier.scoreDocs(batch.select("doc_id", "text"), model, prior, dim)
+          .select("doc_id", "score"), "doc_id"))
     gateBandQuota(scored, tau("tau_c", "tau_c"),
       d => LanguageModel.scoreWith(d, c12, c1, v),
       _ => tauP,

@@ -103,7 +103,11 @@ object ShingleIndex {
       LeaseLock.withTableLock(corpus.sparkSession, tag) {
     val spark = corpus.sparkSession
     graft.plans.CappedCollectLong.ensureRegistered(spark)
-    val occ = Dedup.shingleRows(corpus).withColumnRenamed("shingle", "key")
+    // corpus-sized input — spread the single-split scan before the
+    // shingling flatMap (r14 opt; batch paths probe/append skip this)
+    val occ = Dedup.shingleRows(Partitioning.spread(
+        corpus.select(col("doc_id"), col("text"))))
+      .withColumnRenamed("shingle", "key")
       .groupBy("key")
       .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
       .filter(col("ids").isNotNull)

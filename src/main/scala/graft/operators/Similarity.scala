@@ -116,16 +116,34 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = corpusBroadcast(corpus)
+    // REPARTITION the probe side (r14 opt): the corpus parquet is one
+    // small file per SF, so the scan (and the 4-way augmented union) gives
+    // the quadratic mapPartitions 1–4 partitions — a 32-core host ran the
+    // O(n²) loop on 4 cores. One round-robin exchange of the (tiny,
+    // id+vector) probe rows spreads the dot-product wall across every
+    // core; emitted values are per-row, so the result set is identical
+    // and the final orderBy pins the output order.
     corpus.select("vec_id", "embedding")
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val corpus = bc.value
+        val all = bc.value
         it.flatMap { case (idA, va) =>
           val na = normP(va)
-          corpus.iterator
-            .filter(_._1 > idA)
-            .map { case (idB, vb, nb) => (idA, idB, dotP(va, vb) / (na * nb)) }
-            .filter(_._3 >= threshold)
+          // primitive index loop (no per-pair iterator/closure/Tuple3
+          // allocation on the filtered-out majority); arithmetic is the
+          // SAME dotP/normP calls in the same order
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < all.length) {
+            val row = all(i)
+            if (row._1 > idA) {
+              val c = dotP(va, row._2) / (na * row._3)
+              if (c >= threshold) out += ((idA, row._1, c))
+            }
+            i += 1
+          }
+          out
         }
       }
       .toDF("id_a", "id_b", "cos")
@@ -196,6 +214,9 @@ FROM pairs WHERE cos >= $threshold ORDER BY id_a, id_b
     val bc = corpusBroadcast(emb(spark, dir))
     emb(spark, dir).select("vec_id", "embedding")
       .filter(col("vec_id") < nQueries)
+      // same single-file-scan parallelism fix as cosinePairsOn (r14 opt):
+      // spread the nQueries probe rows over the cores
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val corpus = bc.value

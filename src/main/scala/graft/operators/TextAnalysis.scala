@@ -353,9 +353,12 @@ ORDER BY d.doc_id
       when(col("doc_id") % 4 === 0, concat(lit("\n"), firstLine)).otherwise(lit("")),
       when(col("doc_id") % 6 === 0, concat(lit("\n\n"), firstPara)).otherwise(lit("")))
     // no input orderBy: the typed map discards ordering anyway and the
-    // trailing orderBy re-sorts — same shape as [[repetition]]
-    gopherRepetitionOn(
-      docs(spark, dir).select(col("doc_id"), page.as("text")))
+    // trailing orderBy re-sorts — same shape as [[repetition]].
+    // Input spread (r14 opt): the per-doc gram-map kernel is the whole
+    // query and otherwise runs on the scan's single split; the kernel is
+    // per-row (no aggregation), so partitioning cannot change any value.
+    gopherRepetitionOn(Partitioning.spread(
+      docs(spark, dir).select(col("doc_id"), page.as("text"))))
       .orderBy("doc_id")
   }
 
@@ -944,7 +947,9 @@ FROM documents ORDER BY doc_id
     * but carries only (long, long, long). */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
     val fps = udf((t: String) => winnowFingerprints(t))
-    docs(spark, dir)
+    // input spread (r14 opt): the k=25 rolling-hash kernel otherwise runs
+    // on the scan's single split; per-row kernel, output order pinned below
+    Partitioning.spread(docs(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(fps(col("text"))).as("fp"))
       .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash"))
       .orderBy("doc_id", "pos")
@@ -999,7 +1004,9 @@ khash AS (
     // historical 6×-FileScan disease is pinned dead by PlanShapeSpec)
     val hashes = udf((t: String) => winnowFingerprints(t).map(_._2).distinct)
       .asNondeterministic()
-    val fps = docs(spark, dir)
+    // input spread (r14 opt): single-split scan otherwise serializes the
+    // winnowing kernel; the index math downstream is count-based (exact)
+    val fps = Partitioning.spread(docs(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(hashes(col("text"))).as("key"))
     InvertedIndex.parts(fps, maxHashDf).pairsAgg
       .withColumn("containment",
@@ -1059,7 +1066,7 @@ ORDER BY id_a, id_b
     // raw checkpoint's origin stats (tiny, via the UDF explode) would
     // invite a static broadcast of a corpus-sized side (see CheckpointShim)
     val fps = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      docs(spark, dir)
+      Partitioning.spread(docs(spark, dir).select(col("doc_id"), col("text")))
         .select(col("doc_id"), explode(fpsUdf(col("text"))).as("fp"))
         .select(col("doc_id"), col("fp._1").as("pos"), col("fp._2").as("hash")))
     // the fused index kernel reads the distinct-key relation once, so no
