@@ -29,11 +29,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Partitioning {
   def spread(df: DataFrame): DataFrame = {
-    // a streaming frame cannot be planned via .rdd (and its micro-batches
+    // a streaming frame cannot be planned eagerly (and its micro-batches
     // are already split by the source) — pass it through untouched
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // Read the partition count from queryExecution.toRdd (ADVICE r14):
+    // `.rdd` additionally builds a row-DESERIALIZING lineage on top of the
+    // physical plan just to read a count; toRdd is the already-planned
+    // internal-row RDD. Both are the PRE-execution shape — AQE can still
+    // coalesce at runtime, so the probe is a static-planning heuristic
+    // (exactly what a conditional exchange has to be: the decision must
+    // precede execution).
+    val planned = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd.getNumPartitions
+    if (planned >= target) df
     else df.repartition(target)
   }
 }

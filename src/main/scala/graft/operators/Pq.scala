@@ -110,6 +110,7 @@ object Pq {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      import scala.util.Try
       val futs = (0 until spec.m).map { mi =>
         Future {
           val sl = src.select(col("vec_id"),
@@ -117,7 +118,15 @@ object Pq {
           Similarity.trainedCentroidArrays(sl, spec.k, iters, Similarity.ResidueSeed, dsub)
         }
       }
-      futs.map(Await.result(_, Duration.Inf)).toArray
+      // SETTLE every future before the finally block frees the shared
+      // checkpoint (ADVICE r14): awaiting results directly would throw on
+      // the first failed chain while sibling futures still run jobs
+      // against `src` — freeing the truncated-lineage blocks under them
+      // turns one failure into orphaned block-not-found storms. Gather
+      // outcomes first; `.get` then rethrows the first failure with every
+      // sibling already finished.
+      val settled = futs.map(f => Await.result(f.transform(Try(_)), Duration.Inf))
+      settled.map(_.get).toArray
     } finally
       org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(src)
   }

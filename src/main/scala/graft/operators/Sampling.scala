@@ -229,17 +229,22 @@ ORDER BY d.doc_id
   private def gateBandQuota(scored: DataFrame, tauC: DataFrame,
                             pplOf: DataFrame => DataFrame,
                             tauPOf: DataFrame => DataFrame,
-                            quota: Int): DataFrame = {
+                            quota: Int,
+                            track: DataFrame => Unit = _ => ()): DataFrame = {
     val gated = scored.crossJoin(broadcast(tauC)).filter(col("score") >= col("tau_c"))
     // withPpl is referenced by the tauP aggregate AND the banded chain; for
     // the learned path pplOf additionally TRAINS the reference bigram LM
     // in-plan, so each re-inlined reference re-ran training + scoring.
     // Barrier it once (r14 opt — results identical, materialization only;
     // callers pass `scored` already checkpointed for the same reason).
+    // `track` hands the internal checkpoint to callers that free their
+    // intermediates after materializing (ADVICE r14: the serve hot path
+    // grew block-manager storage per batch with nothing able to free it).
     val withPpl = org.apache.spark.sql.graft.CheckpointShim
       .statsHonestLocalCheckpoint(
         gated.join(pplOf(gated.select("doc_id", "text")), "doc_id")
           .filter(col("n_bigrams") > 0))
+    track(withPpl)
     val tauP = tauPOf(withPpl)
     val banded = withPpl.crossJoin(broadcast(tauP)).filter(col("ppl") <= col("tau_p"))
     val rankWin = Window.partitionBy("predicted_lang")
@@ -351,6 +356,10 @@ ORDER BY d.doc_id
       .filter(col("n_bigrams") > 0)
     val tauP = withPpl.agg(round(expr("percentile(ppl, 2.0/3)"), 6))
       .collect()(0).getDouble(0)
+    // calibration is done with the scored barrier — free it before the
+    // (cheap) calib write so a build leaves no block-manager residue
+    // (the serveCuration cleanup discipline, ADVICE r14)
+    org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(scored)
     LeaseLock.withTableLock(spark, tag) {
       import spark.implicits._
       WarehouseTables.writeManaged(spark, calibTable(tag))(
@@ -396,10 +405,23 @@ ORDER BY d.doc_id
       .statsHonestLocalCheckpoint(batch.join(
         QualityClassifier.scoreDocs(batch.select("doc_id", "text"), model, prior, dim)
           .select("doc_id", "score"), "doc_id"))
-    gateBandQuota(scored, tau("tau_c", "tau_c"),
+    val intermediates = scala.collection.mutable.ArrayBuffer[DataFrame](scored)
+    val res = gateBandQuota(scored, tau("tau_c", "tau_c"),
       d => LanguageModel.scoreWith(d, c12, c1, v),
       _ => tauP,
-      quota)
+      quota, intermediates += _)
+    // Materialize the (quota-bounded) result and FREE the per-batch
+    // intermediates before returning (ADVICE r14): this is the per-batch
+    // hot path of a long-running deployment, and the scored/withPpl
+    // checkpoints above were otherwise never unpersisted — block-manager
+    // storage grew without bound across batches. The returned relation is
+    // a self-contained LogicalRDD (it also no longer reads the model
+    // tables, which lets [[curationServed]] drop them without a second
+    // freeze). Same try/finally discipline as [[Pq.train]].
+    val out = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(res)
+    intermediates.foreach(org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint)
+    out
   }
 
   /** The oracled end-to-end form of the persisted-model deployment:
@@ -426,14 +448,16 @@ ORDER BY d.doc_id
         exactDedupOn(spark.read.parquet(s"$dir/documents.parquet")
           .select("doc_id", "source", "text")))
     buildCurationModels(spark, deduped, tag, dim)
-    // freeze with a stats-honest local checkpoint (executor blocks) so the
-    // returned relation no longer reads the model tables we drop below —
-    // zero collect() of row data (r12 verdict task 4 normalized the old
-    // collect/parallelize round-trip)
-    val frozen = org.apache.spark.sql.graft.CheckpointShim
-      .statsHonestLocalCheckpoint(serveCuration(spark, deduped, tag, quota))
+    // serveCuration now returns an already-materialized LogicalRDD (it
+    // freezes its result to free its per-batch intermediates — ADVICE
+    // r14), so the relation no longer reads the model tables we drop
+    // below and needs no second freeze here. Zero collect() of row data
+    // (r12 verdict task 4 normalized the old collect/parallelize
+    // round-trip).
+    val frozen = serveCuration(spark, deduped, tag, quota)
     Seq(QualityClassifier.modelTable(tag), LanguageModel.modelTable(tag),
       calibTable(tag)).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(deduped)
     frozen
   }
 

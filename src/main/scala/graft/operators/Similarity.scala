@@ -116,15 +116,16 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val bc = corpusBroadcast(corpus)
-    // REPARTITION the probe side (r14 opt): the corpus parquet is one
-    // small file per SF, so the scan (and the 4-way augmented union) gives
-    // the quadratic mapPartitions 1–4 partitions — a 32-core host ran the
-    // O(n²) loop on 4 cores. One round-robin exchange of the (tiny,
-    // id+vector) probe rows spreads the dot-product wall across every
-    // core; emitted values are per-row, so the result set is identical
+    // SPREAD the probe side (r14 opt; conditional since r15 — ADVICE r14):
+    // the corpus parquet is one small file per SF, so the scan (and the
+    // 4-way augmented union) gives the quadratic mapPartitions 1–4
+    // partitions — a 32-core host ran the O(n²) loop on 4 cores. One
+    // round-robin exchange of the (tiny, id+vector) probe rows spreads the
+    // dot-product wall across every core; at deployment scale a scan that
+    // already yields ≥ defaultParallelism splits passes through with no
+    // exchange. Emitted values are per-row, so the result set is identical
     // and the final orderBy pins the output order.
-    corpus.select("vec_id", "embedding")
-      .repartition(spark.sparkContext.defaultParallelism)
+    Partitioning.spread(corpus.select("vec_id", "embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val all = bc.value
@@ -212,11 +213,11 @@ FROM pairs WHERE cos >= $threshold ORDER BY id_a, id_b
   def topK(spark: SparkSession, dir: String, k: Int = 5, nQueries: Int = 50): DataFrame = {
     import spark.implicits._
     val bc = corpusBroadcast(emb(spark, dir))
-    emb(spark, dir).select("vec_id", "embedding")
-      .filter(col("vec_id") < nQueries)
-      // same single-file-scan parallelism fix as cosinePairsOn (r14 opt):
-      // spread the nQueries probe rows over the cores
-      .repartition(spark.sparkContext.defaultParallelism)
+    Partitioning.spread(emb(spark, dir).select("vec_id", "embedding")
+      .filter(col("vec_id") < nQueries))
+      // same single-file-scan parallelism fix as cosinePairsOn (r14 opt;
+      // conditional spread since r15 — ADVICE r14): the nQueries probe
+      // rows spread over the cores only when the scan under-splits
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val corpus = bc.value
