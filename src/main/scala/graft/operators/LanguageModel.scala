@@ -134,16 +134,22 @@ object LanguageModel {
 
   /** Load a persisted bigram model: (c12, c1, v) in [[scoreWith]]'s
     * shapes. Loud on torn state — a missing/duplicated vs row means the
-    * table was not written by [[persist]]. */
-  def load(spark: SparkSession, tag: String): (DataFrame, DataFrame, DataFrame) = {
-    val t = spark.table(modelTable(tag))
-    val v = t.filter(col("kind") === "vs").select(col("n").as("vs"))
-    require(v.count() == 1,
-      s"${modelTable(tag)}: expected exactly one vs row — torn model table")
-    (t.filter(col("kind") === "c12").select(col("w1"), col("w2"), col("n").as("c12")),
-      t.filter(col("kind") === "c1").select(col("w1"), col("n").as("c1")),
-      v)
-  }
+    * table was not written by [[persist]]. The c12/c1 relations stay
+    * TABLE-BACKED (a 100 TB web corpus's bigram vocabulary can exceed any
+    * collect/broadcast budget — the [[scoreOn]] scale note), but the load
+    * is cached per table VERSION so the per-batch serve path validates a
+    * model generation once, not once per batch (r15 opt — the
+    * [[QualityClassifier.load]]/loadPqModel discipline). */
+  def load(spark: SparkSession, tag: String): (DataFrame, DataFrame, DataFrame) =
+    BucketedMaintenance.cachedByVersion(spark, modelTable(tag)) {
+      val t = spark.table(modelTable(tag))
+      val v = t.filter(col("kind") === "vs").select(col("n").as("vs"))
+      require(v.count() == 1,
+        s"${modelTable(tag)}: expected exactly one vs row — torn model table")
+      (t.filter(col("kind") === "c12").select(col("w1"), col("w2"), col("n").as("c12")),
+        t.filter(col("kind") === "c1").select(col("w1"), col("n").as("c1")),
+        v)
+    }
 
   /** The oracled query: self-trained scoring of the documents table (the
     * CCNet shape with train = score corpus — the in-domain calibration

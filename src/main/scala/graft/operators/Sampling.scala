@@ -332,12 +332,31 @@ ORDER BY d.doc_id
     val labeled = deduped.select(col("doc_id"),
       col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
       col("text"))
-    val (model, totals) = QualityClassifier.train(spark, labeled, dim)
-    QualityClassifier.persist(spark, tag, model, totals, dim)
     val ref = deduped.filter(col("source").isin(QualityClassifier.PositiveSources: _*))
       .select("doc_id", "text")
-    val (c12, c1, v) = LanguageModel.trainOn(ref)
-    LanguageModel.persist(spark, tag, c12, c1, v)
+    // The NB branch (train jobs + persist) and the LM branch (the
+    // aggregate evaluation happens inside persist's write) are
+    // INDEPENDENT — overlap them (guide §2.6; the Pq.train discipline).
+    // Both persists serialize on the same tag lease, but each branch's
+    // TRAINING jobs overlap the other's persist, which is where the time
+    // was (probe: NB train 1.05 s + NB persist 1.31 s + LM persist
+    // 0.88 s sequential). Futures settle before anything proceeds.
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      import scala.util.Try
+      val nbF = Future {
+        val (model, totals) = QualityClassifier.train(spark, labeled, dim)
+        QualityClassifier.persist(spark, tag, model, totals, dim)
+      }
+      val lmF = Future {
+        val (c12, c1, v) = LanguageModel.trainOn(ref)
+        LanguageModel.persist(spark, tag, c12, c1, v)
+      }
+      Seq(nbF, lmF).map(f => Await.result(f.transform(Try(_)), Duration.Inf))
+        .foreach(_.get)
+    }
     // calibrate through the persisted tables (serving's exact path)
     val (lm, lp, ldim) = QualityClassifier.load(spark, tag)
     val (sc12, sc1, sv) = LanguageModel.load(spark, tag)

@@ -58,6 +58,59 @@ object CurationServedProbe {
       Sampling.curationLearned(spark, dir).queryExecution.toRdd.count()
     }
     val tag = "curservedprobe"
+    // phase breakdown of the build (r15 opt attribution): re-run the
+    // public pieces buildCurationModels composes, timed individually —
+    // same relations, same calls
+    if (sys.env.contains("GRAFT_CURPROBE_PHASES")) {
+      val ptag = tag + "ph"
+      val dedupCk = org.apache.spark.sql.graft.CheckpointShim
+        .statsHonestLocalCheckpoint(deduped)
+      val labeled = dedupCk.select(col("doc_id"),
+        col("source").isin(QualityClassifier.PositiveSources: _*).as("label"),
+        col("text"))
+      val (m0, t0) = timed("phase: NB train")(
+        QualityClassifier.train(spark, labeled, QualityClassifier.DefaultDim))
+      timed("phase: NB persist")(
+        QualityClassifier.persist(spark, ptag, m0, t0, QualityClassifier.DefaultDim))
+      val ref = dedupCk.filter(col("source").isin(QualityClassifier.PositiveSources: _*))
+        .select("doc_id", "text")
+      val (c12a, c1a, va) = timed("phase: LM train (lazy)")(LanguageModel.trainOn(ref))
+      timed("phase: LM persist")(LanguageModel.persist(spark, ptag, c12a, c1a, va))
+      val (lm, lp, ldim) = timed("phase: QC load")(QualityClassifier.load(spark, ptag))
+      val (sc12, sc1, sv) = timed("phase: LM load")(LanguageModel.load(spark, ptag))
+      val scored = timed("phase: calib NB scoring (ckpt)")(
+        org.apache.spark.sql.graft.CheckpointShim
+          .statsHonestLocalCheckpoint(dedupCk.join(
+            QualityClassifier.scoreDocs(dedupCk.select("doc_id", "text"), lm, lp, ldim)
+              .select("doc_id", "score"), "doc_id")))
+      val tauC = timed("phase: tauC percentile")(
+        scored.agg(round(expr("percentile(score, 0.5)"), 6)).collect()(0).getDouble(0))
+      val gated = scored.filter(col("score") >= tauC)
+      val withPpl = gated.join(
+        LanguageModel.scoreWith(gated.select("doc_id", "text"), sc12, sc1, sv), "doc_id")
+        .filter(col("n_bigrams") > 0)
+      timed("phase: tauP (LM scoring + pct)")(
+        withPpl.agg(round(expr("percentile(ppl, 2.0/3)"), 6)).collect()(0).getDouble(0))
+      // serve-side phase split over a 10% batch, same pieces serveCuration
+      // composes (loads + NB scoring barrier + the gate/band/quota tail)
+      val batch0 = dedupCk.filter(col("doc_id") % 10 === 7)
+      val (lm2, lp2, ldim2) = timed("phase[serve]: QC load")(
+        QualityClassifier.load(spark, ptag))
+      val (tc12, tc1, tv) = timed("phase[serve]: LM load")(
+        LanguageModel.load(spark, ptag))
+      val scored0 = timed("phase[serve]: NB scoring (ckpt)")(
+        org.apache.spark.sql.graft.CheckpointShim
+          .statsHonestLocalCheckpoint(batch0.join(
+            QualityClassifier.scoreDocs(batch0.select("doc_id", "text"), lm2, lp2, ldim2)
+              .select("doc_id", "score"), "doc_id")))
+      val gated0 = scored0.filter(col("score") >= 0.0)
+      timed("phase[serve]: LM score + tail")(
+        gated0.join(
+          LanguageModel.scoreWith(gated0.select("doc_id", "text"), tc12, tc1, tv), "doc_id")
+          .filter(col("n_bigrams") > 0).queryExecution.toRdd.count())
+      Seq(QualityClassifier.modelTable(ptag), LanguageModel.modelTable(ptag))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
     timed("build models (once)") {
       Sampling.buildCurationModels(spark, deduped, tag)
     }
