@@ -48,19 +48,14 @@ object Imi {
     * both oracles unroll it — over each half's dims). */
   def models(base: DataFrame, k1: Int, iters: Int = Similarity.LloydIters)
   : (Array[Array[Double]], Array[Array[Double]]) = {
-    val left = base.select(col("vec_id"), slice(col("embedding"), 1, HalfDim).as("embedding"))
-    val right = base.select(col("vec_id"), slice(col("embedding"), HalfDim + 1, HalfDim).as("embedding"))
-    // the two half-chains are independent Lloyd job sequences — submit
-    // them concurrently (guide §2.6; same jobs, same arithmetic — the
-    // Pq.train discipline, r14 opt)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fl = Future(Similarity.trainedCentroidArrays(left, k1, iters,
-      Similarity.ResidueSeed, HalfDim))
-    val fr = Future(Similarity.trainedCentroidArrays(right, k1, iters,
-      Similarity.ResidueSeed, HalfDim))
-    (Await.result(fl, Duration.Inf), Await.result(fr, Duration.Inf))
+    // the two half-chains are independent Lloyd sequences; r14 overlapped
+    // them as two future chains (2·(1+iters) jobs), r15 batches them into
+    // ONE chain (1+iters jobs — the Pq.train discipline, verdict item 4).
+    // Same per-half arithmetic: see trainedSubspaceCodebooks.
+    val books = Similarity.trainedSubspaceCodebooks(
+      base.select(col("vec_id"), col("embedding")), m = 2, k = k1, iters,
+      HalfDim, Seq(0, HalfDim))
+    (books(0), books(1))
   }
 
   /** Product-cell id of `v` under the two half-models:

@@ -268,15 +268,25 @@ object LandingZone {
       "graft_q_shindex_land").getAbsolutePath
     val corpus = d.filter(col("doc_id") % 13 =!= 0)
     ShingleIndex.build(corpus.filter(col("doc_id") % 3 =!= 0), idxDir, "q_shindex_land")
-    val landing = corpus.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("text"))
+    // landing is read by all three writers' filters — freeze it once
+    // instead of re-scanning the parquet per append (r15 opt); freed
+    // after the replay append, before the absorb passes
+    val landing = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(corpus.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")))
     val root = java.nio.file.Files.createTempDirectory("graft_q_landing").toString
-    (0 until 3).foreach { w =>
-      ManifestLog.append(landing.filter(col("doc_id") % 3000 >= w * 1000
+    // the three writers are the protocol's CONCURRENT lock-free appenders
+    // — run them concurrently (guide §2.6; exactly the regime the
+    // manifest log exists for). The ack-lost replay stays sequential
+    // AFTER them: its semantics are "a retry of an already-committed
+    // batch", which requires the original commit to exist.
+    Jobs.concurrently((0 until 3).map { w =>
+      () => ManifestLog.append(landing.filter(col("doc_id") % 3000 >= w * 1000
         && col("doc_id") % 3000 < (w + 1) * 1000), root, s"writer$w", 0L)
-    }
+    })
     ManifestLog.append(landing.filter(col("doc_id") % 3000 >= 1000
       && col("doc_id") % 3000 < 2000), root, "writer1", 0L) // ack-lost replay
+    org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(landing)
     val first = absorbIntoShingleIndex(spark, root, landing.schema,
       "q_shindex_land", idxDir)
     val second = absorbIntoShingleIndex(spark, root, landing.schema,
@@ -307,16 +317,19 @@ object LandingZone {
       "graft_q_ivfindex_land").getAbsolutePath
     IvfIndex.build(e.filter(col("vec_id") % 3 =!= 0), idxDir, "q_ivfidx_land",
       nCentroids = 8, seed = Similarity.ResidueSeed)
-    val landing = e.filter(col("vec_id") % 3 === 0)
-      .select(col("vec_id"), col("embedding"))
+    // same single-freeze + concurrent-writers shape as [[queryAbsorb]]
+    val landing = org.apache.spark.sql.graft.CheckpointShim
+      .statsHonestLocalCheckpoint(e.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("embedding")))
     val root = java.nio.file.Files.createTempDirectory("graft_q_vec_landing").toString
     // landing ids are ≡0 (mod 3); three writers split them by vec_id mod 9
-    (0 until 3).foreach { w =>
-      ManifestLog.append(landing.filter(col("vec_id") % 9 === w * 3), root,
+    Jobs.concurrently((0 until 3).map { w =>
+      () => ManifestLog.append(landing.filter(col("vec_id") % 9 === w * 3), root,
         s"writer$w", 0L)
-    }
+    })
     ManifestLog.append(landing.filter(col("vec_id") % 9 === 3), root,
       "writer1", 0L) // ack-lost replay
+    org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(landing)
     val first = absorbIntoIvfIndex(spark, root, landing.schema, "q_ivfidx_land")
     val second = absorbIntoIvfIndex(spark, root, landing.schema, "q_ivfidx_land")
     require(second.freshDocs == 0L,

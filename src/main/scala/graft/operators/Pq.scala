@@ -101,33 +101,16 @@ object Pq {
     val src = org.apache.spark.sql.graft.CheckpointShim
       .statsHonestLocalCheckpoint(
         spec.rotSeed.map(Imi.rotated(base, _)).getOrElse(base))
-    try {
-      // The m subspace codebooks are INDEPENDENT Lloyd chains (each a
-      // seed aggregate + `iters` round jobs); submit them concurrently so
-      // the small jobs overlap (guide §2.6 — actions are only sequential
-      // because the driver calls them sequentially). Each chain's jobs,
-      // plans, and double arithmetic are exactly the sequential ones.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      import scala.util.Try
-      val futs = (0 until spec.m).map { mi =>
-        Future {
-          val sl = src.select(col("vec_id"),
-            slice(col("embedding"), mi * dsub + 1, dsub).as("embedding"))
-          Similarity.trainedCentroidArrays(sl, spec.k, iters, Similarity.ResidueSeed, dsub)
-        }
-      }
-      // SETTLE every future before the finally block frees the shared
-      // checkpoint (ADVICE r14): awaiting results directly would throw on
-      // the first failed chain while sibling futures still run jobs
-      // against `src` — freeing the truncated-lineage blocks under them
-      // turns one failure into orphaned block-not-found storms. Gather
-      // outcomes first; `.get` then rethrows the first failure with every
-      // sibling already finished.
-      val settled = futs.map(f => Await.result(f.transform(Try(_)), Duration.Inf))
-      settled.map(_.get).toArray
-    } finally
+    try
+      // The m subspace codebooks are INDEPENDENT Lloyd chains; r14 ran
+      // them as m concurrent future chains (m·(1+iters) jobs), r15 folds
+      // them into ONE batched chain (1+iters jobs — verdict item 4): the
+      // seed is one exploded aggregate, each round one pass computing
+      // every subspace's assignment. Per-subspace arithmetic unchanged —
+      // see the trainedSubspaceCodebooks scaladoc.
+      Similarity.trainedSubspaceCodebooks(src, spec.m, spec.k, iters, dsub,
+        (0 until spec.m).map(_ * dsub))
+    finally
       org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(src)
   }
 

@@ -112,18 +112,25 @@ object ShingleIndex {
       .agg(expr(s"${graft.plans.CappedCollectLong.FuncName}(doc_id, $maxShingleDf)").as("ids"))
       .filter(col("ids").isNotNull)
       .select(col("key"), explode(col("ids")).as("corpus_id"))
-    writeBucketed(occ, occTable(tag), path, buckets, "key", SaveMode.Overwrite)
-    // sizes from the STORED occurrences, so nc is exactly the kept count
-    // the probe join will see (never the pre-cap shingle count)
-    writeBucketed(
-      spark.table(occTable(tag)).groupBy("corpus_id").agg(count(lit(1)).as("nc")),
-      sizesTable(tag), path, buckets, "corpus_id", SaveMode.Overwrite)
-    writeBucketed(
-      corpus.select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct(),
-      fpTable(tag), path, buckets, "fp", SaveMode.Overwrite)
-    // empty saturation table: build is exact, so nothing is saturated yet
-    writeBucketed(occ.select("key").limit(0), satTable(tag), path, buckets,
-      "key", SaveMode.Overwrite)
+    // The four table writes have ONE dependency edge: sizes reads the
+    // STORED occ table (so nc is exactly the kept count the probe join
+    // will see — never the pre-cap shingle count). Everything else is
+    // independent — overlap the [occ → sizes] chain with the fp and sat
+    // writes (guide §2.6; different tables, same held lease, r15 opt).
+    Jobs.concurrently(Seq(
+      () => {
+        writeBucketed(occ, occTable(tag), path, buckets, "key", SaveMode.Overwrite)
+        writeBucketed(
+          spark.table(occTable(tag)).groupBy("corpus_id").agg(count(lit(1)).as("nc")),
+          sizesTable(tag), path, buckets, "corpus_id", SaveMode.Overwrite)
+      },
+      () => writeBucketed(
+        corpus.select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct(),
+        fpTable(tag), path, buckets, "fp", SaveMode.Overwrite),
+      // empty saturation table: build is exact, so nothing is saturated yet
+      () => writeBucketed(occ.select("key").limit(0), satTable(tag), path, buckets,
+        "key", SaveMode.Overwrite)))
+    ()
   }
 
   /** Probe the stored index with a batch of `(doc_id, text)` arrivals.
@@ -196,11 +203,6 @@ object ShingleIndex {
     val newDf = newOcc.groupBy("key").agg(count(lit(1)).as("new_df"))
     val oldDf = spark.table(occT).join(newDf.select("key"), "key")
       .groupBy("key").agg(count(lit(1)).as("old_df"))
-    val dfCensus = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      newDf.join(oldDf, Seq("key"), "left")
-        .withColumn("admitted",
-          coalesce(col("old_df"), lit(0L)) + col("new_df") <= maxShingleDf))
-    val admittedKeys = dfCensus.filter(col("admitted")).select("key")
     // rejected keys are saturated: their true union df now exceeds the cap,
     // which only a rebuild can reconcile — record them for overshootCensus.
     // Anti-join keeps the sat table distinct across appends; materialized
@@ -217,47 +219,69 @@ object ShingleIndex {
     // duplication. The four appends need no cross-table atomicity beyond
     // what the old shape had — a crash mid-sequence leaves the same
     // partial state either way, and each COMPLETED call is durable.
-    val newSat = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      dfCensus.filter(!col("admitted")).select("key")
-        .join(spark.table(satTable(tag)), Seq("key"), "left_anti"))
-    val admitted = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      newOcc.join(admittedKeys, "key")
-        .select(col("key"), col("doc_id").as("corpus_id")))
-    val newFp = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      newDocs
-        .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
-        .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti"))
+    //
+    // r15 opt: the batch-delta materializations are INDEPENDENT action
+    // chains once their inputs exist — overlap them (guide §2.6; the
+    // sequential shape paid ~13 small driver-synchronized jobs per
+    // append): [dfCensus ∥ newFp] first (both need only newOcc/newDocs),
+    // then [newSat ∥ admitted] (both need dfCensus).
+    val ck = org.apache.spark.sql.graft.CheckpointShim
+    val fpAndCensus = Jobs.concurrently(Seq(
+      () => ck.statsHonestLocalCheckpoint(
+        newDf.join(oldDf, Seq("key"), "left")
+          .withColumn("admitted",
+            coalesce(col("old_df"), lit(0L)) + col("new_df") <= maxShingleDf)),
+      () => ck.statsHonestLocalCheckpoint(
+        newDocs
+          .select(Dedup.canonicalFp(coalesce(col("text"), lit(""))).as("fp")).distinct()
+          .join(spark.table(fpTable(tag)), Seq("fp"), "left_anti"))))
+    val (dfCensus, newFp) = (fpAndCensus(0), fpAndCensus(1))
+    val admittedKeys = dfCensus.filter(col("admitted")).select("key")
+    val satAndAdmitted = Jobs.concurrently(Seq(
+      () => ck.statsHonestLocalCheckpoint(
+        dfCensus.filter(!col("admitted")).select("key")
+          .join(spark.table(satTable(tag)), Seq("key"), "left_anti")),
+      () => ck.statsHonestLocalCheckpoint(
+        newOcc.join(admittedKeys, "key")
+          .select(col("key"), col("doc_id").as("corpus_id")))))
+    val (newSat, admitted) = (satAndAdmitted(0), satAndAdmitted(1))
     // sat/fp batch keys are disjoint from their tables by the anti-joins
     // above; occ/sizes by the new-documents contract (appending a doc_id
     // already in the corpus is a caller bug). ALL FOUR probes run their
     // eager disjointness asserts HERE, before the first guarded write —
     // a rejected batch (e.g. a replay) leaves every table untouched, with
-    // no partial sat-then-abort state (advisor r9).
+    // no partial sat-then-abort state (advisor r9). The four probe jobs
+    // are read-only and independent — overlapped; then the four guarded
+    // writes target four DIFFERENT tables with per-table guards —
+    // overlapped too (r15 opt; a raced external compact still resolves
+    // per table exactly as in the sequential shape).
     val batchDocs = admitted.select("corpus_id").distinct()
-    val probeOf = Seq(
+    val probeOf = Jobs.concurrently(Seq(
       (satTable(tag), newSat, "key"),
       (occT, batchDocs, "corpus_id"),
       (sizesTable(tag), batchDocs, "corpus_id"),
       (fpTable(tag), newFp, "fp")).map { case (t, keys, kc) =>
-      t -> BucketedMaintenance.disjointBatchProbe(spark, t, keys, kc)
-    }.toMap
+      () => t -> BucketedMaintenance.disjointBatchProbe(spark, t, keys, kc)
+    }).toMap
     def guarded(table: String)(write: => Unit): Unit =
       BucketedMaintenance.guardedAppend(spark, Seq(table),
         rowsPresent = Some(probeOf(table)))(write)
-    guarded(satTable(tag)) {
-      writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
-    }
-    guarded(occT) {
-      writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
-    }
-    guarded(sizesTable(tag)) {
-      writeBucketed(
-        admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
-        sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
-    }
-    guarded(fpTable(tag)) {
-      writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
-    }
+    Jobs.concurrently(Seq(
+      () => guarded(satTable(tag)) {
+        writeBucketed(newSat, satTable(tag), path, buckets, "key", SaveMode.Append)
+      },
+      () => guarded(occT) {
+        writeBucketed(admitted, occT, path, buckets, "key", SaveMode.Append)
+      },
+      () => guarded(sizesTable(tag)) {
+        writeBucketed(
+          admitted.groupBy("corpus_id").agg(count(lit(1)).as("nc")),
+          sizesTable(tag), path, buckets, "corpus_id", SaveMode.Append)
+      },
+      () => guarded(fpTable(tag)) {
+        writeBucketed(newFp, fpTable(tag), path, buckets, "fp", SaveMode.Append)
+      }))
+    ()
   }
 
   /** Re-apply exact build semantics (un-does append's bounded cap

@@ -722,6 +722,75 @@ FROM scored WHERE cos >= $threshold ORDER BY id_a, id_b
     cents
   }
 
+  /** Train `m` INDEPENDENT subspace Lloyd codebooks (residue seed, the
+    * oracle-parity mode) over `dsub`-dim slices of `src`'s embedding at
+    * `offsets(mi)`, in ONE job chain: the seed is one aggregate over the
+    * exploded (mi, slice) rows, and each Lloyd round is one pass
+    * computing every subspace's nearest-cell assignment — `1 + iters`
+    * jobs total instead of `m · (1 + iters)` (r14 verdict item 4; the
+    * r14 futures overlap kept m separate chains and still paid m× the
+    * per-job fixed cost).
+    *
+    * Per-subspace arithmetic is the [[trainedCentroidArrays]] chain's:
+    * the same slice floats, the same residue-class seed (`vec_id % k` —
+    * identical for every subspace), the same `nearestCell` (dist2 ASC,
+    * cid ASC) assignment against the same per-subspace model, the same
+    * width-wise `avg` aggregate per (subspace, cell) group with the
+    * empty-cell keep rule. Grouping by (mi, cid) instead of per-chain
+    * (cid) changes only which reduce task hosts a group — the same class
+    * of partial-merge reordering any shuffle re-run exhibits, absorbed by
+    * the corpus's round-6 margins exactly like the cross-engine avg
+    * (every affected oracle re-checked hash-exact; the 2M-scale recall
+    * probes are seed-robust by construction). */
+  private[operators] def trainedSubspaceCodebooks(src: DataFrame, m: Int, k: Int,
+                                                  iters: Int, dsub: Int,
+                                                  offsets: Seq[Int])
+  : Array[Array[Array[Double]]] = {
+    import src.sparkSession.implicits._
+    require(offsets.length == m, s"subspace codebooks: ${offsets.length} offsets for m=$m")
+    require(k >= 1 && m * k <= MaxCentroids,
+      s"subspace codebooks: m*k=${m * k} outside [1, $MaxCentroids] — the flat model " +
+        "collect beyond the cap stops being a broadcast model")
+    val avgs = centroidAvgs(dsub)
+    def toBooks(rows: Array[org.apache.spark.sql.Row],
+                prev: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] = {
+      val next = prev.map(_.clone())
+      rows.foreach { r =>
+        next(r.getAs[Number]("mi").intValue)(r.getAs[Number]("cid").intValue) =
+          Array.tabulate(dsub)(i => r.getAs[Double](s"__c${i + 1}"))
+      }
+      next
+    }
+    // seed: every subspace shares the vec_id-residue classes, so one
+    // exploded aggregate seeds all m codebooks
+    val slices = array((0 until m).map(mi =>
+      slice(col("embedding"), offsets(mi) + 1, dsub)): _*)
+    val seedRows = src
+      .select(pmod(col("vec_id"), lit(k)).as("cid"), posexplode(slices).as(Seq("mi", "embedding")))
+      .groupBy("mi", "cid").agg(avgs.head, avgs.tail: _*).collect()
+    require(seedRows.length == m * k,
+      s"subspace seed: only ${seedRows.length} of ${m * k} (subspace, residue) classes are " +
+        "populated — the id space is too sparse for this cell count")
+    var books = toBooks(seedRows,
+      Array.fill(m)(Array.fill(k)(Array.fill(dsub)(0.0))))
+    val offArr = offsets.toArray
+    for (_ <- 1 to iters) {
+      val model = books
+      books = toBooks(
+        src.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+          .flatMap { case (_, v) =>
+            (0 until m).iterator.map { mi =>
+              val sub = java.util.Arrays.copyOfRange(v, offArr(mi), offArr(mi) + dsub)
+              (mi, nearestCell(sub, model(mi))._1, sub)
+            }
+          }
+          .toDF("mi", "cid", "embedding")
+          .groupBy("mi", "cid").agg(avgs.head, avgs.tail: _*).collect(),
+        books)
+    }
+    books
+  }
+
   /** Multi-probe IVF search — the low-threshold / dense-similarity tool
     * the SRP parameter-honesty note points to: rank centroids per query,
     * probe the `nprobe` nearest cells, exact-rank ONLY vectors assigned to
