@@ -129,29 +129,27 @@ object ExactSubstr {
   private def docsOf(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
-  /** [[dupHits]] materialization tiers for the gram-position relation —
-    * one row per corpus CODEPOINT (~24 B each), the operator's only
-    * data-sized intermediate:
+  /** Materialization tiers for multi-referenced intermediates. Since the
+    * r15 window fusion the gram-position and candidate-gram relations are
+    * each referenced ONCE (the per-h / per-g min-max windows replaced the
+    * aggregate+semi-join pairs), so the only remaining multi-reference is
+    * [[cutOn]]'s cut-span relation (`cuts` — one row per cut span,
+    * referenced three times):
     *
-    *  - `"checkpoint"`: localCheckpoint the relation. Single evaluation,
-    *    but the blocks pin executor storage for the query's lifetime —
-    *    measured spilling past the 8 GB storage fraction at 100× local
-    *    scale (SCALING.md r9); at 100 TB of text this is PB-scale
-    *    executor storage. The small-corpus tier.
-    *  - `"recompute"`: no persistence — the relation is re-wrapped with
-    *    honest (unknown) stats only ([[CheckpointShim.honestStats]], so
-    *    the post-UDF-explode garbage estimate cannot invite a static
-    *    corpus-sized broadcast) and re-derived by each consumer. The
-    *    price is one extra corpus scan + rolling-hash pass (cheap,
-    *    GB/s-per-core linear work); NOT an extra data-sized shuffle —
-    *    the candidate-key aggregate combines map-side, so its
-    *    re-derivation ships only near-distinct-gram partials, while the
-    *    probe side's full-relation shuffle happens in either tier. Zero
+    *  - `"checkpoint"`: localCheckpoint `cuts`. Single evaluation, but
+    *    the blocks pin executor storage for the query's lifetime. The
+    *    small-corpus tier.
+    *  - `"recompute"`: no persistence — `cuts` is re-derived per
+    *    reference (the full kernel + window chain ×3). Zero
     *    executor-storage pinning (asserted via getPersistentRDDs in
-    *    ExactSubstrSpec). The 100 TB tier.
+    *    ExactSubstrSpec). The 100 TB tier (on a dup-heavy corpus the cut
+    *    relation is data-sized).
     *  - `"auto"` (default): one cheap `sum(length(text))` aggregate picks
     *    the tier by corpus codepoint count vs [[CheckpointMaxChars]].
-    */
+    *
+    * [[spansOn]] accepts the parameter for signature stability and
+    * validates it, but after the fusion has nothing left to materialize
+    * on either tier. */
   val MaterializeTiers: Set[String] = Set("auto", "checkpoint", "recompute")
 
   /** `"auto"` tier threshold: corpora up to this many codepoints
@@ -180,8 +178,7 @@ object ExactSubstr {
     }
   }
 
-  private def dupHits(documents: DataFrame, L: Int,
-                      tier: String): DataFrame = {
+  private def dupHits(documents: DataFrame, L: Int): DataFrame = {
     val hashUdf = udf((t: String) => gramHashArrays(t, L)).asNondeterministic()
     // two-stage select: `g` materializes as an attribute (nondeterministic,
     // so CollapseProject cannot inline the kernel into the two field
@@ -195,15 +192,24 @@ object ExactSubstr {
       .select(col("doc_id"),
         explode(arrays_zip(col("zp"), col("zh"))).as("p"))
       .select(col("doc_id"), col("p.zp").as("pos"), col("p.zh").as("h"))
-    val shim = org.apache.spark.sql.graft.CheckpointShim
-    val pos =
-      if (tier == "checkpoint") shim.statsHonestLocalCheckpoint(raw)
-      else shim.honestStats(raw)
-    val candKeys = pos.groupBy("h")
-      .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+    // Candidate filter as ONE windowed pass (r15 opt, guide §2.1 fewer
+    // shuffles — the r14 builder measured these queries stage-count
+    // bound): per-h min/max over the h partition replaces the
+    // [aggregate → Exchange → SortMergeJoin left_semi] pair, whose probe
+    // side shuffled the full gram-position relation by h ANYWAY — the
+    // window pays that one exchange+sort and nothing else, and the
+    // relation is now referenced ONCE (the r14 checkpoint/recompute tier
+    // split for `pos` had nothing left to buy and is gone). Same values:
+    // window min/max ≡ aggregate min/max, no floats anywhere.
+    // honestStats: the post-UDF-explode estimate is garbage and must not
+    // invite a static broadcast of the candidate side at corpus scale.
+    val w = Window.partitionBy("h")
+    val cand = org.apache.spark.sql.graft.CheckpointShim
+      .honestStats(raw)
+      .withColumn("dmin", min("doc_id").over(w))
+      .withColumn("dmax", max("doc_id").over(w))
       .filter(col("dmin") =!= col("dmax"))
-      .select("h")
-    val cand = pos.join(candKeys, Seq("h"), "left_semi")
+      .select("doc_id", "pos")
     // literal grams for candidates only; the text column lives inside this
     // stage — only (doc_id, pos, 50-codepoint gram) crosses the next shuffle
     cand.join(documents.select(col("doc_id"),
@@ -211,11 +217,6 @@ object ExactSubstr {
       .select(col("doc_id"), col("pos"),
         expr(s"substring(t, CAST(pos AS INT), $L)").as("g"))
   }
-
-  private def dupGramFilter(grams: DataFrame): DataFrame =
-    grams.groupBy("g")
-      .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
-      .filter(col("dmin") =!= col("dmax"))
 
   /** Gaps-and-islands merge of hit positions into maximal spans
     * `[pos, pos+L−1]` (overlapping or adjacent spans coalesce). */
@@ -245,19 +246,20 @@ object ExactSubstr {
 
   def spansOn(documents: DataFrame, L: Int = DefaultL,
               materialize: String = "auto", ordered: Boolean = true): DataFrame = {
-    val tier = tierOf(documents, materialize)
-    // `grams` is referenced twice (the dup-gram aggregate + the semi-join
-    // probe side); on the checkpoint tier materialize it once instead of
-    // re-running the candidate semi-join + literal-gram extraction per
-    // reference (r14 opt). The recompute tier keeps its zero-pinning
-    // contract (candidate rows are dup-content-sized, which on a
-    // dup-heavy 100 TB corpus is data-sized).
-    val gramsRaw = dupHits(documents, L, tier)
-    val grams =
-      if (tier == "checkpoint")
-        org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(gramsRaw)
-      else gramsRaw
-    val hits = grams.join(dupGramFilter(grams).select("g"), Seq("g"), "left_semi")
+    require(MaterializeTiers.contains(materialize),
+      s"materialize must be one of $MaterializeTiers, got '$materialize'")
+    // r15 fusion: the literal-gram confirm is the same windowed-min/max
+    // pass as the hash pre-filter (guide §2.1) — `grams` is referenced
+    // ONCE, so the r14 per-tier checkpoint (and the tier's sizing
+    // aggregate) has nothing left to buy on this path and is gone; the
+    // `materialize` parameter stays for signature stability (validated,
+    // otherwise inert here — [[cutOn]] still uses the tiers for its
+    // thrice-referenced cut-span relation).
+    val w = Window.partitionBy("g")
+    val hits = dupHits(documents, L)
+      .withColumn("dmin", min("doc_id").over(w))
+      .withColumn("dmax", max("doc_id").over(w))
+      .filter(col("dmin") =!= col("dmax"))
       .select("doc_id", "pos")
     val out = mergeSpans(hits, L)
     if (ordered) out.orderBy("doc_id", "start_pos") else out
@@ -303,16 +305,16 @@ ORDER BY doc_id, start_pos
   def cutOn(documents: DataFrame, L: Int = DefaultL,
             materialize: String = "auto", ordered: Boolean = true): DataFrame = {
     val tier = tierOf(documents, materialize)
-    // same two-reference economics as spansOn (r14 opt): owners aggregates
-    // over grams AND cutHits probes it — checkpoint once on the small tier
-    val gramsRaw = dupHits(documents, L, tier)
-    val grams =
-      if (tier == "checkpoint")
-        org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(gramsRaw)
-      else gramsRaw
-    // owner = smallest doc_id containing the gram: it keeps its copies
-    val owners = dupGramFilter(grams).select(col("g"), col("dmin").as("own"))
-    val cutHits = grams.join(owners, "g")
+    // owner = smallest doc_id containing the gram: it keeps its copies.
+    // r15 fusion (the spansOn shape): per-g window min gives the owner in
+    // the same pass that confirms the literal gram — `doc_id > own`
+    // already implies the gram lives in ≥2 documents, so the old
+    // [owner aggregate → Exchange → join] pair collapses into the one
+    // windowed exchange the grams relation paid anyway, and `grams` is
+    // referenced once (its r14 per-tier checkpoint is gone).
+    val wg = Window.partitionBy("g")
+    val cutHits = dupHits(documents, L)
+      .withColumn("own", min("doc_id").over(wg))
       .filter(col("doc_id") > col("own"))
       .select("doc_id", "pos").distinct()
     // `cuts` is referenced THREE times below (pre, tail, cstat) — on the

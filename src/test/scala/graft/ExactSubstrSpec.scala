@@ -151,11 +151,20 @@ class ExactSubstrSpec extends AnyFunSuite {
     // corpus codepoint — PB-scale at 100 TB) must NOT be pinned
     assert((afterRecompute -- before).isEmpty,
       "recompute tier must not pin executor-storage blocks")
-    // the checkpoint tier pins (that is its single-evaluation mechanism —
-    // and why it is size-capped); differential proof the probe above
-    // measures the right thing
+    // since the r15 window fusion spansOn has no multi-referenced
+    // intermediate — NEITHER tier pins blocks there
     assert(ExactSubstr.spansOn(df, 50, materialize = "checkpoint", ordered = false).count() > 0)
-    assert((spark.sparkContext.getPersistentRDDs.keySet -- afterRecompute).nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- afterRecompute).isEmpty,
+      "post-fusion spansOn has nothing to materialize on any tier")
+    // cutOn still carries one (the thrice-referenced cut-span relation):
+    // the checkpoint tier pins it, the recompute tier must not —
+    // differential proof the probe above measures the right thing
+    assert(ExactSubstr.cutOn(df, 50, materialize = "recompute", ordered = false).count() > 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- afterRecompute).isEmpty,
+      "recompute-tier cutOn must not pin executor-storage blocks")
+    assert(ExactSubstr.cutOn(df, 50, materialize = "checkpoint", ordered = false).count() > 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- afterRecompute).nonEmpty,
+      "checkpoint-tier cutOn pins its cut-span relation")
     // the total-order sort is the oracle's, not the operator's
     val topSort = sp.queryExecution.optimizedPlan.toString.linesIterator
       .takeWhile(l => !l.contains("Window")).exists(_.trim.startsWith("Sort"))
