@@ -37,28 +37,33 @@ object Search {
     val toks = docs.select(col("doc_id"),
       explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("term"))
     val q = queryTerms.map(_.toLowerCase).distinct
-    // postings are built for the QUERY terms only — the isin filter runs
-    // BEFORE the tf aggregate, so the shuffle carries the query's
-    // postings, not the whole vocabulary (document lengths still need one
-    // full-token aggregate; that one is map-side-combined to one row per
-    // doc). Same values as a full postings build + filter — just never
-    // materializing the rest of the index for a 3-term query.
-    //
-    // tf and dl are each referenced TWICE (scoring + df; join + stats) —
-    // both checkpoint so the tokenization pass runs once per relation
-    // instead of once per reference (the single-evaluation discipline of
-    // the inverted-index family). n_docs/avgdl derive from dl's own rows:
-    // one row per document, empty text included.
-    // stats-honest checkpoints: dl is one row per DOCUMENT and tf grows
-    // with the posting lists of the query terms — a static broadcast of
-    // either off the checkpoint's garbage origin stats would be lethal at
-    // corpus scale (the df/stats broadcasts below stay explicit: those
-    // are contract-tiny — one row per query term / one row total)
-    val tf = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      toks.filter(col("term").isin(q: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
-      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+    // ONE tokenize pass (r15 opt, guide §2.3 aggregate-before-shuffle):
+    // the r14 shape materialized tf and dl as two separate checkpoints,
+    // each re-running the full tokenization (two corpus scans + explodes).
+    // For a FIXED small query-term set, per-term tf folds into the dl
+    // aggregate as conditional counts — one map-side-combined groupBy per
+    // doc carrying |q| extra long columns — and the postings relation
+    // derives from it by an in-stage unpivot (tf > 0 keeps exactly the
+    // (doc, term) rows the filtered aggregate produced; counts are longs,
+    // exact under any merge order). The single checkpoint is referenced
+    // by postings, lengths, and corpus stats.
+    // stats-honest checkpoint: one row per DOCUMENT — a static broadcast
+    // off garbage origin stats would be lethal at corpus scale (the
+    // df/stats broadcasts below stay explicit: those are contract-tiny —
+    // one row per query term / one row total).
+    val perDoc = org.apache.spark.sql.graft.CheckpointShim.statsHonestLocalCheckpoint(
+      toks.groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        q.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__tf$i")
+        }: _*))
+    val tf = perDoc
+      .select(col("doc_id"), explode(array(q.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("term"), col(s"__tf$i").as("tf"))
+      }: _*)).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
+      .filter(col("tf") > 0)
+    val dl = perDoc.select("doc_id", "dl")
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
