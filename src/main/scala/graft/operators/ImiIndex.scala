@@ -74,7 +74,9 @@ object ImiIndex {
     require(math.abs(rotSeed) < (1L << 53), s"rotSeed $rotSeed exceeds exact-double range")
     val raw = corpus.select(col("vec_id"), col("embedding"))
     val base = if (rotSeed != 0 && !preRotated) Imi.rotated(raw, rotSeed) else raw
-    val n = base.count()
+    // count drives only the auto-k1 rule + sampling decision — explicit-k1
+    // builds (every oracle) skip the job (r15 opt, the IvfIndex.build shape)
+    lazy val n = base.count()
     val kk = if (k1 == 0) Imi.k1For(n) else k1
     // AUTO path trains the half-quantizers on the same bounded
     // deterministic sample as [[IvfIndex.build]] (~128 rows per k1
@@ -94,25 +96,34 @@ object ImiIndex {
       try Imi.models(trainBase, kk, iters)
       finally if (sampled)
         org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(trainBase)
-    BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
-    val modelRows =
-      cl.zipWithIndex.map { case (c, cid) => ("l", cid, c) } ++
-        cr.zipWithIndex.map { case (c, cid) => ("r", cid, c) } ++
-        (if (rotSeed != 0) Seq((SeedSide, 0, Array(rotSeed.toDouble))) else Seq.empty)
-    modelRows.toSeq.toDF("side", "cid", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("path", s"$path/${modelTable(tag)}")
-      .saveAsTable(modelTable(tag))
-    // nrm precomputed at write time — same scoring-stage rationale as
-    // [[IvfIndex.build]]
-    val assigned = base.as[(Long, Array[Float])]
-      .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
-      .toDF("vec_id", "cell_id", "embedding", "nrm")
-    BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
-    assigned.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(buckets, "cell_id").sortBy("cell_id")
-      .option("path", s"$path/${assignTable(tag)}")
-      .saveAsTable(assignTable(tag))
+    // model + assignment writes are independent (both derive from the
+    // driver-side half-models) — overlap them (r15 opt, the
+    // IvfIndex.build shape; the held tag lease serializes other writers)
+    Jobs.concurrently(Seq(
+      () => {
+        BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
+        val modelRows =
+          cl.zipWithIndex.map { case (c, cid) => ("l", cid, c) } ++
+            cr.zipWithIndex.map { case (c, cid) => ("r", cid, c) } ++
+            (if (rotSeed != 0) Seq((SeedSide, 0, Array(rotSeed.toDouble))) else Seq.empty)
+        modelRows.toSeq.toDF("side", "cid", "centroid")
+          .coalesce(1).write.mode(SaveMode.Overwrite)
+          .option("path", s"$path/${modelTable(tag)}")
+          .saveAsTable(modelTable(tag))
+      },
+      () => {
+        // nrm precomputed at write time — same scoring-stage rationale as
+        // [[IvfIndex.build]]
+        val assigned = base.as[(Long, Array[Float])]
+          .map { case (id, v) => (id, Imi.cellIdOf(v, cl, cr, kk), v, Similarity.normP(v)) }
+          .toDF("vec_id", "cell_id", "embedding", "nrm")
+        BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
+        assigned.write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(buckets, "cell_id").sortBy("cell_id")
+          .option("path", s"$path/${assignTable(tag)}")
+          .saveAsTable(assignTable(tag))
+      }))
+    ()
   }
 
   /** Assign new vectors into the EXISTING half-models (no retrain) and

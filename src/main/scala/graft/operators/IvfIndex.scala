@@ -49,9 +49,15 @@ object IvfIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col("vec_id"), col("embedding"))
-    val n = base.count()
+    // corpus count drives only the AUTO cell rule, PqAuto resolution and
+    // the sampling decision — explicit-cells builds with an explicit PQ
+    // mode (every oracle) skip the count job entirely (r15 opt)
+    lazy val n = base.count()
     val cells = if (nCentroids == 0) Similarity.cellsFor(n) else nCentroids
-    val pqSpec = Pq.resolve(pq, n)
+    val pqSpec = pq match {
+      case Pq.PqAuto => Pq.resolve(pq, n)
+      case other => Pq.resolve(other, 0L)
+    }
     // AUTO path trains Lloyd on a bounded deterministic sample
     // ([[Similarity.lloydTrainSample]] — ~128 rows/cell): each round's
     // nearest-cell pass is n·cells·dim work, O(n^1.5) under the √n cell
@@ -83,44 +89,57 @@ object IvfIndex {
         (c, b)
       } finally if (sampled)
         org.apache.spark.sql.graft.CheckpointShim.freeCheckpoint(trainBase)
-    // canonical-path re-pin on rebuild: drop a possibly-compacted table
-    // (and its generation-dir files) before the Overwrite create
-    BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
-    cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toSeq
-      .toDF("cid", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .option("path", s"$path/${modelTable(tag)}")
-      .saveAsTable(modelTable(tag))
-    // the PQ model table is dropped unconditionally: a rebuild WITHOUT
-    // the tier must not leave a stale codebook that disagrees with the
-    // (code-free) assignment relation
-    BucketedMaintenance.dropWithFiles(spark, pqModelTable(tag))
-    (pqSpec, books) match {
-      case (Some(sp), Some(bk)) =>
-        val rows = for (mi <- 0 until sp.m; j <- 0 until sp.k)
-          yield (mi, j, bk(mi)(j), sp.m, sp.k, sp.rotSeed, sp.residual)
-        rows.toDF("m", "cid", "centroid", "msub", "ksub", "rot_seed", "residual")
+    // The three tables derive from driver-side state (cents/books) + base
+    // and are pairwise independent — drop+write each under its own thunk,
+    // overlapped (guide §2.6; the assignment write is the data-sized one,
+    // the two model writes back-fill its tail — r15 opt). The held tag
+    // lease already serializes against other writers.
+    Jobs.concurrently(Seq(
+      () => {
+        // canonical-path re-pin on rebuild: drop a possibly-compacted
+        // table (and its generation-dir files) before the Overwrite create
+        BucketedMaintenance.dropWithFiles(spark, modelTable(tag))
+        cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toSeq
+          .toDF("cid", "centroid")
           .coalesce(1).write.mode(SaveMode.Overwrite)
-          .option("path", s"$path/${pqModelTable(tag)}")
-          .saveAsTable(pqModelTable(tag))
-      case _ =>
-    }
-    // nrm is precomputed at WRITE time: the scoring stage evaluates one
-    // cosine per (query, neighbor) candidate pair, and recomputing the
-    // stored side's norm per PAIR (instead of once per stored vector)
-    // was a measured slice of the streaming gate's batch wall. qvec/qnrm
-    // are the int8 storage leg — 64-byte codes + their integer-dot norm —
-    // so [[searchInt8]] can column-prune the scan down to a quarter of
-    // the float vectors' bytes. pqcode (when the PQ tier is on) is the
-    // 8-byte ADC leg — [[searchPq]] prunes down to it, another 8× less.
-    val assigned = assignedFrame(base, cents,
-      books.map(bk => PqEnc(bk, pqSpec.get.rotSeed.map(Imi.rotSigns(_)),
-        pqSpec.get.residual)))
-    BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
-    assigned.write.mode(SaveMode.Overwrite).format("parquet")
-      .bucketBy(buckets, "cid").sortBy("cid")
-      .option("path", s"$path/${assignTable(tag)}")
-      .saveAsTable(assignTable(tag))
+          .option("path", s"$path/${modelTable(tag)}")
+          .saveAsTable(modelTable(tag))
+      },
+      () => {
+        // the PQ model table is dropped unconditionally: a rebuild WITHOUT
+        // the tier must not leave a stale codebook that disagrees with the
+        // (code-free) assignment relation
+        BucketedMaintenance.dropWithFiles(spark, pqModelTable(tag))
+        (pqSpec, books) match {
+          case (Some(sp), Some(bk)) =>
+            val rows = for (mi <- 0 until sp.m; j <- 0 until sp.k)
+              yield (mi, j, bk(mi)(j), sp.m, sp.k, sp.rotSeed, sp.residual)
+            rows.toDF("m", "cid", "centroid", "msub", "ksub", "rot_seed", "residual")
+              .coalesce(1).write.mode(SaveMode.Overwrite)
+              .option("path", s"$path/${pqModelTable(tag)}")
+              .saveAsTable(pqModelTable(tag))
+          case _ =>
+        }
+      },
+      () => {
+        // nrm is precomputed at WRITE time: the scoring stage evaluates one
+        // cosine per (query, neighbor) candidate pair, and recomputing the
+        // stored side's norm per PAIR (instead of once per stored vector)
+        // was a measured slice of the streaming gate's batch wall. qvec/qnrm
+        // are the int8 storage leg — 64-byte codes + their integer-dot norm —
+        // so [[searchInt8]] can column-prune the scan down to a quarter of
+        // the float vectors' bytes. pqcode (when the PQ tier is on) is the
+        // 8-byte ADC leg — [[searchPq]] prunes down to it, another 8× less.
+        val assigned = assignedFrame(base, cents,
+          books.map(bk => PqEnc(bk, pqSpec.get.rotSeed.map(Imi.rotSigns(_)),
+            pqSpec.get.residual)))
+        BucketedMaintenance.dropWithFiles(spark, assignTable(tag))
+        assigned.write.mode(SaveMode.Overwrite).format("parquet")
+          .bucketBy(buckets, "cid").sortBy("cid")
+          .option("path", s"$path/${assignTable(tag)}")
+          .saveAsTable(assignTable(tag))
+      }))
+    ()
   }
 
   /** PQ encoding context: codebooks, rotation signs, and whether codes
