@@ -247,21 +247,50 @@ object Bench {
     }
     // A failed query reports -1 (not a fast-looking elapsed time) and is
     // excluded from the total, so a regression can't read as a speedup.
-    def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try {
-          materialize(fn(spark, sfDir))
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            name -> -1.0
-          // finally, and thus also on failure (a half-built query leaks
-          // blocks too); outside the timer either way: block churn is
-          // harness state, not query cost
-        } finally dropCheckpointBlocks()
+    //
+    // r15 (r14 verdict item 5): the end-of-run anchor triple can only
+    // label a WHOLE pass; on a host whose load moves mid-pass that left
+    // the driver with no usable per-query numbers two rounds running.
+    // Interleave one anchor point per GROUP of [[AnchorGroupSize]]
+    // queries (outside every query timer, after the block drop) and
+    // report anchor-ratio-NORMALIZED per-query numbers ALONGSIDE raw:
+    // norm = raw · min(groupAnchors) / groupAnchor — i.e. each group's
+    // times are rescaled to the pass's quietest-moment machine speed.
+    // Raw values and totals are unchanged; the normalized map and the
+    // group anchors are ADDED keys, so a noisy-host artifact degrades to
+    // "raw DISCARD + normalized best-effort" instead of nothing.
+    val AnchorGroupSize = 12
+    case class Pass(times: Seq[(String, Double)], groupAnchors: Seq[Double],
+                    groupOf: Map[String, Int])
+    def pass(): Pass = {
+      val anchors = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val groupOf = scala.collection.mutable.HashMap.empty[String, Int]
+      val times = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+        case ((name, fn), i) =>
+          if (i % AnchorGroupSize == 0) anchors += anchorOnce(spark)
+          groupOf(name) = anchors.length - 1
+          val t0 = System.nanoTime()
+          try {
+            materialize(fn(spark, sfDir))
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              name -> -1.0
+            // finally, and thus also on failure (a half-built query leaks
+            // blocks too); outside the timer either way: block churn is
+            // harness state, not query cost
+          } finally dropCheckpointBlocks()
       }
+      Pass(times, anchors.toSeq, groupOf.toMap)
+    }
+    def normalized(p: Pass): Seq[(String, Double)] = {
+      val floor = p.groupAnchors.min
+      p.times.map { case (name, t) =>
+        if (t < 0) name -> t
+        else name -> t * (floor / p.groupAnchors(p.groupOf(name)))
+      }
+    }
     // One full measurement attempt: gate → cold pass → warm pass, with the
     // anchor triple (pre = the gate's final point — it IS the same min-of-3
     // estimator measured this instant; re-running it would be three
@@ -271,7 +300,7 @@ object Bench {
     case class Attempt(gateAttempts: Int, gateSpreadPct: Double,
         gateVerdict: String, loadStart: String, loadEnd: String,
         calibPre: Double, calibMid: Double, calibPost: Double,
-        cold: Seq[(String, Double)], warm: Seq[(String, Double)]) {
+        cold: Pass, warm: Pass) {
       def anchorSpreadPct: Double = {
         val a = Seq(calibPre, calibMid, calibPost)
         (a.max - a.min) / a.min * 100.0
@@ -311,7 +340,9 @@ object Bench {
     val chosenIdx = attemptsOldestFirst.zipWithIndex.minBy(_._1.anchorSpreadPct)._2
     val chosen = attemptsOldestFirst(chosenIdx)
     val Attempt(gateAttempts, gateSpreadPct, gateVerdict, loadStart, loadEnd,
-      calibPre, calibMid, calibPost, cold, warm) = chosen
+      calibPre, calibMid, calibPost, coldPass, warmPass) = chosen
+    val cold = coldPass.times
+    val warm = warmPass.times
     // q_dedup_indexed's scoreboard number times build+probe together (the
     // oracle query must be self-contained), which overstates the operator's
     // deployment cost — its whole point is build ONCE, probe per batch.
@@ -413,7 +444,12 @@ object Bench {
         else math.rint(gateSpreadPct * 10) / 10
       s""""gate":{"attempts":$gateAttempts,"spread_pct":$spread,"verdict":"$gateVerdict","floor_ref":$floorRef}"""
     }
-    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec",$basis,"queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},"breakdown":${json(breakdown)},"calib":$calib,$anchorJson,$attemptsJson,$gateJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
+    // r15 additions (r14 verdict item 5): per-group interleaved anchors +
+    // anchor-ratio-normalized per-query numbers, ALONGSIDE the raw maps —
+    // nothing existing is renamed or removed.
+    def anchorsJson(p: Pass): String = p.groupAnchors.mkString("[", ",", "]")
+    val normJson = s""""queries_norm":${json(normalized(coldPass))},"queries_warm_norm":${json(normalized(warmPass))},"calib_groups":${anchorsJson(coldPass)},"calib_groups_warm":${anchorsJson(warmPass)},"anchor_group_size":$AnchorGroupSize"""
+    val line = s"""{"metric":"total","value":${total(cold)},"unit":"sec",$basis,"queries":${json(cold)},"total_warm":${total(warm)},"queries_warm":${json(warm)},$normJson,"breakdown":${json(breakdown)},"calib":$calib,$anchorJson,$attemptsJson,$gateJson,"loadavg_start":"$loadStart","loadavg_end":"$loadEnd","commit":"$commit","ran_at":"$ranAt","sf":"$sfDir"}"""
     println(line)
     // Compact summary line AFTER the full one (r12 verdict task 2): the
     // driver captures only the last ~2,000 chars of stdout, and the full
