@@ -600,9 +600,12 @@ object IvfIndex {
     def topK(scored: DataFrame): DataFrame =
       scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") <= k)
         .select("query_id", "rk", "neighbor_id", "cos")
-    // round 1: every query
+    // round 1: every query. The id set derives from the already-
+    // materialized rankedCells checkpoint (every query has >= 1 ranked
+    // cell), not a second scan of the queries relation (r15 opt).
     var prev = ck.statsHonestLocalCheckpoint(topK(scoreChunk(1, None)))
-    val allIds = queries.select(col("vec_id")).distinct().as[Long].collect().toSeq
+    val allIds = rankedCells.select(col("query_id")).distinct()
+      .as[Long].collect().toSeq
     onRound(1, allIds.size.toLong)
     // stability streak per query: `window` CONSECUTIVE unchanged rounds
     // terminate (window 1 = the oracle-pinned default; a higher window
