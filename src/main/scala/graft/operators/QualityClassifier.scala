@@ -69,16 +69,22 @@ object QualityClassifier {
     // them from the exploded tokens would pay the corpus scan twice),
     // and the fitted model becomes a literal dim-row relation — the same
     // driver-side-model discipline as the IVF/IMI centroid training.
-    val countRows = featRows(labeled, dim).groupBy("feat").agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
-      sum(when(!col("label"), 1L).otherwise(0L)).as("c_neg")).collect()
+    // the token-level class counts and the doc-count priors are two
+    // INDEPENDENT aggregates over `labeled` — overlap them (guide §2.6,
+    // r15 opt; exact long counts, unchanged by merge order)
+    val trained = Jobs.concurrently(Seq(
+      () => featRows(labeled, dim).groupBy("feat").agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("c_neg")).collect(),
+      // doc-count priors: a cheap document-level scan (no token explode)
+      () => labeled.agg(
+        sum(when(col("label"), 1L).otherwise(0L)).as("d_pos"),
+        sum(when(!col("label"), 1L).otherwise(0L)).as("d_neg")).collect()))
+    val countRows = trained(0)
     val byFeat = countRows.map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
     val nPos = countRows.map(_.getLong(1)).sum
     val nNeg = countRows.map(_.getLong(2)).sum
-    // doc-count priors: a cheap document-level scan (no token explode)
-    val d = labeled.agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("d_pos"),
-      sum(when(!col("label"), 1L).otherwise(0L)).as("d_neg")).collect()(0)
+    val d = trained(1)(0)
     val dPos = if (d.isNullAt(0)) 0L else d.getLong(0)
     val dNeg = if (d.isNullAt(1)) 0L else d.getLong(1)
     // loud on a single-class corpus: log(0)/x/0 would otherwise score the
